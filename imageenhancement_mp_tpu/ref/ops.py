@@ -1,0 +1,324 @@
+"""Pure-NumPy parity oracle: bit-exact reimplementation of the reference semantics.
+
+The reference (``hanxuel/ImageEnhancement_MP``) is a per-image Python/OpenCV
+image-enhancement project (BASELINE.json:5).  The reference mount is empty
+(SURVEY.md §0), so the behavioral contract was pinned empirically against the
+reference's backend, OpenCV 5.0.0, and is recorded in SURVEY.md §8.  Every
+function here reproduces the corresponding ``cv2`` call on uint8 inputs either
+bit-exactly or within the ±1-LSB acceptance budget (BASELINE.json:2,5):
+
+==================  ==========================================  ============
+oracle function     cv2 equivalent                              parity
+==================  ==========================================  ============
+apply_lut           cv2.LUT                                     exact
+gamma / log LUTs    standard power-law / log transforms         exact (spec)
+contrast_stretch    cv2.normalize(NORM_MINMAX, 0, 255)          exact
+equalize_hist       cv2.equalizeHist                            exact
+clahe               cv2.createCLAHE(clip, grid).apply           ±1 LSB
+gaussian_blur σ=0   cv2.GaussianBlur(k, 0)                      exact
+gaussian_blur σ>0   cv2.GaussianBlur(k, σ)                      ±1 LSB
+laplacian           cv2.Laplacian(ksize=1, CV_16S)              exact
+laplacian_sharpen   src − Laplacian, saturating                 exact
+unsharp_mask        cv2.addWeighted(src,1+a,blur,−a,0)          exact
+median_blur         cv2.medianBlur (border replicate)           exact
+==================  ==========================================  ============
+
+All formulas below were verified by direct probes against OpenCV 5.0.0 in this
+environment (see tests/test_ref_vs_cv2.py, which re-verifies them in CI when
+cv2 is importable).  Key pinned facts (SURVEY.md §8 + probes this session):
+
+* ``cvRound`` is round-half-to-even; ``np.round`` matches.
+* uint8 GaussianBlur is *integer fixed point*: taps = getGaussianKernel·256
+  (integers for σ=0: [1,2,1]·64, [1,4,6,4,1]·16, [2,7,14,18,14,7,2]·8),
+  int accumulation, output = (acc + 2^15) >> 16, saturating.  Bit-exact.
+* CLAHE pads with BORDER_REFLECT_101 to a grid multiple, but when *any* dim is
+  non-divisible, *every* dim is padded by ``tiles - size % tiles`` (a divisible
+  dim gains a full extra ``tiles`` pixels).  Interpolation coordinates are
+  ``y / tile_h - 0.5`` (no half-pixel offset) with blend weights taken before
+  index clamping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "apply_lut",
+    "gamma_lut",
+    "log_lut",
+    "gamma_transform",
+    "log_transform",
+    "contrast_stretch",
+    "equalize_hist",
+    "clahe",
+    "gaussian_kernel_fixed",
+    "gaussian_kernel",
+    "gaussian_blur",
+    "laplacian",
+    "laplacian_sharpen",
+    "unsharp_mask",
+    "median_blur",
+]
+
+
+def _check_u8(img: np.ndarray) -> None:
+    if img.dtype != np.uint8:
+        raise TypeError(f"expected uint8 image, got {img.dtype}")
+
+
+# ---------------------------------------------------------------------------
+# Point operations (LUT family)
+# ---------------------------------------------------------------------------
+
+def apply_lut(img: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """``cv2.LUT`` ≡ fancy-index gather (SURVEY.md §8.6; exact)."""
+    _check_u8(img)
+    return lut.astype(np.uint8)[img]
+
+
+def gamma_lut(gamma: float) -> np.ndarray:
+    """256-entry power-law LUT: ``s = 255·(r/255)^γ`` (SURVEY.md §2 #1)."""
+    r = np.arange(256, dtype=np.float64) / 255.0
+    return np.clip(np.round(255.0 * np.power(r, gamma)), 0, 255).astype(np.uint8)
+
+
+def log_lut() -> np.ndarray:
+    """256-entry log LUT: ``s = c·log(1+r)``, ``c = 255/log(256)`` (SURVEY.md §2 #2)."""
+    c = 255.0 / np.log(256.0)
+    r = np.arange(256, dtype=np.float64)
+    return np.clip(np.round(c * np.log1p(r)), 0, 255).astype(np.uint8)
+
+
+def gamma_transform(img: np.ndarray, gamma: float) -> np.ndarray:
+    return apply_lut(img, gamma_lut(gamma))
+
+
+def log_transform(img: np.ndarray) -> np.ndarray:
+    return apply_lut(img, log_lut())
+
+
+def contrast_stretch(img: np.ndarray) -> np.ndarray:
+    """``cv2.normalize(img, None, 0, 255, NORM_MINMAX)`` — exact (SURVEY.md §8.5).
+
+    ``round((x − min)·255/(max − min))`` with round-half-to-even; a constant
+    image maps to all-zeros (verified against OpenCV 5.0.0).
+    """
+    _check_u8(img)
+    lo = int(img.min())
+    hi = int(img.max())
+    if hi == lo:
+        return np.zeros_like(img)
+    lut = np.clip(
+        np.round((np.arange(256, dtype=np.float64) - lo) * 255.0 / (hi - lo)), 0, 255
+    ).astype(np.uint8)
+    return lut[img]
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization
+# ---------------------------------------------------------------------------
+
+def _equalize_lut(hist: np.ndarray, total: int) -> np.ndarray:
+    """LUT of ``cv2.equalizeHist`` from a 256-bin histogram (SURVEY.md §8.1)."""
+    nz = np.nonzero(hist)[0]
+    if nz.size == 0:
+        return np.zeros(256, np.uint8)
+    i0 = nz[0]
+    if hist[i0] == total:
+        # constant image: cv2 short-circuits with dst.setTo(i0) — identity
+        return np.arange(256, dtype=np.uint8)
+    cdf = np.cumsum(hist)
+    scale = 255.0 / (total - hist[i0])
+    return np.clip(np.round((cdf - cdf[i0]) * scale), 0, 255).astype(np.uint8)
+
+
+def equalize_hist(img: np.ndarray) -> np.ndarray:
+    """``cv2.equalizeHist`` — exact (SURVEY.md §8.1; probe maxdiff 0)."""
+    _check_u8(img)
+    hist = np.bincount(img.ravel(), minlength=256)
+    return _equalize_lut(hist, img.size)[img]
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+
+def clahe_tile_lut(tile_hist: np.ndarray, tile_area: int, clip_limit: float) -> np.ndarray:
+    """Per-tile CLAHE LUT: clip, redistribute, CDF, scale (SURVEY.md §8.3)."""
+    h = tile_hist.astype(np.int64).copy()
+    if clip_limit > 0:
+        clip_abs = max(int(clip_limit * tile_area / 256.0), 1)
+        excess = int(np.sum(np.maximum(h - clip_abs, 0)))
+        h = np.minimum(h, clip_abs)
+        h += excess // 256
+        r = excess % 256
+        if r:
+            step = max(256 // r, 1)
+            idx = np.arange(0, 256, step)[:r]
+            h[idx] += 1
+    cdf = np.cumsum(h)
+    return np.clip(np.round(cdf * (255.0 / tile_area)), 0, 255).astype(np.uint8)
+
+
+def clahe(
+    img: np.ndarray, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)
+) -> np.ndarray:
+    """``cv2.createCLAHE(clip_limit, (gw, gh)).apply`` — ±1 LSB (SURVEY.md §8.3).
+
+    ``tile_grid`` is (rows, cols) = (tilesY, tilesX).  cv2's default
+    ``clip_limit`` is 40.0 with an 8×8 grid.
+    """
+    _check_u8(img)
+    H, W = img.shape
+    gh, gw = tile_grid
+    if H % gh == 0 and W % gw == 0:
+        th, tw = H // gh, W // gw
+        padded = img
+    else:
+        # cv2 quirk (verified): when any dim is non-divisible, BOTH dims are
+        # padded by (tiles - size % tiles) with BORDER_REFLECT_101 — a
+        # divisible dim gains a full extra `tiles` pixels.
+        pad_h = gh - (H % gh)
+        pad_w = gw - (W % gw)
+        padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
+        th, tw = padded.shape[0] // gh, padded.shape[1] // gw
+    area = th * tw
+
+    luts = np.empty((gh, gw, 256), np.uint8)
+    for ty in range(gh):
+        for tx in range(gw):
+            tile = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=256)
+            luts[ty, tx] = clahe_tile_lut(hist, area, clip_limit)
+
+    # Bilinear blend of the 4 neighboring tile LUTs.  Pinned convention
+    # (probe): coords = y/tile - 0.5 (NO half-pixel offset), fractional
+    # weights taken BEFORE clamping the tile indices; at borders the two
+    # clamped indices coincide so the unclamped weight is harmless.
+    ys = np.arange(H, dtype=np.float64)
+    xs = np.arange(W, dtype=np.float64)
+    tyf = ys / th - 0.5
+    txf = xs / tw - 0.5
+    ty0f = np.floor(tyf).astype(int)
+    tx0f = np.floor(txf).astype(int)
+    fy = tyf - ty0f
+    fx = txf - tx0f
+    ty0 = np.clip(ty0f, 0, gh - 1)
+    ty1 = np.clip(ty0f + 1, 0, gh - 1)
+    tx0 = np.clip(tx0f, 0, gw - 1)
+    tx1 = np.clip(tx0f + 1, 0, gw - 1)
+
+    l00 = luts[ty0[:, None], tx0[None, :], img].astype(np.float64)
+    l01 = luts[ty0[:, None], tx1[None, :], img].astype(np.float64)
+    l10 = luts[ty1[:, None], tx0[None, :], img].astype(np.float64)
+    l11 = luts[ty1[:, None], tx1[None, :], img].astype(np.float64)
+    out = (1 - fy)[:, None] * ((1 - fx)[None, :] * l00 + fx[None, :] * l01) + fy[
+        :, None
+    ] * ((1 - fx)[None, :] * l10 + fx[None, :] * l11)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Spatial filters
+# ---------------------------------------------------------------------------
+
+_BINOMIAL_FX = {
+    3: np.array([64, 128, 64], np.int64),
+    5: np.array([16, 64, 96, 64, 16], np.int64),
+    7: np.array([8, 28, 56, 72, 56, 28, 8], np.int64),
+}
+
+
+def gaussian_kernel_fixed(ksize: int) -> np.ndarray:
+    """cv2's auto-σ (σ=0) kernel ·256: hardcoded binomial taps (SURVEY.md §8.2)."""
+    if ksize not in _BINOMIAL_FX:
+        raise ValueError(f"auto-sigma kernel only defined for ksize in (3,5,7), got {ksize}")
+    return _BINOMIAL_FX[ksize]
+
+
+def gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
+    """``cv2.getGaussianKernel(ksize, sigma)`` as float64 taps."""
+    if sigma <= 0:
+        return gaussian_kernel_fixed(ksize) / 256.0
+    i = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    g = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    return g / g.sum()
+
+
+def _reflect_pad(img: np.ndarray, pad: int) -> np.ndarray:
+    """BORDER_REFLECT_101 ≡ numpy 'reflect' (edge pixel not duplicated)."""
+    return np.pad(img, pad, mode="reflect")
+
+
+def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.ndarray:
+    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8.
+
+    σ=0 (auto): bit-exact integer fixed point — taps·256 are integers, int
+    accumulation over a separable pass, output ``(acc + 2^15) >> 16``,
+    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7}).
+    σ>0: float64 separable conv + round-half-even (±1 LSB vs cv2's softfloat
+    fixed-point path).
+    """
+    _check_u8(img)
+    pad = ksize // 2
+    H, W = img.shape
+    p = _reflect_pad(img, pad)
+    if sigma <= 0:
+        kf = gaussian_kernel_fixed(ksize)
+        acc = p.astype(np.int64)
+        v = sum(kf[j] * acc[j : j + H, :] for j in range(ksize))
+        h = sum(kf[j] * v[:, j : j + W] for j in range(ksize))
+        return np.clip((h + (1 << 15)) >> 16, 0, 255).astype(np.uint8)
+    g = gaussian_kernel(ksize, sigma)
+    acc = p.astype(np.float64)
+    v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
+    h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
+    return np.clip(np.round(h), 0, 255).astype(np.uint8)
+
+
+def laplacian(img: np.ndarray) -> np.ndarray:
+    """``cv2.Laplacian(img, CV_16S, ksize=1)`` — exact int16 4-neighbor stencil
+    ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2)."""
+    _check_u8(img)
+    p = _reflect_pad(img.astype(np.int32), 1)
+    lap = (
+        p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
+    )
+    return lap.astype(np.int16)
+
+
+def laplacian_sharpen(img: np.ndarray) -> np.ndarray:
+    """Sharpen = saturate_u8(src − Laplacian(src)) (SURVEY.md §2 #7)."""
+    _check_u8(img)
+    return np.clip(img.astype(np.int32) - laplacian(img).astype(np.int32), 0, 255).astype(
+        np.uint8
+    )
+
+
+def unsharp_mask(
+    img: np.ndarray, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0
+) -> np.ndarray:
+    """``cv2.addWeighted(src, 1+a, GaussianBlur(src), −a, 0)`` — exact.
+
+    addWeighted computes in float, rounds half-to-even, saturates
+    (SURVEY.md §8.4; probe: 0.5·[1,3,5] → [0,2,2]).
+    """
+    _check_u8(img)
+    blur = gaussian_blur(img, ksize, sigma)
+    out = (1.0 + amount) * img.astype(np.float64) - amount * blur.astype(np.float64)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
+    """``cv2.medianBlur`` — exact; border = replicate (SURVEY.md §8.2)."""
+    _check_u8(img)
+    if ksize % 2 == 0 or ksize < 3:
+        raise ValueError("ksize must be odd and >= 3")
+    pad = ksize // 2
+    p = np.pad(img, pad, mode="edge")
+    H, W = img.shape
+    windows = np.stack(
+        [p[dy : dy + H, dx : dx + W] for dy in range(ksize) for dx in range(ksize)],
+        axis=-1,
+    )
+    return np.median(windows, axis=-1).astype(np.uint8)

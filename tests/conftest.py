@@ -1,0 +1,25 @@
+"""Test configuration: hermetic CPU backend with 8 virtual devices.
+
+Tests run on the CPU backend so the suite is hermetic (no TPU needed) and the
+multi-chip sharding path is exercised on a virtual 8-device mesh
+(`--xla_force_host_platform_device_count=8`).  Pallas kernels run in
+interpret mode on CPU (selected automatically by the kernels layer).
+Real-TPU execution is covered by `bench.py` and the driver's graft entry.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,154 @@
+"""Tier-1 parity: NumPy oracle (`ref/`) vs OpenCV 5.0.0 directly.
+
+This freezes the behavioral contract of SURVEY.md §8.  Every judged op is
+checked on randomized images including the edge cases called out in
+SURVEY.md §4 (constant image, single-bin histogram, non-divisible CLAHE
+sizes, saturating unsharp).  Skipped wholesale if cv2 is unavailable — the
+oracle formulas themselves were pinned against OpenCV 5.0.0 (SURVEY.md §8).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+from imageenhancement_mp_tpu import ref
+
+
+def _rand(rng, shape):
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+SHAPES = [(64, 64), (128, 131), (256, 259), (512, 512), (250, 250), (33, 47)]
+
+
+def maxdiff(a, b):
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+# ---------------------------------------------------------------- LUT family
+
+def test_lut_exact(rng):
+    img = _rand(rng, (128, 131))
+    lut = _rand(rng, 256)
+    assert maxdiff(ref.apply_lut(img, lut), cv2.LUT(img, lut)) == 0
+
+
+@pytest.mark.parametrize("gamma", [0.4, 1.0, 2.2])
+def test_gamma_matches_cv2_lut_path(rng, gamma):
+    # gamma transform is LUT-based; verify our LUT applied via cv2.LUT equals
+    # our full transform (the formula itself is the standard power law).
+    img = _rand(rng, (64, 64))
+    lut = ref.gamma_lut(gamma)
+    assert maxdiff(ref.gamma_transform(img, gamma), cv2.LUT(img, lut)) == 0
+
+
+def test_contrast_stretch_exact(rng):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        want = cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX)
+        assert maxdiff(ref.contrast_stretch(img), want) == 0
+
+
+def test_contrast_stretch_constant_image():
+    img = np.full((16, 16), 77, np.uint8)
+    want = cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX)
+    assert maxdiff(ref.contrast_stretch(img), want) == 0
+
+
+# ------------------------------------------------------------------- hist-eq
+
+def test_equalize_hist_exact(rng):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        assert maxdiff(ref.equalize_hist(img), cv2.equalizeHist(img)) == 0
+
+
+def test_equalize_hist_constant_image():
+    img = np.full((32, 32), 200, np.uint8)
+    assert maxdiff(ref.equalize_hist(img), cv2.equalizeHist(img)) == 0
+
+
+def test_equalize_hist_two_values(rng):
+    img = np.where(_rand(rng, (64, 64)) > 128, 200, 10).astype(np.uint8)
+    assert maxdiff(ref.equalize_hist(img), cv2.equalizeHist(img)) == 0
+
+
+# --------------------------------------------------------------------- CLAHE
+
+@pytest.mark.parametrize("clip,grid", [(2.0, (8, 8)), (40.0, (8, 8)), (3.5, (4, 6)), (1.0, (2, 2))])
+def test_clahe_within_1lsb(rng, clip, grid):
+    for shape in SHAPES + [(16, 16)]:
+        img = _rand(rng, shape)
+        # cv2 takes tileGridSize as Size(tilesX, tilesY) = (cols, rows)
+        want = cv2.createCLAHE(clip, (grid[1], grid[0])).apply(img)
+        got = ref.clahe(img, clip, grid)
+        assert maxdiff(got, want) <= 1, (shape, clip, grid)
+
+
+def test_clahe_constant_image():
+    img = np.full((64, 64), 128, np.uint8)
+    want = cv2.createCLAHE(2.0, (8, 8)).apply(img)
+    assert maxdiff(ref.clahe(img, 2.0, (8, 8)), want) <= 1
+
+
+# ------------------------------------------------------------------- filters
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_gaussian_auto_sigma_bitexact(rng, k):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        want = cv2.GaussianBlur(img, (k, k), 0)
+        assert maxdiff(ref.gaussian_blur(img, k, 0.0), want) == 0
+
+
+@pytest.mark.parametrize("k,sigma", [(3, 1.0), (5, 1.5), (7, 2.0), (5, 0.8)])
+def test_gaussian_explicit_sigma_1lsb(rng, k, sigma):
+    img = _rand(rng, (256, 259))
+    want = cv2.GaussianBlur(img, (k, k), sigma)
+    assert maxdiff(ref.gaussian_blur(img, k, sigma), want) <= 1
+
+
+def test_laplacian_exact(rng):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        want = cv2.Laplacian(img, cv2.CV_16S, ksize=1)
+        assert maxdiff(ref.laplacian(img), want) == 0
+
+
+def test_laplacian_sharpen_exact(rng):
+    img = _rand(rng, (128, 131))
+    lap = cv2.Laplacian(img, cv2.CV_16S, ksize=1)
+    want = np.clip(img.astype(np.int32) - lap.astype(np.int32), 0, 255).astype(np.uint8)
+    assert maxdiff(ref.laplacian_sharpen(img), want) == 0
+
+
+@pytest.mark.parametrize("amount", [0.5, 1.0, 1.5])
+def test_unsharp_exact(rng, amount):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        blur = cv2.GaussianBlur(img, (5, 5), 0)
+        want = cv2.addWeighted(img, 1.0 + amount, blur, -amount, 0)
+        assert maxdiff(ref.unsharp_mask(img, amount, 5, 0.0), want) == 0
+
+
+def test_unsharp_saturating(rng):
+    # force saturation at both ends
+    img = np.where(_rand(rng, (64, 64)) > 128, 250, 5).astype(np.uint8)
+    blur = cv2.GaussianBlur(img, (5, 5), 0)
+    want = cv2.addWeighted(img, 3.0, blur, -2.0, 0)
+    assert maxdiff(ref.unsharp_mask(img, 2.0, 5, 0.0), want) == 0
+
+
+def test_addweighted_rounding_half_to_even():
+    a = np.array([[1, 3, 5]], np.uint8)
+    z = np.zeros_like(a)
+    assert list(cv2.addWeighted(a, 0.5, z, 0.0, 0).ravel()) == [0, 2, 2]
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_median_exact(rng, k):
+    for shape in SHAPES:
+        img = _rand(rng, shape)
+        assert maxdiff(ref.median_blur(img, k), cv2.medianBlur(img, k)) == 0
