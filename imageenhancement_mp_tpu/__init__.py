@@ -1,0 +1,40 @@
+"""TPU-native image enhancement (JAX/XLA/Pallas).
+
+A brand-new TPU-first framework with the capabilities of
+``hanxuel/ImageEnhancement_MP`` (see SURVEY.md): per-pixel point operations
+(gamma/log LUTs, contrast stretching, histogram equalization, CLAHE) and
+spatial filters (Gaussian, Laplacian/unsharp sharpening, median), exposed as
+a function-per-enhancement API over batched NHWC/NHW uint8 tensors, jit/vmap
+batched, with fused Pallas kernels on the hot paths.
+"""
+
+from imageenhancement_mp_tpu.api import (
+    apply_lut,
+    clahe,
+    contrast_stretch,
+    equalize_hist,
+    gamma,
+    gaussian_blur,
+    laplacian,
+    laplacian_sharpen,
+    log_transform,
+    median_blur,
+    unsharp_mask,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "apply_lut",
+    "clahe",
+    "contrast_stretch",
+    "equalize_hist",
+    "gamma",
+    "gaussian_blur",
+    "laplacian",
+    "laplacian_sharpen",
+    "log_transform",
+    "median_blur",
+    "unsharp_mask",
+    "__version__",
+]

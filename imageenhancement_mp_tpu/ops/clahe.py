@@ -1,0 +1,131 @@
+"""CLAHE: contrast-limited adaptive histogram equalization.
+
+Reference equivalent: ``cv2.createCLAHE(clip, grid).apply`` (SURVEY.md §2 #5,
+§3.2, §8.3).  Three stages, mirroring the rebuild design:
+
+  A. per-tile 256-bin histograms — tiles reshaped to ``[gh·gw, th·tw]`` and
+     histogrammed with the nibble-split one-hot matmul (MXU path, exact);
+  B. clip + redistribute + CDF + LUT — a tiny ``[T, 256]`` vectorized stage
+     with exact int32 rounding;
+  C. per-pixel bilinear blend of the 4 neighboring tile LUTs — one gather
+     from the flattened ``[gh·gw·256]`` LUT table per corner, f32 blend,
+     single final round (keeps the ±1 LSB budget; SURVEY.md §7).
+
+Pinned cv2 quirks honored here (probes this session):
+  * if any dim is non-divisible by the grid, BOTH dims are padded by
+    ``tiles − size % tiles`` with REFLECT_101 (a divisible dim gains a full
+    extra ``tiles`` pixels);
+  * interpolation coords are ``y/tile − 0.5`` (no half-pixel offset), blend
+    weights taken BEFORE index clamping;
+  * ``clipAbs = max(int(clip·area/256), 1)``; residual redistribution adds
+    +1 at bins ``0, step, 2·step, …`` with ``step = max(256//residual, 1)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
+
+__all__ = ["clahe_planes", "clahe_tile_luts"]
+
+
+def _tile_hists(padded: jnp.ndarray, gh: int, gw: int, th: int, tw: int) -> jnp.ndarray:
+    """[H,W] u8 -> [gh*gw, 256] i32 per-tile histograms (nibble matmul)."""
+    tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
+    v = tiles.astype(jnp.int32)
+    bins = jnp.arange(16, dtype=jnp.int32)
+    a = ((v >> 4)[..., None] == bins).astype(jnp.int8)  # [T, P, 16]
+    b = ((v & 15)[..., None] == bins).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [T, 16, 16]
+    return h.reshape(gh * gw, 256)
+
+
+def clahe_tile_luts(hists: jnp.ndarray, area: int, clip_limit: float) -> jnp.ndarray:
+    """Stage B: ``[T, 256] i32`` hists -> ``[T, 256] u8`` LUTs (SURVEY.md §8.3)."""
+    h = hists
+    if clip_limit > 0:
+        clip_abs = max(int(clip_limit * area / 256.0), 1)
+        excess = jnp.sum(jnp.maximum(h - clip_abs, 0), axis=1, keepdims=True)
+        h = jnp.minimum(h, clip_abs)
+        h = h + excess // 256
+        resid = excess % 256  # [T, 1]
+        step = jnp.maximum(256 // jnp.maximum(resid, 1), 1)
+        i = jnp.arange(256, dtype=jnp.int32)[None, :]
+        bump = ((i % step) == 0) & ((i // step) < resid)
+        h = h + bump.astype(jnp.int32)
+    cdf = jnp.cumsum(h, axis=1)
+    lut = jnp.clip(round_half_even_ratio(cdf, 255, jnp.int32(area)), 0, 255)
+    return lut.astype(jnp.uint8)
+
+
+def _interp_coords(n: int, tile: int, ntiles: int):
+    """Host-side (static) bilinear coords: idx0, idx1, frac per pixel row/col."""
+    # mirror cv2's f32 evaluation: txf = x * (1.0f/tile) - 0.5f
+    inv = np.float32(1.0) / np.float32(tile)
+    f = np.arange(n, dtype=np.float32) * inv - np.float32(0.5)
+    i0f = np.floor(f).astype(np.int64)
+    frac = (f - i0f).astype(np.float32)
+    i0 = np.clip(i0f, 0, ntiles - 1).astype(np.int32)
+    i1 = np.clip(i0f + 1, 0, ntiles - 1).astype(np.int32)
+    return i0, i1, frac
+
+
+def clahe_planes(
+    planes: jnp.ndarray, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)
+) -> jnp.ndarray:
+    """``cv2.createCLAHE`` on uint8 planes ``[B, H, W]`` — ±1 LSB."""
+    B, H, W = planes.shape
+    gh, gw = tile_grid
+    if H % gh == 0 and W % gw == 0:
+        th, tw = H // gh, W // gw
+        pad_h = pad_w = 0
+    else:
+        pad_h = gh - (H % gh)
+        pad_w = gw - (W % gw)
+        th, tw = (H + pad_h) // gh, (W + pad_w) // gw
+    area = th * tw
+
+    y0, y1, fy = _interp_coords(H, th, gh)
+    x0, x1, fx = _interp_coords(W, tw, gw)
+    y0 = jnp.asarray(y0)
+    y1 = jnp.asarray(y1)
+    x0 = jnp.asarray(x0)
+    x1 = jnp.asarray(x1)
+    fy = jnp.asarray(fy)[:, None]
+    fx = jnp.asarray(fx)[None, :]
+
+    def one(img: jnp.ndarray) -> jnp.ndarray:
+        padded = (
+            img
+            if pad_h == 0 and pad_w == 0
+            else jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
+        )
+        hists = _tile_hists(padded, gh, gw, th, tw)
+        luts = clahe_tile_luts(hists, area, clip_limit)  # [gh*gw, 256]
+        flat = luts.reshape(-1)  # [gh*gw*256]
+        v = img.astype(jnp.int32)
+        # flat index: (ty*gw + tx)*256 + v
+        base00 = (y0[:, None] * gw + x0[None, :]) * 256
+        base01 = (y0[:, None] * gw + x1[None, :]) * 256
+        base10 = (y1[:, None] * gw + x0[None, :]) * 256
+        base11 = (y1[:, None] * gw + x1[None, :]) * 256
+        l00 = flat[base00 + v].astype(jnp.float32)
+        l01 = flat[base01 + v].astype(jnp.float32)
+        l10 = flat[base10 + v].astype(jnp.float32)
+        l11 = flat[base11 + v].astype(jnp.float32)
+        # same association as the oracle/cv2 float path (keeps tie rounding
+        # aligned so the ±1 budgets don't compound)
+        top = (1.0 - fx) * l00 + fx * l01
+        bot = (1.0 - fx) * l10 + fx * l11
+        out = (1.0 - fy) * top + fy * bot
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    return jax.vmap(one)(planes)

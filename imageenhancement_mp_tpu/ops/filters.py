@@ -1,0 +1,93 @@
+"""Spatial filters: Gaussian blur, Laplacian sharpen, unsharp mask.
+
+Reference equivalents: ``cv2.GaussianBlur``, ``cv2.Laplacian(ksize=1)``,
+``cv2.addWeighted`` (SURVEY.md §2 #6-8).  TPU-first design: separable
+convolutions expressed as shifted adds in f32 — all intermediate values are
+integers < 2^24, so f32 VPU arithmetic is *bit-exact* (SURVEY.md §8.2):
+
+* auto-σ taps are cv2's hardcoded binomials ·256 (integers);
+* the separable accumulation stays integral (max 255·65536 + 2^15 < 2^24);
+* the uint8 output is ``(acc + 2^15) >> 16`` = ``floor((acc + 2^15)/2^16)``,
+  exact in f32 since the scale is a power of two.
+
+Shifted adds (jnp.pad + slicing) fuse into a handful of VPU ops under XLA and
+avoid the conv→im2col path entirely; the Pallas tile kernel (kernels/) uses
+the same math for the fused pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed
+
+__all__ = [
+    "gaussian_blur_planes",
+    "laplacian_planes",
+    "laplacian_sharpen_planes",
+    "unsharp_mask_planes",
+]
+
+
+def _sep_conv_f32(x: jnp.ndarray, taps: tuple[float, ...]) -> jnp.ndarray:
+    """Separable [B,H,W] conv with REFLECT_101 border, f32 accumulation."""
+    k = len(taps)
+    pad = k // 2
+    H, W = x.shape[-2], x.shape[-1]
+    p = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(jnp.float32)
+    v = sum(taps[j] * p[:, j : j + H, :] for j in range(k))
+    return sum(taps[j] * v[:, :, j : j + W] for j in range(k))
+
+
+def gaussian_blur_planes(
+    planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0
+) -> jnp.ndarray:
+    """``cv2.GaussianBlur`` on uint8 planes.
+
+    σ=0: bit-exact integer fixed point in f32 (taps·256, halfup shift-16).
+    σ>0: f32 separable float conv + round-half-even (±1 LSB vs cv2).
+    """
+    if sigma <= 0:
+        taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
+        acc = _sep_conv_f32(planes, taps)
+        out = jnp.floor((acc + 32768.0) * (1.0 / 65536.0))
+    else:
+        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
+        out = jnp.round(_sep_conv_f32(planes, taps))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """``cv2.Laplacian(CV_16S, ksize=1)`` — exact 4-neighbor int stencil."""
+    p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(jnp.int32)
+    lap = (
+        p[:, :-2, 1:-1]
+        + p[:, 2:, 1:-1]
+        + p[:, 1:-1, :-2]
+        + p[:, 1:-1, 2:]
+        - 4 * p[:, 1:-1, 1:-1]
+    )
+    return lap.astype(jnp.int16)
+
+
+def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """Sharpen = saturate_u8(src − Laplacian(src)) (SURVEY.md §2 #7)."""
+    lap = laplacian_planes(planes).astype(jnp.int32)
+    return jnp.clip(planes.astype(jnp.int32) - lap, 0, 255).astype(jnp.uint8)
+
+
+def unsharp_mask_planes(
+    planes: jnp.ndarray, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0
+) -> jnp.ndarray:
+    """``cv2.addWeighted(src, 1+a, blur, −a, 0)`` — half-even round, saturate.
+
+    Computed as ``src + a·(src − blur)``: src−blur is an exact integer in
+    f32, so the only rounding is the final cvRound (ties within ±1 LSB of
+    cv2's f64 path; exact for integral ``a``).
+    """
+    blur = gaussian_blur_planes(planes, ksize, sigma)
+    src = planes.astype(jnp.float32)
+    out = jnp.round(src + amount * (src - blur.astype(jnp.float32)))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,89 @@
+"""256-bin histograms and histogram equalization, TPU-first.
+
+The reference's hist-eq is ``cv2.equalizeHist`` (C++ scalar loops over one
+image; SURVEY.md §3.1).  On TPU a scatter-add over 256 bins serializes on
+duplicate indices, so the production path reformulates the histogram as a
+*nibble-split one-hot matmul* that runs on the MXU (SURVEY.md §7 "hard
+parts"):
+
+    v = hi·16 + lo  (4-bit split)
+    onehot16(hi) : [P, 16]   onehot16(lo) : [P, 16]
+    H[hi, lo] = Σ_p onehot16(hi)ᵀ · onehot16(lo)     (a [16,P]@[P,16] matmul)
+    hist = H.reshape(256)                            (row-major: v = hi*16+lo)
+
+32 VPU compares per pixel instead of 256, and the contraction over pixels
+rides the MXU with int32 accumulation — exact for any plane < 2^31 pixels.
+
+The LUT build (SURVEY.md §8.1) is 256 elements — computed with exact int32
+rational rounding (utils/rounding.py) so it is bit-identical to the oracle's
+round-half-to-even without needing JAX x64 mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
+
+__all__ = ["histogram_256", "equalize_lut", "equalize_hist_planes"]
+
+
+def _hist_nibble_matmul(plane: jnp.ndarray) -> jnp.ndarray:
+    """Exact 256-bin histogram of a uint8 plane via 16×16 one-hot outer product."""
+    v = plane.reshape(-1).astype(jnp.int32)
+    hi = v >> 4
+    lo = v & 15
+    bins = jnp.arange(16, dtype=jnp.int32)
+    # int8 one-hots: MXU int8 path (394 TOPs on v5e) with int32 accumulation.
+    a = (hi[:, None] == bins[None, :]).astype(jnp.int8)
+    b = (lo[:, None] == bins[None, :]).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return h.reshape(256)
+
+
+def _hist_scatter(plane: jnp.ndarray) -> jnp.ndarray:
+    v = plane.reshape(-1).astype(jnp.int32)
+    return jnp.zeros((256,), jnp.int32).at[v].add(1)
+
+
+def histogram_256(planes: jnp.ndarray, method: str = "nibble_matmul") -> jnp.ndarray:
+    """Per-plane exact 256-bin histogram: ``[B, H, W] u8 -> [B, 256] i32``."""
+    fn = {"nibble_matmul": _hist_nibble_matmul, "scatter": _hist_scatter}[method]
+    return jax.vmap(fn)(planes)
+
+
+def equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
+    """cv2.equalizeHist LUT from a histogram ``[256] i32`` (SURVEY.md §8.1).
+
+    ``lut[i] = clip(round((cdf[i] − cdf[i0])·255/(N − hist[i0])), 0, 255)``
+    with i0 the first nonzero bin; a constant image maps to the identity LUT
+    (cv2 short-circuits with ``dst.setTo(i0)``).  Exact int32 build.
+    """
+    cdf = jnp.cumsum(hist)
+    # first nonzero bin: argmax of (hist > 0) returns the first True
+    i0 = jnp.argmax(hist > 0)
+    h0 = hist[i0]
+    denom = jnp.maximum(total - h0, 1)
+    lut = jnp.clip(round_half_even_ratio(cdf - cdf[i0], 255, denom), 0, 255).astype(
+        jnp.uint8
+    )
+    identity = jnp.arange(256, dtype=jnp.uint8)
+    return jnp.where(h0 == total, identity, lut)
+
+
+def equalize_hist_planes(
+    planes: jnp.ndarray, method: str = "nibble_matmul"
+) -> jnp.ndarray:
+    """``cv2.equalizeHist`` on a stack of planes ``[B, H, W] u8`` — exact."""
+    total = planes.shape[-1] * planes.shape[-2]
+    hists = histogram_256(planes, method)
+    luts = jax.vmap(functools.partial(equalize_lut, total=total))(hists)
+    return jax.vmap(lambda lut, p: lut[p.astype(jnp.int32)])(luts, planes)

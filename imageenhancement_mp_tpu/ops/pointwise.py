@@ -1,0 +1,73 @@
+"""Point operations: LUT application, gamma/log transforms, contrast stretch.
+
+Reference equivalents: ``cv2.LUT``, power-law/log transforms, and
+``cv2.normalize(NORM_MINMAX)`` (SURVEY.md §2 #1-3).  Gamma/log LUTs are
+static 256-entry tables built host-side in float64 (exact, compile-time
+constants); contrast stretch builds its LUT on device from the per-plane
+min/max with exact int32 rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
+
+__all__ = [
+    "apply_lut_planes",
+    "gamma_lut_host",
+    "log_lut_host",
+    "gamma_planes",
+    "log_planes",
+    "contrast_stretch_planes",
+]
+
+
+def apply_lut_planes(planes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """``cv2.LUT`` ≡ gather (SURVEY.md §8.6).  ``lut``: [256] or [B, 256]."""
+    idx = planes.astype(jnp.int32)
+    if lut.ndim == 1:
+        return lut[idx]
+    return jax.vmap(lambda l, p: l[p])(lut, idx)
+
+
+def gamma_lut_host(gamma: float) -> np.ndarray:
+    """Static power-law LUT ``s = 255·(r/255)^γ`` in f64 (exact; SURVEY.md §2 #1)."""
+    r = np.arange(256, dtype=np.float64) / 255.0
+    return np.clip(np.round(255.0 * np.power(r, gamma)), 0, 255).astype(np.uint8)
+
+
+def log_lut_host() -> np.ndarray:
+    """Static log LUT ``s = c·log(1+r)``, ``c = 255/log 256`` (SURVEY.md §2 #2)."""
+    c = 255.0 / np.log(256.0)
+    return np.clip(np.round(c * np.log1p(np.arange(256, dtype=np.float64))), 0, 255).astype(
+        np.uint8
+    )
+
+
+def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    return apply_lut_planes(planes, jnp.asarray(gamma_lut_host(gamma)))
+
+
+def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
+
+
+def contrast_stretch_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """``cv2.normalize(MINMAX, 0, 255)`` per plane — exact (SURVEY.md §8.5).
+
+    ``round((x − min)·255/(max − min))`` half-to-even; constant plane → 0.
+    """
+
+    def one(p: jnp.ndarray) -> jnp.ndarray:
+        lo = p.min().astype(jnp.int32)
+        hi = p.max().astype(jnp.int32)
+        den = jnp.maximum(hi - lo, 1)
+        i = jnp.arange(256, dtype=jnp.int32)
+        lut = jnp.clip(round_half_even_ratio(jnp.maximum(i - lo, 0), 255, den), 0, 255)
+        lut = jnp.where(hi == lo, 0, lut).astype(jnp.uint8)
+        return lut[p.astype(jnp.int32)]
+
+    return jax.vmap(one)(planes)

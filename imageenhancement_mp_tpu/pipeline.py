@@ -1,0 +1,113 @@
+"""Pipeline composition: fuse enhancement chains into one jitted program.
+
+The reference applies enhancements as sequential per-image OpenCV calls
+(BASELINE.json:5); here a chain like ``median → CLAHE → unsharp``
+(config 5, BASELINE.json:11) composes into a single XLA program — one
+compile, no host round-trips between stages, elementwise stages fused by
+XLA.  Stages that need global state (histograms, CLAHE tile LUTs) become
+program-internal reductions, not HBM round-trips to the host.
+
+Also hosts the flagship fused op of the north-star metric
+(BASELINE.json:2): ``equalize_hist → unsharp_mask`` as one program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.ops.clahe import clahe_planes
+from imageenhancement_mp_tpu.ops.filters import (
+    gaussian_blur_planes,
+    laplacian_sharpen_planes,
+    unsharp_mask_planes,
+)
+from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes, equalize_lut, histogram_256
+from imageenhancement_mp_tpu.ops.median import median_blur_planes
+from imageenhancement_mp_tpu.ops.pointwise import (
+    contrast_stretch_planes,
+    gamma_planes,
+    log_planes,
+)
+from imageenhancement_mp_tpu.utils.shapes import as_planes
+
+__all__ = ["OP_REGISTRY", "make_pipeline", "equalize_unsharp"]
+
+# name -> planes-level function taking (planes, **static_kwargs)
+OP_REGISTRY: dict[str, Callable[..., jnp.ndarray]] = {
+    "gamma": gamma_planes,
+    "log_transform": log_planes,
+    "contrast_stretch": contrast_stretch_planes,
+    "equalize_hist": equalize_hist_planes,
+    "clahe": clahe_planes,
+    "gaussian_blur": gaussian_blur_planes,
+    "laplacian_sharpen": laplacian_sharpen_planes,
+    "unsharp_mask": unsharp_mask_planes,
+    "median_blur": median_blur_planes,
+}
+
+Stage = tuple[str, dict[str, Any]]
+
+
+def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Compose named stages into one jitted callable over batched images.
+
+    ``stages``: sequence of ``name`` or ``(name, kwargs)``; kwargs must be
+    static (hashable).  Example (config 5)::
+
+        pipe = make_pipeline([
+            ("median_blur", {"ksize": 5}),
+            ("clahe", {"clip_limit": 2.0, "tile_grid": (8, 8)}),
+            ("unsharp_mask", {"amount": 1.0}),
+        ])
+        out = pipe(batch_u8)   # [N,H,W[,C]] uint8
+    """
+    norm: list[tuple[str, tuple[tuple[str, Any], ...]]] = []
+    for s in stages:
+        if isinstance(s, str):
+            name, kwargs = s, {}
+        else:
+            name, kwargs = s
+        if name not in OP_REGISTRY:
+            raise KeyError(f"unknown op {name!r}; available: {sorted(OP_REGISTRY)}")
+        norm.append((name, tuple(sorted(kwargs.items()))))
+    norm_t = tuple(norm)
+
+    @partial(jax.jit, static_argnames=("stages_t",))
+    def run_planes(planes: jnp.ndarray, stages_t) -> jnp.ndarray:
+        for name, kw in stages_t:
+            planes = OP_REGISTRY[name](planes, **dict(kw))
+        return planes
+
+    def run(img: jnp.ndarray) -> jnp.ndarray:
+        if img.dtype != jnp.uint8:
+            raise TypeError(f"expected uint8 image array, got {img.dtype}")
+        planes, restore = as_planes(img)
+        return restore(run_planes(planes, norm_t))
+
+    return run
+
+
+@partial(jax.jit, static_argnames=("amount", "ksize", "sigma"))
+def _equalize_unsharp_planes(planes, amount, ksize, sigma):
+    eq = equalize_hist_planes(planes)
+    return unsharp_mask_planes(eq, amount, ksize, sigma)
+
+
+def equalize_unsharp(
+    img: jnp.ndarray, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0
+) -> jnp.ndarray:
+    """North-star fused pipeline: hist-eq → unsharp (BASELINE.json:2).
+
+    One XLA program; the Pallas fused tile kernel (kernels/) replaces the
+    second pass on TPU.
+    """
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"expected uint8 image array, got {img.dtype}")
+    planes, restore = as_planes(img)
+    return restore(
+        _equalize_unsharp_planes(planes, float(amount), int(ksize), float(sigma))
+    )

@@ -192,29 +192,30 @@ def clahe(
             luts[ty, tx] = clahe_tile_lut(hist, area, clip_limit)
 
     # Bilinear blend of the 4 neighboring tile LUTs.  Pinned convention
-    # (probe): coords = y/tile - 0.5 (NO half-pixel offset), fractional
-    # weights taken BEFORE clamping the tile indices; at borders the two
-    # clamped indices coincide so the unclamped weight is harmless.
-    ys = np.arange(H, dtype=np.float64)
-    xs = np.arange(W, dtype=np.float64)
-    tyf = ys / th - 0.5
-    txf = xs / tw - 0.5
+    # (probe): coords = y·(1/tile) − 0.5 evaluated in FLOAT32 exactly as cv2
+    # does (bit-exact), NO half-pixel offset, fractional weights taken BEFORE
+    # clamping the tile indices; at borders the two clamped indices coincide
+    # so the unclamped weight is harmless.  Blend in f32 with cv2's
+    # association: ((1−fx)·l00 + fx·l01)·(1−fy) + (...)·fy, one final round.
+    tyf = np.arange(H, dtype=np.float32) * (np.float32(1.0) / np.float32(th)) - np.float32(0.5)
+    txf = np.arange(W, dtype=np.float32) * (np.float32(1.0) / np.float32(tw)) - np.float32(0.5)
     ty0f = np.floor(tyf).astype(int)
     tx0f = np.floor(txf).astype(int)
-    fy = tyf - ty0f
-    fx = txf - tx0f
+    fy = (tyf - ty0f).astype(np.float32)
+    fx = (txf - tx0f).astype(np.float32)
     ty0 = np.clip(ty0f, 0, gh - 1)
     ty1 = np.clip(ty0f + 1, 0, gh - 1)
     tx0 = np.clip(tx0f, 0, gw - 1)
     tx1 = np.clip(tx0f + 1, 0, gw - 1)
 
-    l00 = luts[ty0[:, None], tx0[None, :], img].astype(np.float64)
-    l01 = luts[ty0[:, None], tx1[None, :], img].astype(np.float64)
-    l10 = luts[ty1[:, None], tx0[None, :], img].astype(np.float64)
-    l11 = luts[ty1[:, None], tx1[None, :], img].astype(np.float64)
-    out = (1 - fy)[:, None] * ((1 - fx)[None, :] * l00 + fx[None, :] * l01) + fy[
+    l00 = luts[ty0[:, None], tx0[None, :], img].astype(np.float32)
+    l01 = luts[ty0[:, None], tx1[None, :], img].astype(np.float32)
+    l10 = luts[ty1[:, None], tx0[None, :], img].astype(np.float32)
+    l11 = luts[ty1[:, None], tx1[None, :], img].astype(np.float32)
+    one = np.float32(1.0)
+    out = (one - fy)[:, None] * ((one - fx)[None, :] * l00 + fx[None, :] * l01) + fy[
         :, None
-    ] * ((1 - fx)[None, :] * l10 + fx[None, :] * l11)
+    ].astype(np.float32) * ((one - fx)[None, :] * l10 + fx[None, :] * l11)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 

@@ -1,0 +1,45 @@
+"""Shape canonicalization for the batched op API.
+
+The public API (SURVEY.md §1b) accepts single images and batches, grayscale
+and multi-channel:
+
+    [H, W]          one grayscale image
+    [H, W, C]       one multi-channel image (channels enhanced independently)
+    [N, H, W]       batch of grayscale images
+    [N, H, W, C]    batch of multi-channel images
+
+Internally every op works on a canonical stack of 2-D planes ``[B, H, W]``
+(B = N·C); per-plane state (histograms, min/max, CLAHE tile LUTs) is computed
+independently per plane, matching the reference's per-image/per-channel
+OpenCV calls.  Static Python logic only — safe under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+Restore = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def as_planes(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, Restore]:
+    """Canonicalize to ``[B, H, W]`` and return a function undoing the reshape."""
+    nd = img.ndim
+    if nd == 2:
+        planes = img[None]
+        return planes, lambda out: out[0]
+    if nd == 3:
+        if channels_last and img.shape[-1] in (1, 2, 3, 4):
+            # [H, W, C] -> [C, H, W]
+            planes = jnp.moveaxis(img, -1, 0)
+            return planes, lambda out: jnp.moveaxis(out, 0, -1)
+        # [N, H, W]
+        return img, lambda out: out
+    if nd == 4:
+        n, h, w, c = img.shape
+        planes = jnp.moveaxis(img, -1, 1).reshape(n * c, h, w)
+        return planes, lambda out: jnp.moveaxis(
+            out.reshape(n, c, out.shape[-2], out.shape[-1]), 1, -1
+        )
+    raise ValueError(f"expected 2-4 dims ([N,]H,W[,C]), got shape {img.shape}")
