@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: double-buffered separable conv with fused epilogues.
+
+The hot spatial-filter path (SURVEY.md §3.3): Gaussian blur / unsharp mask as
+ONE kernel per plane that streams row stripes HBM→VMEM with double-buffered
+DMA (compute stripe t while DMAing stripe t+1 in and stripe t−1 out), does
+the separable 5-tap (or 3/7) conv in f32 in a single VMEM residency, applies
+the epilogue (none / unsharp), and streams uint8 back out.  Traffic is the
+speed-of-light 2 bytes/pixel instead of XLA's materialized f32 intermediates.
+
+Exactness (SURVEY.md §8.2): σ=0 taps are cv2's integer binomials ·256; all
+accumulators are integers < 2^24 so f32 math is exact; output is
+``floor((acc + 2^15)·2^-16)`` — bit-identical to cv2's fixed-point uint8
+path.  The unsharp epilogue rounds half-to-even once (ties ±1 vs f64).
+
+Layout strategy: the caller pads the plane with the REFLECT_101 halo on all
+sides and right-pads columns to a lane multiple (128).  Horizontal taps use
+``pltpu.roll`` (lane rotate) — wraparound garbage lands in the crop margin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed
+
+__all__ = ["gaussian_blur_pallas", "unsharp_mask_pallas"]
+
+_LANES = 128
+
+
+def _shift_left(arr, j: int):
+    """arr[:, c] -> arr[:, c+j] via lane rotate (wraparound lands in crop margin)."""
+    if j == 0:
+        return arr
+    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _conv_kernel(
+    in_hbm,
+    out_hbm,
+    buf_in,
+    buf_out,
+    sem_in,
+    sem_out,
+    *,
+    taps: tuple[float, ...],
+    th: int,
+    n_tiles: int,
+    fixed_point: bool,
+    amount: float | None,
+):
+    """One plane: loop over row stripes with double-buffered in/out DMA."""
+    b = pl.program_id(0)
+    k = len(taps)
+    pad = k // 2
+
+    halo = -(-2 * pad // 8) * 8  # DMA row counts must be 8-aligned
+
+    def dma_in(slot, t):
+        return pltpu.make_async_copy(
+            in_hbm.at[b, pl.ds(t * th, th + halo), :],
+            buf_in.at[slot],
+            sem_in.at[slot],
+        )
+
+    def dma_out(slot, t):
+        return pltpu.make_async_copy(
+            buf_out.at[slot],
+            out_hbm.at[b, pl.ds(t * th, th), :],
+            sem_out.at[slot],
+        )
+
+    dma_in(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            dma_in(nxt, t + 1).start()
+
+        dma_in(slot, t).wait()
+
+        # output buffer slot is being DMA'd out from iteration t-2; wait it
+        @pl.when(t >= 2)
+        def _():
+            dma_out(slot, t - 2).wait()
+
+        # Mosaic has no direct u8<->f32 casts; hop through int32
+        x = buf_in[slot].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wp]
+        v = functools.reduce(
+            lambda a, b_: a + b_, [taps[j] * x[j : j + th, :] for j in range(k)]
+        )
+        h = functools.reduce(
+            lambda a, b_: a + b_,
+            [taps[j] * _shift_left(v, j) for j in range(k)],
+        )
+        if fixed_point:
+            blur = jnp.floor((h + 32768.0) * (1.0 / 65536.0))
+        else:
+            blur = jnp.round(h)
+        if amount is not None:
+            # align src with out: out col c ← padded col c+pad
+            src = _shift_left(x[pad : pad + th, :], pad)
+            res = jnp.round(src + amount * (src - jnp.clip(blur, 0.0, 255.0)))
+        else:
+            res = blur
+        buf_out[slot] = jnp.clip(res, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        dma_out(slot, t).start()
+
+    jax.lax.fori_loop(0, n_tiles, body, None)
+    # drain the last (up to) two output DMAs
+    @pl.when(n_tiles >= 2)
+    def _():
+        dma_out(jax.lax.rem(n_tiles - 2, 2), n_tiles - 2).wait()
+
+    dma_out(jax.lax.rem(n_tiles - 1, 2), n_tiles - 1).wait()
+
+
+def _sep_conv_planes(
+    planes: jnp.ndarray,
+    taps: tuple[float, ...],
+    fixed_point: bool,
+    amount: float | None,
+    tile_rows: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the DMA kernel over [B,H,W] u8 planes; returns [B,H,W] u8."""
+    B, H, W = planes.shape
+    k = len(taps)
+    pad = k // 2
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    # columns: pad-left halo + W + pad-right halo, rounded up to lanes.
+    wp = _round_up(W + 2 * pad, _LANES)
+    # pick stripe height (multiple of 8) minimizing padding waste, bounded so
+    # the f32 working set (~20 bytes/px across conv temporaries) fits VMEM
+    vmem_cap = max(8, min(tile_rows, 11_000_000 // (20 * wp) // 8 * 8))
+    h8 = _round_up(H, 8)
+    if h8 <= vmem_cap:
+        th = h8
+    else:
+        th = min(
+            range(8, vmem_cap + 1, 8),
+            key=lambda cand: (_round_up(h8, cand), -cand),
+        )
+    hp = _round_up(h8, th)
+    # rows: top halo + H + bottom fill to hp + 8 (8-aligned DMA row blocks)
+    halo = -(-2 * pad // 8) * 8
+    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    p = jnp.pad(p, ((0, 0), (0, hp + halo - H - 2 * pad), (0, wp - W - 2 * pad)), mode="edge")
+    n_tiles = hp // th
+
+    kernel = functools.partial(
+        _conv_kernel,
+        taps=taps,
+        th=th,
+        n_tiles=n_tiles,
+        fixed_point=fixed_point,
+        amount=amount,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + -(-2 * pad // 8) * 8, wp), jnp.uint8),
+            pltpu.VMEM((2, th, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(p)
+    return out[:, :H, :W]
+
+
+def gaussian_blur_pallas(
+    planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0, interpret: bool | None = None
+) -> jnp.ndarray:
+    """``cv2.GaussianBlur`` as a double-buffered Pallas kernel (σ=0 exact)."""
+    if sigma <= 0:
+        taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize))
+        return _sep_conv_planes(planes, taps, True, None, interpret=interpret)
+    taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
+    return _sep_conv_planes(planes, taps, False, None, interpret=interpret)
+
+
+def unsharp_mask_pallas(
+    planes: jnp.ndarray,
+    amount: float = 1.0,
+    ksize: int = 5,
+    sigma: float = 0.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused GaussianBlur + addWeighted epilogue in one VMEM residency."""
+    if sigma <= 0:
+        taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize))
+        return _sep_conv_planes(planes, taps, True, float(amount), interpret=interpret)
+    taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
+    return _sep_conv_planes(planes, taps, False, float(amount), interpret=interpret)

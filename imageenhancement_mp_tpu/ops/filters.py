@@ -48,7 +48,14 @@ def gaussian_blur_planes(
 
     σ=0: bit-exact integer fixed point in f32 (taps·256, halfup shift-16).
     σ>0: f32 separable float conv + round-half-even (±1 LSB vs cv2).
+    On TPU dispatches to the double-buffered Pallas kernel (kernels/conv.py).
     """
+    from imageenhancement_mp_tpu import config
+
+    if config.pallas_enabled():
+        from imageenhancement_mp_tpu.kernels.conv import gaussian_blur_pallas
+
+        return gaussian_blur_pallas(planes, ksize, sigma)
     if sigma <= 0:
         taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
         acc = _sep_conv_f32(planes, taps)
@@ -86,7 +93,14 @@ def unsharp_mask_planes(
     Computed as ``src + a·(src − blur)``: src−blur is an exact integer in
     f32, so the only rounding is the final cvRound (ties within ±1 LSB of
     cv2's f64 path; exact for integral ``a``).
+    On TPU dispatches to the fused double-buffered Pallas kernel.
     """
+    from imageenhancement_mp_tpu import config
+
+    if config.pallas_enabled():
+        from imageenhancement_mp_tpu.kernels.conv import unsharp_mask_pallas
+
+        return unsharp_mask_pallas(planes, amount, ksize, sigma)
     blur = gaussian_blur_planes(planes, ksize, sigma)
     src = planes.astype(jnp.float32)
     out = jnp.round(src + amount * (src - blur.astype(jnp.float32)))

@@ -1,0 +1,59 @@
+"""Pallas kernel parity (interpret mode on CPU — the "fake TPU" tier,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from imageenhancement_mp_tpu import ref
+from imageenhancement_mp_tpu.kernels.conv import (
+    gaussian_blur_pallas,
+    unsharp_mask_pallas,
+)
+
+
+def maxdiff(a, b):
+    return int(np.abs(np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)).max())
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+@pytest.mark.parametrize("shape", [(2, 64, 67), (1, 37, 200)])
+def test_gaussian_pallas_bitexact(rng, k, shape):
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = gaussian_blur_pallas(x, k, 0.0, interpret=True)
+    want = np.stack([ref.gaussian_blur(p, k, 0.0) for p in x])
+    assert maxdiff(got, want) == 0
+
+
+def test_gaussian_pallas_sigma(rng):
+    x = rng.integers(0, 256, (1, 64, 67), dtype=np.uint8)
+    got = gaussian_blur_pallas(x, 5, 1.5, interpret=True)
+    assert maxdiff(got, ref.gaussian_blur(x[0], 5, 1.5)[None]) <= 1
+
+
+@pytest.mark.parametrize("amount", [1.0, 2.0])
+def test_unsharp_pallas_bitexact(rng, amount):
+    x = rng.integers(0, 256, (2, 100, 131), dtype=np.uint8)
+    got = unsharp_mask_pallas(x, amount, 5, 0.0, interpret=True)
+    want = np.stack([ref.unsharp_mask(p, amount, 5, 0.0) for p in x])
+    assert maxdiff(got, want) == 0
+
+
+def test_unsharp_pallas_multitile(rng):
+    # tall image -> several row stripes, exercises the double-buffer loop
+    x = rng.integers(0, 256, (1, 700, 131), dtype=np.uint8)
+    got = unsharp_mask_pallas(x, 1.0, 5, 0.0, interpret=True)
+    assert maxdiff(got, ref.unsharp_mask(x[0], 1.0, 5, 0.0)[None]) == 0
+
+
+def test_ops_dispatch_forced_pallas(rng):
+    """Force the Pallas path through the public ops layer (interpret on CPU)."""
+    from imageenhancement_mp_tpu import config
+    from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
+
+    x = rng.integers(0, 256, (1, 64, 67), dtype=np.uint8)
+    config.use_pallas_kernels = True
+    try:
+        got = unsharp_mask_planes(x, 1.0, 5, 0.0)
+    finally:
+        config.use_pallas_kernels = None
+    assert maxdiff(got, ref.unsharp_mask(x[0], 1.0, 5, 0.0)[None]) == 0
