@@ -1,0 +1,56 @@
+"""Multi-chip batch data parallelism via jax.sharding + shard_map.
+
+The reference is single-process/single-image (SURVEY.md §2: no distributed
+anything), so the only parallelism axis with meaning here is the batch of
+images.  The TPU-native scale-out is a 1-D device Mesh over a ``batch``
+axis: planes are sharded on their leading dimension, every enhancement is
+embarrassingly parallel per plane (all per-plane state — histograms, min/
+max, CLAHE tile LUTs — is local to a shard), so the sharded program needs
+NO collectives and all "communication" is the initial shard placement.
+``shard_map`` is used rather than relying on XLA's automatic partitioner so
+Pallas kernels inside the pipeline stay whole per shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_pipeline", "device_put_sharded_batch"]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+    return jax.make_mesh((n_devices,), (axis_name,), devices=devs[:n_devices])
+
+
+def shard_pipeline(
+    planes_fn: Callable, mesh: Mesh, axis_name: str = "batch"
+) -> Callable:
+    """Shard a planes-level pipeline ``[B,H,W]→[B,H,W]`` over the mesh batch axis.
+
+    B must be divisible by the mesh size.  Returns a jitted callable.
+    """
+    sharded = jax.shard_map(
+        planes_fn,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def device_put_sharded_batch(batch, mesh: Mesh, axis_name: str = "batch"):
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    ndim = getattr(batch, "ndim", len(batch.shape))
+    spec = P(axis_name, *([None] * (ndim - 1)))
+    return jax.device_put(batch, NamedSharding(mesh, spec))

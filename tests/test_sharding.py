@@ -1,0 +1,49 @@
+"""Multi-chip batch-DP sharding on the virtual 8-device CPU mesh
+(SURVEY.md §2 'Parallelism strategies')."""
+
+import numpy as np
+import jax
+
+from imageenhancement_mp_tpu import ref
+from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
+from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
+from imageenhancement_mp_tpu.parallel.sharding import (
+    device_put_sharded_batch,
+    make_mesh,
+    shard_pipeline,
+)
+
+
+def maxdiff(a, b):
+    return int(np.abs(np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)).max())
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_flagship_matches_oracle(rng):
+    mesh = make_mesh(8)
+    batch = rng.integers(0, 256, (16, 48, 56), dtype=np.uint8)
+    x = device_put_sharded_batch(batch, mesh)
+
+    def flagship(planes):
+        return unsharp_mask_planes(equalize_hist_planes(planes), 1.0, 5, 0.0)
+
+    out = np.asarray(shard_pipeline(flagship, mesh)(x))
+    want = np.stack([ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0) for p in batch])
+    assert maxdiff(out, want) == 0
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_jittable():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape and out.dtype == np.uint8
