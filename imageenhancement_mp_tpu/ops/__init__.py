@@ -1,0 +1,44 @@
+"""Planes-level op registry (name → function over [B,H,W] u8 planes)."""
+
+from imageenhancement_mp_tpu.ops.clahe import clahe_planes
+from imageenhancement_mp_tpu.ops.filters import (
+    gaussian_blur_planes,
+    laplacian_planes,
+    laplacian_sharpen_planes,
+    unsharp_mask_planes,
+)
+from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
+from imageenhancement_mp_tpu.ops.median import median_blur_planes
+from imageenhancement_mp_tpu.ops.pointwise import (
+    apply_lut_planes,
+    contrast_stretch_planes,
+    gamma_planes,
+    log_planes,
+)
+
+OP_REGISTRY = {
+    "gamma": gamma_planes,
+    "log_transform": log_planes,
+    "contrast_stretch": contrast_stretch_planes,
+    "equalize_hist": equalize_hist_planes,
+    "clahe": clahe_planes,
+    "gaussian_blur": gaussian_blur_planes,
+    "laplacian_sharpen": laplacian_sharpen_planes,
+    "unsharp_mask": unsharp_mask_planes,
+    "median_blur": median_blur_planes,
+}
+
+__all__ = [
+    "OP_REGISTRY",
+    "apply_lut_planes",
+    "clahe_planes",
+    "contrast_stretch_planes",
+    "equalize_hist_planes",
+    "gamma_planes",
+    "gaussian_blur_planes",
+    "laplacian_planes",
+    "laplacian_sharpen_planes",
+    "log_planes",
+    "median_blur_planes",
+    "unsharp_mask_planes",
+]

@@ -19,35 +19,12 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.ops.clahe import clahe_planes
-from imageenhancement_mp_tpu.ops.filters import (
-    gaussian_blur_planes,
-    laplacian_sharpen_planes,
-    unsharp_mask_planes,
-)
-from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes, equalize_lut, histogram_256
-from imageenhancement_mp_tpu.ops.median import median_blur_planes
-from imageenhancement_mp_tpu.ops.pointwise import (
-    contrast_stretch_planes,
-    gamma_planes,
-    log_planes,
-)
+from imageenhancement_mp_tpu.ops import OP_REGISTRY
+from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
+from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
 from imageenhancement_mp_tpu.utils.shapes import as_planes
 
 __all__ = ["OP_REGISTRY", "make_pipeline", "equalize_unsharp"]
-
-# name -> planes-level function taking (planes, **static_kwargs)
-OP_REGISTRY: dict[str, Callable[..., jnp.ndarray]] = {
-    "gamma": gamma_planes,
-    "log_transform": log_planes,
-    "contrast_stretch": contrast_stretch_planes,
-    "equalize_hist": equalize_hist_planes,
-    "clahe": clahe_planes,
-    "gaussian_blur": gaussian_blur_planes,
-    "laplacian_sharpen": laplacian_sharpen_planes,
-    "unsharp_mask": unsharp_mask_planes,
-    "median_blur": median_blur_planes,
-}
 
 Stage = tuple[str, dict[str, Any]]
 
@@ -76,25 +53,26 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
         norm.append((name, tuple(sorted(kwargs.items()))))
     norm_t = tuple(norm)
 
-    @partial(jax.jit, static_argnames=("stages_t",))
-    def run_planes(planes: jnp.ndarray, stages_t) -> jnp.ndarray:
-        for name, kw in stages_t:
+    @jax.jit
+    def run_jit(img: jnp.ndarray) -> jnp.ndarray:
+        planes, restore = as_planes(img)
+        for name, kw in norm_t:
             planes = OP_REGISTRY[name](planes, **dict(kw))
-        return planes
+        return restore(planes)
 
     def run(img: jnp.ndarray) -> jnp.ndarray:
         if img.dtype != jnp.uint8:
             raise TypeError(f"expected uint8 image array, got {img.dtype}")
-        planes, restore = as_planes(img)
-        return restore(run_planes(planes, norm_t))
+        return run_jit(img)
 
     return run
 
 
 @partial(jax.jit, static_argnames=("amount", "ksize", "sigma"))
-def _equalize_unsharp_planes(planes, amount, ksize, sigma):
+def _equalize_unsharp_jit(img, amount, ksize, sigma):
+    planes, restore = as_planes(img)
     eq = equalize_hist_planes(planes)
-    return unsharp_mask_planes(eq, amount, ksize, sigma)
+    return restore(unsharp_mask_planes(eq, amount, ksize, sigma))
 
 
 def equalize_unsharp(
@@ -107,7 +85,4 @@ def equalize_unsharp(
     """
     if img.dtype != jnp.uint8:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")
-    planes, restore = as_planes(img)
-    return restore(
-        _equalize_unsharp_planes(planes, float(amount), int(ksize), float(sigma))
-    )
+    return _equalize_unsharp_jit(img, float(amount), int(ksize), float(sigma))
