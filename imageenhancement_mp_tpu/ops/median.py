@@ -60,9 +60,18 @@ def _median9(w: list[jnp.ndarray]) -> jnp.ndarray:
 
 
 def median_blur_planes(planes: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
-    """``cv2.medianBlur`` on uint8 planes — exact; border = replicate."""
+    """``cv2.medianBlur`` on uint8 planes — exact; border = replicate.
+
+    On TPU dispatches to the double-buffered Pallas sorting-network kernel
+    for the reference's 3×3/5×5 sizes (kernels/median.py)."""
     if ksize % 2 == 0 or ksize < 3:
         raise ValueError("ksize must be odd and >= 3")
+    from imageenhancement_mp_tpu import config
+
+    if ksize in (3, 5) and config.pallas_enabled():
+        from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
+
+        return median_blur_pallas(planes, ksize)
     ws = _windows(planes, ksize)
     if ksize == 3:
         return _median9(ws)

@@ -57,3 +57,21 @@ def test_ops_dispatch_forced_pallas(rng):
     finally:
         config.use_pallas_kernels = None
     assert maxdiff(got, ref.unsharp_mask(x[0], 1.0, 5, 0.0)[None]) == 0
+
+
+def test_median_pallas_bitexact(rng):
+    from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
+
+    for k in (3, 5):
+        x = rng.integers(0, 256, (2, 100, 131), dtype=np.uint8)
+        got = median_blur_pallas(x, k, interpret=True)
+        want = np.stack([ref.median_blur(p, k) for p in x])
+        assert maxdiff(got, want) == 0, k
+
+
+def test_median_pallas_multitile(rng):
+    from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
+
+    x = rng.integers(0, 256, (1, 700, 131), dtype=np.uint8)
+    got = median_blur_pallas(x, 3, tile_rows=128, interpret=True)
+    assert maxdiff(got, ref.median_blur(x[0], 3)[None]) == 0
