@@ -59,7 +59,9 @@ def _median9(w: list[jnp.ndarray]) -> jnp.ndarray:
     return w[4]
 
 
-def median_blur_planes(planes: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+def median_blur_planes(
+    planes: jnp.ndarray, ksize: int = 3, backend: str | None = None
+) -> jnp.ndarray:
     """``cv2.medianBlur`` on uint8 planes — exact; border = replicate.
 
     On TPU dispatches to the double-buffered Pallas sorting-network kernel
@@ -68,7 +70,9 @@ def median_blur_planes(planes: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
         raise ValueError("ksize must be odd and >= 3")
     from imageenhancement_mp_tpu import config
 
-    if ksize in (3, 5) and config.pallas_enabled():
+    if ksize in (3, 5) and (
+        backend == "pallas" or (backend is None and config.pallas_enabled())
+    ):
         from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
 
         return median_blur_pallas(planes, ksize)

@@ -42,7 +42,9 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
         ])
         out = pipe(batch_u8)   # [N,H,W[,C]] uint8
     """
+    _BACKEND_AWARE = {"gaussian_blur", "unsharp_mask", "median_blur"}
     norm: list[tuple[str, tuple[tuple[str, Any], ...]]] = []
+    multi = len(stages) > 1
     for s in stages:
         if isinstance(s, str):
             name, kwargs = s, {}
@@ -50,6 +52,12 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
             name, kwargs = s
         if name not in OP_REGISTRY:
             raise KeyError(f"unknown op {name!r}; available: {sorted(OP_REGISTRY)}")
+        kwargs = dict(kwargs)
+        # In multi-stage chains XLA fuses adjacent stages into single HBM
+        # passes, beating per-op Pallas kernels (measured: chain 460 vs 322
+        # GPix/s at 4K) — default those stages to the XLA backend.
+        if multi and name in _BACKEND_AWARE:
+            kwargs.setdefault("backend", "xla")
         norm.append((name, tuple(sorted(kwargs.items()))))
     norm_t = tuple(norm)
 
@@ -72,7 +80,10 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
 def _equalize_unsharp_jit(img, amount, ksize, sigma):
     planes, restore = as_planes(img)
     eq = equalize_hist_planes(planes)
-    return restore(unsharp_mask_planes(eq, amount, ksize, sigma))
+    # backend="xla": XLA fuses the LUT gather into the conv pass, giving one
+    # HBM pass for gather+conv+epilogue (measured 729 vs 447 GPix/s with a
+    # separate Pallas conv kernel)
+    return restore(unsharp_mask_planes(eq, amount, ksize, sigma, backend="xla"))
 
 
 def equalize_unsharp(
