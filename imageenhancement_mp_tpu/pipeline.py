@@ -24,7 +24,7 @@ from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
 from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
 from imageenhancement_mp_tpu.utils.shapes import as_planes
 
-__all__ = ["OP_REGISTRY", "make_pipeline", "equalize_unsharp"]
+__all__ = ["OP_REGISTRY", "make_pipeline", "equalize_unsharp", "stream_frames"]
 
 Stage = tuple[str, dict[str, Any]]
 
@@ -84,6 +84,35 @@ def _equalize_unsharp_jit(img, amount, ksize, sigma):
     # HBM pass for gather+conv+epilogue (measured 729 vs 447 GPix/s with a
     # separate Pallas conv kernel)
     return restore(unsharp_mask_planes(eq, amount, ksize, sigma, backend="xla"))
+
+
+def stream_frames(pipe: Callable, frames, depth: int = 2):
+    """Stream frames/batches through a pipeline with transfer/compute overlap.
+
+    Config 5 (BASELINE.json:11): "streaming batched 4K frames via
+    double-buffered DMA".  Two levels of double buffering:
+
+    * host↔device: ``jax.device_put`` is asynchronous and JAX dispatch is
+      non-blocking, so with ``depth`` batches in flight the H2D transfer of
+      batch t+1 and the compute of batch t overlap (classic double buffer
+      at ``depth=2``);
+    * within the device program, the Pallas kernels stream row stripes
+      HBM→VMEM with their own double-buffered DMA (kernels/conv.py).
+
+    Yields device arrays in order; convert with np.asarray when needed (on
+    this environment's axon tunnel, device→host transfers serialize
+    subsequent dispatch — keep results on device when chaining).
+    """
+    from collections import deque
+
+    q: deque = deque()
+    for frame in frames:
+        x = jax.device_put(frame)
+        q.append(pipe(x))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 def equalize_unsharp(

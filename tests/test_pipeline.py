@@ -58,3 +58,14 @@ def test_make_pipeline_rgb(rng):
 def test_unknown_op_raises():
     with pytest.raises(KeyError):
         make_pipeline(["no_such_op"])
+
+
+def test_stream_frames_matches_direct(rng):
+    from imageenhancement_mp_tpu.pipeline import stream_frames
+
+    pipe = get_preset("histeq_unsharp")
+    frames = [rng.integers(0, 256, (2, 48, 56), dtype=np.uint8) for _ in range(5)]
+    streamed = [np.asarray(o) for o in stream_frames(pipe, frames, depth=2)]
+    assert len(streamed) == 5
+    for got, f in zip(streamed, frames):
+        assert maxdiff(got, pipe(f)) == 0
