@@ -41,6 +41,11 @@ def _check_u8(img) -> None:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")
 
 
+def _check_u8_or_f32(img) -> None:
+    if img.dtype not in (jnp.uint8, jnp.float32):
+        raise TypeError(f"expected uint8 or float32 image array, got {img.dtype}")
+
+
 @lru_cache(maxsize=None)
 def _jitted(op_name: str, static_items: tuple) -> callable:
     planes_fn = OP_REGISTRY[op_name] if op_name in OP_REGISTRY else None
@@ -54,8 +59,14 @@ def _jitted(op_name: str, static_items: tuple) -> callable:
     return run
 
 
+_U8_ONLY = {"equalize_hist", "clahe"}
+
+
 def _apply(op_name: str, img, **static):
-    _check_u8(img)
+    if op_name in _U8_ONLY:
+        _check_u8(img)
+    else:
+        _check_u8_or_f32(img)
     return _jitted(op_name, tuple(sorted(static.items())))(img)
 
 
@@ -113,8 +124,8 @@ def _lap_jit(img):
 
 
 def laplacian(img):
-    """``cv2.Laplacian(CV_16S, ksize=1)`` (exact, int16 output)."""
-    _check_u8(img)
+    """``cv2.Laplacian(ksize=1)`` (exact; uint8→int16, float32→float32)."""
+    _check_u8_or_f32(img)
     return _lap_jit(img)
 
 

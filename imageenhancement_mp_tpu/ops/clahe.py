@@ -27,8 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
-
 __all__ = ["clahe_planes", "clahe_tile_luts"]
 
 
@@ -62,7 +60,9 @@ def clahe_tile_luts(hists: jnp.ndarray, area: int, clip_limit: float) -> jnp.nda
         bump = ((i % step) == 0) & ((i // step) < resid)
         h = h + bump.astype(jnp.int32)
     cdf = jnp.cumsum(h, axis=1)
-    lut = jnp.clip(round_half_even_ratio(cdf, 255, jnp.int32(area)), 0, 255)
+    # f32 scale, mirroring cv2's float lutScale (see ops/histogram.py)
+    scale = jnp.float32(255.0) / jnp.float32(area)
+    lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)
     return lut.astype(jnp.uint8)
 
 

@@ -55,6 +55,9 @@ def gaussian_blur_planes(
     """
     from imageenhancement_mp_tpu import config
 
+    if planes.dtype == jnp.float32:
+        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
+        return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import gaussian_blur_pallas
 
@@ -70,8 +73,10 @@ def gaussian_blur_planes(
 
 
 def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """``cv2.Laplacian(CV_16S, ksize=1)`` — exact 4-neighbor int stencil."""
-    p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(jnp.int32)
+    """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil.
+    uint8 → int16; float32 → float32."""
+    acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
+    p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(acc)
     lap = (
         p[:, :-2, 1:-1]
         + p[:, 2:, 1:-1]
@@ -79,11 +84,13 @@ def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
         + p[:, 1:-1, 2:]
         - 4 * p[:, 1:-1, 1:-1]
     )
-    return lap.astype(jnp.int16)
+    return lap.astype(planes.dtype if planes.dtype == jnp.float32 else jnp.int16)
 
 
 def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """Sharpen = saturate_u8(src − Laplacian(src)) (SURVEY.md §2 #7)."""
+    """Sharpen = src − Laplacian(src); saturating for uint8 (SURVEY.md §2 #7)."""
+    if planes.dtype == jnp.float32:
+        return planes - laplacian_planes(planes)
     lap = laplacian_planes(planes).astype(jnp.int32)
     return jnp.clip(planes.astype(jnp.int32) - lap, 0, 255).astype(jnp.uint8)
 
@@ -105,6 +112,9 @@ def unsharp_mask_planes(
     """
     from imageenhancement_mp_tpu import config
 
+    if planes.dtype == jnp.float32:
+        blur = gaussian_blur_planes(planes, ksize, sigma)
+        return planes + jnp.float32(amount) * (planes - blur)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import unsharp_mask_pallas
 

@@ -26,8 +26,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
-
 __all__ = ["histogram_256", "equalize_lut", "equalize_hist_planes"]
 
 
@@ -63,18 +61,21 @@ def histogram_256(planes: jnp.ndarray, method: str = "nibble_matmul") -> jnp.nda
 def equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
     """cv2.equalizeHist LUT from a histogram ``[256] i32`` (SURVEY.md §8.1).
 
-    ``lut[i] = clip(round((cdf[i] − cdf[i0])·255/(N − hist[i0])), 0, 255)``
+    ``lut[i] = clip(round(f32(cdf[i] − cdf[i0])·f32(255/(N − hist[i0]))), 0, 255)``
     with i0 the first nonzero bin; a constant image maps to the identity LUT
-    (cv2 short-circuits with ``dst.setTo(i0)``).  Exact int32 build.
+    (cv2 short-circuits with ``dst.setTo(i0)``).  The scale is FLOAT32 —
+    cv2's equalizeHist multiplies the int cdf by a float scale; mirroring
+    that (conversion + f32 product + half-even round) is bit-exact.
     """
     cdf = jnp.cumsum(hist)
     # first nonzero bin: argmax of (hist > 0) returns the first True
     i0 = jnp.argmax(hist > 0)
     h0 = hist[i0]
     denom = jnp.maximum(total - h0, 1)
-    lut = jnp.clip(round_half_even_ratio(cdf - cdf[i0], 255, denom), 0, 255).astype(
-        jnp.uint8
-    )
+    scale = jnp.float32(255.0) / denom.astype(jnp.float32)
+    lut = jnp.clip(
+        jnp.round((cdf - cdf[i0]).astype(jnp.float32) * scale), 0, 255
+    ).astype(jnp.uint8)
     identity = jnp.arange(256, dtype=jnp.uint8)
     return jnp.where(h0 == total, identity, lut)
 

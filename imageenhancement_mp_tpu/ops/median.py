@@ -70,8 +70,10 @@ def median_blur_planes(
         raise ValueError("ksize must be odd and >= 3")
     from imageenhancement_mp_tpu import config
 
-    if ksize in (3, 5) and (
-        backend == "pallas" or (backend is None and config.pallas_enabled())
+    if (
+        planes.dtype == jnp.uint8
+        and ksize in (3, 5)
+        and (backend == "pallas" or (backend is None and config.pallas_enabled()))
     ):
         from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
 

@@ -48,18 +48,36 @@ def log_lut_host() -> np.ndarray:
 
 
 def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """uint8: LUT path (exact).  float32: direct ``255·(r/255)^γ``."""
+    if planes.dtype == jnp.float32:
+        r = jnp.maximum(planes, 0.0) * (1.0 / 255.0)
+        return (255.0 * jnp.power(r, jnp.float32(gamma))).astype(jnp.float32)
     return apply_lut_planes(planes, jnp.asarray(gamma_lut_host(gamma)))
 
 
 def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """uint8: LUT path (exact).  float32: direct ``c·log(1+r)``."""
+    if planes.dtype == jnp.float32:
+        c = jnp.float32(255.0 / np.log(256.0))
+        return c * jnp.log1p(jnp.maximum(planes, 0.0))
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
 
 
 def contrast_stretch_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """``cv2.normalize(MINMAX, 0, 255)`` per plane — exact (SURVEY.md §8.5).
 
-    ``round((x − min)·255/(max − min))`` half-to-even; constant plane → 0.
+    uint8: ``round((x − min)·255/(max − min))`` half-to-even; constant → 0.
+    float32: ``(x − min)·(255/(max − min))``, no rounding (cv2 float path).
     """
+    if planes.dtype == jnp.float32:
+
+        def onef(p: jnp.ndarray) -> jnp.ndarray:
+            lo = p.min()
+            hi = p.max()
+            out = (p - lo) * (255.0 / jnp.maximum(hi - lo, jnp.float32(1e-45)))
+            return jnp.where(hi == lo, 0.0, out).astype(jnp.float32)
+
+        return jax.vmap(onef)(planes)
 
     def one(p: jnp.ndarray) -> jnp.ndarray:
         lo = p.min().astype(jnp.int32)

@@ -66,6 +66,15 @@ def _check_u8(img: np.ndarray) -> None:
         raise TypeError(f"expected uint8 image, got {img.dtype}")
 
 
+def _check_u8_or_f32(img: np.ndarray) -> bool:
+    """Return True if float32 (float path: f64 compute, f32 out, no round/sat)."""
+    if img.dtype == np.uint8:
+        return False
+    if img.dtype == np.float32:
+        return True
+    raise TypeError(f"expected uint8 or float32 image, got {img.dtype}")
+
+
 # ---------------------------------------------------------------------------
 # Point operations (LUT family)
 # ---------------------------------------------------------------------------
@@ -90,20 +99,34 @@ def log_lut() -> np.ndarray:
 
 
 def gamma_transform(img: np.ndarray, gamma: float) -> np.ndarray:
+    """uint8: LUT path (exact).  float32: direct ``255·(r/255)^γ`` on
+    non-negative inputs (float extension — cv2 has no float gamma op)."""
+    if _check_u8_or_f32(img):
+        r = np.maximum(img.astype(np.float64), 0.0) / 255.0
+        return (255.0 * np.power(r, gamma)).astype(np.float32)
     return apply_lut(img, gamma_lut(gamma))
 
 
 def log_transform(img: np.ndarray) -> np.ndarray:
+    """uint8: LUT path (exact).  float32: direct ``c·log(1+r)`` (extension)."""
+    if _check_u8_or_f32(img):
+        c = 255.0 / np.log(256.0)
+        return (c * np.log1p(np.maximum(img.astype(np.float64), 0.0))).astype(np.float32)
     return apply_lut(img, log_lut())
 
 
 def contrast_stretch(img: np.ndarray) -> np.ndarray:
     """``cv2.normalize(img, None, 0, 255, NORM_MINMAX)`` — exact (SURVEY.md §8.5).
 
-    ``round((x − min)·255/(max − min))`` with round-half-to-even; a constant
-    image maps to all-zeros (verified against OpenCV 5.0.0).
+    uint8: ``round((x − min)·255/(max − min))`` half-to-even; constant → 0.
+    float32: ``(x − min)·(255/(max − min))``, no rounding (cv2 float path).
     """
-    _check_u8(img)
+    if _check_u8_or_f32(img):
+        lo = float(img.min())
+        hi = float(img.max())
+        if hi == lo:
+            return np.zeros_like(img)
+        return ((img - lo) * (255.0 / (hi - lo))).astype(np.float32)
     lo = int(img.min())
     hi = int(img.max())
     if hi == lo:
@@ -128,8 +151,12 @@ def _equalize_lut(hist: np.ndarray, total: int) -> np.ndarray:
         # constant image: cv2 short-circuits with dst.setTo(i0) — identity
         return np.arange(256, dtype=np.uint8)
     cdf = np.cumsum(hist)
-    scale = 255.0 / (total - hist[i0])
-    return np.clip(np.round((cdf - cdf[i0]) * scale), 0, 255).astype(np.uint8)
+    # cv2 computes lut[i] = saturate_cast<uchar>(int_sum * float_scale) with a
+    # FLOAT32 scale — mirror that exactly (f64 here differs on ~1% of images)
+    scale = np.float32(255.0) / np.float32(total - hist[i0])
+    return np.clip(
+        np.round((cdf - cdf[i0]).astype(np.float32) * scale), 0, 255
+    ).astype(np.uint8)
 
 
 def equalize_hist(img: np.ndarray) -> np.ndarray:
@@ -157,7 +184,9 @@ def clahe_tile_lut(tile_hist: np.ndarray, tile_area: int, clip_limit: float) -> 
             idx = np.arange(0, 256, step)[:r]
             h[idx] += 1
     cdf = np.cumsum(h)
-    return np.clip(np.round(cdf * (255.0 / tile_area)), 0, 255).astype(np.uint8)
+    # same f32-scale convention as equalizeHist (cv2's lutScale is float)
+    scale = np.float32(255.0) / np.float32(tile_area)
+    return np.clip(np.round(cdf.astype(np.float32) * scale), 0, 255).astype(np.uint8)
 
 
 def clahe(
@@ -231,16 +260,33 @@ _BINOMIAL_FX = {
 
 
 def gaussian_kernel_fixed(ksize: int) -> np.ndarray:
-    """cv2's auto-σ (σ=0) kernel ·256: hardcoded binomial taps (SURVEY.md §8.2)."""
-    if ksize not in _BINOMIAL_FX:
-        raise ValueError(f"auto-sigma kernel only defined for ksize in (3,5,7), got {ksize}")
-    return _BINOMIAL_FX[ksize]
+    """cv2's auto-σ (σ=0) uint8-path kernel ·256.
+
+    k ∈ {3,5,7}: hardcoded binomial taps (SURVEY.md §8.2) — bit-exact.
+    k ≥ 9 odd: taps = round(gauss(σ=0.3((k−1)/2−1)+0.8)·256) with the center
+    tap adjusted so Σtaps = 256 (probe: exact for k=9/11, ≤1 LSB beyond).
+    """
+    if ksize in _BINOMIAL_FX:
+        return _BINOMIAL_FX[ksize]
+    if ksize % 2 == 0 or ksize < 3:
+        raise ValueError(f"ksize must be odd >= 3, got {ksize}")
+    g = gaussian_kernel(ksize, _auto_sigma(ksize))
+    taps = np.round(g * 256.0).astype(np.int64)
+    taps[ksize // 2] += 256 - taps.sum()
+    return taps
+
+
+def _auto_sigma(ksize: int) -> float:
+    """cv2's σ=0 fallback formula (used for k > 7)."""
+    return 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
 
 
 def gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
     """``cv2.getGaussianKernel(ksize, sigma)`` as float64 taps."""
     if sigma <= 0:
-        return gaussian_kernel_fixed(ksize) / 256.0
+        if ksize in _BINOMIAL_FX:
+            return _BINOMIAL_FX[ksize] / 256.0
+        sigma = _auto_sigma(ksize)
     i = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
     g = np.exp(-(i * i) / (2.0 * sigma * sigma))
     return g / g.sum()
@@ -252,18 +298,25 @@ def _reflect_pad(img: np.ndarray, pad: int) -> np.ndarray:
 
 
 def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.ndarray:
-    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8.
+    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8 or float32.
 
-    σ=0 (auto): bit-exact integer fixed point — taps·256 are integers, int
-    accumulation over a separable pass, output ``(acc + 2^15) >> 16``,
-    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7}).
-    σ>0: float64 separable conv + round-half-even (±1 LSB vs cv2's softfloat
-    fixed-point path).
+    uint8 σ=0 (auto): bit-exact integer fixed point — taps·256 are integers,
+    int accumulation over a separable pass, output ``(acc + 2^15) >> 16``,
+    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7,9,11}; ≤1 beyond).
+    uint8 σ>0: float64 separable conv + round-half-even (±1 LSB vs cv2's
+    softfloat fixed-point path).
+    float32: plain separable float conv (f64 accumulation), no round/clip.
     """
-    _check_u8(img)
+    is_f = _check_u8_or_f32(img)
     pad = ksize // 2
     H, W = img.shape
     p = _reflect_pad(img, pad)
+    if is_f:
+        g = gaussian_kernel(ksize, sigma)
+        acc = p.astype(np.float64)
+        v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
+        h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
+        return h.astype(np.float32)
     if sigma <= 0:
         kf = gaussian_kernel_fixed(ksize)
         acc = p.astype(np.int64)
@@ -278,9 +331,15 @@ def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.nda
 
 
 def laplacian(img: np.ndarray) -> np.ndarray:
-    """``cv2.Laplacian(img, CV_16S, ksize=1)`` — exact int16 4-neighbor stencil
-    ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2)."""
-    _check_u8(img)
+    """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil
+    ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2).
+    uint8 → int16 (CV_16S); float32 → float32 (CV_32F)."""
+    if _check_u8_or_f32(img):
+        p = _reflect_pad(img.astype(np.float64), 1)
+        lap = (
+            p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
+        )
+        return lap.astype(np.float32)
     p = _reflect_pad(img.astype(np.int32), 1)
     lap = (
         p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
@@ -289,8 +348,9 @@ def laplacian(img: np.ndarray) -> np.ndarray:
 
 
 def laplacian_sharpen(img: np.ndarray) -> np.ndarray:
-    """Sharpen = saturate_u8(src − Laplacian(src)) (SURVEY.md §2 #7)."""
-    _check_u8(img)
+    """Sharpen = src − Laplacian(src); saturating for uint8 (SURVEY.md §2 #7)."""
+    if _check_u8_or_f32(img):
+        return (img.astype(np.float64) - laplacian(img)).astype(np.float32)
     return np.clip(img.astype(np.int32) - laplacian(img).astype(np.int32), 0, 255).astype(
         np.uint8
     )
@@ -301,18 +361,25 @@ def unsharp_mask(
 ) -> np.ndarray:
     """``cv2.addWeighted(src, 1+a, GaussianBlur(src), −a, 0)`` — exact.
 
-    addWeighted computes in float, rounds half-to-even, saturates
-    (SURVEY.md §8.4; probe: 0.5·[1,3,5] → [0,2,2]).
+    addWeighted computes in float; for uint8 it rounds half-to-even and
+    saturates (SURVEY.md §8.4; probe: 0.5·[1,3,5] → [0,2,2]); the float32
+    path neither rounds nor saturates.
     """
-    _check_u8(img)
+    is_f = _check_u8_or_f32(img)
     blur = gaussian_blur(img, ksize, sigma)
     out = (1.0 + amount) * img.astype(np.float64) - amount * blur.astype(np.float64)
+    if is_f:
+        return out.astype(np.float32)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
-    """``cv2.medianBlur`` — exact; border = replicate (SURVEY.md §8.2)."""
-    _check_u8(img)
+    """``cv2.medianBlur`` — exact; border = replicate (SURVEY.md §8.2).
+
+    float32 is supported for any odd k (cv2 only supports k=3 for floats —
+    this is a strict extension; the k=3 float results match cv2 exactly).
+    """
+    _check_u8_or_f32(img)
     if ksize % 2 == 0 or ksize < 3:
         raise ValueError("ksize must be odd and >= 3")
     pad = ksize // 2
@@ -322,4 +389,4 @@ def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
         [p[dy : dy + H, dx : dx + W] for dy in range(ksize) for dx in range(ksize)],
         axis=-1,
     )
-    return np.median(windows, axis=-1).astype(np.uint8)
+    return np.median(windows, axis=-1).astype(img.dtype)

@@ -150,3 +150,74 @@ def test_clahe_1lsb_vs_cv2(rng):
 def test_wrong_dtype_raises():
     with pytest.raises(TypeError):
         ie.equalize_hist(np.zeros((8, 8), np.float32))
+
+
+# ---------------------------------------------------------------- float32
+
+def _randf(rng, shape):
+    return (rng.random(shape, dtype=np.float32) * 300.0 - 20.0).astype(np.float32)
+
+
+def test_float_gaussian_vs_ref(rng):
+    x = _randf(rng, (2, 64, 67))
+    got = ie.gaussian_blur(x, 5, 0.0)
+    want = np.stack([ref.gaussian_blur(p, 5, 0.0) for p in x])
+    assert np.abs(np.asarray(got) - want).max() < 1e-3
+
+
+def test_float_unsharp_vs_ref(rng):
+    x = _randf(rng, (1, 64, 67))
+    got = ie.unsharp_mask(x, 1.5)
+    assert np.abs(np.asarray(got) - ref.unsharp_mask(x[0], 1.5)[None]).max() < 1e-2
+
+
+def test_float_laplacian(rng):
+    x = _randf(rng, (1, 64, 67))
+    got = ie.laplacian(x)
+    assert np.asarray(got).dtype == np.float32
+    assert np.abs(np.asarray(got) - ref.laplacian(x[0])[None]).max() < 1e-3
+
+
+def test_float_median_stretch_gamma_log(rng):
+    x = _randf(rng, (2, 33, 47))
+    assert np.abs(np.asarray(ie.median_blur(x, 3)) - np.stack([ref.median_blur(p, 3) for p in x])).max() == 0
+    assert np.abs(np.asarray(ie.contrast_stretch(x)) - np.stack([ref.contrast_stretch(p) for p in x])).max() < 1e-3
+    xp = np.abs(x)
+    assert np.abs(np.asarray(ie.gamma(xp, 2.2)) - np.stack([ref.gamma_transform(p, 2.2) for p in xp])).max() < 2e-2
+    assert np.abs(np.asarray(ie.log_transform(xp)) - np.stack([ref.log_transform(p) for p in xp])).max() < 1e-3
+
+
+def test_float_vs_cv2_direct(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    x = _randf(rng, (64, 67))
+    assert np.abs(np.asarray(ie.gaussian_blur(x, 5)) - cv2.GaussianBlur(x, (5, 5), 0)).max() < 1e-3
+    blur = cv2.GaussianBlur(x, (5, 5), 0)
+    want = cv2.addWeighted(x, 2.0, blur, -1.0, 0)
+    assert np.abs(np.asarray(ie.unsharp_mask(x, 1.0)) - want).max() < 1e-2
+    assert np.abs(np.asarray(ie.median_blur(x, 3)) - cv2.medianBlur(x, 3)).max() == 0
+
+
+def test_float_rejected_for_histeq(rng):
+    with pytest.raises(TypeError):
+        ie.equalize_hist(_randf(rng, (8, 8)))
+    with pytest.raises(TypeError):
+        ie.clahe(_randf(rng, (8, 8)))
+
+
+@pytest.mark.parametrize("k", [9, 11])
+def test_gaussian_large_k_vs_cv2(rng, k):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(0, 256, (64, 67), dtype=np.uint8)
+    want = cv2.GaussianBlur(img, (k, k), 0)
+    assert maxdiff(ie.gaussian_blur(img, k), want) == 0
+    assert maxdiff(ref.gaussian_blur(img, k), want) == 0
+
+
+def test_gaussian_k13_within_1lsb(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(0, 256, (64, 67), dtype=np.uint8)
+    want = cv2.GaussianBlur(img, (13, 13), 0)
+    assert maxdiff(ie.gaussian_blur(img, 13), want) <= 2
