@@ -58,6 +58,12 @@ def main() -> int:
     ap.add_argument("--all", action="store_true", help="run all judged configs")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-parity", action="store_true", help="skip parity phase")
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of the headline config into DIR",
+    )
     args = ap.parse_args()
 
     import jax
@@ -102,6 +108,18 @@ def main() -> int:
             ("median3 1080p gray b8", lambda x: ie.median_blur(x, 3), b1080, None),
             ("median5 1080p gray b8", lambda x: ie.median_blur(x, 5), b1080, None),
             (
+                "gaussian5 4K gray b2 (pallas)",
+                lambda x: ie.gaussian_blur(x, 5),
+                b4k,
+                None,
+            ),
+            (
+                "median5 4K gray b2 (pallas)",
+                lambda x: ie.median_blur(x, 5),
+                b4k,
+                None,
+            ),
+            (
                 "clahe 4K rgb",
                 lambda x: ie.clahe(x, 2.0, (8, 8)),
                 rgb4k,
@@ -131,6 +149,13 @@ def main() -> int:
             f"{name:40s} {g:8.3f} GPix/s" + (f"  ({g/base:7.1f}x baseline)" if base else ""),
             file=sys.stderr,
         )
+
+    if args.profile:
+        fn, xd = handles["histeq+unsharp 1080p gray b8"]
+        with jax.profiler.trace(args.profile):
+            for _ in range(5):
+                jax.block_until_ready(fn(xd))
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     # ---------------- phase 2: parity (transfers OK; slow per-call) --------
     if not args.no_parity:
