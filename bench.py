@@ -62,7 +62,8 @@ def main() -> int:
         "--profile",
         metavar="DIR",
         default=None,
-        help="capture a jax.profiler trace of the headline config into DIR",
+        help="capture a jax.profiler trace of the headline config into DIR "
+        "(may hang on tunneled PJRT platforms like axon — off by default)",
     )
     args = ap.parse_args()
 
@@ -108,13 +109,13 @@ def main() -> int:
             ("median3 1080p gray b8", lambda x: ie.median_blur(x, 3), b1080, None),
             ("median5 1080p gray b8", lambda x: ie.median_blur(x, 5), b1080, None),
             (
-                "gaussian5 4K gray b2 (pallas)",
+                "gaussian5 4K gray b2",
                 lambda x: ie.gaussian_blur(x, 5),
                 b4k,
                 None,
             ),
             (
-                "median5 4K gray b2 (pallas)",
+                "median5 4K gray b2",
                 lambda x: ie.median_blur(x, 5),
                 b4k,
                 None,

@@ -25,8 +25,13 @@ def _load(path: str) -> np.ndarray:
             raise FileNotFoundError(path)
         return img
     except ImportError:
-        from PIL import Image
-
+        try:
+            from PIL import Image
+        except ImportError:
+            raise SystemExit(
+                "error: reading non-.npy images needs opencv-python or Pillow "
+                "(pip install 'imageenhancement-mp-tpu[io]')"
+            )
         return np.asarray(Image.open(path))
 
 
@@ -39,8 +44,13 @@ def _save(path: str, img: np.ndarray) -> None:
 
         cv2.imwrite(path, img)
     except ImportError:
-        from PIL import Image
-
+        try:
+            from PIL import Image
+        except ImportError:
+            raise SystemExit(
+                "error: writing non-.npy images needs opencv-python or Pillow "
+                "(pip install 'imageenhancement-mp-tpu[io]')"
+            )
         Image.fromarray(img).save(path)
 
 
