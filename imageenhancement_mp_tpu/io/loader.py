@@ -1,0 +1,176 @@
+"""FrameLoader: native multithreaded frame prefetcher (ctypes binding).
+
+The streaming runtime's host-side IO (SURVEY.md §3.5 — the reference's
+``cv2.imread`` per-image loop, whose decode is OpenCV C++).  Worker threads
+in native/frameloader.cpp read + decode PGM/PPM/raw frames ahead of the
+consumer, preserving order, so disk IO overlaps device compute when fed
+into ``pipeline.stream_frames``.
+
+The shared library is compiled from source with g++ on first use and cached
+next to the package; if no C++ toolchain is available a pure-Python
+fallback with a thread pool provides the same iterator contract.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_SRC = _NATIVE_DIR / "frameloader.cpp"
+_LIB = _NATIVE_DIR / "_frameloader.so"
+_lock = threading.Lock()
+_lib = None
+_native_failed = False
+
+
+def _build_lib() -> ctypes.CDLL | None:
+    global _native_failed
+    with _lock:
+        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+            return ctypes.CDLL(str(_LIB))
+        try:
+            subprocess.run(
+                [
+                    "g++",
+                    "-O2",
+                    "-std=c++17",
+                    "-shared",
+                    "-fPIC",
+                    "-pthread",
+                    str(_SRC),
+                    "-o",
+                    str(_LIB),
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return ctypes.CDLL(str(_LIB))
+        except (OSError, subprocess.SubprocessError):
+            _native_failed = True
+            return None
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _lib
+    if _lib is None and not _native_failed:
+        lib = _build_lib()
+        if lib is not None:
+            lib.fl_create.restype = ctypes.c_void_p
+            lib.fl_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_long,
+            ]
+            lib.fl_next.restype = ctypes.c_long
+            lib.fl_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.fl_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def _parse_pnm(path: str) -> np.ndarray:
+    """Pure-Python PGM/PPM/raw fallback (same formats as the native loader)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] in (b"P5", b"P6"):
+        parts = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(data) and data[i : i + 1].isspace():
+                i += 1
+            if data[i : i + 1] == b"#":
+                while i < len(data) and data[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            parts.append(int(data[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxv = parts
+        if maxv != 255:
+            raise ValueError(f"{path}: only maxval 255 supported")
+        ch = 3 if data[:2] == b"P6" else 1
+        arr = np.frombuffer(data, np.uint8, count=w * h * ch, offset=i)
+        return arr.reshape((h, w, ch) if ch == 3 else (h, w))
+    return np.frombuffer(data, np.uint8)
+
+
+class FrameLoader:
+    """Order-preserving prefetching iterator over frame files.
+
+    ``for frame in FrameLoader(paths, threads=4): ...`` yields uint8 arrays
+    ([H,W] for PGM, [H,W,3] for PPM, flat for raw blobs).
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str | os.PathLike],
+        threads: int = 4,
+        max_frame_bytes: int = 64 * 1024 * 1024,
+        force_fallback: bool = False,
+    ):
+        self.paths = [str(p) for p in paths]
+        self.threads = max(1, threads)
+        self.max_frame_bytes = max_frame_bytes
+        self._force_fallback = force_fallback
+
+    @property
+    def native(self) -> bool:
+        return not self._force_fallback and _get_lib() is not None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        lib = None if self._force_fallback else _get_lib()
+        if lib is None:
+            yield from self._iter_fallback()
+            return
+        c_paths = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths]
+        )
+        h = lib.fl_create(c_paths, len(self.paths), self.threads, self.max_frame_bytes)
+        if not h:
+            raise RuntimeError("fl_create failed")
+        try:
+            buf = np.empty(self.max_frame_bytes, np.uint8)
+            bufp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+            w = ctypes.c_int()
+            hh = ctypes.c_int()
+            ch = ctypes.c_int()
+            for path in self.paths:
+                n = lib.fl_next(h, bufp, self.max_frame_bytes, w, hh, ch)
+                if n == 0:
+                    return
+                if n < 0:
+                    raise IOError(f"frame load failed ({n}): {path}")
+                flat = buf[:n].copy()
+                if ch.value == 3:
+                    yield flat.reshape(hh.value, w.value, 3)
+                elif ch.value == 1:
+                    yield flat.reshape(hh.value, w.value)
+                else:
+                    yield flat
+        finally:
+            lib.fl_destroy(h)
+
+    def _iter_fallback(self) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.threads) as ex:
+            yield from ex.map(_parse_pnm, self.paths)

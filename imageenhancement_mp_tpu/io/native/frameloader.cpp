@@ -1,0 +1,204 @@
+// Native frame loader: multithreaded, order-preserving prefetch of image
+// frames from disk into caller buffers.
+//
+// The reference's data path is cv2.imread inside a per-image Python loop
+// (SURVEY.md §3.5) — its decode work happens in OpenCV's C++.  This is the
+// rebuild's native equivalent for the streaming runtime (config 5): worker
+// threads read + decode frames ahead of the consumer so host IO overlaps
+// the TPU compute that pipeline.stream_frames keeps in flight.
+//
+// Formats: PGM (P5), PPM (P6) with maxval 255, and raw .u8 blobs (caller
+// supplies the expected size for raw).  No external dependencies.
+//
+// C ABI (ctypes-friendly):
+//   void* fl_create(const char** paths, int n, int threads, long max_bytes)
+//   long  fl_next(void* h, unsigned char* out, long cap,
+//                 int* w, int* hgt, int* ch)   // frame bytes, 0 = end, <0 = error
+//   void  fl_destroy(void* h)
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Frame {
+  std::vector<uint8_t> data;
+  int w = 0, h = 0, ch = 0;
+  long err = 0;  // <0 on failure
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  long max_bytes;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::map<size_t, Frame> ready;   // decoded frames by index
+  size_t next_fetch = 0;           // next index a worker should take
+  size_t next_emit = 0;            // next index the consumer expects
+  size_t queue_cap;
+  bool stopping = false;
+};
+
+// Skip PNM whitespace and '#' comments.
+static void skip_ws(FILE* f) {
+  int c;
+  while ((c = fgetc(f)) != EOF) {
+    if (c == '#') {
+      while ((c = fgetc(f)) != EOF && c != '\n') {
+      }
+    } else if (!isspace(c)) {
+      ungetc(c, f);
+      return;
+    }
+  }
+}
+
+static bool read_int(FILE* f, long* out) {
+  skip_ws(f);
+  long v = 0;
+  int c = fgetc(f);
+  if (c < '0' || c > '9') return false;
+  while (c >= '0' && c <= '9') {
+    v = v * 10 + (c - '0');
+    c = fgetc(f);
+  }
+  if (c != EOF) ungetc(c, f);  // leave the terminator for the caller
+  *out = v;
+  return true;
+}
+
+static void decode(const std::string& path, long max_bytes, Frame* fr) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    fr->err = -2;
+    return;
+  }
+  int c0 = fgetc(f), c1 = fgetc(f);
+  if (c0 == 'P' && (c1 == '5' || c1 == '6')) {
+    long w, h, maxv;
+    if (!read_int(f, &w) || !read_int(f, &h) || !read_int(f, &maxv) || maxv != 255) {
+      fr->err = -3;
+      fclose(f);
+      return;
+    }
+    fgetc(f);  // single whitespace after maxval
+    int ch = (c1 == '6') ? 3 : 1;
+    long bytes = w * h * ch;
+    if (bytes <= 0 || bytes > max_bytes) {
+      fr->err = -4;
+      fclose(f);
+      return;
+    }
+    fr->data.resize(bytes);
+    if (fread(fr->data.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
+      fr->err = -5;
+      fclose(f);
+      return;
+    }
+    fr->w = static_cast<int>(w);
+    fr->h = static_cast<int>(h);
+    fr->ch = ch;
+  } else {
+    // raw blob: whole file, shape unknown to the loader (w=h=ch=0)
+    fseek(f, 0, SEEK_END);
+    long bytes = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (bytes <= 0 || bytes > max_bytes) {
+      fr->err = -4;
+      fclose(f);
+      return;
+    }
+    fr->data.resize(bytes);
+    if (fread(fr->data.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
+      fr->err = -5;
+      fclose(f);
+      return;
+    }
+  }
+  fclose(f);
+}
+
+static void worker(Loader* L) {
+  for (;;) {
+    size_t idx;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      // bound read-ahead: don't run more than queue_cap past the consumer
+      L->cv_space.wait(lk, [&] {
+        return L->stopping || (L->next_fetch < L->paths.size() &&
+                               L->next_fetch < L->next_emit + L->queue_cap);
+      });
+      if (L->stopping || L->next_fetch >= L->paths.size()) return;
+      idx = L->next_fetch++;
+    }
+    Frame fr;
+    decode(L->paths[idx], L->max_bytes, &fr);
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->ready.emplace(idx, std::move(fr));
+    }
+    L->cv_ready.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fl_create(const char** paths, int n, int threads, long max_bytes) {
+  if (n < 0 || threads < 1) return nullptr;
+  auto* L = new Loader();
+  L->paths.assign(paths, paths + n);
+  L->max_bytes = max_bytes;
+  L->queue_cap = static_cast<size_t>(threads) * 2 + 2;
+  for (int i = 0; i < threads; ++i) L->workers.emplace_back(worker, L);
+  return L;
+}
+
+long fl_next(void* handle, unsigned char* out, long cap, int* w, int* h, int* ch) {
+  auto* L = static_cast<Loader*>(handle);
+  size_t idx;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    if (L->next_emit >= L->paths.size()) return 0;  // end of stream
+    idx = L->next_emit;
+  }
+  Frame fr;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_ready.wait(lk, [&] { return L->ready.count(idx) > 0; });
+    fr = std::move(L->ready[idx]);
+    L->ready.erase(idx);
+    L->next_emit++;
+  }
+  L->cv_space.notify_all();
+  if (fr.err < 0) return fr.err;
+  long bytes = static_cast<long>(fr.data.size());
+  if (bytes > cap) return -1;
+  memcpy(out, fr.data.data(), bytes);
+  *w = fr.w;
+  *h = fr.h;
+  *ch = fr.ch;
+  return bytes;
+}
+
+void fl_destroy(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stopping = true;
+  }
+  L->cv_space.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+}  // extern "C"

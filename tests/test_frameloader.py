@@ -1,0 +1,86 @@
+"""Native frame loader: C++ prefetcher vs pure-Python fallback vs ground truth."""
+
+import numpy as np
+import pytest
+
+from imageenhancement_mp_tpu.io import FrameLoader
+
+
+def _write_pgm(path, arr):
+    with open(path, "wb") as f:
+        f.write(b"P5\n# comment\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.tobytes())
+
+
+def _write_ppm(path, arr):
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.tobytes())
+
+
+@pytest.fixture
+def frame_files(tmp_path, rng):
+    frames = []
+    paths = []
+    for i in range(6):
+        if i % 2:
+            a = rng.integers(0, 256, (37 + i, 53), dtype=np.uint8)
+            p = tmp_path / f"f{i}.pgm"
+            _write_pgm(p, a)
+        else:
+            a = rng.integers(0, 256, (24, 31 + i, 3), dtype=np.uint8)
+            p = tmp_path / f"f{i}.ppm"
+            _write_ppm(p, a)
+        frames.append(a)
+        paths.append(p)
+    return paths, frames
+
+
+def test_native_loader(frame_files):
+    paths, frames = frame_files
+    loader = FrameLoader(paths, threads=3)
+    if not loader.native:
+        pytest.skip("no C++ toolchain available")
+    got = list(loader)
+    assert len(got) == len(frames)
+    for g, w in zip(got, frames):
+        assert g.shape == w.shape and np.array_equal(g, w)
+
+
+def test_fallback_loader(frame_files):
+    paths, frames = frame_files
+    got = list(FrameLoader(paths, threads=2, force_fallback=True))
+    for g, w in zip(got, frames):
+        assert np.array_equal(g, w)
+
+
+def test_raw_blob(tmp_path, rng):
+    blob = rng.integers(0, 256, 1000, dtype=np.uint8)
+    p = tmp_path / "frame.u8"
+    p.write_bytes(blob.tobytes())
+    loader = FrameLoader([p], threads=1)
+    (got,) = list(loader)
+    assert np.array_equal(got, blob)
+
+
+def test_missing_file(tmp_path):
+    loader = FrameLoader([tmp_path / "nope.pgm"], threads=1)
+    if not loader.native:
+        pytest.skip("no C++ toolchain available")
+    with pytest.raises(IOError):
+        list(loader)
+
+
+def test_order_preserved_many(tmp_path, rng):
+    paths = []
+    want = []
+    for i in range(32):
+        a = np.full((8, 8), i, np.uint8)
+        p = tmp_path / f"o{i:02d}.pgm"
+        _write_pgm(p, a)
+        paths.append(p)
+        want.append(a)
+    loader = FrameLoader(paths, threads=8)
+    got = list(loader)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
