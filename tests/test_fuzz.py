@@ -1,0 +1,69 @@
+"""Randomized cross-checks: jnp ops vs oracle over random shapes/params.
+
+Bounded fuzz (fast, deterministic seed) — broad shape coverage beyond the
+fixed parametrized tests, including tiny images (< kernel radius) where
+REFLECT_101 degenerates.
+"""
+
+import numpy as np
+import pytest
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+
+
+def maxdiff(a, b):
+    return int(np.abs(np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)).max())
+
+
+TINY = [(1, 1), (1, 5), (3, 3), (2, 7), (5, 1)]
+
+
+@pytest.mark.parametrize("shape", TINY)
+def test_tiny_images_all_ops(rng, shape):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert maxdiff(ie.gaussian_blur(img, 5), ref.gaussian_blur(img, 5, 0.0)) == 0
+    assert maxdiff(ie.median_blur(img, 5), ref.median_blur(img, 5)) == 0
+    assert maxdiff(ie.unsharp_mask(img, 1.0), ref.unsharp_mask(img, 1.0)) == 0
+    assert maxdiff(ie.laplacian(img), ref.laplacian(img)) == 0
+    assert maxdiff(ie.equalize_hist(img), ref.equalize_hist(img)) == 0
+    assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) == 0
+
+
+def test_fuzz_pointwise_vs_oracle(rng):
+    for _ in range(10):
+        h, w = rng.integers(2, 120, 2)
+        img = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
+        assert maxdiff(ie.equalize_hist(img), ref.equalize_hist(img)) == 0
+        assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) == 0
+        g = float(rng.uniform(0.2, 3.0))
+        assert maxdiff(ie.gamma(img, g), ref.gamma_transform(img, g)) == 0
+
+
+def test_fuzz_filters_vs_oracle(rng):
+    for _ in range(6):
+        h, w = rng.integers(8, 100, 2)
+        img = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
+        k = int(rng.choice([3, 5, 7]))
+        assert maxdiff(ie.gaussian_blur(img, k), ref.gaussian_blur(img, k, 0.0)) == 0
+        assert maxdiff(ie.median_blur(img, k if k < 7 else 5), ref.median_blur(img, k if k < 7 else 5)) == 0
+        a = float(rng.choice([1.0, 2.0]))
+        assert maxdiff(ie.unsharp_mask(img, a), ref.unsharp_mask(img, a)) == 0
+
+
+def test_fuzz_clahe_vs_oracle(rng):
+    for _ in range(5):
+        h, w = rng.integers(16, 150, 2)
+        img = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
+        clip = float(rng.choice([1.0, 2.0, 40.0]))
+        gh, gw = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+        assert maxdiff(ie.clahe(img, clip, (gh, gw)), ref.clahe(img, clip, (gh, gw))) <= 1
+
+
+def test_low_contrast_and_extremes(rng):
+    # few distinct values, saturated regions
+    img = rng.choice([0, 1, 254, 255], size=(64, 64)).astype(np.uint8)
+    assert maxdiff(ie.equalize_hist(img), ref.equalize_hist(img)) == 0
+    assert maxdiff(ie.clahe(img, 2.0, (8, 8)), ref.clahe(img, 2.0, (8, 8))) <= 1
+    assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) == 0
+    assert maxdiff(ie.unsharp_mask(img, 2.0), ref.unsharp_mask(img, 2.0)) == 0
