@@ -92,9 +92,11 @@ def log_transform(img):
     return _apply("log_transform", img)
 
 
-def contrast_stretch(img):
-    """``cv2.normalize(NORM_MINMAX, 0, 255)`` per plane (exact)."""
-    return _apply("contrast_stretch", img)
+def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0)):
+    """``cv2.normalize(NORM_MINMAX, α, β)`` per plane (exact)."""
+    return _apply(
+        "contrast_stretch", img, out_range=(float(out_range[0]), float(out_range[1]))
+    )
 
 
 def equalize_hist(img):

@@ -63,19 +63,25 @@ def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
 
 
-def contrast_stretch_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """``cv2.normalize(MINMAX, 0, 255)`` per plane — exact (SURVEY.md §8.5).
+def contrast_stretch_planes(
+    planes: jnp.ndarray, out_range: tuple[float, float] = (0.0, 255.0)
+) -> jnp.ndarray:
+    """``cv2.normalize(MINMAX, α, β)`` per plane — exact (SURVEY.md §8.5).
 
-    uint8: ``round((x − min)·255/(max − min))`` half-to-even; constant → 0.
-    float32: ``(x − min)·(255/(max − min))``, no rounding (cv2 float path).
+    uint8: ``round((x − min)·(β−α)/(max − min) + α)`` half-to-even (computed
+    in f64-equivalent exact int math only for the default 0..255 case; the
+    general case uses f32 LUT math, still exact for 8-bit domains since all
+    products are < 2^24).  Constant plane → α.
+    float32: no rounding (cv2 float path).
     """
+    a, b = float(out_range[0]), float(out_range[1])
     if planes.dtype == jnp.float32:
 
         def onef(p: jnp.ndarray) -> jnp.ndarray:
             lo = p.min()
             hi = p.max()
-            out = (p - lo) * (255.0 / jnp.maximum(hi - lo, jnp.float32(1e-45)))
-            return jnp.where(hi == lo, 0.0, out).astype(jnp.float32)
+            out = (p - lo) * ((b - a) / jnp.maximum(hi - lo, jnp.float32(1e-45))) + a
+            return jnp.where(hi == lo, jnp.float32(a), out).astype(jnp.float32)
 
         return jax.vmap(onef)(planes)
 
@@ -83,9 +89,20 @@ def contrast_stretch_planes(planes: jnp.ndarray) -> jnp.ndarray:
         lo = p.min().astype(jnp.int32)
         hi = p.max().astype(jnp.int32)
         den = jnp.maximum(hi - lo, 1)
-        i = jnp.arange(256, dtype=jnp.int32)
-        lut = jnp.clip(round_half_even_ratio(jnp.maximum(i - lo, 0), 255, den), 0, 255)
-        lut = jnp.where(hi == lo, 0, lut).astype(jnp.uint8)
+        if (a, b) == (0.0, 255.0):
+            i = jnp.arange(256, dtype=jnp.int32)
+            lut = jnp.clip(
+                round_half_even_ratio(jnp.maximum(i - lo, 0), 255, den), 0, 255
+            )
+        else:
+            i = jnp.arange(256, dtype=jnp.float32)
+            scale = jnp.float32(b - a) / den.astype(jnp.float32)
+            lut = jnp.clip(
+                jnp.round((i - lo.astype(jnp.float32)) * scale + jnp.float32(a)), 0, 255
+            ).astype(jnp.int32)
+        lut = jnp.where(hi == lo, jnp.int32(round(max(min(a, 255.0), 0.0))), lut).astype(
+            jnp.uint8
+        )
         return lut[p.astype(jnp.int32)]
 
     return jax.vmap(one)(planes)

@@ -115,24 +115,30 @@ def log_transform(img: np.ndarray) -> np.ndarray:
     return apply_lut(img, log_lut())
 
 
-def contrast_stretch(img: np.ndarray) -> np.ndarray:
-    """``cv2.normalize(img, None, 0, 255, NORM_MINMAX)`` — exact (SURVEY.md §8.5).
+def contrast_stretch(
+    img: np.ndarray, out_range: tuple[float, float] = (0.0, 255.0)
+) -> np.ndarray:
+    """``cv2.normalize(img, None, alpha, beta, NORM_MINMAX)`` — exact
+    (SURVEY.md §8.5; probe: round((x−min)·(β−α)/(max−min) + α) half-even).
 
-    uint8: ``round((x − min)·255/(max − min))`` half-to-even; constant → 0.
-    float32: ``(x − min)·(255/(max − min))``, no rounding (cv2 float path).
+    uint8: half-to-even rounding; constant image → α.
+    float32: no rounding (cv2 float path).
     """
+    a, b = float(out_range[0]), float(out_range[1])
     if _check_u8_or_f32(img):
         lo = float(img.min())
         hi = float(img.max())
         if hi == lo:
-            return np.zeros_like(img)
-        return ((img - lo) * (255.0 / (hi - lo))).astype(np.float32)
+            return np.full_like(img, np.float32(a))
+        return ((img - lo) * ((b - a) / (hi - lo)) + a).astype(np.float32)
     lo = int(img.min())
     hi = int(img.max())
     if hi == lo:
-        return np.zeros_like(img)
+        return np.full_like(img, np.uint8(np.clip(round(a), 0, 255)))
     lut = np.clip(
-        np.round((np.arange(256, dtype=np.float64) - lo) * 255.0 / (hi - lo)), 0, 255
+        np.round((np.arange(256, dtype=np.float64) - lo) * ((b - a) / (hi - lo)) + a),
+        0,
+        255,
     ).astype(np.uint8)
     return lut[img]
 

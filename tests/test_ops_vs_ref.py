@@ -221,3 +221,13 @@ def test_gaussian_k13_within_1lsb(rng):
     img = rng.integers(0, 256, (64, 67), dtype=np.uint8)
     want = cv2.GaussianBlur(img, (13, 13), 0)
     assert maxdiff(ie.gaussian_blur(img, 13), want) <= 2
+
+
+@pytest.mark.parametrize("out_range", [(10.0, 200.0), (50.0, 100.0)])
+def test_contrast_stretch_range(rng, out_range):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(30, 200, (64, 67), dtype=np.uint8)
+    want = cv2.normalize(img, None, out_range[0], out_range[1], cv2.NORM_MINMAX)
+    assert maxdiff(ie.contrast_stretch(img, out_range), want) == 0
+    assert maxdiff(ref.contrast_stretch(img, out_range), want) == 0
