@@ -9,6 +9,7 @@ device, save the result.  Not on the perf path.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -70,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
         "gauss[:k[:sigma]] | lapsharp | unsharp[:amount[:k]] | median[:k])",
     )
     args = p.parse_args(argv)
+
+    # Allow forcing a backend (e.g. IE_MP_TPU_PLATFORM=cpu) — needed where a
+    # site plugin force-registers an accelerator via jax.config and the
+    # JAX_PLATFORMS env var alone is ignored.
+    platform = os.environ.get("IE_MP_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     import imageenhancement_mp_tpu as ie
 
