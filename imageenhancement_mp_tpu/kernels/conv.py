@@ -62,6 +62,8 @@ def _conv_kernel(
     b = pl.program_id(0)
     k = len(taps)
     pad = k // 2
+    if fixed_point:
+        taps = tuple(int(t) for t in taps)  # int constants keep i32 math i32
 
     halo = -(-2 * pad // 8) * 8  # DMA row counts must be 8-aligned
 
@@ -96,26 +98,50 @@ def _conv_kernel(
         def _():
             dma_out(slot, t - 2).wait()
 
-        # Mosaic has no direct u8<->f32 casts; hop through int32
-        x = buf_in[slot].astype(jnp.int32).astype(jnp.float32)  # [th+2p, wp]
-        v = functools.reduce(
-            lambda a, b_: a + b_, [taps[j] * x[j : j + th, :] for j in range(k)]
-        )
-        h = functools.reduce(
-            lambda a, b_: a + b_,
-            [taps[j] * _shift_left(v, j) for j in range(k)],
-        )
         if fixed_point:
-            blur = jnp.floor((h + 32768.0) * (1.0 / 65536.0))
+            # Pure int32 path: taps·256 are integers, acc < 2^24, output
+            # (acc + 2^15) >> 16 — bit-exact and ~25% faster than f32
+            # (smaller working set → bigger stripes).  Taps are symmetric:
+            # pair the mirrored ends to halve the multiplies.
+            x = buf_in[slot].astype(jnp.int32)
+            v = taps[pad] * x[pad : pad + th, :]
+            for j in range(pad):
+                v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
+            h = taps[pad] * _shift_left(v, pad)
+            for j in range(pad):
+                h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
+            blur = jnp.clip((h + 32768) >> 16, 0, 255)
+            if amount is None:
+                res = blur
+            else:
+                src = _shift_left(x[pad : pad + th, :], pad)
+                if amount == int(amount):
+                    # integral gain: exact in int32
+                    res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
+                else:
+                    srcf = src.astype(jnp.float32)
+                    res = jnp.clip(
+                        jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))),
+                        0.0,
+                        255.0,
+                    ).astype(jnp.int32)
+            buf_out[slot] = res.astype(jnp.uint8)
         else:
-            blur = jnp.round(h)
-        if amount is not None:
-            # align src with out: out col c ← padded col c+pad
-            src = _shift_left(x[pad : pad + th, :], pad)
-            res = jnp.round(src + amount * (src - jnp.clip(blur, 0.0, 255.0)))
-        else:
-            res = blur
-        buf_out[slot] = jnp.clip(res, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+            # float taps (σ>0): f32 accumulation, cvRound at the end
+            x = buf_in[slot].astype(jnp.int32).astype(jnp.float32)
+            v = taps[pad] * x[pad : pad + th, :]
+            for j in range(pad):
+                v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
+            h = taps[pad] * _shift_left(v, pad)
+            for j in range(pad):
+                h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
+            blur = jnp.clip(jnp.round(h), 0.0, 255.0)
+            if amount is None:
+                res = blur
+            else:
+                src = _shift_left(x[pad : pad + th, :], pad)
+                res = jnp.clip(jnp.round(src + amount * (src - blur)), 0.0, 255.0)
+            buf_out[slot] = res.astype(jnp.int32).astype(jnp.uint8)
         dma_out(slot, t).start()
 
     jax.lax.fori_loop(0, n_tiles, body, None)
@@ -145,8 +171,9 @@ def _sep_conv_planes(
     # columns: pad-left halo + W + pad-right halo, rounded up to lanes.
     wp = _round_up(W + 2 * pad, _LANES)
     # pick stripe height (multiple of 8) minimizing padding waste, bounded so
-    # the f32 working set (~20 bytes/px across conv temporaries) fits VMEM
-    vmem_cap = max(8, min(tile_rows, 11_000_000 // (20 * wp) // 8 * 8))
+    # the working set fits VMEM (~14 B/px int path, ~20 B/px float path)
+    bpp = 14 if fixed_point else 20
+    vmem_cap = max(8, min(tile_rows, 11_000_000 // (bpp * wp) // 8 * 8))
     h8 = _round_up(H, 8)
     if h8 <= vmem_cap:
         th = h8

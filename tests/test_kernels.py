@@ -75,3 +75,10 @@ def test_median_pallas_multitile(rng):
     x = rng.integers(0, 256, (1, 700, 131), dtype=np.uint8)
     got = median_blur_pallas(x, 3, tile_rows=128, interpret=True)
     assert maxdiff(got, ref.median_blur(x[0], 3)[None]) == 0
+
+
+def test_unsharp_pallas_fractional_amount(rng):
+    # fixed-point conv + f32 epilogue path
+    x = rng.integers(0, 256, (1, 64, 131), dtype=np.uint8)
+    got = unsharp_mask_pallas(x, 1.5, 5, 0.0, interpret=True)
+    assert maxdiff(got, ref.unsharp_mask(x[0], 1.5, 5, 0.0)[None]) <= 1
