@@ -10,6 +10,8 @@ batched, with fused Pallas kernels on the hot paths.
 
 from imageenhancement_mp_tpu.api import (
     apply_lut,
+    convert_scale_abs,
+    histogram,
     clahe,
     contrast_stretch,
     equalize_hist,
@@ -26,6 +28,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "apply_lut",
+    "convert_scale_abs",
+    "histogram",
     "clahe",
     "contrast_stretch",
     "equalize_hist",

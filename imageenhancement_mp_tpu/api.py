@@ -23,6 +23,8 @@ from imageenhancement_mp_tpu.utils.shapes import as_planes
 
 __all__ = [
     "apply_lut",
+    "convert_scale_abs",
+    "histogram",
     "gamma",
     "log_transform",
     "contrast_stretch",
@@ -90,6 +92,37 @@ def gamma(img, gamma_value: float):
 def log_transform(img):
     """Log transform ``s = (255/log 256)·log(1+r)`` via static LUT (exact)."""
     return _apply("log_transform", img)
+
+
+def convert_scale_abs(img, alpha: float = 1.0, beta: float = 0.0):
+    """``cv2.convertScaleAbs(src, alpha, beta)`` per plane (exact)."""
+    return _apply("convert_scale_abs", img, alpha=float(alpha), beta=float(beta))
+
+
+def histogram(img):
+    """Per-plane 256-bin histogram (``cv2.calcHist`` ≡ bincount — exact).
+
+    Returns int32 counts shaped like the input's plane structure:
+    [256], [C,256], [N,256], or [N,C,256].
+    """
+    _check_u8(img)
+    from imageenhancement_mp_tpu.ops.histogram import histogram_256
+
+    @jax.jit
+    def run(x):
+        planes, _ = as_planes(x)
+        return histogram_256(planes)
+
+    h = run(img)
+    nd = img.ndim
+    if nd == 2:
+        return h[0]
+    if nd == 3 and img.shape[-1] in (1, 2, 3, 4):
+        return h
+    if nd == 3:
+        return h
+    n, _, _, c = img.shape
+    return h.reshape(n, c, 256)
 
 
 def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0)):

@@ -12,6 +12,7 @@ from imageenhancement_mp_tpu.ops.median import median_blur_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     apply_lut_planes,
     contrast_stretch_planes,
+    convert_scale_abs_planes,
     gamma_planes,
     log_planes,
 )
@@ -20,6 +21,7 @@ OP_REGISTRY = {
     "gamma": gamma_planes,
     "log_transform": log_planes,
     "contrast_stretch": contrast_stretch_planes,
+    "convert_scale_abs": convert_scale_abs_planes,
     "equalize_hist": equalize_hist_planes,
     "clahe": clahe_planes,
     "gaussian_blur": gaussian_blur_planes,
@@ -33,6 +35,7 @@ __all__ = [
     "apply_lut_planes",
     "clahe_planes",
     "contrast_stretch_planes",
+    "convert_scale_abs_planes",
     "equalize_hist_planes",
     "gamma_planes",
     "gaussian_blur_planes",

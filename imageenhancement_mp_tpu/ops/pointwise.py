@@ -17,6 +17,7 @@ from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
 
 __all__ = [
     "apply_lut_planes",
+    "convert_scale_abs_planes",
     "gamma_lut_host",
     "log_lut_host",
     "gamma_planes",
@@ -61,6 +62,16 @@ def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
         c = jnp.float32(255.0 / np.log(256.0))
         return c * jnp.log1p(jnp.maximum(planes, 0.0))
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
+
+
+def convert_scale_abs_planes(
+    planes: jnp.ndarray, alpha: float = 1.0, beta: float = 0.0
+) -> jnp.ndarray:
+    """``cv2.convertScaleAbs`` per plane — exact via a static 256-entry LUT
+    (|α·x + β| rounded half-even in f64 at build time)."""
+    i = np.arange(256, dtype=np.float64)
+    lut = np.clip(np.abs(np.round(alpha * i + beta)), 0, 255).astype(np.uint8)
+    return apply_lut_planes(planes, jnp.asarray(lut))
 
 
 def contrast_stretch_planes(

@@ -44,6 +44,8 @@ import numpy as np
 
 __all__ = [
     "apply_lut",
+    "convert_scale_abs",
+    "calc_hist",
     "gamma_lut",
     "log_lut",
     "gamma_transform",
@@ -141,6 +143,20 @@ def contrast_stretch(
         255,
     ).astype(np.uint8)
     return lut[img]
+
+
+def convert_scale_abs(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) -> np.ndarray:
+    """``cv2.convertScaleAbs`` — exact: ``saturate(round(|α·x + β|))`` with
+    round-half-to-even (SURVEY.md §8.4)."""
+    _check_u8(img)
+    out = np.abs(np.round(alpha * img.astype(np.float64) + beta))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def calc_hist(img: np.ndarray) -> np.ndarray:
+    """``cv2.calcHist([img],[0],None,[256],[0,256])`` ≡ bincount — exact."""
+    _check_u8(img)
+    return np.bincount(img.ravel(), minlength=256).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

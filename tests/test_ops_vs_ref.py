@@ -231,3 +231,25 @@ def test_contrast_stretch_range(rng, out_range):
     want = cv2.normalize(img, None, out_range[0], out_range[1], cv2.NORM_MINMAX)
     assert maxdiff(ie.contrast_stretch(img, out_range), want) == 0
     assert maxdiff(ref.contrast_stretch(img, out_range), want) == 0
+
+
+@pytest.mark.parametrize("alpha,beta", [(1.2, 10.0), (0.5, -20.0), (-1.0, 255.0)])
+def test_convert_scale_abs(rng, alpha, beta):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = _rand(rng, (64, 67))
+    want = cv2.convertScaleAbs(img, alpha=alpha, beta=beta)
+    assert maxdiff(ie.convert_scale_abs(img, alpha, beta), want) == 0
+    assert maxdiff(ref.convert_scale_abs(img, alpha, beta), want) == 0
+
+
+def test_histogram_matches_bincount(rng):
+    img = _rand(rng, (2, 33, 47, 3))
+    h = np.asarray(ie.histogram(img))
+    assert h.shape == (2, 3, 256)
+    for n in range(2):
+        for c in range(3):
+            want = np.bincount(img[n, :, :, c].ravel(), minlength=256)
+            assert np.array_equal(h[n, c], want)
+    g = _rand(rng, (37, 53))
+    assert np.array_equal(np.asarray(ie.histogram(g)), np.bincount(g.ravel(), minlength=256))
