@@ -1,0 +1,87 @@
+"""End-to-end streaming demo: native loader → device pipeline → outputs.
+
+Generates a few synthetic PGM frames, then streams them through the judged
+config-5 pipeline (median → CLAHE → unsharp) with:
+
+  * disk IO prefetch on native C++ worker threads (io.FrameLoader),
+  * H2D-transfer/compute overlap (pipeline.stream_frames),
+  * in-program DMA double buffering (Pallas kernels on TPU).
+
+Run: ``python examples/enhance_stream.py [--frames N] [--size HxW]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", default="1080x1920")
+    ap.add_argument("--batch", type=int, default=2, help="frames per device batch")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.size.split("x"))
+
+    from imageenhancement_mp_tpu.io import FrameLoader
+    from imageenhancement_mp_tpu.models.presets import get_preset
+    from imageenhancement_mp_tpu.pipeline import stream_frames
+
+    # synthesize frames on disk
+    tmp = Path(tempfile.mkdtemp(prefix="ie_demo_"))
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(args.frames):
+        f = tmp / f"frame{i:04d}.pgm"
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        with open(f, "wb") as fh:
+            fh.write(b"P5\n%d %d\n255\n" % (w, h))
+            fh.write(img.tobytes())
+        paths.append(f)
+    print(f"wrote {len(paths)} {h}x{w} frames to {tmp}")
+
+    loader = FrameLoader(paths, threads=4)
+    print(f"loader backend: {'native C++' if loader.native else 'python fallback'}")
+
+    def batches():
+        buf = []
+        for frame in loader:
+            buf.append(frame)
+            if len(buf) == args.batch:
+                yield np.stack(buf)
+                buf.clear()
+        if buf:
+            yield np.stack(buf)
+
+    pipe = get_preset("denoise_clahe_sharpen")
+
+    # warm up the compile cache so the timing below reflects steady state
+    import jax
+
+    jax.block_until_ready(pipe(np.zeros((args.batch, h, w), np.uint8)))
+
+    t0 = time.perf_counter()
+    n_px = 0
+    outs = []
+    for out in stream_frames(pipe, batches(), depth=2):
+        outs.append(out)  # keep on device; d2h transfers are deferred
+        n_px += int(np.prod(out.shape))
+    jax.block_until_ready(outs[-1])
+    dt = time.perf_counter() - t0
+    print(
+        f"enhanced {args.frames} frames ({n_px/1e6:.1f} MPix) in {dt*1e3:.1f} ms "
+        f"-> {n_px/dt/1e9:.2f} GPix/s end-to-end (incl. disk IO)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
