@@ -22,7 +22,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# IE_TESTS_PLATFORM overrides the hermetic CPU default (e.g. "axon" to run
+# the full-size config tests on the real TPU).
+jax.config.update("jax_platforms", os.environ.get("IE_TESTS_PLATFORM", "cpu"))
 
 import numpy as np
 import pytest
@@ -30,7 +32,8 @@ import pytest
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_backend():
-    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+    if "IE_TESTS_PLATFORM" not in os.environ:
+        assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
     yield
 
 
