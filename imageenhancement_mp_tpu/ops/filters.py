@@ -17,8 +17,6 @@ the same math for the fused pipeline.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed

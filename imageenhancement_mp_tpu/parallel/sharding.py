@@ -13,8 +13,7 @@ Pallas kernels inside the pipeline stay whole per shard.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
