@@ -69,3 +69,13 @@ def test_stream_frames_matches_direct(rng):
     assert len(streamed) == 5
     for got, f in zip(streamed, frames):
         assert maxdiff(got, pipe(f)) == 0
+
+
+def test_profiling_helpers(rng):
+    from imageenhancement_mp_tpu.profiling import time_op, throughput_gpixs
+
+    img = rng.integers(0, 256, (2, 32, 32), dtype=np.uint8)
+    pipe = get_preset("histeq")
+    secs = time_op(pipe, img, iters=2, warmup=1)
+    assert secs > 0
+    assert throughput_gpixs(img.shape, secs) > 0
