@@ -45,6 +45,7 @@ def _build_lib() -> ctypes.CDLL | None:
                     "-fPIC",
                     "-pthread",
                     str(_SRC),
+                    "-lz",
                     "-o",
                     str(_LIB),
                 ],
@@ -84,10 +85,67 @@ def _get_lib() -> ctypes.CDLL | None:
     return _lib
 
 
+def _parse_png(data: bytes) -> np.ndarray:
+    """Minimal 8-bit non-interlaced PNG decode (fallback path)."""
+    import struct
+    import zlib
+
+    pos = 8
+    idat = b""
+    w = h = bit = color = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit, color, _, _, interlace = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if bit != 8 or interlace != 0 or ch is None:
+        raise ValueError("unsupported PNG variant")
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        filt = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        if filt == 0:
+            cur = line
+        elif filt == 2:
+            cur = (line + prev) & 255
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if filt == 1:
+                    v = line[x] + a
+                elif filt == 3:
+                    v = line[x] + (a + b) // 2
+                else:
+                    p_ = a + b - c
+                    pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 255
+        out[y] = cur
+        prev = cur
+    arr = out.astype(np.uint8)
+    return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+
+
 def _parse_pnm(path: str) -> np.ndarray:
-    """Pure-Python PGM/PPM/raw fallback (same formats as the native loader)."""
+    """Pure-Python PGM/PPM/PNG/raw fallback (same formats as the native loader)."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(data)
     if data[:2] in (b"P5", b"P6"):
         parts = []
         i = 2
@@ -117,7 +175,9 @@ class FrameLoader:
     """Order-preserving prefetching iterator over frame files.
 
     ``for frame in FrameLoader(paths, threads=4): ...`` yields uint8 arrays
-    ([H,W] for PGM, [H,W,3] for PPM, flat for raw blobs).
+    ([H,W] for gray, [H,W,C] for color, flat for raw blobs).  Color frames
+    are in the file's natural RGB(A) channel order (PIL convention — note
+    cv2.imread would return BGR).
     """
 
     def __init__(

@@ -7,8 +7,9 @@
 // threads read + decode frames ahead of the consumer so host IO overlaps
 // the TPU compute that pipeline.stream_frames keeps in flight.
 //
-// Formats: PGM (P5), PPM (P6) with maxval 255, and raw .u8 blobs (caller
-// supplies the expected size for raw).  No external dependencies.
+// Formats: PGM (P5), PPM (P6) with maxval 255, 8-bit non-interlaced
+// gray/RGB/RGBA PNG (zlib inflate + unfilter), and raw .u8 blobs.
+// Only dependency: zlib.
 //
 // C ABI (ctypes-friendly):
 //   void* fl_create(const char** paths, int n, int threads, long max_bytes)
@@ -19,12 +20,15 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -75,6 +79,103 @@ static bool read_int(FILE* f, long* out) {
   return true;
 }
 
+static uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) |
+         uint32_t(p[3]);
+}
+
+static int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// 8-bit non-interlaced gray(0)/RGB(2)/RGBA(6)/gray+alpha(4) PNG decode.
+static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* fr) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (file.size() < 45 || memcmp(file.data(), sig, 8) != 0) {
+    fr->err = -6;
+    return;
+  }
+  size_t pos = 8;
+  long w = 0, h = 0;
+  int bit_depth = 0, color_type = 0, interlace = 0, ch = 0;
+  std::vector<uint8_t> idat;
+  while (pos + 8 <= file.size()) {
+    uint32_t len = be32(&file[pos]);
+    if (pos + 12 + len > file.size()) {
+      fr->err = -6;
+      return;
+    }
+    const uint8_t* type = &file[pos + 4];
+    const uint8_t* data = &file[pos + 8];
+    if (!memcmp(type, "IHDR", 4)) {
+      w = be32(data);
+      h = be32(data + 4);
+      bit_depth = data[8];
+      color_type = data[9];
+      interlace = data[12];
+    } else if (!memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (!memcmp(type, "IEND", 4)) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  switch (color_type) {
+    case 0: ch = 1; break;
+    case 2: ch = 3; break;
+    case 4: ch = 2; break;
+    case 6: ch = 4; break;
+    default: fr->err = -7; return;  // paletted etc. unsupported
+  }
+  if (bit_depth != 8 || interlace != 0 || w <= 0 || h <= 0) {
+    fr->err = -7;
+    return;
+  }
+  long stride = w * ch;
+  long raw_len = (stride + 1) * h;
+  if (stride * h > max_bytes) {
+    fr->err = -4;
+    return;
+  }
+  std::vector<uint8_t> raw(raw_len);
+  uLongf dst_len = raw_len;
+  if (uncompress(raw.data(), &dst_len, idat.data(), idat.size()) != Z_OK ||
+      dst_len != static_cast<uLongf>(raw_len)) {
+    fr->err = -8;
+    return;
+  }
+  fr->data.resize(stride * h);
+  std::vector<uint8_t> prev(stride, 0);
+  for (long y = 0; y < h; ++y) {
+    uint8_t filter = raw[y * (stride + 1)];
+    const uint8_t* src = &raw[y * (stride + 1) + 1];
+    uint8_t* dst = &fr->data[y * stride];
+    for (long x = 0; x < stride; ++x) {
+      int a = x >= ch ? dst[x - ch] : 0;       // left
+      int b = prev[x];                         // up
+      int c = x >= ch ? prev[x - ch] : 0;      // up-left
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: fr->err = -9; return;
+      }
+      dst[x] = static_cast<uint8_t>(v);
+    }
+    memcpy(prev.data(), dst, stride);
+  }
+  fr->w = static_cast<int>(w);
+  fr->h = static_cast<int>(h);
+  fr->ch = ch;
+}
+
 static void decode(const std::string& path, long max_bytes, Frame* fr) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) {
@@ -107,20 +208,28 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
     fr->h = static_cast<int>(h);
     fr->ch = ch;
   } else {
-    // raw blob: whole file, shape unknown to the loader (w=h=ch=0)
+    // whole-file formats: PNG, or raw blob (shape unknown; w=h=ch=0)
     fseek(f, 0, SEEK_END);
     long bytes = ftell(f);
     fseek(f, 0, SEEK_SET);
-    if (bytes <= 0 || bytes > max_bytes) {
+    if (bytes <= 0 || bytes > max_bytes * 2) {  // compressed may exceed decoded cap
       fr->err = -4;
       fclose(f);
       return;
     }
-    fr->data.resize(bytes);
-    if (fread(fr->data.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
+    std::vector<uint8_t> file(bytes);
+    if (fread(file.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
       fr->err = -5;
       fclose(f);
       return;
+    }
+    if (bytes > 8 && file[0] == 137 && file[1] == 'P' && file[2] == 'N' &&
+        file[3] == 'G') {
+      decode_png(file, max_bytes, fr);
+    } else if (bytes <= max_bytes) {
+      fr->data = std::move(file);
+    } else {
+      fr->err = -4;
     }
   }
   fclose(f);

@@ -84,3 +84,23 @@ def test_order_preserved_many(tmp_path, rng):
     got = list(loader)
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
+
+
+def test_png_decode(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    paths, want = [], []
+    for i, shape in enumerate([(37, 53), (24, 31, 3)]):
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        p = tmp_path / f"p{i}.png"
+        assert cv2.imwrite(str(p), a)
+        paths.append(p)
+        # cv2 treats arrays as BGR; the loader returns the file's RGB order
+        want.append(a[..., ::-1] if a.ndim == 3 else a)
+    for force in (False, True):
+        loader = FrameLoader(paths, threads=2, force_fallback=force)
+        if not force and not loader.native:
+            continue
+        got = list(loader)
+        for g, w in zip(got, want):
+            assert g.shape == w.shape, (force, g.shape, w.shape)
+            assert np.array_equal(g, w), force
