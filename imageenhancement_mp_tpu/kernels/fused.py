@@ -1,0 +1,260 @@
+"""Pallas TPU kernel: fused denoise (median) → sharpen (unsharp) pipeline.
+
+Multi-stage fusion in one VMEM residency: stages with no global state
+(unlike CLAHE/hist-eq, whose LUTs need a full-image pass) can chain inside
+a single stripe visit (SURVEY.md §3.3's fusion argument).  Per stripe:
+
+    u8 stripe (+halo) → median k_m (sorting network, int32)
+    → separable Gaussian k_g (int32 fixed point) → unsharp epilogue
+    → u8 out
+
+HBM traffic is 2 bytes/pixel for the whole two-op chain instead of 4 with
+an intermediate round-trip.  Measured at 4K it is on par with the XLA chain
+(both ~720-850 GPix/s medians; XLA fuses this stateless chain equally well)
+— kept as the demonstration of multi-stage Pallas fusion and for platforms
+where XLA's fusion is weaker.  Exactness matches the op-by-op reference chain
+bit-for-bit, including borders: the median stage's replicate border comes
+from host-side edge padding, and the conv stage's REFLECT_101 border — which
+reflects *median values*, not pixels, so no input padding can express it —
+is applied in-kernel by fixing up the first/last ``pg`` output rows/columns
+with explicitly reflected median taps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imageenhancement_mp_tpu.kernels.median import _median9, _median25
+from imageenhancement_mp_tpu.ref.ops import gaussian_kernel_fixed
+
+__all__ = ["median_unsharp_pallas"]
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shift_left(arr, j: int):
+    if j == 0:
+        return arr
+    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
+
+
+def _fused_kernel(
+    in_hbm,
+    out_hbm,
+    buf_in,
+    buf_out,
+    sem_in,
+    sem_out,
+    *,
+    km: int,
+    taps: tuple[int, ...],
+    amount: float,
+    th: int,
+    n_tiles: int,
+    H: int,
+    W: int,
+):
+    b = pl.program_id(0)
+    kg = len(taps)
+    pm = km // 2  # median halo
+    pg = kg // 2  # conv halo
+    pad = pm + pg
+    halo = -(-2 * pad // 8) * 8
+
+    def dma_in(slot, t):
+        return pltpu.make_async_copy(
+            in_hbm.at[b, pl.ds(t * th, th + halo), :], buf_in.at[slot], sem_in.at[slot]
+        )
+
+    def dma_out(slot, t):
+        return pltpu.make_async_copy(
+            buf_out.at[slot], out_hbm.at[b, pl.ds(t * th, th), :], sem_out.at[slot]
+        )
+
+    dma_in(0, 0).start()
+
+    # static fixup plans -----------------------------------------------------
+    # vertical: image med row q lives at med-local index q - t*th + pg.
+    # Top rows r < pg (tile 0): window med rows r+j-pg reflect to |r+j-pg|.
+    top_rows = [(0, r, [abs(r + j - pg) + pg for j in range(kg)]) for r in range(pg)]
+    # Bottom rows R in [H-pg, H): reflect rows beyond H-1 about H-1.
+    bot_rows = []
+    for R in range(max(H - pg, pg), H):
+        tt = R // th
+        r = R - tt * th
+        idx = []
+        for j in range(kg):
+            q = R + j - pg
+            if q > H - 1:
+                q = 2 * (H - 1) - q
+            idx.append(q - tt * th + pg)
+        bot_rows.append((tt, r, idx))
+    # horizontal: image med col q lives at v col q + pg.
+    col_fixes = []
+    for c in list(range(pg)) + list(range(max(W - pg, pg), W)):
+        idx = []
+        for j in range(kg):
+            q = c + j - pg
+            if q < 0:
+                q = -q
+            elif q > W - 1:
+                q = 2 * (W - 1) - q
+            idx.append(q + pg)
+        col_fixes.append((c, idx))
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            dma_in(nxt, t + 1).start()
+
+        dma_in(slot, t).wait()
+
+        @pl.when(t >= 2)
+        def _():
+            dma_out(slot, t - 2).wait()
+
+        x = buf_in[slot].astype(jnp.int32)
+        tm = th + 2 * pg
+        mtaps = [
+            _shift_left(x[dy : dy + tm, :], dx)
+            for dy in range(km)
+            for dx in range(km)
+        ]
+        med = _median9(mtaps) if km == 3 else _median25(mtaps)  # [tm, wp]
+
+        # vertical conv (symmetric taps)
+        v = taps[pg] * med[pg : pg + th, :]
+        for j in range(pg):
+            v = v + taps[j] * (med[j : j + th, :] + med[2 * pg - j : 2 * pg - j + th, :])
+        # REFLECT_101 row fixups (top/bottom image rows only)
+        for tt, r, idx in top_rows + bot_rows:
+            fixed = sum(taps[j] * med[idx[j], :] for j in range(kg))
+            v = jnp.where(
+                (t == tt)
+                & (jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) == r),
+                fixed[None, :],
+                v,
+            )
+
+        # horizontal conv
+        h = taps[pg] * _shift_left(v, pg)
+        for j in range(pg):
+            h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pg - j))
+        # REFLECT_101 column fixups (left/right image columns)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        for c, idx in col_fixes:
+            fixed = sum(taps[j] * v[:, idx[j] : idx[j] + 1] for j in range(kg))
+            h = jnp.where(col_iota == c, fixed, h)
+
+        blur = jnp.clip((h + 32768) >> 16, 0, 255)
+        src = _shift_left(med[pg : pg + th, :], pg)
+        if amount == int(amount):
+            res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
+        else:
+            srcf = src.astype(jnp.float32)
+            res = jnp.clip(
+                jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))), 0.0, 255.0
+            ).astype(jnp.int32)
+        buf_out[slot] = res.astype(jnp.uint8)
+        dma_out(slot, t).start()
+
+    jax.lax.fori_loop(0, n_tiles, body, None)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        dma_out(jax.lax.rem(n_tiles - 2, 2), n_tiles - 2).wait()
+
+    dma_out(jax.lax.rem(n_tiles - 1, 2), n_tiles - 1).wait()
+
+
+def median_unsharp_pallas(
+    planes: jnp.ndarray,
+    median_ksize: int = 5,
+    amount: float = 1.0,
+    ksize: int = 5,
+    tile_rows: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused ``median_blur → unsharp_mask`` in one HBM pass (uint8, exact)."""
+    if median_ksize not in (3, 5):
+        raise ValueError("median_ksize must be 3 or 5")
+    B, H, W = planes.shape
+    pm = median_ksize // 2
+    pg = ksize // 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
+
+    if H < 2 * (pg + pm) + 2 or W < 2 * (pg + pm) + 2:
+        # tiny images: run the op-by-op XLA chain
+        from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
+        from imageenhancement_mp_tpu.ops.median import median_blur_planes
+
+        return unsharp_mask_planes(
+            median_blur_planes(planes, median_ksize, backend="xla"),
+            amount,
+            ksize,
+            0.0,
+            backend="xla",
+        )
+
+    pad = pm + pg
+    # replicate padding: exact for the median stage; the conv stage's
+    # reflected borders are fixed in-kernel
+    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+    wp = _round_up(W + 2 * pad, _LANES)
+    # Mosaic's scoped VMEM stack holds the kernel temporaries: ~29 live
+    # [th+2pg, wp] i32 arrays for the 25-tap network (measured via compiler
+    # OOM arithmetic), ~13 for the 9-tap one
+    bpp = 136 if median_ksize == 5 else 64
+    vmem_cap = max(8, min(tile_rows, 11_000_000 // (bpp * wp) // 8 * 8))
+    h8 = _round_up(H, 8)
+    th = h8 if h8 <= vmem_cap else min(
+        range(8, vmem_cap + 1, 8), key=lambda c: (_round_up(h8, c), -c)
+    )
+    hp = _round_up(h8, th)
+    halo = -(-2 * pad // 8) * 8
+    p = jnp.pad(
+        p, ((0, 0), (0, hp + halo - H - 2 * pad), (0, wp - W - 2 * pad)), mode="edge"
+    )
+    n_tiles = hp // th
+
+    kernel = functools.partial(
+        _fused_kernel,
+        km=median_ksize,
+        taps=taps,
+        amount=float(amount),
+        th=th,
+        n_tiles=n_tiles,
+        H=H,
+        W=W,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + halo, wp), jnp.uint8),
+            pltpu.VMEM((2, th, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(p)
+    return out[:, :H, :W]

@@ -24,6 +24,12 @@ PRESETS: dict[str, list] = {
         ("clahe", {"clip_limit": 2.0, "tile_grid": (8, 8)}),
         ("unsharp_mask", {"amount": 1.0, "ksize": 5}),
     ],
+    # two-stage denoise+sharpen (stateless chain; also available as the
+    # fused Pallas kernel kernels.fused.median_unsharp_pallas)
+    "denoise_sharpen": [
+        ("median_blur", {"ksize": 5}),
+        ("unsharp_mask", {"amount": 1.0, "ksize": 5}),
+    ],
     # north-star pipeline (BASELINE.json:2)
     "histeq_unsharp": [("equalize_hist", {}), ("unsharp_mask", {"amount": 1.0, "ksize": 5})],
 }

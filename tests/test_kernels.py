@@ -82,3 +82,22 @@ def test_unsharp_pallas_fractional_amount(rng):
     x = rng.integers(0, 256, (1, 64, 131), dtype=np.uint8)
     got = unsharp_mask_pallas(x, 1.5, 5, 0.0, interpret=True)
     assert maxdiff(got, ref.unsharp_mask(x[0], 1.5, 5, 0.0)[None]) <= 1
+
+
+@pytest.mark.parametrize("km,amount", [(3, 1.0), (5, 1.0), (5, 1.5)])
+def test_fused_median_unsharp_bitexact(rng, km, amount):
+    from imageenhancement_mp_tpu.kernels.fused import median_unsharp_pallas
+
+    x = rng.integers(0, 256, (2, 64, 131), dtype=np.uint8)
+    got = median_unsharp_pallas(x, km, amount, 5, interpret=True)
+    want = np.stack([ref.unsharp_mask(ref.median_blur(p, km), amount, 5, 0.0) for p in x])
+    assert maxdiff(got, want) == 0
+
+
+def test_fused_median_unsharp_small_image_fallback(rng):
+    from imageenhancement_mp_tpu.kernels.fused import median_unsharp_pallas
+
+    x = rng.integers(0, 256, (1, 10, 11), dtype=np.uint8)  # below strip threshold
+    got = median_unsharp_pallas(x, 5, 1.0, 5, interpret=True)
+    want = ref.unsharp_mask(ref.median_blur(x[0], 5), 1.0, 5, 0.0)[None]
+    assert maxdiff(got, want) == 0
