@@ -148,7 +148,11 @@ def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)):
 
 
 def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0):
-    """``cv2.GaussianBlur((k,k), σ)`` (σ=0 exact; σ>0 within ±1 LSB)."""
+    """``cv2.GaussianBlur((k,k), σ)``.
+
+    σ=0: bit-exact for k ≤ 11 (binomial/256-sum taps), ≤2 LSB for larger k.
+    σ>0: within ±1 LSB.
+    """
     return _apply("gaussian_blur", img, ksize=int(ksize), sigma=float(sigma))
 
 

@@ -108,12 +108,20 @@ def _parse_png(data: bytes) -> np.ndarray:
     if bit != 8 or interlace != 0 or ch is None:
         raise ValueError("unsupported PNG variant")
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, stride + 1)
+    max_raw = (stride + 1) * h
+    if max_raw > 512 * 1024 * 1024:
+        raise ValueError("PNG dimensions exceed decode limit")
+    raw_b = zlib.decompressobj().decompress(idat, max_raw)
+    if len(raw_b) != max_raw:
+        raise ValueError("PNG IDAT length mismatch")
+    raw = np.frombuffer(raw_b, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.int32)
     prev = np.zeros(stride, np.int32)
     for y in range(h):
         filt = raw[y, 0]
         line = raw[y, 1:].astype(np.int32)
+        if filt > 4:
+            raise ValueError(f"invalid PNG filter byte {filt}")
         if filt == 0:
             cur = line
         elif filt == 2:
@@ -220,17 +228,27 @@ class FrameLoader:
                 if n < 0:
                     raise IOError(f"frame load failed ({n}): {path}")
                 flat = buf[:n].copy()
-                if ch.value == 3:
-                    yield flat.reshape(hh.value, w.value, 3)
+                if ch.value > 1:
+                    yield flat.reshape(hh.value, w.value, ch.value)
                 elif ch.value == 1:
                     yield flat.reshape(hh.value, w.value)
                 else:
-                    yield flat
+                    yield flat  # raw blob: shape unknown
         finally:
             lib.fl_destroy(h)
 
     def _iter_fallback(self) -> Iterator[np.ndarray]:
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # bounded read-ahead (same 2*threads+2 window as the native loader)
+        window = 2 * self.threads + 2
         with ThreadPoolExecutor(self.threads) as ex:
-            yield from ex.map(_parse_pnm, self.paths)
+            pending: deque = deque()
+            it = iter(self.paths)
+            for path in it:
+                pending.append(ex.submit(_parse_pnm, path))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()

@@ -131,13 +131,16 @@ static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* 
     case 6: ch = 4; break;
     default: fr->err = -7; return;  // paletted etc. unsupported
   }
-  if (bit_depth != 8 || interlace != 0 || w <= 0 || h <= 0) {
+  if (bit_depth != 8 || interlace != 0 || w <= 0 || h <= 0 ||
+      w > (1 << 24) || h > (1 << 24)) {
     fr->err = -7;
     return;
   }
-  long stride = w * ch;
-  long raw_len = (stride + 1) * h;
-  if (stride * h > max_bytes) {
+  // computed in long long with pre-checked dims so a crafted IHDR cannot
+  // wrap the size checks and abort the process via std::length_error
+  long long stride = static_cast<long long>(w) * ch;
+  long long raw_len = (stride + 1) * h;
+  if (stride * h > max_bytes || raw_len > (1LL << 40)) {
     fr->err = -4;
     return;
   }

@@ -28,20 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed
 
+from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
+from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+from imageenhancement_mp_tpu.kernels.common import shift_left as _shift_left
+
 __all__ = ["gaussian_blur_pallas", "unsharp_mask_pallas"]
-
-_LANES = 128
-
-
-def _shift_left(arr, j: int):
-    """arr[:, c] -> arr[:, c+j] via lane rotate (wraparound lands in crop margin)."""
-    if j == 0:
-        return arr
-    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _conv_kernel(

@@ -29,22 +29,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from imageenhancement_mp_tpu.kernels.median import _median9, _median25
+from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
+from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+from imageenhancement_mp_tpu.kernels.common import shift_left as _shift_left
+from imageenhancement_mp_tpu.kernels.networks import median9 as _median9
+from imageenhancement_mp_tpu.kernels.networks import median25 as _median25
 from imageenhancement_mp_tpu.ref.ops import gaussian_kernel_fixed
 
 __all__ = ["median_unsharp_pallas"]
-
-_LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _shift_left(arr, j: int):
-    if j == 0:
-        return arr
-    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
 
 
 def _fused_kernel(
@@ -216,10 +208,10 @@ def median_unsharp_pallas(
     p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
     wp = _round_up(W + 2 * pad, _LANES)
-    # Mosaic's scoped VMEM stack holds the kernel temporaries: ~29 live
-    # [th+2pg, wp] i32 arrays for the 25-tap network (measured via compiler
-    # OOM arithmetic), ~13 for the 9-tap one
-    bpp = 136 if median_ksize == 5 else 64
+    # Mosaic's scoped VMEM stack holds the kernel temporaries; the
+    # forgetful-selection median keeps <=14 window arrays live (+ conv
+    # temps), so ~80 B/px for the 25-tap path and ~56 for the 9-tap one
+    bpp = 80 if median_ksize == 5 else 56
     vmem_cap = max(8, min(tile_rows, 11_000_000 // (bpp * wp) // 8 * 8))
     h8 = _round_up(H, 8)
     th = h8 if h8 <= vmem_cap else min(

@@ -5,10 +5,8 @@ the stencil replaced by a branch-free selection network over the k² window
 taps (vectorized min/max on the VPU):
 
 * 3×3 — Paeth's optimal 19-comparator median-of-9 network;
-* 5×5 — a 99-comparator median-of-25 selection network derived from
-  odd-even merging with pruning to the middle output (standard in the
-  median-filter literature); here implemented as column-wise sort-of-5
-  followed by a pruned merge of the 5 sorted columns.
+* 5×5 — forgetful-selection median-of-25 (≤14 live arrays; see
+  kernels/networks.py for the construction and correctness argument).
 
 Border = replicate (cv2.medianBlur semantics, pinned in SURVEY.md §8.2).
 Integers only — exact.
@@ -23,45 +21,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
+from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+from imageenhancement_mp_tpu.kernels.common import shift_left as _shift_left
+from imageenhancement_mp_tpu.kernels.networks import median9 as _median9
+from imageenhancement_mp_tpu.kernels.networks import median25 as _median25
+
 __all__ = ["median_blur_pallas"]
 
-_LANES = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
-
-def _shift_left(arr, j: int):
-    if j == 0:
-        return arr
-    return pltpu.roll(arr, arr.shape[-1] - j, axis=1)
-
-
-def _median9(w):
-    def cex(i, j):
-        lo = jnp.minimum(w[i], w[j])
-        hi = jnp.maximum(w[i], w[j])
-        w[i], w[j] = lo, hi
-
-    for i, j in [
-        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
-        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
-        (4, 2), (6, 4), (4, 2),
-    ]:
-        cex(i, j)
-    return w[4]
-
-
-def _median25(w):
-    """Median of 25 via full odd-even transposition (exact, branch-free)."""
-    n = len(w)
-    for r in range(n):
-        for i in range(r % 2, n - 1, 2):
-            lo = jnp.minimum(w[i], w[i + 1])
-            hi = jnp.maximum(w[i], w[i + 1])
-            w[i], w[i + 1] = lo, hi
-    return w[n // 2]
 
 
 def _median_kernel(

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from imageenhancement_mp_tpu.kernels.networks import median9, median25, median_odd_even
+
 __all__ = ["median_blur_planes"]
 
 
@@ -23,40 +25,8 @@ def _windows(planes: jnp.ndarray, k: int) -> list[jnp.ndarray]:
     return [p[:, dy : dy + H, dx : dx + W] for dy in range(k) for dx in range(k)]
 
 
-def _median_sort(ws: list[jnp.ndarray]) -> jnp.ndarray:
-    """Median via odd-even transposition selection on the window list.
-
-    Exchange network expressed with jnp.minimum/maximum; O(k^4) comparators
-    but fully data-parallel.  Used as the generic fallback — the k=3 path
-    uses the optimal 19-comparator network.
-    """
-    n = len(ws)
-    ws = list(ws)
-    # full odd-even transposition sort (n rounds); exact and branch-free
-    for r in range(n):
-        start = r % 2
-        for i in range(start, n - 1, 2):
-            lo = jnp.minimum(ws[i], ws[i + 1])
-            hi = jnp.maximum(ws[i], ws[i + 1])
-            ws[i], ws[i + 1] = lo, hi
-    return ws[n // 2]
 
 
-def _median9(w: list[jnp.ndarray]) -> jnp.ndarray:
-    """Optimal 19-comparator median-of-9 network (Paeth, Graphics Gems)."""
-
-    def cex(i, j):
-        lo = jnp.minimum(w[i], w[j])
-        hi = jnp.maximum(w[i], w[j])
-        w[i], w[j] = lo, hi
-
-    for i, j in [
-        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
-        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
-        (4, 2), (6, 4), (4, 2),
-    ]:
-        cex(i, j)
-    return w[4]
 
 
 def median_blur_planes(
@@ -80,5 +50,7 @@ def median_blur_planes(
         return median_blur_pallas(planes, ksize)
     ws = _windows(planes, ksize)
     if ksize == 3:
-        return _median9(ws)
-    return _median_sort(ws)
+        return median9(ws)
+    if ksize == 5:
+        return median25(ws)
+    return median_odd_even(ws)

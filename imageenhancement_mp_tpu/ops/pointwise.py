@@ -85,7 +85,8 @@ def contrast_stretch_planes(
     products are < 2^24).  Constant plane → α.
     float32: no rounding (cv2 float path).
     """
-    a, b = float(out_range[0]), float(out_range[1])
+    # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
+    a, b = sorted((float(out_range[0]), float(out_range[1])))
     if planes.dtype == jnp.float32:
 
         def onef(p: jnp.ndarray) -> jnp.ndarray:

@@ -126,7 +126,8 @@ def contrast_stretch(
     uint8: half-to-even rounding; constant image → α.
     float32: no rounding (cv2 float path).
     """
-    a, b = float(out_range[0]), float(out_range[1])
+    # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
+    a, b = sorted((float(out_range[0]), float(out_range[1])))
     if _check_u8_or_f32(img):
         lo = float(img.min())
         hi = float(img.max())
@@ -286,7 +287,7 @@ def gaussian_kernel_fixed(ksize: int) -> np.ndarray:
 
     k ∈ {3,5,7}: hardcoded binomial taps (SURVEY.md §8.2) — bit-exact.
     k ≥ 9 odd: taps = round(gauss(σ=0.3((k−1)/2−1)+0.8)·256) with the center
-    tap adjusted so Σtaps = 256 (probe: exact for k=9/11, ≤1 LSB beyond).
+    tap adjusted so Σtaps = 256 (probe: exact for k=9/11, ≤2 LSB beyond).
     """
     if ksize in _BINOMIAL_FX:
         return _BINOMIAL_FX[ksize]
@@ -324,7 +325,7 @@ def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.nda
 
     uint8 σ=0 (auto): bit-exact integer fixed point — taps·256 are integers,
     int accumulation over a separable pass, output ``(acc + 2^15) >> 16``,
-    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7,9,11}; ≤1 beyond).
+    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7,9,11}; ≤2 beyond).
     uint8 σ>0: float64 separable conv + round-half-even (±1 LSB vs cv2's
     softfloat fixed-point path).
     float32: plain separable float conv (f64 accumulation), no round/clip.

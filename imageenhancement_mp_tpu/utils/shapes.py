@@ -12,6 +12,12 @@ Internally every op works on a canonical stack of 2-D planes ``[B, H, W]``
 (B = N·C); per-plane state (histograms, min/max, CLAHE tile LUTs) is computed
 independently per plane, matching the reference's per-image/per-channel
 OpenCV calls.  Static Python logic only — safe under ``jax.jit``.
+
+AMBIGUITY: a 3-D input whose last dim is ≤ 4 is interpreted as one
+``[H, W, C]`` image (the overwhelmingly common case).  A batch of grayscale
+images narrower than 5 pixels ``[N, H, W≤4]`` would be misread — pass it
+with an explicit channel dim (``[N, H, W, 1]``) or set
+``channels_last=False``.
 """
 
 from __future__ import annotations
