@@ -104,3 +104,25 @@ def test_png_decode(tmp_path, rng):
         for g, w in zip(got, want):
             assert g.shape == w.shape, (force, g.shape, w.shape)
             assert np.array_equal(g, w), force
+
+
+def test_loader_feeds_stream_pipeline(tmp_path, rng):
+    """io.FrameLoader -> pipeline.stream_frames -> preset, end to end."""
+    from imageenhancement_mp_tpu.models.presets import get_preset
+    from imageenhancement_mp_tpu.pipeline import stream_frames
+    from imageenhancement_mp_tpu import ref
+
+    paths, want = [], []
+    for i in range(4):
+        a = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+        p = tmp_path / f"s{i}.pgm"
+        _write_pgm(p, a)
+        paths.append(p)
+        want.append(ref.unsharp_mask(ref.equalize_hist(a), 1.0, 5, 0.0))
+
+    pipe = get_preset("histeq_unsharp")
+    frames = (f[None] for f in FrameLoader(paths, threads=2))  # batch of 1
+    outs = [np.asarray(o)[0] for o in stream_frames(pipe, frames, depth=2)]
+    assert len(outs) == 4
+    for got, w in zip(outs, want):
+        assert np.array_equal(got, w)
