@@ -1,0 +1,84 @@
+"""Device selftest: run every op on the attached backend vs the oracle.
+
+Operational health check for deployments (the closest analog of "failure
+detection" for a stateless image library — SURVEY.md §5): verifies that the
+attached accelerator + compiler stack reproduces the reference semantics
+within each op's budget before serving traffic.
+
+Run: ``python -m imageenhancement_mp_tpu.selftest [--size HxW] [--seed N]``
+Exit code 0 = all ops within budget, 1 = any violation.
+
+NOTE: fetches results from the device, so on tunneled platforms with the
+d2h quirk (docs/DESIGN.md §9) run it in a separate process from latency-
+sensitive work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
+    import jax
+
+    import imageenhancement_mp_tpu as ie
+    from imageenhancement_mp_tpu import ref
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size, dtype=np.uint8)
+    lut = rng.integers(0, 256, 256, dtype=np.uint8)
+
+    # (name, device fn, oracle fn, max LSB budget)
+    checks = [
+        ("apply_lut", lambda: ie.apply_lut(img, lut), lambda: ref.apply_lut(img, lut), 0),
+        ("gamma 2.2", lambda: ie.gamma(img, 2.2), lambda: ref.gamma_transform(img, 2.2), 0),
+        ("log", lambda: ie.log_transform(img), lambda: ref.log_transform(img), 0),
+        ("stretch", lambda: ie.contrast_stretch(img), lambda: ref.contrast_stretch(img), 0),
+        ("scale_abs", lambda: ie.convert_scale_abs(img, 1.3, -7.0),
+         lambda: ref.convert_scale_abs(img, 1.3, -7.0), 0),
+        ("histogram", lambda: ie.histogram(img), lambda: ref.calc_hist(img), 0),
+        ("equalize", lambda: ie.equalize_hist(img), lambda: ref.equalize_hist(img), 0),
+        ("clahe", lambda: ie.clahe(img, 2.0, (8, 8)), lambda: ref.clahe(img, 2.0, (8, 8)), 1),
+        ("gauss5", lambda: ie.gaussian_blur(img, 5), lambda: ref.gaussian_blur(img, 5, 0.0), 0),
+        ("laplacian", lambda: ie.laplacian(img), lambda: ref.laplacian(img), 0),
+        ("lap_sharpen", lambda: ie.laplacian_sharpen(img), lambda: ref.laplacian_sharpen(img), 0),
+        ("unsharp", lambda: ie.unsharp_mask(img, 1.0), lambda: ref.unsharp_mask(img, 1.0), 0),
+        ("median3", lambda: ie.median_blur(img, 3), lambda: ref.median_blur(img, 3), 0),
+        ("median5", lambda: ie.median_blur(img, 5), lambda: ref.median_blur(img, 5), 0),
+    ]
+
+    dev = jax.devices()[0]
+    if verbose:
+        print(f"selftest on {dev.device_kind} ({dev.platform}), image {size}", file=sys.stderr)
+    ok = True
+    for name, dev_fn, ref_fn, budget in checks:
+        got = np.asarray(dev_fn()).astype(np.int64)
+        want = np.asarray(ref_fn()).astype(np.int64)
+        lsb = int(np.abs(got - want).max())
+        passed = lsb <= budget
+        ok &= passed
+        if verbose:
+            print(
+                f"  {name:12s} max-LSB={lsb} (budget {budget}) "
+                f"{'OK' if passed else 'FAIL'}",
+                file=sys.stderr,
+            )
+    return ok
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="imageenhancement_mp_tpu.selftest")
+    ap.add_argument("--size", default="128x131")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    h, w = (int(v) for v in args.size.split("x"))
+    ok = run_selftest((h, w), args.seed)
+    print("SELFTEST PASS" if ok else "SELFTEST FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,3 +46,17 @@ def test_cli_unknown_op(tmp_path, rng):
     )
     assert r.returncode == 2
     assert "unknown op" in r.stderr
+
+
+def test_selftest_passes_on_cpu():
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.selftest", "--size", "48x53"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=ENV,
+    )
+    # selftest doesn't read IE_MP_TPU_PLATFORM; it runs on the default
+    # backend of its process — fine either way, assert the verdict
+    assert r.returncode == 0, r.stderr[-400:]
+    assert "SELFTEST PASS" in r.stdout
