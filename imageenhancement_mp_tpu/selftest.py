@@ -22,7 +22,13 @@ import numpy as np
 
 
 def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
+    import os
+
+    platform = os.environ.get("IE_MP_TPU_PLATFORM")
     import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     import imageenhancement_mp_tpu as ie
     from imageenhancement_mp_tpu import ref

@@ -56,7 +56,5 @@ def test_selftest_passes_on_cpu():
         timeout=300,
         env=ENV,
     )
-    # selftest doesn't read IE_MP_TPU_PLATFORM; it runs on the default
-    # backend of its process — fine either way, assert the verdict
     assert r.returncode == 0, r.stderr[-400:]
     assert "SELFTEST PASS" in r.stdout
