@@ -48,6 +48,13 @@ def _check_u8_or_f32(img) -> None:
         raise TypeError(f"expected uint8 or float32 image array, got {img.dtype}")
 
 
+def _check_image_dtype(img) -> None:
+    if img.dtype not in (jnp.uint8, jnp.uint16, jnp.float32):
+        raise TypeError(
+            f"expected uint8/uint16/float32 image array, got {img.dtype}"
+        )
+
+
 @lru_cache(maxsize=None)
 def _jitted(op_name: str, static_items: tuple) -> callable:
     planes_fn = OP_REGISTRY[op_name] if op_name in OP_REGISTRY else None
@@ -61,14 +68,18 @@ def _jitted(op_name: str, static_items: tuple) -> callable:
     return run
 
 
-_U8_ONLY = {"equalize_hist", "clahe"}
+_U8_ONLY = {"equalize_hist"}          # cv2.equalizeHist is 8-bit only
+_NO_FLOAT = {"clahe"}                 # cv2 CLAHE: uint8/uint16 only
 
 
 def _apply(op_name: str, img, **static):
     if op_name in _U8_ONLY:
         _check_u8(img)
+    elif op_name in _NO_FLOAT:
+        if img.dtype not in (jnp.uint8, jnp.uint16):
+            raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
     else:
-        _check_u8_or_f32(img)
+        _check_image_dtype(img)
     return _jitted(op_name, tuple(sorted(static.items())))(img)
 
 
@@ -163,8 +174,8 @@ def _lap_jit(img):
 
 
 def laplacian(img):
-    """``cv2.Laplacian(ksize=1)`` (exact; uint8→int16, float32→float32)."""
-    _check_u8_or_f32(img)
+    """``cv2.Laplacian(ksize=1)`` (exact; u8→int16, u16→int32, f32→f32)."""
+    _check_image_dtype(img)
     return _lap_jit(img)
 
 

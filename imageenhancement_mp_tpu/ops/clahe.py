@@ -30,40 +30,54 @@ import jax.numpy as jnp
 __all__ = ["clahe_planes", "clahe_tile_luts"]
 
 
-def _tile_hists(padded: jnp.ndarray, gh: int, gw: int, th: int, tw: int) -> jnp.ndarray:
-    """[H,W] u8 -> [gh*gw, 256] i32 per-tile histograms (nibble matmul)."""
+def _tile_hists(
+    padded: jnp.ndarray, gh: int, gw: int, th: int, tw: int, hist_size: int = 256
+) -> jnp.ndarray:
+    """[H,W] -> [gh*gw, hist_size] i32 per-tile histograms (split matmul).
+
+    uint8: 4/4-bit nibble split (16×16 outer product).
+    uint16: 8/8-bit byte split (256×256 outer product) — same MXU trick.
+    """
+    half = 16 if hist_size == 256 else 256
+    shift = 4 if hist_size == 256 else 8
     tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
     v = tiles.astype(jnp.int32)
-    bins = jnp.arange(16, dtype=jnp.int32)
-    a = ((v >> 4)[..., None] == bins).astype(jnp.int8)  # [T, P, 16]
-    b = ((v & 15)[..., None] == bins).astype(jnp.int8)
+    bins = jnp.arange(half, dtype=jnp.int32)
+    a = ((v >> shift)[..., None] == bins).astype(jnp.int8)  # [T, P, half]
+    b = ((v & (half - 1))[..., None] == bins).astype(jnp.int8)
     h = jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
-    )  # [T, 16, 16]
-    return h.reshape(gh * gw, 256)
+    )  # [T, half, half]
+    return h.reshape(gh * gw, hist_size)
 
 
-def clahe_tile_luts(hists: jnp.ndarray, area: int, clip_limit: float) -> jnp.ndarray:
-    """Stage B: ``[T, 256] i32`` hists -> ``[T, 256] u8`` LUTs (SURVEY.md §8.3)."""
+def clahe_tile_luts(
+    hists: jnp.ndarray, area: int, clip_limit: float, hist_size: int = 256
+) -> jnp.ndarray:
+    """Stage B: ``[T, S] i32`` hists -> ``[T, S]`` LUTs (SURVEY.md §8.3).
+
+    ``hist_size`` S is 256 for uint8, 65536 for uint16 (cv2 convention).
+    """
     h = hists
+    maxv = hist_size - 1
     if clip_limit > 0:
-        clip_abs = max(int(clip_limit * area / 256.0), 1)
+        clip_abs = max(int(clip_limit * area / hist_size), 1)
         excess = jnp.sum(jnp.maximum(h - clip_abs, 0), axis=1, keepdims=True)
         h = jnp.minimum(h, clip_abs)
-        h = h + excess // 256
-        resid = excess % 256  # [T, 1]
-        step = jnp.maximum(256 // jnp.maximum(resid, 1), 1)
-        i = jnp.arange(256, dtype=jnp.int32)[None, :]
+        h = h + excess // hist_size
+        resid = excess % hist_size  # [T, 1]
+        step = jnp.maximum(hist_size // jnp.maximum(resid, 1), 1)
+        i = jnp.arange(hist_size, dtype=jnp.int32)[None, :]
         bump = ((i % step) == 0) & ((i // step) < resid)
         h = h + bump.astype(jnp.int32)
     cdf = jnp.cumsum(h, axis=1)
     # f32 scale, mirroring cv2's float lutScale (see ops/histogram.py)
-    scale = jnp.float32(255.0) / jnp.float32(area)
-    lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, 255)
-    return lut.astype(jnp.uint8)
+    scale = jnp.float32(float(maxv)) / jnp.float32(area)
+    lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * scale), 0, maxv)
+    return lut.astype(jnp.uint8 if hist_size == 256 else jnp.uint16)
 
 
 def _interp_coords(n: int, tile: int, ntiles: int):
@@ -81,7 +95,9 @@ def _interp_coords(n: int, tile: int, ntiles: int):
 def clahe_planes(
     planes: jnp.ndarray, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)
 ) -> jnp.ndarray:
-    """``cv2.createCLAHE`` on uint8 planes ``[B, H, W]`` — ±1 LSB."""
+    """``cv2.createCLAHE`` on uint8/uint16 planes ``[B, H, W]`` — ±1 LSB
+    (bit-exact in practice; uint16 uses cv2's 65536-bin histogram)."""
+    hist_size = 65536 if planes.dtype == jnp.uint16 else 256
     B, H, W = planes.shape
     gh, gw = tile_grid
     if H % gh == 0 and W % gw == 0:
@@ -108,15 +124,15 @@ def clahe_planes(
             if pad_h == 0 and pad_w == 0
             else jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
         )
-        hists = _tile_hists(padded, gh, gw, th, tw)
-        luts = clahe_tile_luts(hists, area, clip_limit)  # [gh*gw, 256]
-        flat = luts.reshape(-1)  # [gh*gw*256]
+        hists = _tile_hists(padded, gh, gw, th, tw, hist_size)
+        luts = clahe_tile_luts(hists, area, clip_limit, hist_size)
+        flat = luts.reshape(-1)  # [gh*gw*hist_size]
         v = img.astype(jnp.int32)
-        # flat index: (ty*gw + tx)*256 + v
-        base00 = (y0[:, None] * gw + x0[None, :]) * 256
-        base01 = (y0[:, None] * gw + x1[None, :]) * 256
-        base10 = (y1[:, None] * gw + x0[None, :]) * 256
-        base11 = (y1[:, None] * gw + x1[None, :]) * 256
+        # flat index: (ty*gw + tx)*hist_size + v
+        base00 = (y0[:, None] * gw + x0[None, :]) * hist_size
+        base01 = (y0[:, None] * gw + x1[None, :]) * hist_size
+        base10 = (y1[:, None] * gw + x0[None, :]) * hist_size
+        base11 = (y1[:, None] * gw + x1[None, :]) * hist_size
         l00 = flat[base00 + v].astype(jnp.float32)
         l01 = flat[base01 + v].astype(jnp.float32)
         l10 = flat[base10 + v].astype(jnp.float32)
@@ -126,6 +142,6 @@ def clahe_planes(
         top = (1.0 - fx) * l00 + fx * l01
         bot = (1.0 - fx) * l10 + fx * l11
         out = (1.0 - fy) * top + fy * bot
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        return jnp.clip(jnp.round(out), 0, hist_size - 1).astype(planes.dtype)
 
     return jax.vmap(one)(planes)

@@ -56,6 +56,12 @@ def gaussian_blur_planes(
     if planes.dtype == jnp.float32:
         taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
         return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)
+    if planes.dtype == jnp.uint16:
+        if sigma <= 0:
+            return _gauss_u16_fixed(planes, ksize)
+        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
+        out = jnp.round(_sep_conv_f32(planes, taps))
+        return jnp.clip(out, 0, 65535).astype(jnp.uint16)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import gaussian_blur_pallas
 
@@ -70,9 +76,34 @@ def gaussian_blur_planes(
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def _gauss_u16_fixed(planes: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """uint16 σ=0 fixed point, bit-exact without 64-bit math.
+
+    The horizontal accumulation Σtaps·v reaches 2^32 (v ≤ 2^24, Σtaps=256),
+    overflowing int32, so v is split v = v_hi·2^12 + v_lo and the exact
+    rounded shift is reassembled as
+    ``((A + ((B + 2^15) >> 12)) >> 4`` with A = Σtaps·v_hi, B = Σtaps·v_lo
+    (both < 2^21; the low remainder cannot carry across the final >> 4).
+    """
+    taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
+    k = len(taps)
+    pad = k // 2
+    H, W = planes.shape[-2], planes.shape[-1]
+    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(
+        jnp.int32
+    )
+    v = sum(taps[j] * p[:, j : j + H, :] for j in range(k))  # <= 2^24
+    v_hi = v >> 12
+    v_lo = v & 4095
+    A = sum(taps[j] * v_hi[:, :, j : j + W] for j in range(k))
+    B = sum(taps[j] * v_lo[:, :, j : j + W] for j in range(k))
+    out = (A + ((B + 32768) >> 12)) >> 4
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+
 def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil.
-    uint8 → int16; float32 → float32."""
+    uint8 → int16; uint16 → int32; float32 → float32."""
     acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
     p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(acc)
     lap = (
@@ -82,15 +113,19 @@ def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
         + p[:, 1:-1, 2:]
         - 4 * p[:, 1:-1, 1:-1]
     )
-    return lap.astype(planes.dtype if planes.dtype == jnp.float32 else jnp.int16)
+    if planes.dtype == jnp.float32:
+        return lap
+    return lap.astype(jnp.int16 if planes.dtype == jnp.uint8 else jnp.int32)
 
 
 def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """Sharpen = src − Laplacian(src); saturating for uint8 (SURVEY.md §2 #7)."""
+    """Sharpen = src − Laplacian(src); saturating for integer dtypes
+    (SURVEY.md §2 #7)."""
     if planes.dtype == jnp.float32:
         return planes - laplacian_planes(planes)
+    maxv = 255 if planes.dtype == jnp.uint8 else 65535
     lap = laplacian_planes(planes).astype(jnp.int32)
-    return jnp.clip(planes.astype(jnp.int32) - lap, 0, 255).astype(jnp.uint8)
+    return jnp.clip(planes.astype(jnp.int32) - lap, 0, maxv).astype(planes.dtype)
 
 
 def unsharp_mask_planes(
@@ -113,6 +148,15 @@ def unsharp_mask_planes(
     if planes.dtype == jnp.float32:
         blur = gaussian_blur_planes(planes, ksize, sigma)
         return planes + jnp.float32(amount) * (planes - blur)
+    if planes.dtype == jnp.uint16:
+        blur = gaussian_blur_planes(planes, ksize, sigma).astype(jnp.int32)
+        src = planes.astype(jnp.int32)
+        if amount == int(amount):
+            out = src + int(amount) * (src - blur)
+        else:
+            srcf = src.astype(jnp.float32)
+            out = jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32)))
+        return jnp.clip(out, 0, 65535).astype(jnp.uint16)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import unsharp_mask_pallas
 

@@ -49,26 +49,44 @@ def log_lut_host() -> np.ndarray:
 
 
 def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
-    """uint8: LUT path (exact).  float32: direct ``255·(r/255)^γ``."""
+    """uint8/uint16: LUT path (exact).  float32: direct ``255·(r/255)^γ``."""
     if planes.dtype == jnp.float32:
         r = jnp.maximum(planes, 0.0) * (1.0 / 255.0)
         return (255.0 * jnp.power(r, jnp.float32(gamma))).astype(jnp.float32)
+    if planes.dtype == jnp.uint16:
+        i = np.arange(65536, dtype=np.float64) / 65535.0
+        lut = np.clip(np.round(65535.0 * np.power(i, gamma)), 0, 65535).astype(np.uint16)
+        idx = planes.astype(jnp.int32)
+        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
     return apply_lut_planes(planes, jnp.asarray(gamma_lut_host(gamma)))
 
 
 def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """uint8: LUT path (exact).  float32: direct ``c·log(1+r)``."""
+    """uint8/uint16: LUT path (exact).  float32: direct ``c·log(1+r)``."""
     if planes.dtype == jnp.float32:
         c = jnp.float32(255.0 / np.log(256.0))
         return c * jnp.log1p(jnp.maximum(planes, 0.0))
+    if planes.dtype == jnp.uint16:
+        c = 65535.0 / np.log(65536.0)
+        lut = np.clip(
+            np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
+        ).astype(np.uint16)
+        idx = planes.astype(jnp.int32)
+        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
 
 
 def convert_scale_abs_planes(
     planes: jnp.ndarray, alpha: float = 1.0, beta: float = 0.0
 ) -> jnp.ndarray:
-    """``cv2.convertScaleAbs`` per plane — exact via a static 256-entry LUT
-    (|α·x + β| rounded half-even in f64 at build time)."""
+    """``cv2.convertScaleAbs`` per plane — exact via a static LUT
+    (|α·x + β| rounded half-even in f64 at build time; 256 or 65536
+    entries by dtype)."""
+    if planes.dtype == jnp.uint16:
+        i = np.arange(65536, dtype=np.float64)
+        lut = np.clip(np.abs(np.round(alpha * i + beta)), 0, 65535).astype(np.uint16)
+        idx = planes.astype(jnp.int32)
+        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
     i = np.arange(256, dtype=np.float64)
     lut = np.clip(np.abs(np.round(alpha * i + beta)), 0, 255).astype(np.uint8)
     return apply_lut_planes(planes, jnp.asarray(lut))
@@ -87,6 +105,17 @@ def contrast_stretch_planes(
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))
+    if planes.dtype == jnp.uint16:
+
+        def one16(p: jnp.ndarray) -> jnp.ndarray:
+            lo = p.min().astype(jnp.float32)
+            hi = p.max().astype(jnp.float32)
+            scale = jnp.float32(b - a) / jnp.maximum(hi - lo, jnp.float32(1.0))
+            out = jnp.round((p.astype(jnp.float32) - lo) * scale + jnp.float32(a))
+            out = jnp.where(hi == lo, jnp.float32(np.clip(round(a), 0, 65535)), out)
+            return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+        return jax.vmap(one16)(planes)
     if planes.dtype == jnp.float32:
 
         def onef(p: jnp.ndarray) -> jnp.ndarray:

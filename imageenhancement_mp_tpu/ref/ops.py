@@ -77,6 +77,21 @@ def _check_u8_or_f32(img: np.ndarray) -> bool:
     raise TypeError(f"expected uint8 or float32 image, got {img.dtype}")
 
 
+def _img_kind(img: np.ndarray) -> str:
+    """'u8' | 'u16' | 'f32' for ops supporting all three (cv2-style)."""
+    if img.dtype == np.uint8:
+        return "u8"
+    if img.dtype == np.uint16:
+        return "u16"
+    if img.dtype == np.float32:
+        return "f32"
+    raise TypeError(f"expected uint8/uint16/float32 image, got {img.dtype}")
+
+
+def _int_maxval(kind: str) -> int:
+    return 255 if kind == "u8" else 65535
+
+
 # ---------------------------------------------------------------------------
 # Point operations (LUT family)
 # ---------------------------------------------------------------------------
@@ -128,12 +143,21 @@ def contrast_stretch(
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))
-    if _check_u8_or_f32(img):
+    kind = _img_kind(img)
+    if kind == "f32":
         lo = float(img.min())
         hi = float(img.max())
         if hi == lo:
             return np.full_like(img, np.float32(a))
         return ((img - lo) * ((b - a) / (hi - lo)) + a).astype(np.float32)
+    if kind == "u16":
+        lo = int(img.min())
+        hi = int(img.max())
+        maxv = 65535
+        if hi == lo:
+            return np.full_like(img, np.uint16(np.clip(round(a), 0, maxv)))
+        out = np.round((img.astype(np.float64) - lo) * ((b - a) / (hi - lo)) + a)
+        return np.clip(out, 0, maxv).astype(np.uint16)
     lo = int(img.min())
     hi = int(img.max())
     if hi == lo:
@@ -193,23 +217,30 @@ def equalize_hist(img: np.ndarray) -> np.ndarray:
 # CLAHE
 # ---------------------------------------------------------------------------
 
-def clahe_tile_lut(tile_hist: np.ndarray, tile_area: int, clip_limit: float) -> np.ndarray:
-    """Per-tile CLAHE LUT: clip, redistribute, CDF, scale (SURVEY.md §8.3)."""
+def clahe_tile_lut(
+    tile_hist: np.ndarray, tile_area: int, clip_limit: float, hist_size: int = 256
+) -> np.ndarray:
+    """Per-tile CLAHE LUT: clip, redistribute, CDF, scale (SURVEY.md §8.3).
+
+    ``hist_size`` is 256 for uint8 and 65536 for uint16 (cv2 convention).
+    """
     h = tile_hist.astype(np.int64).copy()
+    maxv = hist_size - 1
     if clip_limit > 0:
-        clip_abs = max(int(clip_limit * tile_area / 256.0), 1)
+        clip_abs = max(int(clip_limit * tile_area / hist_size), 1)
         excess = int(np.sum(np.maximum(h - clip_abs, 0)))
         h = np.minimum(h, clip_abs)
-        h += excess // 256
-        r = excess % 256
+        h += excess // hist_size
+        r = excess % hist_size
         if r:
-            step = max(256 // r, 1)
-            idx = np.arange(0, 256, step)[:r]
+            step = max(hist_size // r, 1)
+            idx = np.arange(0, hist_size, step)[:r]
             h[idx] += 1
     cdf = np.cumsum(h)
     # same f32-scale convention as equalizeHist (cv2's lutScale is float)
-    scale = np.float32(255.0) / np.float32(tile_area)
-    return np.clip(np.round(cdf.astype(np.float32) * scale), 0, 255).astype(np.uint8)
+    scale = np.float32(float(maxv)) / np.float32(tile_area)
+    out = np.clip(np.round(cdf.astype(np.float32) * scale), 0, maxv)
+    return out.astype(np.uint8 if hist_size == 256 else np.uint16)
 
 
 def clahe(
@@ -218,9 +249,14 @@ def clahe(
     """``cv2.createCLAHE(clip_limit, (gw, gh)).apply`` — ±1 LSB (SURVEY.md §8.3).
 
     ``tile_grid`` is (rows, cols) = (tilesY, tilesX).  cv2's default
-    ``clip_limit`` is 40.0 with an 8×8 grid.
+    ``clip_limit`` is 40.0 with an 8×8 grid.  uint8 and uint16 (cv2 uses a
+    65536-bin histogram for 16-bit; probe: bit-exact).
     """
-    _check_u8(img)
+    kind = _img_kind(img)
+    if kind == "f32":
+        raise TypeError("CLAHE supports uint8/uint16 (cv2 parity)")
+    hist_size = 256 if kind == "u8" else 65536
+    maxv = hist_size - 1
     H, W = img.shape
     gh, gw = tile_grid
     if H % gh == 0 and W % gw == 0:
@@ -236,12 +272,12 @@ def clahe(
         th, tw = padded.shape[0] // gh, padded.shape[1] // gw
     area = th * tw
 
-    luts = np.empty((gh, gw, 256), np.uint8)
+    luts = np.empty((gh, gw, hist_size), img.dtype)
     for ty in range(gh):
         for tx in range(gw):
             tile = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
-            hist = np.bincount(tile.ravel(), minlength=256)
-            luts[ty, tx] = clahe_tile_lut(hist, area, clip_limit)
+            hist = np.bincount(tile.ravel(), minlength=hist_size)
+            luts[ty, tx] = clahe_tile_lut(hist, area, clip_limit, hist_size)
 
     # Bilinear blend of the 4 neighboring tile LUTs.  Pinned convention
     # (probe): coords = y·(1/tile) − 0.5 evaluated in FLOAT32 exactly as cv2
@@ -268,7 +304,7 @@ def clahe(
     out = (one - fy)[:, None] * ((one - fx)[None, :] * l00 + fx[None, :] * l01) + fy[
         :, None
     ].astype(np.float32) * ((one - fx)[None, :] * l10 + fx[None, :] * l11)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, maxv).astype(img.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -330,39 +366,48 @@ def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.nda
     softfloat fixed-point path).
     float32: plain separable float conv (f64 accumulation), no round/clip.
     """
-    is_f = _check_u8_or_f32(img)
+    kind = _img_kind(img)
     pad = ksize // 2
     H, W = img.shape
     p = _reflect_pad(img, pad)
-    if is_f:
+    if kind == "f32":
         g = gaussian_kernel(ksize, sigma)
         acc = p.astype(np.float64)
         v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
         h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
         return h.astype(np.float32)
+    maxv = _int_maxval(kind)
     if sigma <= 0:
+        # same integer fixed point for u8 and u16 (probe: bit-exact for both)
         kf = gaussian_kernel_fixed(ksize)
         acc = p.astype(np.int64)
         v = sum(kf[j] * acc[j : j + H, :] for j in range(ksize))
         h = sum(kf[j] * v[:, j : j + W] for j in range(ksize))
-        return np.clip((h + (1 << 15)) >> 16, 0, 255).astype(np.uint8)
+        return np.clip((h + (1 << 15)) >> 16, 0, maxv).astype(img.dtype)
     g = gaussian_kernel(ksize, sigma)
     acc = p.astype(np.float64)
     v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
     h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
-    return np.clip(np.round(h), 0, 255).astype(np.uint8)
+    return np.clip(np.round(h), 0, maxv).astype(img.dtype)
 
 
 def laplacian(img: np.ndarray) -> np.ndarray:
     """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil
     ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2).
-    uint8 → int16 (CV_16S); float32 → float32 (CV_32F)."""
-    if _check_u8_or_f32(img):
+    uint8 → int16 (CV_16S); uint16 → int32; float32 → float32 (CV_32F)."""
+    kind = _img_kind(img)
+    if kind == "f32":
         p = _reflect_pad(img.astype(np.float64), 1)
         lap = (
             p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
         )
         return lap.astype(np.float32)
+    if kind == "u16":
+        p = _reflect_pad(img.astype(np.int64), 1)
+        lap = (
+            p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
+        )
+        return lap.astype(np.int32)
     p = _reflect_pad(img.astype(np.int32), 1)
     lap = (
         p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
@@ -371,12 +416,13 @@ def laplacian(img: np.ndarray) -> np.ndarray:
 
 
 def laplacian_sharpen(img: np.ndarray) -> np.ndarray:
-    """Sharpen = src − Laplacian(src); saturating for uint8 (SURVEY.md §2 #7)."""
-    if _check_u8_or_f32(img):
+    """Sharpen = src − Laplacian(src); saturating for integer dtypes
+    (SURVEY.md §2 #7)."""
+    kind = _img_kind(img)
+    if kind == "f32":
         return (img.astype(np.float64) - laplacian(img)).astype(np.float32)
-    return np.clip(img.astype(np.int32) - laplacian(img).astype(np.int32), 0, 255).astype(
-        np.uint8
-    )
+    lap = laplacian(img).astype(np.int64)
+    return np.clip(img.astype(np.int64) - lap, 0, _int_maxval(kind)).astype(img.dtype)
 
 
 def unsharp_mask(
@@ -388,21 +434,22 @@ def unsharp_mask(
     saturates (SURVEY.md §8.4; probe: 0.5·[1,3,5] → [0,2,2]); the float32
     path neither rounds nor saturates.
     """
-    is_f = _check_u8_or_f32(img)
+    kind = _img_kind(img)
     blur = gaussian_blur(img, ksize, sigma)
     out = (1.0 + amount) * img.astype(np.float64) - amount * blur.astype(np.float64)
-    if is_f:
+    if kind == "f32":
         return out.astype(np.float32)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, _int_maxval(kind)).astype(img.dtype)
 
 
 def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
     """``cv2.medianBlur`` — exact; border = replicate (SURVEY.md §8.2).
 
-    float32 is supported for any odd k (cv2 only supports k=3 for floats —
-    this is a strict extension; the k=3 float results match cv2 exactly).
+    uint16 is supported for k∈{3,5} (cv2 parity, exact); float32 for any
+    odd k (cv2 only supports k=3 for floats — a strict extension; the k=3
+    float results match cv2 exactly).
     """
-    _check_u8_or_f32(img)
+    _img_kind(img)
     if ksize % 2 == 0 or ksize < 3:
         raise ValueError("ksize must be odd and >= 3")
     pad = ksize // 2

@@ -1,0 +1,92 @@
+"""uint16 support: device ops vs oracle and (where available) cv2 directly.
+
+cv2 supports u16 for CLAHE (65536-bin histogram), GaussianBlur, medianBlur,
+normalize, Laplacian, and addWeighted — pinned by probes (all bit-exact
+except normalize ±1).  equalizeHist is 8-bit-only in cv2 and rejected here.
+"""
+
+import numpy as np
+import pytest
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+
+
+def _rand16(rng, shape):
+    return rng.integers(0, 65536, shape, dtype=np.uint16)
+
+
+def maxdiff(a, b):
+    return int(np.abs(np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)).max())
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_gaussian_u16_exact(rng, k):
+    x = _rand16(rng, (2, 64, 67))
+    got = ie.gaussian_blur(x, k)
+    want = np.stack([ref.gaussian_blur(p, k, 0.0) for p in x])
+    assert np.asarray(got).dtype == np.uint16
+    assert maxdiff(got, want) == 0
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_median_u16_exact(rng, k):
+    x = _rand16(rng, (1, 64, 67))
+    assert maxdiff(ie.median_blur(x, k), ref.median_blur(x[0], k)[None]) == 0
+
+
+@pytest.mark.parametrize("amount", [1.0, 1.5])
+def test_unsharp_u16(rng, amount):
+    x = _rand16(rng, (1, 64, 67))
+    tol = 0 if amount == int(amount) else 1
+    assert maxdiff(ie.unsharp_mask(x, amount), ref.unsharp_mask(x[0], amount)[None]) <= tol
+
+
+def test_laplacian_u16(rng):
+    x = _rand16(rng, (1, 64, 67))
+    got = ie.laplacian(x)
+    assert np.asarray(got).dtype == np.int32
+    assert maxdiff(got, ref.laplacian(x[0])[None]) == 0
+    assert maxdiff(ie.laplacian_sharpen(x), ref.laplacian_sharpen(x[0])[None]) == 0
+
+
+def test_clahe_u16_vs_oracle(rng):
+    x = _rand16(rng, (1, 128, 128))
+    got = ie.clahe(x, 2.0, (4, 4))
+    assert np.asarray(got).dtype == np.uint16
+    assert maxdiff(got, ref.clahe(x[0], 2.0, (4, 4))[None]) <= 1
+
+
+def test_clahe_u16_vs_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = _rand16(rng, (128, 136))
+    want = cv2.createCLAHE(2.0, (8, 8)).apply(img)
+    assert maxdiff(ie.clahe(img, 2.0, (8, 8)), want) <= 1
+
+
+def test_pointwise_u16(rng):
+    x = _rand16(rng, (1, 48, 53))
+    s = ie.contrast_stretch(x)
+    assert maxdiff(s, ref.contrast_stretch(x[0])[None]) <= 1
+    g = np.asarray(ie.gamma(x, 2.2))
+    assert g.dtype == np.uint16
+    c = np.asarray(ie.convert_scale_abs(x, 0.5, 100.0))
+    want = np.clip(np.abs(np.round(0.5 * x[0].astype(np.float64) + 100.0)), 0, 65535)
+    assert maxdiff(c[0], want) == 0
+
+
+def test_gaussian_u16_vs_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = _rand16(rng, (64, 67))
+    assert maxdiff(ie.gaussian_blur(img, 5), cv2.GaussianBlur(img, (5, 5), 0)) == 0
+    assert maxdiff(ie.median_blur(img, 5), cv2.medianBlur(img, 5)) == 0
+    blur = cv2.GaussianBlur(img, (5, 5), 0)
+    want = cv2.addWeighted(img, 2.0, blur, -1.0, 0)
+    assert maxdiff(ie.unsharp_mask(img, 1.0), want) == 0
+
+
+def test_equalize_rejects_u16(rng):
+    with pytest.raises(TypeError):
+        ie.equalize_hist(_rand16(rng, (8, 8)))
