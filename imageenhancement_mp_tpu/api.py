@@ -111,12 +111,13 @@ def convert_scale_abs(img, alpha: float = 1.0, beta: float = 0.0):
 
 
 def histogram(img):
-    """Per-plane 256-bin histogram (``cv2.calcHist`` ≡ bincount — exact).
+    """Per-plane histogram (``cv2.calcHist`` ≡ bincount — exact).
 
-    Returns int32 counts shaped like the input's plane structure:
-    [256], [C,256], [N,256], or [N,C,256].
+    256 bins for uint8, 65536 for uint16; int32 counts shaped like the
+    input's plane structure: [S], [C,S], [N,S], or [N,C,S].
     """
-    _check_u8(img)
+    if img.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
     from imageenhancement_mp_tpu.ops.histogram import histogram_256
 
     @jax.jit
@@ -133,7 +134,7 @@ def histogram(img):
     if nd == 3:
         return h
     n, _, _, c = img.shape
-    return h.reshape(n, c, 256)
+    return h.reshape(n, c, h.shape[-1])
 
 
 def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0)):

@@ -30,11 +30,13 @@ __all__ = ["histogram_256", "equalize_lut", "equalize_hist_planes"]
 
 
 def _hist_nibble_matmul(plane: jnp.ndarray) -> jnp.ndarray:
-    """Exact 256-bin histogram of a uint8 plane via 16×16 one-hot outer product."""
+    """Exact histogram via one-hot outer product (16×16 for u8, 256×256 for u16)."""
+    half = 256 if plane.dtype == jnp.uint16 else 16
+    shift = 8 if plane.dtype == jnp.uint16 else 4
     v = plane.reshape(-1).astype(jnp.int32)
-    hi = v >> 4
-    lo = v & 15
-    bins = jnp.arange(16, dtype=jnp.int32)
+    hi = v >> shift
+    lo = v & (half - 1)
+    bins = jnp.arange(half, dtype=jnp.int32)
     # int8 one-hots: MXU int8 path (394 TOPs on v5e) with int32 accumulation.
     a = (hi[:, None] == bins[None, :]).astype(jnp.int8)
     b = (lo[:, None] == bins[None, :]).astype(jnp.int8)
@@ -44,16 +46,17 @@ def _hist_nibble_matmul(plane: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return h.reshape(256)
+    return h.reshape(half * half)
 
 
 def _hist_scatter(plane: jnp.ndarray) -> jnp.ndarray:
+    nbins = 65536 if plane.dtype == jnp.uint16 else 256
     v = plane.reshape(-1).astype(jnp.int32)
-    return jnp.zeros((256,), jnp.int32).at[v].add(1)
+    return jnp.zeros((nbins,), jnp.int32).at[v].add(1)
 
 
 def histogram_256(planes: jnp.ndarray, method: str = "nibble_matmul") -> jnp.ndarray:
-    """Per-plane exact 256-bin histogram: ``[B, H, W] u8 -> [B, 256] i32``."""
+    """Per-plane exact histogram: u8 → ``[B, 256]``, u16 → ``[B, 65536]`` i32."""
     fn = {"nibble_matmul": _hist_nibble_matmul, "scatter": _hist_scatter}[method]
     return jax.vmap(fn)(planes)
 

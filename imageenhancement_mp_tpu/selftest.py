@@ -55,6 +55,17 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("median3", lambda: ie.median_blur(img, 3), lambda: ref.median_blur(img, 3), 0),
         ("median5", lambda: ie.median_blur(img, 5), lambda: ref.median_blur(img, 5), 0),
     ]
+    img16 = rng.integers(0, 65536, size, dtype=np.uint16)
+    checks += [
+        ("gauss5/u16", lambda: ie.gaussian_blur(img16, 5),
+         lambda: ref.gaussian_blur(img16, 5, 0.0), 0),
+        ("median5/u16", lambda: ie.median_blur(img16, 5),
+         lambda: ref.median_blur(img16, 5), 0),
+        ("clahe/u16", lambda: ie.clahe(img16, 2.0, (4, 4)),
+         lambda: ref.clahe(img16, 2.0, (4, 4)), 1),
+        ("unsharp/u16", lambda: ie.unsharp_mask(img16, 1.0),
+         lambda: ref.unsharp_mask(img16, 1.0), 0),
+    ]
 
     dev = jax.devices()[0]
     if verbose:

@@ -90,3 +90,10 @@ def test_gaussian_u16_vs_cv2(rng):
 def test_equalize_rejects_u16(rng):
     with pytest.raises(TypeError):
         ie.equalize_hist(_rand16(rng, (8, 8)))
+
+
+def test_histogram_u16(rng):
+    x = _rand16(rng, (37, 53))
+    h = np.asarray(ie.histogram(x))
+    assert h.shape == (65536,)
+    assert np.array_equal(h, np.bincount(x.ravel(), minlength=65536))
