@@ -24,7 +24,7 @@ from imageenhancement_mp_tpu.api import (
     unsharp_mask,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "apply_lut",

@@ -90,7 +90,11 @@ def _apply_lut_jit(img, lut):
 
 
 def apply_lut(img, lut):
-    """``cv2.LUT``: gather through a 256-entry table (exact)."""
+    """``cv2.LUT``: gather through a 256-entry table (exact).
+
+    ``lut`` may be ``[256]`` (shared) or ``[B, 256]`` with one table per
+    plane (B = N·C in canonical plane order).
+    """
     _check_u8(img)
     return _apply_lut_jit(img, jnp.asarray(lut, jnp.uint8))
 

@@ -87,6 +87,8 @@ def equalize_hist_planes(
     planes: jnp.ndarray, method: str = "nibble_matmul"
 ) -> jnp.ndarray:
     """``cv2.equalizeHist`` on a stack of planes ``[B, H, W] u8`` — exact."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError(f"equalizeHist is 8-bit only (cv2 parity), got {planes.dtype}")
     total = planes.shape[-1] * planes.shape[-2]
     hists = histogram_256(planes, method)
     luts = jax.vmap(functools.partial(equalize_lut, total=total))(hists)

@@ -97,3 +97,10 @@ def test_histogram_u16(rng):
     h = np.asarray(ie.histogram(x))
     assert h.shape == (65536,)
     assert np.array_equal(h, np.bincount(x.ravel(), minlength=65536))
+
+
+def test_histeq_preset_rejects_u16_cleanly(rng):
+    from imageenhancement_mp_tpu.models.presets import get_preset
+
+    with pytest.raises(TypeError):
+        get_preset("histeq")(_rand16(rng, (2, 16, 16)))
