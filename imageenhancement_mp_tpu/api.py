@@ -110,7 +110,10 @@ def log_transform(img):
 
 
 def convert_scale_abs(img, alpha: float = 1.0, beta: float = 0.0):
-    """``cv2.convertScaleAbs(src, alpha, beta)`` per plane (exact)."""
+    """``cv2.convertScaleAbs(src, alpha, beta)`` per plane.
+
+    Always returns uint8 saturated at 255, like cv2, for any input dtype
+    (exact for integer inputs; float32 ±1 at f32 round ties)."""
     return _apply("convert_scale_abs", img, alpha=float(alpha), beta=float(beta))
 
 
@@ -133,10 +136,8 @@ def histogram(img):
     nd = img.ndim
     if nd == 2:
         return h[0]
-    if nd == 3 and img.shape[-1] in (1, 2, 3, 4):
-        return h
     if nd == 3:
-        return h
+        return h  # [C, S] or [N, S] — plane order matches as_planes
     n, _, _, c = img.shape
     return h.reshape(n, c, h.shape[-1])
 

@@ -44,8 +44,11 @@ def gaussian_blur_planes(
 ) -> jnp.ndarray:
     """``cv2.GaussianBlur`` on uint8 planes.
 
-    σ=0: bit-exact integer fixed point in f32 (taps·256, halfup shift-16).
-    σ>0: f32 separable float conv + round-half-even (±1 LSB vs cv2).
+    σ=0: bit-exact integer fixed point (u8 in f32; u16 via int32 split
+    accumulation).
+    σ>0: f32 separable float conv + round-half-even (u8 ±1 LSB vs cv2;
+    u16 ±2 — the f32 accumulation of 16-bit values adds one tie flip over
+    the oracle's f64).
     ``backend``: "pallas" | "xla" | None (auto: Pallas on TPU).  Standalone
     calls favor the Pallas kernel; fused pipelines pass "xla" so XLA can
     fuse the producer stage into the conv pass (measured: fused flagship

@@ -55,8 +55,15 @@ def _hist_scatter(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((nbins,), jnp.int32).at[v].add(1)
 
 
-def histogram_256(planes: jnp.ndarray, method: str = "nibble_matmul") -> jnp.ndarray:
-    """Per-plane exact histogram: u8 → ``[B, 256]``, u16 → ``[B, 65536]`` i32."""
+def histogram_256(planes: jnp.ndarray, method: str | None = None) -> jnp.ndarray:
+    """Per-plane exact histogram: u8 → ``[B, 256]``, u16 → ``[B, 65536]`` i32.
+
+    Default method: the MXU one-hot matmul for u8 (docs/DESIGN.md §1), but
+    scatter for u16 — the byte-split one-hots would materialize 512 B/pixel
+    ([P,256] ×2), which OOMs on full-resolution planes.
+    """
+    if method is None:
+        method = "scatter" if planes.dtype == jnp.uint16 else "nibble_matmul"
     fn = {"nibble_matmul": _hist_nibble_matmul, "scatter": _hist_scatter}[method]
     return jax.vmap(fn)(planes)
 

@@ -27,7 +27,10 @@ __all__ = [
 
 
 def apply_lut_planes(planes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
-    """``cv2.LUT`` ≡ gather (SURVEY.md §8.6).  ``lut``: [256] or [B, 256]."""
+    """``cv2.LUT`` ≡ gather (SURVEY.md §8.6).
+
+    ``lut``: [S] shared or [B, S] per plane; S = 256 (u8 planes) or 65536
+    (u16).  Output dtype = table dtype."""
     idx = planes.astype(jnp.int32)
     if lut.ndim == 1:
         return lut[idx]
@@ -56,8 +59,7 @@ def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
     if planes.dtype == jnp.uint16:
         i = np.arange(65536, dtype=np.float64) / 65535.0
         lut = np.clip(np.round(65535.0 * np.power(i, gamma)), 0, 65535).astype(np.uint16)
-        idx = planes.astype(jnp.int32)
-        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
+        return apply_lut_planes(planes, jnp.asarray(lut))
     return apply_lut_planes(planes, jnp.asarray(gamma_lut_host(gamma)))
 
 
@@ -71,24 +73,27 @@ def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
         lut = np.clip(
             np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
         ).astype(np.uint16)
-        idx = planes.astype(jnp.int32)
-        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
+        return apply_lut_planes(planes, jnp.asarray(lut))
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
 
 
 def convert_scale_abs_planes(
     planes: jnp.ndarray, alpha: float = 1.0, beta: float = 0.0
 ) -> jnp.ndarray:
-    """``cv2.convertScaleAbs`` per plane — exact via a static LUT
-    (|α·x + β| rounded half-even in f64 at build time; 256 or 65536
-    entries by dtype)."""
-    if planes.dtype == jnp.uint16:
-        i = np.arange(65536, dtype=np.float64)
-        lut = np.clip(np.abs(np.round(alpha * i + beta)), 0, 65535).astype(np.uint16)
-        idx = planes.astype(jnp.int32)
-        return jax.vmap(lambda p: jnp.asarray(lut)[p])(idx)
-    i = np.arange(256, dtype=np.float64)
-    lut = np.clip(np.abs(np.round(alpha * i + beta)), 0, 255).astype(np.uint8)
+    """``cv2.convertScaleAbs`` per plane — ``saturate_u8(round(|α·x+β|))``.
+
+    cv2 ALWAYS returns 8-bit regardless of input depth (verified probe).
+    Integer inputs use exact static LUTs built with cv2's single-rounded
+    f32 FMA semantics; float32 computes on device with f32 mul+add (±1 at
+    FMA ties vs cv2).
+    """
+    if planes.dtype == jnp.float32:
+        out = jnp.abs(jnp.round(jnp.float32(alpha) * planes + jnp.float32(beta)))
+        return jnp.clip(out, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+    n = 65536 if planes.dtype == jnp.uint16 else 256
+    i = np.arange(n, dtype=np.float64)
+    fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
+    lut = np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
     return apply_lut_planes(planes, jnp.asarray(lut))
 
 

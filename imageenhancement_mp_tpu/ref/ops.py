@@ -116,19 +116,32 @@ def log_lut() -> np.ndarray:
 
 
 def gamma_transform(img: np.ndarray, gamma: float) -> np.ndarray:
-    """uint8: LUT path (exact).  float32: direct ``255·(r/255)^γ`` on
-    non-negative inputs (float extension — cv2 has no float gamma op)."""
-    if _check_u8_or_f32(img):
+    """uint8/uint16: LUT path (exact on the dtype's full range).
+    float32: direct ``255·(r/255)^γ`` on non-negative inputs
+    (extensions — cv2 has no gamma op)."""
+    kind = _img_kind(img)
+    if kind == "f32":
         r = np.maximum(img.astype(np.float64), 0.0) / 255.0
         return (255.0 * np.power(r, gamma)).astype(np.float32)
+    if kind == "u16":
+        i = np.arange(65536, dtype=np.float64) / 65535.0
+        lut = np.clip(np.round(65535.0 * np.power(i, gamma)), 0, 65535).astype(np.uint16)
+        return lut[img]
     return apply_lut(img, gamma_lut(gamma))
 
 
 def log_transform(img: np.ndarray) -> np.ndarray:
-    """uint8: LUT path (exact).  float32: direct ``c·log(1+r)`` (extension)."""
-    if _check_u8_or_f32(img):
+    """uint8/uint16: LUT path (exact).  float32: direct ``c·log(1+r)``."""
+    kind = _img_kind(img)
+    if kind == "f32":
         c = 255.0 / np.log(256.0)
         return (c * np.log1p(np.maximum(img.astype(np.float64), 0.0))).astype(np.float32)
+    if kind == "u16":
+        c = 65535.0 / np.log(65536.0)
+        lut = np.clip(
+            np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
+        ).astype(np.uint16)
+        return lut[img]
     return apply_lut(img, log_lut())
 
 
@@ -171,17 +184,35 @@ def contrast_stretch(
 
 
 def convert_scale_abs(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) -> np.ndarray:
-    """``cv2.convertScaleAbs`` — exact: ``saturate(round(|α·x + β|))`` with
-    round-half-to-even (SURVEY.md §8.4)."""
-    _check_u8(img)
-    out = np.abs(np.round(alpha * img.astype(np.float64) + beta))
-    return np.clip(out, 0, 255).astype(np.uint8)
+    """``cv2.convertScaleAbs`` — exact: ``saturate_u8(round(|α·x + β|))``
+    with round-half-to-even (SURVEY.md §8.4).
+
+    cv2 ALWAYS returns 8-bit regardless of input depth (probe: u16 input
+    → u8 saturated at 255; float input → u8); so does this.  The integer
+    paths mirror cv2's SIMD exactly: a single-rounded f32 FMA
+    ``f32(x·f32(α) + f32(β))`` then cvRound (probe: bit-exact for u8/u16
+    across sweeping α/β; plain f64 or f32 arithmetic both mis-round ties).
+    """
+    kind = _img_kind(img)
+    if kind == "f32":
+        fma = np.float32(img.astype(np.float64) * float(np.float32(alpha))
+                         + float(np.float32(beta)))
+        out = np.abs(np.round(fma.astype(np.float64)))
+        return np.clip(out, 0, 255).astype(np.uint8)
+    n = 256 if kind == "u8" else 65536
+    i = np.arange(n, dtype=np.float64)
+    fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
+    lut = np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
+    return lut[img]
 
 
 def calc_hist(img: np.ndarray) -> np.ndarray:
-    """``cv2.calcHist([img],[0],None,[256],[0,256])`` ≡ bincount — exact."""
-    _check_u8(img)
-    return np.bincount(img.ravel(), minlength=256).astype(np.int64)
+    """``cv2.calcHist`` ≡ bincount — exact (256 bins u8, 65536 bins u16)."""
+    if img.dtype == np.uint8:
+        return np.bincount(img.ravel(), minlength=256).astype(np.int64)
+    if img.dtype == np.uint16:
+        return np.bincount(img.ravel(), minlength=65536).astype(np.int64)
+    raise TypeError(f"expected uint8 or uint16 image, got {img.dtype}")
 
 
 # ---------------------------------------------------------------------------

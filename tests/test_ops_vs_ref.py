@@ -178,6 +178,16 @@ def test_float_laplacian(rng):
     assert np.abs(np.asarray(got) - ref.laplacian(x[0])[None]).max() < 1e-3
 
 
+def test_convert_scale_abs_f32_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    x = (rng.random((48, 53), dtype=np.float32) * 600.0 - 100.0).astype(np.float32)
+    want = cv2.convertScaleAbs(x, alpha=1.0, beta=0.0)
+    got = np.asarray(ie.convert_scale_abs(x, 1.0, 0.0))
+    assert got.dtype == np.uint8
+    assert maxdiff(got, want) <= 1
+
+
 def test_float_median_stretch_gamma_log(rng):
     x = _randf(rng, (2, 33, 47))
     assert np.abs(np.asarray(ie.median_blur(x, 3)) - np.stack([ref.median_blur(p, 3) for p in x])).max() == 0

@@ -71,9 +71,27 @@ def test_pointwise_u16(rng):
     assert maxdiff(s, ref.contrast_stretch(x[0])[None]) <= 1
     g = np.asarray(ie.gamma(x, 2.2))
     assert g.dtype == np.uint16
-    c = np.asarray(ie.convert_scale_abs(x, 0.5, 100.0))
-    want = np.clip(np.abs(np.round(0.5 * x[0].astype(np.float64) + 100.0)), 0, 65535)
-    assert maxdiff(c[0], want) == 0
+    assert maxdiff(g, ref.gamma_transform(x[0], 2.2)[None]) == 0
+    lg = np.asarray(ie.log_transform(x))
+    assert maxdiff(lg, ref.log_transform(x[0])[None]) == 0
+
+
+def test_convert_scale_abs_u16_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    x = _rand16(rng, (48, 53))
+    for a, b in [(1.0, 0.0), (0.001, 0.0), (0.01, -50.0)]:
+        want = cv2.convertScaleAbs(x, alpha=a, beta=b)
+        got = np.asarray(ie.convert_scale_abs(x, a, b))
+        assert got.dtype == np.uint8
+        assert maxdiff(got, want) == 0, (a, b)
+    assert maxdiff(ref.convert_scale_abs(x, 0.001, 0.0), cv2.convertScaleAbs(x, alpha=0.001)) == 0
+
+
+def test_gaussian_u16_sigma_2lsb(rng):
+    x = _rand16(rng, (1, 64, 67))
+    got = ie.gaussian_blur(x, 5, 1.5)
+    assert maxdiff(got, ref.gaussian_blur(x[0], 5, 1.5)[None]) <= 1
 
 
 def test_gaussian_u16_vs_cv2(rng):
