@@ -100,7 +100,8 @@ def convert_scale_abs_planes(
 def contrast_stretch_planes(
     planes: jnp.ndarray, out_range: tuple[float, float] = (0.0, 255.0)
 ) -> jnp.ndarray:
-    """``cv2.normalize(MINMAX, α, β)`` per plane — exact (SURVEY.md §8.5).
+    """``cv2.normalize(MINMAX, α, β)`` per plane (SURVEY.md §8.5; exact for
+    the default 0..255 range, ±1 for arbitrary float ranges).
 
     uint8: ``round((x − min)·(β−α)/(max − min) + α)`` half-to-even (computed
     in f64-equivalent exact int math only for the default 0..255 case; the

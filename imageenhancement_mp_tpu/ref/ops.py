@@ -148,11 +148,12 @@ def log_transform(img: np.ndarray) -> np.ndarray:
 def contrast_stretch(
     img: np.ndarray, out_range: tuple[float, float] = (0.0, 255.0)
 ) -> np.ndarray:
-    """``cv2.normalize(img, None, alpha, beta, NORM_MINMAX)`` — exact
-    (SURVEY.md §8.5; probe: round((x−min)·(β−α)/(max−min) + α) half-even).
+    """``cv2.normalize(img, None, alpha, beta, NORM_MINMAX)``
+    (SURVEY.md §8.5; probe: round((x−min)·(β−α)/(max−min) + α) half-even,
+    range sorted so src-min maps to min(α,β); constant image → min(α,β)).
 
-    uint8: half-to-even rounding; constant image → α.
-    float32: no rounding (cv2 float path).
+    uint8: exact for the default (0, 255) range; arbitrary float ranges can
+    tie-flip ±1 (fuzz: 1 case in ~2000).  uint16/float32: ±1 / no rounding.
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))
