@@ -59,6 +59,11 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-parity", action="store_true", help="skip parity phase")
     ap.add_argument(
+        "--json-out",
+        default=None,
+        help="also write the full per-config table as JSON to this path",
+    )
+    ap.add_argument(
         "--profile",
         metavar="DIR",
         default=None,
@@ -168,6 +173,29 @@ def main() -> int:
             want = oracle(x)
             lsb = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
             print(f"{name:40s} max-LSB={lsb}", file=sys.stderr)
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "device": f"{dev.device_kind} ({dev.platform})",
+                    "rows": [
+                        {
+                            "name": name,
+                            "gpix_per_s": round(float(g), 3),
+                            "vs_baseline": (
+                                round(float(g) / BASELINES[name], 1)
+                                if name in BASELINES
+                                else None
+                            ),
+                        }
+                        for name, g in results.items()
+                    ],
+                },
+                f,
+                indent=1,
+            )
+        print(f"full table written to {args.json_out}", file=sys.stderr)
 
     headline = results["histeq+unsharp 1080p gray b8"]
     print(

@@ -66,3 +66,10 @@ def test_north_star_fused_1080p(rng):
     out = np.asarray(equalize_unsharp(batch, 1.0, 5, 0.0))
     want = ref.unsharp_mask(ref.equalize_hist(batch[5]), 1.0, 5, 0.0)
     assert maxdiff(out[5], want) == 0
+
+
+def test_u16_clahe_4k(rng):
+    img = rng.integers(0, 65536, (2160, 3840), dtype=np.uint16)
+    out = np.asarray(ie.clahe(img, 2.0, (8, 8)))
+    want = ref.clahe(img, 2.0, (8, 8))
+    assert maxdiff(out, want) <= 1

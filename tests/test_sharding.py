@@ -47,3 +47,19 @@ def test_entry_jittable():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape and out.dtype == np.uint8
+
+
+def test_sharded_u16_pipeline(rng):
+    from imageenhancement_mp_tpu.ops.filters import gaussian_blur_planes
+    from imageenhancement_mp_tpu.ops.median import median_blur_planes
+
+    mesh = make_mesh(8)
+    batch = rng.integers(0, 65536, (8, 40, 48), dtype=np.uint16)
+    x = device_put_sharded_batch(batch, mesh)
+
+    def pipe(planes):
+        return gaussian_blur_planes(median_blur_planes(planes, 3), 5)
+
+    out = np.asarray(shard_pipeline(pipe, mesh)(x))
+    want = np.stack([ref.gaussian_blur(ref.median_blur(p, 3), 5, 0.0) for p in batch])
+    assert maxdiff(out, want) == 0
