@@ -8,10 +8,12 @@ Headline metric: fused hist-eq + unsharp throughput on 1080p grayscale
 reference backend measured in this environment: OpenCV 5.0.0, 1 CPU thread,
 0.607 GPix/s on the same pipeline (BASELINE.md).
 
-IMPORTANT (axon tunnel quirk, measured): the FIRST device->host transfer in
-the process permanently degrades every subsequent execution to a fixed
-~177 ms latency (~3000x).  All timing therefore runs in phase 1 with zero
-d2h transfers; parity checks (which must fetch outputs) run in phase 2.
+IMPORTANT (axon tunnel quirks, measured — docs/DESIGN.md §9): (1) the
+FIRST device->host transfer permanently degrades later executions ~3000x,
+so all timing runs in phase 1 with zero d2h and parity checks run in
+phase 2; (2) the tunnel also degrades after ~150-200 total executions in a
+process, so the headline runs first and --all uses fewer iters per row to
+keep the whole sweep under the cliff.
 
 Extra rows (all five judged configs) go to stderr; run with --all.
 Run on the real TPU (default platform); first compile is slow.
@@ -40,7 +42,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
 }
 
 
-def _time(fn, x, iters, warmup=3):
+def _time(fn, x, iters, warmup=2):
     import jax
 
     for _ in range(warmup):
@@ -144,10 +146,13 @@ def main() -> int:
     # ---------------- phase 1: timing (NO device->host transfers) ----------
     results = {}
     handles = {}
-    for name, fn, x, _ in suite:
+    for row_i, (name, fn, x, _) in enumerate(suite):
         xd = jax.device_put(x, dev)
         handles[name] = (fn, xd)
-        secs = _time(fn, xd, args.iters)
+        # headline gets full iters; later rows fewer, to keep the sweep
+        # under the tunnel's ~150-execution degradation cliff
+        iters = args.iters if row_i == 0 else max(3, args.iters // 2)
+        secs = _time(fn, xd, iters)
         g = np.prod(x.shape) / secs / 1e9
         results[name] = g
         base = BASELINES.get(name)
