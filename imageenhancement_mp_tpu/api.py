@@ -84,6 +84,14 @@ def _apply(op_name: str, img, **static):
 
 
 @jax.jit
+def _hist_jit(img):
+    from imageenhancement_mp_tpu.ops.histogram import histogram_256
+
+    planes, _ = as_planes(img)
+    return histogram_256(planes)
+
+
+@jax.jit
 def _apply_lut_jit(img, lut):
     planes, restore = as_planes(img)
     return restore(apply_lut_planes(planes, lut))
@@ -125,14 +133,7 @@ def histogram(img):
     """
     if img.dtype not in (jnp.uint8, jnp.uint16):
         raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
-    from imageenhancement_mp_tpu.ops.histogram import histogram_256
-
-    @jax.jit
-    def run(x):
-        planes, _ = as_planes(x)
-        return histogram_256(planes)
-
-    h = run(img)
+    h = _hist_jit(img)
     nd = img.ndim
     if nd == 2:
         return h[0]

@@ -98,10 +98,9 @@ def _batch_mode(args, ie) -> int:
 
         frames = iter(FrameLoader(args.input, threads=4))
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        from imageenhancement_mp_tpu.io.loader import bounded_map
 
-        pool = ThreadPoolExecutor(4)
-        frames = pool.map(_load, args.input)
+        frames = bounded_map(_load, args.input, threads=4)
     specs = args.op or ["histeq"]
     n = 0
     for path, frame in zip(args.input, frames):

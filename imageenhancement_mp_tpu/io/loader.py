@@ -179,6 +179,26 @@ def _parse_pnm(path: str) -> np.ndarray:
     return np.frombuffer(data, np.uint8)
 
 
+def bounded_map(fn, items, threads: int):
+    """ThreadPool map with bounded read-ahead (2·threads+2 in flight).
+
+    Unlike ``Executor.map`` this never submits more work than the window,
+    so decoded results cannot pile up faster than the consumer drains them.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = 2 * max(1, threads) + 2
+    with ThreadPoolExecutor(max(1, threads)) as ex:
+        pending: deque = deque()
+        for item in items:
+            pending.append(ex.submit(fn, item))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 class FrameLoader:
     """Order-preserving prefetching iterator over frame files.
 
@@ -238,17 +258,4 @@ class FrameLoader:
             lib.fl_destroy(h)
 
     def _iter_fallback(self) -> Iterator[np.ndarray]:
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        # bounded read-ahead (same 2*threads+2 window as the native loader)
-        window = 2 * self.threads + 2
-        with ThreadPoolExecutor(self.threads) as ex:
-            pending: deque = deque()
-            it = iter(self.paths)
-            for path in it:
-                pending.append(ex.submit(_parse_pnm, path))
-                if len(pending) >= window:
-                    yield pending.popleft().result()
-            while pending:
-                yield pending.popleft().result()
+        yield from bounded_map(_parse_pnm, self.paths, self.threads)
