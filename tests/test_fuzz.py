@@ -67,3 +67,19 @@ def test_low_contrast_and_extremes(rng):
     assert maxdiff(ie.clahe(img, 2.0, (8, 8)), ref.clahe(img, 2.0, (8, 8))) <= 1
     assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) == 0
     assert maxdiff(ie.unsharp_mask(img, 2.0), ref.unsharp_mask(img, 2.0)) == 0
+
+
+def test_clahe_degenerate_grids(rng):
+    # grid (1,1) = single global tile; (1,N)/(N,1) = strip tiles
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    for grid in [(1, 1), (1, 4), (4, 1)]:
+        got = ie.clahe(img, 2.0, grid)
+        assert maxdiff(got, ref.clahe(img, 2.0, grid)) <= 1, grid
+
+
+def test_clahe_degenerate_grid_vs_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    want = cv2.createCLAHE(2.0, (1, 1)).apply(img)
+    assert maxdiff(ref.clahe(img, 2.0, (1, 1)), want) == 0
