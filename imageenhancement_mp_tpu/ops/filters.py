@@ -55,6 +55,8 @@ def gaussian_blur_planes(
     """
     from imageenhancement_mp_tpu import config
 
+    if ksize == 1:
+        return planes  # cv2: k=1 is the identity for any sigma (probe)
     if planes.dtype == jnp.float32:
         taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
         return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)

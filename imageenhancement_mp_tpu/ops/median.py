@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.kernels.networks import median9, median25, median_odd_even
+from imageenhancement_mp_tpu.kernels.networks import median9, median25
 
 __all__ = ["median_blur_planes"]
 
@@ -53,4 +53,7 @@ def median_blur_planes(
         return median9(ws)
     if ksize == 5:
         return median25(ws)
-    return median_odd_even(ws)
+    # larger windows: one XLA sort over a stacked tap axis (a comparator
+    # network would trace k^4 ops and explode compile time)
+    stacked = jnp.stack(ws, axis=-1)
+    return jnp.sort(stacked, axis=-1)[..., (ksize * ksize) // 2]

@@ -344,6 +344,7 @@ def clahe(
 # ---------------------------------------------------------------------------
 
 _BINOMIAL_FX = {
+    1: np.array([256], np.int64),  # k=1 is the identity (probe: any sigma)
     3: np.array([64, 128, 64], np.int64),
     5: np.array([16, 64, 96, 64, 16], np.int64),
     7: np.array([8, 28, 56, 72, 56, 28, 8], np.int64),
@@ -359,8 +360,8 @@ def gaussian_kernel_fixed(ksize: int) -> np.ndarray:
     """
     if ksize in _BINOMIAL_FX:
         return _BINOMIAL_FX[ksize]
-    if ksize % 2 == 0 or ksize < 3:
-        raise ValueError(f"ksize must be odd >= 3, got {ksize}")
+    if ksize % 2 == 0 or ksize < 1:
+        raise ValueError(f"ksize must be odd >= 1, got {ksize}")
     g = gaussian_kernel(ksize, _auto_sigma(ksize))
     taps = np.round(g * 256.0).astype(np.int64)
     taps[ksize // 2] += 256 - taps.sum()

@@ -83,3 +83,19 @@ def test_clahe_degenerate_grid_vs_cv2(rng):
     img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
     want = cv2.createCLAHE(2.0, (1, 1)).apply(img)
     assert maxdiff(ref.clahe(img, 2.0, (1, 1)), want) == 0
+
+
+def test_median_k7_k9_vs_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(0, 256, (64, 67), dtype=np.uint8)
+    for k in (7, 9):
+        want = cv2.medianBlur(img, k)
+        assert maxdiff(ref.median_blur(img, k), want) == 0, k
+        assert maxdiff(ie.median_blur(img, k), want) == 0, k
+
+
+def test_gaussian_k1_identity(rng):
+    img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    assert maxdiff(ie.gaussian_blur(img, 1), img) == 0
+    assert maxdiff(ref.gaussian_blur(img, 1, 0.0), img) == 0
