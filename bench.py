@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -43,16 +42,9 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
 
 
 def _time(fn, x, iters, warmup=2):
-    import jax
+    from imageenhancement_mp_tpu.profiling import time_op
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(x))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return time_op(fn, x, iters=iters, warmup=warmup)
 
 
 def main() -> int:

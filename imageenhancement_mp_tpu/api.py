@@ -43,11 +43,6 @@ def _check_u8(img) -> None:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")
 
 
-def _check_u8_or_f32(img) -> None:
-    if img.dtype not in (jnp.uint8, jnp.float32):
-        raise TypeError(f"expected uint8 or float32 image array, got {img.dtype}")
-
-
 def _check_image_dtype(img) -> None:
     if img.dtype not in (jnp.uint8, jnp.uint16, jnp.float32):
         raise TypeError(

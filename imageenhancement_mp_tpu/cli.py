@@ -36,13 +36,17 @@ def _load(path: str) -> np.ndarray:
         return np.asarray(Image.open(path))
 
 
-def _save(path: str, img: np.ndarray) -> None:
+def _save(path: str, img: np.ndarray, rgb_order: bool = False) -> None:
+    """Write an image; ``rgb_order`` says color channels are R,G,B (the
+    native FrameLoader convention) rather than cv2's B,G,R."""
     if path.endswith(".npy"):
         np.save(path, img)
         return
     try:
         import cv2
 
+        if rgb_order and img.ndim == 3 and img.shape[-1] >= 3:
+            img = img[..., ::-1]  # cv2.imwrite expects BGR
         cv2.imwrite(path, img)
     except ImportError:
         try:
@@ -52,6 +56,8 @@ def _save(path: str, img: np.ndarray) -> None:
                 "error: writing non-.npy images needs opencv-python or Pillow "
                 "(pip install 'imageenhancement-mp-tpu[io]')"
             )
+        if not rgb_order and img.ndim == 3 and img.shape[-1] >= 3:
+            img = img[..., ::-1]  # PIL expects RGB
         Image.fromarray(img).save(path)
 
 
@@ -93,7 +99,8 @@ def _batch_mode(args, ie) -> int:
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
     native_exts = {".pgm", ".ppm", ".png"}
-    if all(Path(p).suffix.lower() in native_exts for p in args.input):
+    rgb_order = all(Path(p).suffix.lower() in native_exts for p in args.input)
+    if rgb_order:
         from imageenhancement_mp_tpu.io import FrameLoader
 
         frames = iter(FrameLoader(args.input, threads=4))
@@ -102,21 +109,31 @@ def _batch_mode(args, ie) -> int:
 
         frames = bounded_map(_load, args.input, threads=4)
     specs = args.op or ["histeq"]
-    n = 0
-    for path, frame in zip(args.input, frames):
+    n = failed = 0
+    it = zip(args.input, frames)
+    while True:
+        try:
+            path, frame = next(it)
+        except StopIteration:
+            break
+        except (IOError, ValueError) as e:  # per-frame decode failure
+            print(f"error: frame decode failed: {e}", file=sys.stderr)
+            failed += 1
+            continue
         if frame.dtype not in (np.uint8, np.uint16) or frame.ndim < 2:
             print(f"skipping {path}: unsupported decoded form", file=sys.stderr)
+            failed += 1
             continue
         try:
             out = _apply_ops(ie, frame, specs)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
+        except (ValueError, TypeError) as e:
+            print(f"error: {path}: {e}", file=sys.stderr)
             return 2
         dst = outdir / (Path(path).stem + "_out" + Path(path).suffix)
-        _save(str(dst), np.asarray(out))
+        _save(str(dst), np.asarray(out), rgb_order=rgb_order)
         n += 1
-    print(f"wrote {n} files to {outdir}")
-    return 0
+    print(f"wrote {n} files to {outdir}" + (f" ({failed} failed)" if failed else ""))
+    return 0 if n and not failed else (1 if failed else 2)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -166,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     try:
         out = _apply_ops(ie, np.asarray(img), args.op or ["histeq"])
-    except ValueError as e:
+    except (ValueError, TypeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     _save(args.output, out)

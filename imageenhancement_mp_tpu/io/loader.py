@@ -34,7 +34,12 @@ def _build_lib() -> ctypes.CDLL | None:
     global _native_failed
     with _lock:
         if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-            return ctypes.CDLL(str(_LIB))
+            try:
+                return ctypes.CDLL(str(_LIB))
+            except OSError:
+                # stale/truncated cache (interrupted build, cross-process
+                # race) — remove and rebuild below
+                _LIB.unlink(missing_ok=True)
         try:
             subprocess.run(
                 [

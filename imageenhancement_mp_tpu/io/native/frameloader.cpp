@@ -72,6 +72,7 @@ static bool read_int(FILE* f, long* out) {
   if (c < '0' || c > '9') return false;
   while (c >= '0' && c <= '9') {
     v = v * 10 + (c - '0');
+    if (v > (1L << 26)) return false;  // bound before overflow (max dim/val)
     c = fgetc(f);
   }
   if (c != EOF) ungetc(c, f);  // leave the terminator for the caller
@@ -194,14 +195,19 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
       return;
     }
     fgetc(f);  // single whitespace after maxval
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24)) {
+      fr->err = -3;
+      fclose(f);
+      return;
+    }
     int ch = (c1 == '6') ? 3 : 1;
-    long bytes = w * h * ch;
+    long long bytes = static_cast<long long>(w) * h * ch;
     if (bytes <= 0 || bytes > max_bytes) {
       fr->err = -4;
       fclose(f);
       return;
     }
-    fr->data.resize(bytes);
+    fr->data.resize(static_cast<size_t>(bytes));
     if (fread(fr->data.data(), 1, bytes, f) != static_cast<size_t>(bytes)) {
       fr->err = -5;
       fclose(f);

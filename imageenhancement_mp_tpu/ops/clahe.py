@@ -42,6 +42,13 @@ def _tile_hists(
     shift = 4 if hist_size == 256 else 8
     tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
     v = tiles.astype(jnp.int32)
+    if hist_size == 65536 and jax.default_backend() != "tpu":
+        # the byte-split one-hots are [T, P, 256] ×2 — on TPU XLA streams
+        # them into the int8 matmul (measured 269 GPix/s at 4K), but other
+        # backends materialize them (~512 B/px) and OOM; scatter instead
+        return jax.vmap(
+            lambda t: jnp.zeros((hist_size,), jnp.int32).at[t].add(1)
+        )(v)
     bins = jnp.arange(half, dtype=jnp.int32)
     a = ((v >> shift)[..., None] == bins).astype(jnp.int8)  # [T, P, half]
     b = ((v & (half - 1))[..., None] == bins).astype(jnp.int8)

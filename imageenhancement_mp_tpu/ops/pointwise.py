@@ -57,9 +57,9 @@ def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
         r = jnp.maximum(planes, 0.0) * (1.0 / 255.0)
         return (255.0 * jnp.power(r, jnp.float32(gamma))).astype(jnp.float32)
     if planes.dtype == jnp.uint16:
-        i = np.arange(65536, dtype=np.float64) / 65535.0
-        lut = np.clip(np.round(65535.0 * np.power(i, gamma)), 0, 65535).astype(np.uint16)
-        return apply_lut_planes(planes, jnp.asarray(lut))
+        from imageenhancement_mp_tpu.ref.ops import gamma_lut16
+
+        return apply_lut_planes(planes, jnp.asarray(gamma_lut16(gamma)))
     return apply_lut_planes(planes, jnp.asarray(gamma_lut_host(gamma)))
 
 
@@ -69,11 +69,9 @@ def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
         c = jnp.float32(255.0 / np.log(256.0))
         return c * jnp.log1p(jnp.maximum(planes, 0.0))
     if planes.dtype == jnp.uint16:
-        c = 65535.0 / np.log(65536.0)
-        lut = np.clip(
-            np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
-        ).astype(np.uint16)
-        return apply_lut_planes(planes, jnp.asarray(lut))
+        from imageenhancement_mp_tpu.ref.ops import log_lut16
+
+        return apply_lut_planes(planes, jnp.asarray(log_lut16()))
     return apply_lut_planes(planes, jnp.asarray(log_lut_host()))
 
 
@@ -90,11 +88,10 @@ def convert_scale_abs_planes(
     if planes.dtype == jnp.float32:
         out = jnp.abs(jnp.round(jnp.float32(alpha) * planes + jnp.float32(beta)))
         return jnp.clip(out, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+    from imageenhancement_mp_tpu.ref.ops import convert_scale_abs_lut
+
     n = 65536 if planes.dtype == jnp.uint16 else 256
-    i = np.arange(n, dtype=np.float64)
-    fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
-    lut = np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
-    return apply_lut_planes(planes, jnp.asarray(lut))
+    return apply_lut_planes(planes, jnp.asarray(convert_scale_abs_lut(alpha, beta, n)))
 
 
 def contrast_stretch_planes(

@@ -68,15 +68,6 @@ def _check_u8(img: np.ndarray) -> None:
         raise TypeError(f"expected uint8 image, got {img.dtype}")
 
 
-def _check_u8_or_f32(img: np.ndarray) -> bool:
-    """Return True if float32 (float path: f64 compute, f32 out, no round/sat)."""
-    if img.dtype == np.uint8:
-        return False
-    if img.dtype == np.float32:
-        return True
-    raise TypeError(f"expected uint8 or float32 image, got {img.dtype}")
-
-
 def _img_kind(img: np.ndarray) -> str:
     """'u8' | 'u16' | 'f32' for ops supporting all three (cv2-style)."""
     if img.dtype == np.uint8:
@@ -108,11 +99,32 @@ def gamma_lut(gamma: float) -> np.ndarray:
     return np.clip(np.round(255.0 * np.power(r, gamma)), 0, 255).astype(np.uint8)
 
 
+def gamma_lut16(gamma: float) -> np.ndarray:
+    """65536-entry power-law LUT for uint16 (single source for oracle+device)."""
+    r = np.arange(65536, dtype=np.float64) / 65535.0
+    return np.clip(np.round(65535.0 * np.power(r, gamma)), 0, 65535).astype(np.uint16)
+
+
 def log_lut() -> np.ndarray:
     """256-entry log LUT: ``s = c·log(1+r)``, ``c = 255/log(256)`` (SURVEY.md §2 #2)."""
     c = 255.0 / np.log(256.0)
     r = np.arange(256, dtype=np.float64)
     return np.clip(np.round(c * np.log1p(r)), 0, 255).astype(np.uint8)
+
+
+def log_lut16() -> np.ndarray:
+    """65536-entry log LUT for uint16."""
+    c = 65535.0 / np.log(65536.0)
+    return np.clip(
+        np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
+    ).astype(np.uint16)
+
+
+def convert_scale_abs_lut(alpha: float, beta: float, n: int) -> np.ndarray:
+    """convertScaleAbs LUT with cv2's single-rounded f32-FMA semantics."""
+    i = np.arange(n, dtype=np.float64)
+    fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
+    return np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
 
 
 def gamma_transform(img: np.ndarray, gamma: float) -> np.ndarray:
@@ -124,9 +136,7 @@ def gamma_transform(img: np.ndarray, gamma: float) -> np.ndarray:
         r = np.maximum(img.astype(np.float64), 0.0) / 255.0
         return (255.0 * np.power(r, gamma)).astype(np.float32)
     if kind == "u16":
-        i = np.arange(65536, dtype=np.float64) / 65535.0
-        lut = np.clip(np.round(65535.0 * np.power(i, gamma)), 0, 65535).astype(np.uint16)
-        return lut[img]
+        return gamma_lut16(gamma)[img]
     return apply_lut(img, gamma_lut(gamma))
 
 
@@ -137,11 +147,7 @@ def log_transform(img: np.ndarray) -> np.ndarray:
         c = 255.0 / np.log(256.0)
         return (c * np.log1p(np.maximum(img.astype(np.float64), 0.0))).astype(np.float32)
     if kind == "u16":
-        c = 65535.0 / np.log(65536.0)
-        lut = np.clip(
-            np.round(c * np.log1p(np.arange(65536, dtype=np.float64))), 0, 65535
-        ).astype(np.uint16)
-        return lut[img]
+        return log_lut16()[img]
     return apply_lut(img, log_lut())
 
 
@@ -200,11 +206,7 @@ def convert_scale_abs(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) ->
                          + float(np.float32(beta)))
         out = np.abs(np.round(fma.astype(np.float64)))
         return np.clip(out, 0, 255).astype(np.uint8)
-    n = 256 if kind == "u8" else 65536
-    i = np.arange(n, dtype=np.float64)
-    fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
-    lut = np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
-    return lut[img]
+    return convert_scale_abs_lut(alpha, beta, 256 if kind == "u8" else 65536)[img]
 
 
 def calc_hist(img: np.ndarray) -> np.ndarray:

@@ -4,6 +4,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import numpy as np
 
 ENV = {**os.environ, "IE_MP_TPU_PLATFORM": "cpu"}
@@ -74,3 +76,37 @@ def test_cli_batch_mode(tmp_path, rng):
     )
     assert r.returncode == 0, r.stderr[-400:]
     assert len(list(outdir.glob("*.npy"))) == 3
+
+
+def test_cli_u16_input_clean_error(tmp_path, rng):
+    # histeq rejects u16: must exit 2 with a clean message, not a traceback
+    inp = tmp_path / "u16.npy"
+    np.save(inp, rng.integers(0, 65536, (16, 16), dtype=np.uint16))
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", str(inp)],
+        capture_output=True, text=True, timeout=120, env=ENV,
+    )
+    assert r.returncode == 2
+    assert "error:" in r.stderr and "Traceback" not in r.stderr
+
+
+def test_cli_batch_color_roundtrip(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    # red ramp written via cv2 (BGR) -> batch identity-ish op -> read back
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 2] = np.arange(16, dtype=np.uint8)[None, :] * 10  # red in BGR
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"c{i}.png"
+        assert cv2.imwrite(str(p), img)
+        paths.append(str(p))
+    outdir = tmp_path / "o"
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", *paths,
+         "-o", str(outdir), "--op", "median:3"],
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    back = cv2.imread(str(outdir / "c0_out.png"))
+    # red channel must still carry the ramp (no R/B swap)
+    assert back[..., 2].max() > 100 and back[..., 0].max() == 0
