@@ -44,7 +44,9 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
 def _time(fn, x, iters, warmup=2):
     from imageenhancement_mp_tpu.profiling import time_op
 
-    return time_op(fn, x, iters=iters, warmup=warmup)
+    # min-of-iters: robust to the tunnel's dispatch-latency spikes
+    # (docs/DESIGN.md §9); equals the median in healthy states
+    return time_op(fn, x, iters=iters, warmup=warmup, reduce="min")
 
 
 def main() -> int:

@@ -20,8 +20,15 @@ import numpy as np
 __all__ = ["time_op", "throughput_gpixs"]
 
 
-def time_op(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
-    """Median wall-clock seconds per call of ``fn(*args)`` (device-blocked)."""
+def time_op(
+    fn: Callable, *args, iters: int = 10, warmup: int = 3, reduce: str = "median"
+) -> float:
+    """Wall-clock seconds per call of ``fn(*args)`` (device-blocked).
+
+    ``reduce``: "median" (default) or "min".  On tunneled/noisy platforms
+    the min is the robust estimate of machine capability (timeit-style) —
+    dispatch-latency spikes inflate the median by up to ~10× here.
+    """
     import jax
 
     for _ in range(warmup):
@@ -31,7 +38,7 @@ def time_op(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.min(ts) if reduce == "min" else np.median(ts))
 
 
 def throughput_gpixs(shape, secs: float) -> float:
