@@ -98,7 +98,7 @@ def _batch_mode(args, ie) -> int:
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
-    native_exts = {".pgm", ".ppm", ".png"}
+    native_exts = {".pgm", ".ppm", ".png", ".jpg", ".jpeg"}
     rgb_order = all(Path(p).suffix.lower() in native_exts for p in args.input)
     if rgb_order:
         from imageenhancement_mp_tpu.io import FrameLoader

@@ -51,6 +51,7 @@ def _build_lib() -> ctypes.CDLL | None:
                     "-pthread",
                     str(_SRC),
                     "-lz",
+                    "-ljpeg",
                     "-o",
                     str(_LIB),
                 ],
@@ -159,6 +160,21 @@ def _parse_pnm(path: str) -> np.ndarray:
         data = f.read()
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        # JPEG fallback: defer to cv2/PIL (no pure-Python baseline decoder)
+        try:
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+            if img is None:
+                raise ValueError(f"{path}: JPEG decode failed")
+            return img[..., ::-1] if img.ndim == 3 else img  # BGR -> RGB
+        except ImportError:
+            from io import BytesIO
+
+            from PIL import Image
+
+            return np.asarray(Image.open(BytesIO(data)))
     if data[:2] in (b"P5", b"P6"):
         parts = []
         i = 2
@@ -208,9 +224,9 @@ class FrameLoader:
     """Order-preserving prefetching iterator over frame files.
 
     ``for frame in FrameLoader(paths, threads=4): ...`` yields uint8 arrays
-    ([H,W] for gray, [H,W,C] for color, flat for raw blobs).  Color frames
-    are in the file's natural RGB(A) channel order (PIL convention — note
-    cv2.imread would return BGR).
+    ([H,W] for gray, [H,W,C] for color, flat for raw blobs) from PGM/PPM/
+    PNG/JPEG/raw files.  Color frames are in the file's natural RGB(A)
+    channel order (PIL convention — note cv2.imread would return BGR).
     """
 
     def __init__(

@@ -8,8 +8,8 @@
 // the TPU compute that pipeline.stream_frames keeps in flight.
 //
 // Formats: PGM (P5), PPM (P6) with maxval 255, 8-bit non-interlaced
-// gray/RGB/RGBA PNG (zlib inflate + unfilter), and raw .u8 blobs.
-// Only dependency: zlib.
+// gray/RGB/RGBA PNG (zlib inflate + unfilter), baseline/progressive JPEG
+// (libjpeg), and raw .u8 blobs.  Dependencies: zlib, libjpeg.
 //
 // C ABI (ctypes-friendly):
 //   void* fl_create(const char** paths, int n, int threads, long max_bytes)
@@ -29,6 +29,9 @@
 #include <vector>
 
 #include <zlib.h>
+
+#include <csetjmp>
+#include <jpeglib.h>
 
 namespace {
 
@@ -180,6 +183,52 @@ static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* 
   fr->ch = ch;
 }
 
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+// Baseline/progressive JPEG via libjpeg; gray stays 1ch, color -> RGB.
+static void decode_jpeg(const std::vector<uint8_t>& file, long max_bytes, Frame* fr) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fr->err = -10;
+    fr->data.clear();
+    return;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(file.data()), file.size());
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = cinfo.num_components == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  long long w = cinfo.output_width, h = cinfo.output_height, ch = cinfo.output_components;
+  long long bytes = w * h * ch;
+  if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24) || bytes > max_bytes) {
+    jpeg_destroy_decompress(&cinfo);
+    fr->err = -4;
+    return;
+  }
+  fr->data.resize(bytes);
+  long long stride = w * ch;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = fr->data.data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fr->w = static_cast<int>(w);
+  fr->h = static_cast<int>(h);
+  fr->ch = static_cast<int>(ch);
+}
+
 static void decode(const std::string& path, long max_bytes, Frame* fr) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) {
@@ -235,6 +284,8 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
     if (bytes > 8 && file[0] == 137 && file[1] == 'P' && file[2] == 'N' &&
         file[3] == 'G') {
       decode_png(file, max_bytes, fr);
+    } else if (bytes > 3 && file[0] == 0xFF && file[1] == 0xD8 && file[2] == 0xFF) {
+      decode_jpeg(file, max_bytes, fr);
     } else if (bytes <= max_bytes) {
       fr->data = std::move(file);
     } else {

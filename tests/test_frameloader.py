@@ -126,3 +126,26 @@ def test_loader_feeds_stream_pipeline(tmp_path, rng):
     assert len(outs) == 4
     for got, w in zip(outs, want):
         assert np.array_equal(got, w)
+
+
+def test_jpeg_decode(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    # JPEG is lossy: compare against cv2's own decode of the same file
+    gray = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    rgbish = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    pg = tmp_path / "g.jpg"
+    pc = tmp_path / "c.jpg"
+    assert cv2.imwrite(str(pg), gray)
+    assert cv2.imwrite(str(pc), rgbish)
+    want_g = cv2.imread(str(pg), cv2.IMREAD_UNCHANGED)
+    want_c = cv2.imread(str(pc), cv2.IMREAD_UNCHANGED)[..., ::-1]  # BGR->RGB
+    for force in (False, True):
+        loader = FrameLoader([pg, pc], threads=2, force_fallback=force)
+        if not force and not loader.native:
+            continue
+        got_g, got_c = list(loader)
+        assert got_g.shape == want_g.shape
+        assert got_c.shape == want_c.shape
+        # decoders may differ by a few LSB (IDCT variants); keep a loose bound
+        assert np.abs(got_g.astype(int) - want_g.astype(int)).max() <= 2
+        assert np.abs(got_c.astype(int) - want_c.astype(int)).max() <= 2
