@@ -195,5 +195,6 @@ def unsharp_mask(img, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0):
 
 
 def median_blur(img, ksize: int = 3):
-    """``cv2.medianBlur`` (exact; border = replicate)."""
+    """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
+    k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, ksize=int(ksize))

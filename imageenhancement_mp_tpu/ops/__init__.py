@@ -1,4 +1,4 @@
-"""Planes-level op registry (name → function over [B,H,W] u8 planes)."""
+"""Planes-level op registry (name → function over [B,H,W] planes; u8 always, u16/f32 where cv2 supports them)."""
 
 from imageenhancement_mp_tpu.ops.clahe import clahe_planes
 from imageenhancement_mp_tpu.ops.filters import (

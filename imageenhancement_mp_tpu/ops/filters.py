@@ -42,7 +42,7 @@ def _sep_conv_f32(x: jnp.ndarray, taps: tuple[float, ...]) -> jnp.ndarray:
 def gaussian_blur_planes(
     planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0, backend: str | None = None
 ) -> jnp.ndarray:
-    """``cv2.GaussianBlur`` on uint8 planes.
+    """``cv2.GaussianBlur`` on uint8/uint16/float32 planes.
 
     σ=0: bit-exact integer fixed point (u8 in f32; u16 via int32 split
     accumulation).

@@ -32,7 +32,7 @@ def _windows(planes: jnp.ndarray, k: int) -> list[jnp.ndarray]:
 def median_blur_planes(
     planes: jnp.ndarray, ksize: int = 3, backend: str | None = None
 ) -> jnp.ndarray:
-    """``cv2.medianBlur`` on uint8 planes — exact; border = replicate.
+    """``cv2.medianBlur`` on uint8/uint16/float32 planes — exact; border = replicate.
 
     On TPU dispatches to the double-buffered Pallas sorting-network kernel
     for the reference's 3×3/5×5 sizes (kernels/median.py)."""
