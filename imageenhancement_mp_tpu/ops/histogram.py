@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["histogram_256", "equalize_lut", "equalize_hist_planes"]
+__all__ = ["histogram_256", "equalize_lut", "equalize_hist_planes", "equalize_hist_global_planes"]
 
 
 def _hist_nibble_matmul(plane: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +88,27 @@ def equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
     ).astype(jnp.uint8)
     identity = jnp.arange(256, dtype=jnp.uint8)
     return jnp.where(h0 == total, identity, lut)
+
+
+def equalize_hist_global_planes(
+    planes: jnp.ndarray, method: str = "nibble_matmul", axis_name: str | None = None
+) -> jnp.ndarray:
+    """Video-consistent hist-eq: ONE LUT from the pooled histogram of all
+    planes (avoids frame-to-frame flicker when equalizing video batches).
+
+    Inside ``shard_map`` pass ``axis_name`` to pool across shards with a
+    ``psum`` — the framework's cross-chip collective path (the per-plane
+    ops need none; this is the op that genuinely does).
+    """
+    if planes.dtype != jnp.uint8:
+        raise TypeError(f"equalizeHist is 8-bit only (cv2 parity), got {planes.dtype}")
+    total = planes.shape[0] * planes.shape[-1] * planes.shape[-2]
+    hist = histogram_256(planes, method).sum(axis=0)
+    if axis_name is not None:
+        total = total * jax.lax.psum(1, axis_name)
+        hist = jax.lax.psum(hist, axis_name)
+    lut = equalize_lut(hist, total)
+    return lut[planes.astype(jnp.int32)]
 
 
 def equalize_hist_planes(

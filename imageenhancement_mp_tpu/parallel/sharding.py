@@ -18,7 +18,7 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_pipeline", "device_put_sharded_batch"]
+__all__ = ["make_mesh", "shard_pipeline", "device_put_sharded_batch", "equalize_hist_global_sharded"]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
@@ -44,6 +44,22 @@ def shard_pipeline(
         in_specs=P(axis_name),
         out_specs=P(axis_name),
         check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def equalize_hist_global_sharded(mesh: Mesh, axis_name: str = "batch"):
+    """Sharded video-consistent hist-eq: per-shard histograms pool across
+    the mesh with a ``psum`` over ICI, every frame maps through the same
+    global LUT.  Returns a jitted ``[B,H,W] u8 -> [B,H,W] u8`` callable
+    (B divisible by the mesh size)."""
+    from imageenhancement_mp_tpu.ops.histogram import equalize_hist_global_planes
+
+    def fn(planes):
+        return equalize_hist_global_planes(planes, axis_name=axis_name)
+
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name), check_vma=False
     )
     return jax.jit(sharded)
 

@@ -5,6 +5,7 @@ import numpy as np
 import jax
 
 from imageenhancement_mp_tpu import ref
+from imageenhancement_mp_tpu.ref import ops as ref_ops
 from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
 from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
 from imageenhancement_mp_tpu.parallel.sharding import (
@@ -63,3 +64,24 @@ def test_sharded_u16_pipeline(rng):
     out = np.asarray(shard_pipeline(pipe, mesh)(x))
     want = np.stack([ref.gaussian_blur(ref.median_blur(p, 3), 5, 0.0) for p in batch])
     assert maxdiff(out, want) == 0
+
+
+def test_global_histeq_collective_matches_pooled_oracle(rng):
+    """The psum-pooled global LUT must equal the single-device pooled LUT."""
+    from imageenhancement_mp_tpu.ops.histogram import equalize_hist_global_planes
+    from imageenhancement_mp_tpu.parallel.sharding import equalize_hist_global_sharded
+
+    mesh = make_mesh(8)
+    batch = rng.integers(0, 256, (16, 37, 43), dtype=np.uint8)
+    x = device_put_sharded_batch(batch, mesh)
+    got = np.asarray(equalize_hist_global_sharded(mesh)(x))
+
+    # oracle: pool all histograms, one cv2-style LUT, apply everywhere
+    hist = np.bincount(batch.ravel(), minlength=256)
+    want_lut = ref_ops._equalize_lut(hist, batch.size)
+    want = want_lut[batch]
+    assert maxdiff(got, want) == 0
+
+    # single-device path agrees
+    single = np.asarray(equalize_hist_global_planes(batch))
+    assert maxdiff(single, want) == 0
