@@ -145,9 +145,18 @@ def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0)):
     )
 
 
-def equalize_hist(img):
-    """``cv2.equalizeHist`` per plane (exact)."""
-    return _apply("equalize_hist", img)
+def equalize_hist(img, per_frame: bool = True):
+    """``cv2.equalizeHist`` (exact, 8-bit).
+
+    ``per_frame=True`` (default) equalizes each plane independently like
+    per-image cv2 calls.  ``per_frame=False`` pools ONE histogram/LUT over
+    the whole batch — flicker-free equalization for video batches (see
+    also parallel.equalize_hist_global_sharded for the multi-chip psum
+    version).
+    """
+    if per_frame:
+        return _apply("equalize_hist", img)
+    return _apply("equalize_hist_global", img)
 
 
 def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)):

@@ -7,7 +7,10 @@ from imageenhancement_mp_tpu.ops.filters import (
     laplacian_sharpen_planes,
     unsharp_mask_planes,
 )
-from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
+from imageenhancement_mp_tpu.ops.histogram import (
+    equalize_hist_global_planes,
+    equalize_hist_planes,
+)
 from imageenhancement_mp_tpu.ops.median import median_blur_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     apply_lut_planes,
@@ -23,6 +26,7 @@ OP_REGISTRY = {
     "contrast_stretch": contrast_stretch_planes,
     "convert_scale_abs": convert_scale_abs_planes,
     "equalize_hist": equalize_hist_planes,
+    "equalize_hist_global": equalize_hist_global_planes,
     "clahe": clahe_planes,
     "gaussian_blur": gaussian_blur_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -37,6 +41,7 @@ __all__ = [
     "contrast_stretch_planes",
     "convert_scale_abs_planes",
     "equalize_hist_planes",
+    "equalize_hist_global_planes",
     "gamma_planes",
     "gaussian_blur_planes",
     "laplacian_planes",

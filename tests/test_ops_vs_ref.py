@@ -263,3 +263,16 @@ def test_histogram_matches_bincount(rng):
             assert np.array_equal(h[n, c], want)
     g = _rand(rng, (37, 53))
     assert np.array_equal(np.asarray(ie.histogram(g)), np.bincount(g.ravel(), minlength=256))
+
+
+def test_equalize_hist_video_mode(rng):
+    batch = rng.integers(0, 256, (4, 33, 47), dtype=np.uint8)
+    got = np.asarray(ie.equalize_hist(batch, per_frame=False))
+    hist = np.bincount(batch.ravel(), minlength=256)
+    from imageenhancement_mp_tpu.ref.ops import _equalize_lut
+
+    want = _equalize_lut(hist, batch.size)[batch]
+    assert maxdiff(got, want) == 0
+    # all frames share the LUT: same input value -> same output everywhere
+    per = np.asarray(ie.equalize_hist(batch))
+    assert not np.array_equal(got, per)  # differs from per-frame mode
