@@ -102,3 +102,12 @@ def test_gaussian_k1_identity(rng):
     img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
     assert maxdiff(ie.gaussian_blur(img, 1), img) == 0
     assert maxdiff(ref.gaussian_blur(img, 1, 0.0), img) == 0
+
+
+def test_clahe_clip_zero_plain_ahe(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = rng.integers(0, 256, (96, 104), dtype=np.uint8)
+    want = cv2.createCLAHE(0.0, (8, 8)).apply(img)  # clip<=0 disables clipping
+    assert maxdiff(ref.clahe(img, 0.0, (8, 8)), want) == 0
+    assert maxdiff(ie.clahe(img, 0.0, (8, 8)), want) <= 1
