@@ -49,9 +49,9 @@ def gaussian_blur_planes(
     σ>0: f32 separable float conv + round-half-even (±2 LSB worst case vs
     cv2's softfloat fixed-point path; judged configs use σ=0).
     ``backend``: "pallas" | "xla" | None (auto: Pallas on TPU).  Standalone
-    calls favor the Pallas kernel; fused pipelines pass "xla" so XLA can
-    fuse the producer stage into the conv pass (measured: fused flagship
-    729 vs 447 GPix/s).
+    calls favor the Pallas kernel; fused pipelines default to "xla" so the
+    whole chain stays in one compiler view (clean A/B shows the two chain
+    backends perform equally — docs/DESIGN.md §4).
     """
     from imageenhancement_mp_tpu import config
 

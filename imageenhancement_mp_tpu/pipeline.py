@@ -53,9 +53,9 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
         if name not in OP_REGISTRY:
             raise KeyError(f"unknown op {name!r}; available: {sorted(OP_REGISTRY)}")
         kwargs = dict(kwargs)
-        # In multi-stage chains XLA fuses adjacent stages into single HBM
-        # passes, beating per-op Pallas kernels (measured: chain 460 vs 322
-        # GPix/s at 4K) — default those stages to the XLA backend.
+        # Multi-stage chains default to the XLA backend: adjacent stages
+        # fuse into single HBM passes and the chain stays in one compiler
+        # view (clean A/B: equal speed to Pallas-in-chain; docs/DESIGN §4).
         if multi and name in _BACKEND_AWARE:
             kwargs.setdefault("backend", "xla")
         norm.append((name, tuple(sorted(kwargs.items()))))
@@ -80,9 +80,8 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
 def _equalize_unsharp_jit(img, amount, ksize, sigma):
     planes, restore = as_planes(img)
     eq = equalize_hist_planes(planes)
-    # backend="xla": XLA fuses the LUT gather into the conv pass, giving one
-    # HBM pass for gather+conv+epilogue (measured 729 vs 447 GPix/s with a
-    # separate Pallas conv kernel)
+    # backend="xla": keeps gather+conv+epilogue in one compiler view (equal
+    # speed to the Pallas-kernel variant in clean A/B; docs/DESIGN.md §4)
     return restore(unsharp_mask_planes(eq, amount, ksize, sigma, backend="xla"))
 
 
