@@ -69,8 +69,10 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
         return restore(planes)
 
     def run(img: jnp.ndarray) -> jnp.ndarray:
-        if img.dtype != jnp.uint8:
-            raise TypeError(f"expected uint8 image array, got {img.dtype}")
+        if img.dtype not in (jnp.uint8, jnp.uint16, jnp.float32):
+            raise TypeError(
+                f"expected uint8/uint16/float32 image array, got {img.dtype}"
+            )
         return run_jit(img)
 
     return run
@@ -119,8 +121,8 @@ def equalize_unsharp(
 ) -> jnp.ndarray:
     """North-star fused pipeline: hist-eq → unsharp (BASELINE.json:2).
 
-    One XLA program; the Pallas fused tile kernel (kernels/) replaces the
-    second pass on TPU.
+    One XLA program: the LUT gather fuses into the conv pass, giving two
+    HBM passes total (hist + gather·conv·epilogue).
     """
     if img.dtype != jnp.uint8:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")

@@ -134,3 +134,13 @@ def test_gaussian_u16_large_k_budget(rng):
         # higher-precision u16 path)
         assert maxdiff(ie.gaussian_blur(img, k), want) <= 8, k
         assert maxdiff(ref.gaussian_blur(img, k), want) <= 4, k
+
+
+def test_make_pipeline_u16_chain(rng):
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+
+    pipe = make_pipeline([("median_blur", {"ksize": 3}), ("gaussian_blur", {"ksize": 5})])
+    x = _rand16(rng, (1, 40, 48))
+    got = np.asarray(pipe(x))
+    want = ref.gaussian_blur(ref.median_blur(x[0], 3), 5, 0.0)[None]
+    assert maxdiff(got, want) == 0
