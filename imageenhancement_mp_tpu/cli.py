@@ -15,16 +15,19 @@ import sys
 import numpy as np
 
 
-def _load(path: str) -> np.ndarray:
+def _load(path: str) -> tuple[np.ndarray, bool]:
+    """Load an image; returns ``(array, rgb_order)`` where ``rgb_order``
+    records the channel order the backend produced (cv2 -> BGR, PIL -> RGB,
+    .npy -> treated as RGB) so _save can write colors correctly."""
     if path.endswith(".npy"):
-        return np.load(path)
+        return np.load(path), True
     try:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
             raise FileNotFoundError(path)
-        return img
+        return img, False
     except ImportError:
         try:
             from PIL import Image
@@ -33,7 +36,7 @@ def _load(path: str) -> np.ndarray:
                 "error: reading non-.npy images needs opencv-python or Pillow "
                 "(pip install 'imageenhancement-mp-tpu[io]')"
             )
-        return np.asarray(Image.open(path))
+        return np.asarray(Image.open(path)), True
 
 
 def _save(path: str, img: np.ndarray, rgb_order: bool = False) -> None:
@@ -93,31 +96,41 @@ def _apply_ops(ie, out, specs):
 
 
 def _batch_mode(args, ie) -> int:
-    """Stream many files: native prefetch -> per-frame pipeline -> outdir."""
+    """Stream many files: native prefetch -> per-frame pipeline -> outdir.
+
+    Per-frame decode failures are yielded as FrameError sentinels (not
+    raised through the generator), so one corrupt file never aborts the
+    rest of the batch.
+    """
     from pathlib import Path
+
+    from imageenhancement_mp_tpu.io import FrameError
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
     native_exts = {".pgm", ".ppm", ".png", ".jpg", ".jpeg"}
-    rgb_order = all(Path(p).suffix.lower() in native_exts for p in args.input)
-    if rgb_order:
+    use_native = all(Path(p).suffix.lower() in native_exts for p in args.input)
+    if use_native:
         from imageenhancement_mp_tpu.io import FrameLoader
 
-        frames = iter(FrameLoader(args.input, threads=4))
+        frames = ((f, True) for f in FrameLoader(args.input, threads=4, on_error="sentinel"))
     else:
         from imageenhancement_mp_tpu.io.loader import bounded_map
 
-        frames = bounded_map(_load, args.input, threads=4)
+        def safe_load(path):
+            try:
+                return _load(path)
+            except SystemExit:
+                raise  # missing IO backend: not a per-frame condition
+            except Exception as e:
+                return FrameError(str(path), cause=e), False
+
+        frames = bounded_map(safe_load, args.input, threads=4)
     specs = args.op or ["histeq"]
     n = failed = 0
-    it = zip(args.input, frames)
-    while True:
-        try:
-            path, frame = next(it)
-        except StopIteration:
-            break
-        except (IOError, ValueError) as e:  # per-frame decode failure
-            print(f"error: frame decode failed: {e}", file=sys.stderr)
+    for path, (frame, rgb_order) in zip(args.input, frames):
+        if isinstance(frame, FrameError):
+            print(f"error: frame decode failed: {frame}", file=sys.stderr)
             failed += 1
             continue
         if frame.dtype not in (np.uint8, np.uint16) or frame.ndim < 2:
@@ -177,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
     if len(args.input) > 1:
         return _batch_mode(args, ie)
 
-    img = _load(args.input[0])
+    img, rgb_order = _load(args.input[0])
     if img.dtype not in (np.uint8, np.uint16):
         print(f"error: expected uint8/uint16 input, got {img.dtype}", file=sys.stderr)
         return 2
@@ -186,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
     except (ValueError, TypeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    _save(args.output, out)
+    _save(args.output, out, rgb_order=rgb_order)
     print(f"wrote {args.output} {out.shape} {out.dtype}")
     return 0
 

@@ -85,6 +85,7 @@ def _get_lib() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
             ]
             lib.fl_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -92,7 +93,7 @@ def _get_lib() -> ctypes.CDLL | None:
 
 
 def _parse_png(data: bytes) -> np.ndarray:
-    """Minimal 8-bit non-interlaced PNG decode (fallback path)."""
+    """Minimal 8/16-bit non-interlaced PNG decode (fallback path)."""
     import struct
     import zlib
 
@@ -111,9 +112,10 @@ def _parse_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + length
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if bit != 8 or interlace != 0 or ch is None:
+    if bit not in (8, 16) or interlace != 0 or ch is None:
         raise ValueError("unsupported PNG variant")
-    stride = w * ch
+    bpp = ch * (bit // 8)  # filter left-offset = bytes per pixel
+    stride = w * bpp
     max_raw = (stride + 1) * h
     if max_raw > 512 * 1024 * 1024:
         raise ValueError("PNG dimensions exceed decode limit")
@@ -135,9 +137,9 @@ def _parse_png(data: bytes) -> np.ndarray:
         else:
             cur = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if filt == 1:
                     v = line[x] + a
                 elif filt == 3:
@@ -150,7 +152,12 @@ def _parse_png(data: bytes) -> np.ndarray:
                 cur[x] = v & 255
         out[y] = cur
         prev = cur
-    arr = out.astype(np.uint8)
+    bytes_ = out.astype(np.uint8)
+    if bit == 16:  # PNG samples are big-endian
+        pairs = bytes_.reshape(h, w * ch, 2).astype(np.uint16)
+        arr = (pairs[..., 0] << 8) | pairs[..., 1]
+    else:
+        arr = bytes_
     return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
 
 
@@ -192,10 +199,14 @@ def _parse_pnm(path: str) -> np.ndarray:
             i = j
         i += 1  # single whitespace after maxval
         w, h, maxv = parts
-        if maxv != 255:
-            raise ValueError(f"{path}: only maxval 255 supported")
+        if not 1 <= maxv <= 65535:
+            raise ValueError(f"{path}: PNM maxval {maxv} out of range")
         ch = 3 if data[:2] == b"P6" else 1
-        arr = np.frombuffer(data, np.uint8, count=w * h * ch, offset=i)
+        if maxv > 255:  # PNM spec: 2-byte big-endian samples above 255
+            arr = np.frombuffer(data, ">u2", count=w * h * ch, offset=i)
+            arr = arr.astype(np.uint16)
+        else:
+            arr = np.frombuffer(data, np.uint8, count=w * h * ch, offset=i)
         return arr.reshape((h, w, ch) if ch == 3 else (h, w))
     return np.frombuffer(data, np.uint8)
 
@@ -220,13 +231,35 @@ def bounded_map(fn, items, threads: int):
             yield pending.popleft().result()
 
 
+class FrameError(IOError):
+    """A single frame failed to decode.
+
+    Raised from the loader iterator by default; with
+    ``FrameLoader(..., on_error="sentinel")`` it is *yielded* in the failed
+    frame's slot instead, so iteration stays aligned with ``paths`` and
+    continues past the bad file.
+    """
+
+    def __init__(self, path: str, code: int | None = None, cause: BaseException | None = None):
+        detail = f"code {code}" if code is not None else repr(cause)
+        super().__init__(f"frame load failed ({detail}): {path}")
+        self.path = path
+        self.code = code
+        self.__cause__ = cause
+
+
 class FrameLoader:
     """Order-preserving prefetching iterator over frame files.
 
     ``for frame in FrameLoader(paths, threads=4): ...`` yields uint8 arrays
     ([H,W] for gray, [H,W,C] for color, flat for raw blobs) from PGM/PPM/
-    PNG/JPEG/raw files.  Color frames are in the file's natural RGB(A)
-    channel order (PIL convention — note cv2.imread would return BGR).
+    PNG/JPEG/raw files; 16-bit PGM/PPM (maxval>255) and 16-bit PNG decode
+    to uint16.  Color frames are in the file's natural RGB(A) channel order
+    (PIL convention — note cv2.imread would return BGR).
+
+    ``on_error="raise"`` (default) raises :class:`FrameError` at the failed
+    frame, ending iteration; ``on_error="sentinel"`` yields the
+    :class:`FrameError` in that slot and continues with the next file.
     """
 
     def __init__(
@@ -235,11 +268,15 @@ class FrameLoader:
         threads: int = 4,
         max_frame_bytes: int = 64 * 1024 * 1024,
         force_fallback: bool = False,
+        on_error: str = "raise",
     ):
+        if on_error not in ("raise", "sentinel"):
+            raise ValueError(f"on_error must be 'raise' or 'sentinel', got {on_error!r}")
         self.paths = [str(p) for p in paths]
         self.threads = max(1, threads)
         self.max_frame_bytes = max_frame_bytes
         self._force_fallback = force_fallback
+        self.on_error = on_error
 
     @property
     def native(self) -> bool:
@@ -262,13 +299,21 @@ class FrameLoader:
             w = ctypes.c_int()
             hh = ctypes.c_int()
             ch = ctypes.c_int()
+            depth = ctypes.c_int()
             for path in self.paths:
-                n = lib.fl_next(h, bufp, self.max_frame_bytes, w, hh, ch)
+                n = lib.fl_next(h, bufp, self.max_frame_bytes, w, hh, ch, depth)
                 if n == 0:
                     return
                 if n < 0:
-                    raise IOError(f"frame load failed ({n}): {path}")
+                    # the native stream continues past a failed frame
+                    err = FrameError(path, code=n)
+                    if self.on_error == "raise":
+                        raise err
+                    yield err
+                    continue
                 flat = buf[:n].copy()
+                if depth.value == 16:
+                    flat = flat.view(np.uint16)
                 if ch.value > 1:
                     yield flat.reshape(hh.value, w.value, ch.value)
                 elif ch.value == 1:
@@ -279,4 +324,13 @@ class FrameLoader:
             lib.fl_destroy(h)
 
     def _iter_fallback(self) -> Iterator[np.ndarray]:
-        yield from bounded_map(_parse_pnm, self.paths, self.threads)
+        def parse(path: str):
+            try:
+                return _parse_pnm(path)
+            except Exception as e:  # decode/IO failure for this frame only
+                return FrameError(path, cause=e)
+
+        for item in bounded_map(parse, self.paths, self.threads):
+            if isinstance(item, FrameError) and self.on_error == "raise":
+                raise item
+            yield item

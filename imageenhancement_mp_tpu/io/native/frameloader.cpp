@@ -7,14 +7,18 @@
 // threads read + decode frames ahead of the consumer so host IO overlaps
 // the TPU compute that pipeline.stream_frames keeps in flight.
 //
-// Formats: PGM (P5), PPM (P6) with maxval 255, 8-bit non-interlaced
+// Formats: PGM (P5), PPM (P6) with maxval up to 65535 (2-byte big-endian
+// samples above 255, per the PNM spec), 8- or 16-bit non-interlaced
 // gray/RGB/RGBA PNG (zlib inflate + unfilter), baseline/progressive JPEG
-// (libjpeg), and raw .u8 blobs.  Dependencies: zlib, libjpeg.
+// (libjpeg), and raw .u8 blobs.  16-bit frames are emitted as host-endian
+// uint16 sample bytes with *depth = 16.  Dependencies: zlib, libjpeg.
 //
 // C ABI (ctypes-friendly):
 //   void* fl_create(const char** paths, int n, int threads, long max_bytes)
 //   long  fl_next(void* h, unsigned char* out, long cap,
-//                 int* w, int* hgt, int* ch)   // frame bytes, 0 = end, <0 = error
+//                 int* w, int* hgt, int* ch, int* depth)
+//         // frame bytes, 0 = end, <0 = error (the stream continues past a
+//         // failed frame: call fl_next again for the next index)
 //   void  fl_destroy(void* h)
 
 #include <condition_variable>
@@ -38,8 +42,16 @@ namespace {
 struct Frame {
   std::vector<uint8_t> data;
   int w = 0, h = 0, ch = 0;
-  long err = 0;  // <0 on failure
+  int depth = 8;  // bits per sample: 8 (uint8) or 16 (host-endian uint16)
+  long err = 0;   // <0 on failure
 };
+
+// Big-endian sample bytes -> host-endian uint16 bytes, in place.
+static void be16_to_host(std::vector<uint8_t>& data) {
+  const uint16_t one = 1;
+  if (*reinterpret_cast<const uint8_t*>(&one) == 0) return;  // big-endian host
+  for (size_t i = 0; i + 1 < data.size(); i += 2) std::swap(data[i], data[i + 1]);
+}
 
 struct Loader {
   std::vector<std::string> paths;
@@ -96,7 +108,7 @@ static int paeth(int a, int b, int c) {
   return c;
 }
 
-// 8-bit non-interlaced gray(0)/RGB(2)/RGBA(6)/gray+alpha(4) PNG decode.
+// 8/16-bit non-interlaced gray(0)/RGB(2)/RGBA(6)/gray+alpha(4) PNG decode.
 static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* fr) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (file.size() < 45 || memcmp(file.data(), sig, 8) != 0) {
@@ -135,14 +147,15 @@ static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* 
     case 6: ch = 4; break;
     default: fr->err = -7; return;  // paletted etc. unsupported
   }
-  if (bit_depth != 8 || interlace != 0 || w <= 0 || h <= 0 ||
-      w > (1 << 24) || h > (1 << 24)) {
+  if ((bit_depth != 8 && bit_depth != 16) || interlace != 0 || w <= 0 ||
+      h <= 0 || w > (1 << 24) || h > (1 << 24)) {
     fr->err = -7;
     return;
   }
+  int bpp = ch * (bit_depth / 8);  // filter left-offset = bytes per pixel
   // computed in long long with pre-checked dims so a crafted IHDR cannot
   // wrap the size checks and abort the process via std::length_error
-  long long stride = static_cast<long long>(w) * ch;
+  long long stride = static_cast<long long>(w) * bpp;
   long long raw_len = (stride + 1) * h;
   if (stride * h > max_bytes || raw_len > (1LL << 40)) {
     fr->err = -4;
@@ -162,9 +175,9 @@ static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* 
     const uint8_t* src = &raw[y * (stride + 1) + 1];
     uint8_t* dst = &fr->data[y * stride];
     for (long x = 0; x < stride; ++x) {
-      int a = x >= ch ? dst[x - ch] : 0;       // left
-      int b = prev[x];                         // up
-      int c = x >= ch ? prev[x - ch] : 0;      // up-left
+      int a = x >= bpp ? dst[x - bpp] : 0;       // left
+      int b = prev[x];                           // up
+      int c = x >= bpp ? prev[x - bpp] : 0;      // up-left
       int v = src[x];
       switch (filter) {
         case 0: break;
@@ -178,9 +191,11 @@ static void decode_png(const std::vector<uint8_t>& file, long max_bytes, Frame* 
     }
     memcpy(prev.data(), dst, stride);
   }
+  if (bit_depth == 16) be16_to_host(fr->data);  // PNG samples are big-endian
   fr->w = static_cast<int>(w);
   fr->h = static_cast<int>(h);
   fr->ch = ch;
+  fr->depth = bit_depth;
 }
 
 struct JpegErr {
@@ -238,7 +253,8 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
   int c0 = fgetc(f), c1 = fgetc(f);
   if (c0 == 'P' && (c1 == '5' || c1 == '6')) {
     long w, h, maxv;
-    if (!read_int(f, &w) || !read_int(f, &h) || !read_int(f, &maxv) || maxv != 255) {
+    if (!read_int(f, &w) || !read_int(f, &h) || !read_int(f, &maxv) ||
+        maxv < 1 || maxv > 65535) {
       fr->err = -3;
       fclose(f);
       return;
@@ -250,7 +266,8 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
       return;
     }
     int ch = (c1 == '6') ? 3 : 1;
-    long long bytes = static_cast<long long>(w) * h * ch;
+    int depth = maxv > 255 ? 16 : 8;  // PNM spec: 2-byte BE samples above 255
+    long long bytes = static_cast<long long>(w) * h * ch * (depth / 8);
     if (bytes <= 0 || bytes > max_bytes) {
       fr->err = -4;
       fclose(f);
@@ -262,9 +279,11 @@ static void decode(const std::string& path, long max_bytes, Frame* fr) {
       fclose(f);
       return;
     }
+    if (depth == 16) be16_to_host(fr->data);
     fr->w = static_cast<int>(w);
     fr->h = static_cast<int>(h);
     fr->ch = ch;
+    fr->depth = depth;
   } else {
     // whole-file formats: PNG, or raw blob (shape unknown; w=h=ch=0)
     fseek(f, 0, SEEK_END);
@@ -332,7 +351,8 @@ void* fl_create(const char** paths, int n, int threads, long max_bytes) {
   return L;
 }
 
-long fl_next(void* handle, unsigned char* out, long cap, int* w, int* h, int* ch) {
+long fl_next(void* handle, unsigned char* out, long cap, int* w, int* h, int* ch,
+             int* depth) {
   auto* L = static_cast<Loader*>(handle);
   size_t idx;
   {
@@ -356,6 +376,7 @@ long fl_next(void* handle, unsigned char* out, long cap, int* w, int* h, int* ch
   *w = fr.w;
   *h = fr.h;
   *ch = fr.ch;
+  *depth = fr.depth;
   return bytes;
 }
 

@@ -110,3 +110,55 @@ def test_cli_batch_color_roundtrip(tmp_path, rng):
     back = cv2.imread(str(outdir / "c0_out.png"))
     # red channel must still carry the ramp (no R/B swap)
     assert back[..., 2].max() > 100 and back[..., 0].max() == 0
+
+
+def test_cli_batch_recovers_from_corrupt_frame(tmp_path, rng):
+    """One corrupt file mid-batch must not abort the remaining frames."""
+    def write_pgm(p, a):
+        with open(p, "wb") as f:
+            f.write(b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0]))
+            f.write(a.tobytes())
+
+    ins = []
+    for i in range(4):
+        p = tmp_path / f"r{i}.pgm"
+        if i == 1:
+            p.write_bytes(b"P5\ngarbage")
+        else:
+            write_pgm(p, rng.integers(0, 256, (16, 20), dtype=np.uint8))
+        ins.append(str(p))
+    outdir = tmp_path / "outs"
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", *ins,
+         "-o", str(outdir), "--op", "stretch"],
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 1, (r.returncode, r.stderr[-400:])
+    assert sorted(f.name for f in outdir.glob("*.pgm")) == [
+        "r0_out.pgm", "r2_out.pgm", "r3_out.pgm"]
+    assert "wrote 3 files" in r.stdout and "(1 failed)" in r.stdout
+    assert "r1.pgm" in r.stderr
+
+
+def test_cli_single_image_pillow_color_order(tmp_path, rng, monkeypatch):
+    """With only Pillow available, single-image color IO must round-trip
+    without an R/B swap (the loader returns RGB; _save must not assume BGR)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img = np.zeros((12, 12, 3), np.uint8)
+    img[..., 0] = 200  # red in RGB
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+    out = tmp_path / "out.png"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.modules['cv2'] = None; "  # simulate Pillow-only env
+         "import imageenhancement_mp_tpu.cli as c; "
+         "raise SystemExit(c.main(sys.argv[1:]))",
+         str(inp), "-o", str(out), "--op", "median:3"],
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    back = np.asarray(Image.open(out))
+    assert back[..., 0].min() >= 190 and back[..., 2].max() == 0

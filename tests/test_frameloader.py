@@ -149,3 +149,94 @@ def test_jpeg_decode(tmp_path, rng):
         # decoders may differ by a few LSB (IDCT variants); keep a loose bound
         assert np.abs(got_g.astype(int) - want_g.astype(int)).max() <= 2
         assert np.abs(got_c.astype(int) - want_c.astype(int)).max() <= 2
+
+
+def _write_pgm16(path, arr):
+    with open(path, "wb") as f:
+        f.write(b"P5\n%d %d\n65535\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.astype(">u2").tobytes())
+
+
+def _write_ppm16(path, arr):
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n65535\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.astype(">u2").tobytes())
+
+
+@pytest.mark.parametrize("force", [False, True])
+def test_u16_pnm_decode(tmp_path, rng, force):
+    g = rng.integers(0, 65536, (29, 41), dtype=np.uint16)
+    c = rng.integers(0, 65536, (13, 18, 3), dtype=np.uint16)
+    pg = tmp_path / "g16.pgm"
+    pc = tmp_path / "c16.ppm"
+    _write_pgm16(pg, g)
+    _write_ppm16(pc, c)
+    loader = FrameLoader([pg, pc], threads=2, force_fallback=force)
+    if not force and not loader.native:
+        pytest.skip("no C++ toolchain available")
+    got_g, got_c = list(loader)
+    assert got_g.dtype == np.uint16 and np.array_equal(got_g, g)
+    assert got_c.dtype == np.uint16 and np.array_equal(got_c, c)
+
+
+@pytest.mark.parametrize("force", [False, True])
+def test_u16_png_decode(tmp_path, rng, force):
+    cv2 = pytest.importorskip("cv2")
+    g = rng.integers(0, 65536, (21, 33), dtype=np.uint16)
+    c = rng.integers(0, 65536, (11, 15, 3), dtype=np.uint16)
+    pg = tmp_path / "g16.png"
+    pc = tmp_path / "c16.png"
+    assert cv2.imwrite(str(pg), g)
+    assert cv2.imwrite(str(pc), c)
+    loader = FrameLoader([pg, pc], threads=2, force_fallback=force)
+    if not force and not loader.native:
+        pytest.skip("no C++ toolchain available")
+    got_g, got_c = list(loader)
+    assert got_g.dtype == np.uint16 and np.array_equal(got_g, g)
+    # cv2 wrote BGR; the loader yields the file's natural RGB order
+    assert got_c.dtype == np.uint16 and np.array_equal(got_c, c[..., ::-1])
+
+
+@pytest.mark.parametrize("force", [False, True])
+def test_sentinel_error_recovery(tmp_path, rng, force):
+    """A corrupt frame mid-stream must not end iteration in sentinel mode."""
+    from imageenhancement_mp_tpu.io import FrameError
+
+    good = [rng.integers(0, 256, (8, 9), dtype=np.uint8) for _ in range(3)]
+    paths = []
+    for i, a in enumerate(good):
+        p = tmp_path / f"g{i}.pgm"
+        _write_pgm(p, a)
+        paths.append(p)
+    bad = tmp_path / "bad.pgm"
+    bad.write_bytes(b"P5\ngarbage header")
+    paths.insert(1, bad)  # g0, bad, g1, g2
+    loader = FrameLoader(paths, threads=2, force_fallback=force, on_error="sentinel")
+    if not force and not loader.native:
+        pytest.skip("no C++ toolchain available")
+    got = list(loader)
+    assert len(got) == 4
+    assert np.array_equal(got[0], good[0])
+    assert isinstance(got[1], FrameError) and "bad.pgm" in str(got[1])
+    assert np.array_equal(got[2], good[1])
+    assert np.array_equal(got[3], good[2])
+    # default (raise) mode still raises at the bad frame
+    with pytest.raises(IOError):
+        list(FrameLoader(paths, threads=2, force_fallback=force))
+
+
+def test_u16_stream_clahe_end_to_end(tmp_path, rng):
+    """16-bit files on disk -> loader -> u16 CLAHE pipeline -> oracle parity."""
+    from imageenhancement_mp_tpu import clahe, ref
+
+    frames = [rng.integers(0, 65536, (64, 72), dtype=np.uint16) for _ in range(3)]
+    paths = []
+    for i, a in enumerate(frames):
+        p = tmp_path / f"u{i}.pgm"
+        _write_pgm16(p, a)
+        paths.append(p)
+    for got_in, want_in in zip(FrameLoader(paths, threads=2), frames):
+        got = np.asarray(clahe(got_in, 2.0, (4, 4)))
+        want = ref.clahe(want_in, 2.0, (4, 4))
+        assert got.dtype == np.uint16
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
