@@ -9,6 +9,10 @@ and vmap-batched on TPU.
 The whole wrapper body (shape canonicalization + op + restore) runs inside
 one jitted program per (op, static-params, input-shape), so the HWC↔planes
 transposes fuse into the op instead of being separate device passes.
+
+Every function takes ``channels_last=True``: set it False to force a 3-D
+input to be read as ``[N, H, W]`` grayscale frames even when W ≤ 4 (the
+one ambiguous case — see utils/shapes.py).
 """
 
 from __future__ import annotations
@@ -51,23 +55,23 @@ def _check_image_dtype(img) -> None:
 
 
 @lru_cache(maxsize=None)
-def _jitted(op_name: str, static_items: tuple) -> callable:
+def _jitted(op_name: str, static_items: tuple, channels_last: bool) -> callable:
     planes_fn = OP_REGISTRY[op_name] if op_name in OP_REGISTRY else None
     kwargs = dict(static_items)
 
     @jax.jit
     def run(img):
-        planes, restore = as_planes(img)
+        planes, restore = as_planes(img, channels_last=channels_last)
         return restore(planes_fn(planes, **kwargs))
 
     return run
 
 
-_U8_ONLY = {"equalize_hist"}          # cv2.equalizeHist is 8-bit only
-_NO_FLOAT = {"clahe"}                 # cv2 CLAHE: uint8/uint16 only
+_U8_ONLY = {"equalize_hist", "equalize_hist_global"}  # cv2.equalizeHist is 8-bit only
+_NO_FLOAT = {"clahe"}                                 # cv2 CLAHE: uint8/uint16 only
 
 
-def _apply(op_name: str, img, **static):
+def _apply(op_name: str, img, channels_last: bool = True, **static):
     if op_name in _U8_ONLY:
         _check_u8(img)
     elif op_name in _NO_FLOAT:
@@ -75,52 +79,60 @@ def _apply(op_name: str, img, **static):
             raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
     else:
         _check_image_dtype(img)
-    return _jitted(op_name, tuple(sorted(static.items())))(img)
+    return _jitted(op_name, tuple(sorted(static.items())), bool(channels_last))(img)
 
 
-@jax.jit
-def _hist_jit(img):
+@lru_cache(maxsize=None)
+def _hist_jit(channels_last: bool):
     from imageenhancement_mp_tpu.ops.histogram import histogram_256
 
-    planes, _ = as_planes(img)
-    return histogram_256(planes)
+    @jax.jit
+    def run(img):
+        planes, _ = as_planes(img, channels_last=channels_last)
+        return histogram_256(planes)
+
+    return run
 
 
-@jax.jit
-def _apply_lut_jit(img, lut):
-    planes, restore = as_planes(img)
-    return restore(apply_lut_planes(planes, lut))
+@lru_cache(maxsize=None)
+def _apply_lut_jit(channels_last: bool):
+    @jax.jit
+    def run(img, lut):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(apply_lut_planes(planes, lut))
+
+    return run
 
 
-def apply_lut(img, lut):
+def apply_lut(img, lut, channels_last: bool = True):
     """``cv2.LUT``: gather through a 256-entry table (exact).
 
     ``lut`` may be ``[256]`` (shared) or ``[B, 256]`` with one table per
     plane (B = N·C in canonical plane order).
     """
     _check_u8(img)
-    return _apply_lut_jit(img, jnp.asarray(lut, jnp.uint8))
+    return _apply_lut_jit(bool(channels_last))(img, jnp.asarray(lut, jnp.uint8))
 
 
-def gamma(img, gamma_value: float):
+def gamma(img, gamma_value: float, channels_last: bool = True):
     """Power-law transform ``s = 255·(r/255)^γ`` via static LUT (exact)."""
-    return _apply("gamma", img, gamma=float(gamma_value))
+    return _apply("gamma", img, channels_last, gamma=float(gamma_value))
 
 
-def log_transform(img):
+def log_transform(img, channels_last: bool = True):
     """Log transform ``s = (255/log 256)·log(1+r)`` via static LUT (exact)."""
-    return _apply("log_transform", img)
+    return _apply("log_transform", img, channels_last)
 
 
-def convert_scale_abs(img, alpha: float = 1.0, beta: float = 0.0):
+def convert_scale_abs(img, alpha: float = 1.0, beta: float = 0.0, channels_last: bool = True):
     """``cv2.convertScaleAbs(src, alpha, beta)`` per plane.
 
     Always returns uint8 saturated at 255, like cv2, for any input dtype
     (exact for integer inputs; float32 ±1 at f32 round ties)."""
-    return _apply("convert_scale_abs", img, alpha=float(alpha), beta=float(beta))
+    return _apply("convert_scale_abs", img, channels_last, alpha=float(alpha), beta=float(beta))
 
 
-def histogram(img):
+def histogram(img, channels_last: bool = True):
     """Per-plane histogram (``cv2.calcHist`` ≡ bincount — exact).
 
     256 bins for uint8, 65536 for uint16; int32 counts shaped like the
@@ -128,7 +140,7 @@ def histogram(img):
     """
     if img.dtype not in (jnp.uint8, jnp.uint16):
         raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
-    h = _hist_jit(img)
+    h = _hist_jit(bool(channels_last))(img)
     nd = img.ndim
     if nd == 2:
         return h[0]
@@ -138,72 +150,88 @@ def histogram(img):
     return h.reshape(n, c, h.shape[-1])
 
 
-def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0)):
+def contrast_stretch(img, out_range: tuple[float, float] = (0.0, 255.0), channels_last: bool = True):
     """``cv2.normalize(NORM_MINMAX, α, β)`` per plane (exact)."""
     return _apply(
-        "contrast_stretch", img, out_range=(float(out_range[0]), float(out_range[1]))
+        "contrast_stretch", img, channels_last,
+        out_range=(float(out_range[0]), float(out_range[1])),
     )
 
 
-def equalize_hist(img, per_frame: bool = True):
+def equalize_hist(img, per_frame: bool = True, per_channel: bool = True, channels_last: bool = True):
     """``cv2.equalizeHist`` (exact, 8-bit).
 
     ``per_frame=True`` (default) equalizes each plane independently like
-    per-image cv2 calls.  ``per_frame=False`` pools ONE histogram/LUT over
-    the whole batch — flicker-free equalization for video batches (see
+    per-image cv2 calls.  ``per_frame=False`` pools the histogram/LUT
+    across the batch — flicker-free equalization for video batches (see
     also parallel.equalize_hist_global_sharded for the multi-chip psum
-    version).
+    version).  In pooled mode, ``per_channel=True`` (default) pools each
+    channel separately across frames so R/G/B get their own LUTs;
+    ``per_channel=False`` pools ONE histogram over every plane (channels
+    share a LUT — only meaningful for channel-comparable data).
     """
     if per_frame:
-        return _apply("equalize_hist", img)
-    return _apply("equalize_hist_global", img)
+        return _apply("equalize_hist", img, channels_last)
+    channels = 1
+    if per_channel:
+        if img.ndim == 4:
+            channels = img.shape[-1]
+        elif img.ndim == 3 and channels_last and img.shape[-1] in (1, 2, 3, 4):
+            channels = img.shape[-1]
+    return _apply("equalize_hist_global", img, channels_last, channels=channels)
 
 
-def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)):
+def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8), channels_last: bool = True):
     """``cv2.createCLAHE(clip_limit, grid)`` per plane (±1 LSB, usually exact).
 
     ``tile_grid`` is (rows, cols); cv2's Size argument is (cols, rows).
     """
     return _apply(
-        "clahe", img, clip_limit=float(clip_limit), tile_grid=tuple(tile_grid)
+        "clahe", img, channels_last,
+        clip_limit=float(clip_limit), tile_grid=tuple(tile_grid),
     )
 
 
-def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0):
+def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0, channels_last: bool = True):
     """``cv2.GaussianBlur((k,k), σ)``.
 
     σ=0: bit-exact for k ≤ 11 (binomial/256-sum taps), ≤2 LSB for larger k.
     σ>0: within ±2 LSB (cv2's softfloat path; judged configs use σ=0).
     """
-    return _apply("gaussian_blur", img, ksize=int(ksize), sigma=float(sigma))
+    return _apply("gaussian_blur", img, channels_last, ksize=int(ksize), sigma=float(sigma))
 
 
-@jax.jit
-def _lap_jit(img):
-    planes, restore = as_planes(img)
-    return restore(laplacian_planes(planes))
+@lru_cache(maxsize=None)
+def _lap_jit(channels_last: bool):
+    @jax.jit
+    def run(img):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(laplacian_planes(planes))
+
+    return run
 
 
-def laplacian(img):
+def laplacian(img, channels_last: bool = True):
     """``cv2.Laplacian(ksize=1)`` (exact; u8→int16, u16→int32, f32→f32)."""
     _check_image_dtype(img)
-    return _lap_jit(img)
+    return _lap_jit(bool(channels_last))(img)
 
 
-def laplacian_sharpen(img):
+def laplacian_sharpen(img, channels_last: bool = True):
     """Sharpen = saturate_u8(src − Laplacian(src)) (exact)."""
-    return _apply("laplacian_sharpen", img)
+    return _apply("laplacian_sharpen", img, channels_last)
 
 
-def unsharp_mask(img, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0):
+def unsharp_mask(img, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0, channels_last: bool = True):
     """``cv2.addWeighted(src, 1+a, GaussianBlur(src), −a, 0)`` (±1 LSB; exact
     for integral ``amount``)."""
     return _apply(
-        "unsharp_mask", img, amount=float(amount), ksize=int(ksize), sigma=float(sigma)
+        "unsharp_mask", img, channels_last,
+        amount=float(amount), ksize=int(ksize), sigma=float(sigma),
     )
 
 
-def median_blur(img, ksize: int = 3):
+def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
-    return _apply("median_blur", img, ksize=int(ksize))
+    return _apply("median_blur", img, channels_last, ksize=int(ksize))

@@ -6,7 +6,7 @@ Reference equivalent: ``cv2.createCLAHE(clip, grid).apply`` (SURVEY.md §2 #5,
   A. per-tile 256-bin histograms — tiles reshaped to ``[gh·gw, th·tw]`` and
      histogrammed with the nibble-split one-hot matmul (MXU path, exact);
   B. clip + redistribute + CDF + LUT — a tiny ``[T, 256]`` vectorized stage
-     with exact int32 rounding;
+     (int32 clip/redistribute; the LUT scale is f32, mirroring cv2);
   C. per-pixel bilinear blend of the 4 neighboring tile LUTs — one gather
      from the flattened ``[gh·gw·256]`` LUT table per corner, f32 blend,
      single final round (keeps the ±1 LSB budget; SURVEY.md §7).

@@ -14,9 +14,10 @@ parts"):
 32 VPU compares per pixel instead of 256, and the contraction over pixels
 rides the MXU with int32 accumulation — exact for any plane < 2^31 pixels.
 
-The LUT build (SURVEY.md §8.1) is 256 elements — computed with exact int32
-rational rounding (utils/rounding.py) so it is bit-identical to the oracle's
-round-half-to-even without needing JAX x64 mode.
+The LUT build (SURVEY.md §8.1) is 256 elements.  cv2's equalizeHist
+multiplies the int cdf by a FLOAT lutScale = 255/(N − hist[i0]); mirroring
+that convention (int→f32 conversion, f32 product, half-even round) in
+``equalize_lut`` is bit-exact vs cv2 without needing JAX x64 mode.
 """
 
 from __future__ import annotations
@@ -90,11 +91,41 @@ def equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
     return jnp.where(h0 == total, identity, lut)
 
 
-def equalize_hist_global_planes(
-    planes: jnp.ndarray, method: str = "nibble_matmul", axis_name: str | None = None
+def _equalize_global_group(
+    planes: jnp.ndarray, method: str, axis_name: str | None
 ) -> jnp.ndarray:
-    """Video-consistent hist-eq: ONE LUT from the pooled histogram of all
-    planes (avoids frame-to-frame flicker when equalizing video batches).
+    """One pooled LUT over a ``[B, H, W]`` group (psum-pooled across shards)."""
+    total = planes.shape[0] * planes.shape[-1] * planes.shape[-2]
+    hist = histogram_256(planes, method).sum(axis=0)
+    if axis_name is not None:
+        total = total * jax.lax.axis_size(axis_name)
+        hist = jax.lax.psum(hist, axis_name)
+    # the pooled cdf lives in int32: past 2^31 pixels the LUT silently wraps
+    if total > jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"pooled histogram covers {total} pixels, which overflows the "
+            "int32 cdf (max 2^31-1 ≈ 1040 1080p frames across the mesh); "
+            "split the batch into smaller pooling groups"
+        )
+    lut = equalize_lut(hist, total)
+    return lut[planes.astype(jnp.int32)]
+
+
+def equalize_hist_global_planes(
+    planes: jnp.ndarray,
+    method: str = "nibble_matmul",
+    axis_name: str | None = None,
+    channels: int = 1,
+) -> jnp.ndarray:
+    """Video-consistent hist-eq: ONE LUT per channel from the histogram
+    pooled across all frames (avoids frame-to-frame flicker when equalizing
+    video batches).
+
+    ``channels`` (static) says the ``[B, H, W]`` stack is ``B = N·channels``
+    planes in (frame-major, channel-minor) order — the canonical
+    ``as_planes`` layout for ``[N, H, W, C]``.  Each channel pools its own
+    histogram across the N frames (R, G and B get separate LUTs); pass
+    ``channels=1`` to pool one histogram over every plane.
 
     Inside ``shard_map`` pass ``axis_name`` to pool across shards with a
     ``psum`` — the framework's cross-chip collective path (the per-plane
@@ -102,13 +133,15 @@ def equalize_hist_global_planes(
     """
     if planes.dtype != jnp.uint8:
         raise TypeError(f"equalizeHist is 8-bit only (cv2 parity), got {planes.dtype}")
-    total = planes.shape[0] * planes.shape[-1] * planes.shape[-2]
-    hist = histogram_256(planes, method).sum(axis=0)
-    if axis_name is not None:
-        total = total * jax.lax.psum(1, axis_name)
-        hist = jax.lax.psum(hist, axis_name)
-    lut = equalize_lut(hist, total)
-    return lut[planes.astype(jnp.int32)]
+    if channels <= 1:
+        return _equalize_global_group(planes, method, axis_name)
+    b, h, w = planes.shape
+    if b % channels:
+        raise ValueError(f"plane count {b} not divisible by channels={channels}")
+    # [N·C, H, W] -> [C, N, H, W]: pool per channel across frames
+    grouped = planes.reshape(b // channels, channels, h, w).transpose(1, 0, 2, 3)
+    out = jax.vmap(lambda g: _equalize_global_group(g, method, axis_name))(grouped)
+    return out.transpose(1, 0, 2, 3).reshape(b, h, w)
 
 
 def equalize_hist_planes(

@@ -4,7 +4,7 @@ Reference equivalents: ``cv2.LUT``, power-law/log transforms, and
 ``cv2.normalize(NORM_MINMAX)`` (SURVEY.md §2 #1-3).  Gamma/log LUTs are
 static 256-entry tables built host-side in float64 (exact, compile-time
 constants); contrast stretch builds its LUT on device from the per-plane
-min/max with exact int32 rounding.
+min/max with f32 scale/shift math mirroring cv2's normalize path.
 """
 
 from __future__ import annotations

@@ -48,15 +48,19 @@ def shard_pipeline(
     return jax.jit(sharded)
 
 
-def equalize_hist_global_sharded(mesh: Mesh, axis_name: str = "batch"):
+def equalize_hist_global_sharded(mesh: Mesh, axis_name: str = "batch", channels: int = 1):
     """Sharded video-consistent hist-eq: per-shard histograms pool across
     the mesh with a ``psum`` over ICI, every frame maps through the same
     global LUT.  Returns a jitted ``[B,H,W] u8 -> [B,H,W] u8`` callable
-    (B divisible by the mesh size)."""
+    (B divisible by the mesh size).
+
+    ``channels > 1`` says each shard's planes are frame-major/channel-minor
+    ``B = N·channels`` stacks; each channel pools its own histogram across
+    frames AND shards (matching ``api.equalize_hist(per_frame=False)``)."""
     from imageenhancement_mp_tpu.ops.histogram import equalize_hist_global_planes
 
     def fn(planes):
-        return equalize_hist_global_planes(planes, axis_name=axis_name)
+        return equalize_hist_global_planes(planes, axis_name=axis_name, channels=channels)
 
     sharded = jax.shard_map(
         fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name), check_vma=False

@@ -1,6 +1,5 @@
-"""Shared utilities: shape canonicalization and exact cvRound helpers."""
+"""Shared utilities: shape canonicalization."""
 
-from imageenhancement_mp_tpu.utils.rounding import round_half_even_ratio
 from imageenhancement_mp_tpu.utils.shapes import as_planes
 
-__all__ = ["as_planes", "round_half_even_ratio"]
+__all__ = ["as_planes"]

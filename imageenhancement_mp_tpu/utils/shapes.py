@@ -17,7 +17,7 @@ AMBIGUITY: a 3-D input whose last dim is ≤ 4 is interpreted as one
 ``[H, W, C]`` image (the overwhelmingly common case).  A batch of grayscale
 images narrower than 5 pixels ``[N, H, W≤4]`` would be misread — pass it
 with an explicit channel dim (``[N, H, W, 1]``) or set
-``channels_last=False``.
+``channels_last=False`` (exposed as a kwarg on every public API function).
 """
 
 from __future__ import annotations

@@ -281,3 +281,52 @@ def test_equalize_hist_video_mode(rng):
     # all frames share the LUT: same input value -> same output everywhere
     per = np.asarray(ie.equalize_hist(batch))
     assert not np.array_equal(got, per)  # differs from per-frame mode
+
+
+def test_equalize_hist_pooled_per_channel(rng):
+    """api.equalize_hist(per_frame=False): per-channel pooling across frames."""
+    import imageenhancement_mp_tpu as ie
+    from imageenhancement_mp_tpu.ref import ops as ref_ops
+
+    N, H, W, C = 5, 19, 23, 3
+    x = rng.integers(0, 256, (N, H, W, C), dtype=np.uint8)
+    got = np.asarray(ie.equalize_hist(x, per_frame=False))
+    want = np.empty_like(x)
+    for c in range(C):
+        stack = x[..., c]
+        hist = np.bincount(stack.ravel(), minlength=256)
+        lut = ref_ops._equalize_lut(hist, stack.size)
+        want[..., c] = lut[stack]
+    assert np.array_equal(got, want)
+
+    # per_channel=False: one LUT pooled over every plane
+    got_all = np.asarray(ie.equalize_hist(x, per_frame=False, per_channel=False))
+    hist = np.bincount(x.ravel(), minlength=256)
+    lut = ref_ops._equalize_lut(hist, x.size)
+    assert np.array_equal(got_all, lut[x])
+
+    # a single [H,W,C] image in pooled-per-channel mode == per-frame mode
+    one = x[0]
+    assert np.array_equal(
+        np.asarray(ie.equalize_hist(one, per_frame=False)),
+        np.asarray(ie.equalize_hist(one)),
+    )
+
+
+def test_channels_last_escape_hatch(rng):
+    """[N,H,W<=4] grayscale batches are expressible via channels_last=False."""
+    import imageenhancement_mp_tpu as ie
+    from imageenhancement_mp_tpu import ref
+
+    x = rng.integers(0, 256, (6, 32, 3), dtype=np.uint8)  # 6 narrow gray frames
+    got = np.asarray(ie.equalize_hist(x, channels_last=False))
+    want = np.stack([ref.equalize_hist(p) for p in x])
+    assert np.array_equal(got, want)
+    # default (channels_last=True) reads the same array as one [H,W,C] image
+    got_hwc = np.asarray(ie.equalize_hist(x))
+    want_hwc = np.stack([ref.equalize_hist(x[..., c]) for c in range(3)], axis=-1)
+    assert np.array_equal(got_hwc, want_hwc)
+    # filters take it too
+    got_g = np.asarray(ie.gaussian_blur(x, 3, channels_last=False))
+    want_g = np.stack([ref.gaussian_blur(p, 3, 0.0) for p in x])
+    assert np.array_equal(got_g, want_g)

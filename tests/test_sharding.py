@@ -85,3 +85,23 @@ def test_global_histeq_collective_matches_pooled_oracle(rng):
     # single-device path agrees
     single = np.asarray(equalize_hist_global_planes(batch))
     assert maxdiff(single, want) == 0
+
+
+def test_global_histeq_per_channel_sharded(rng):
+    """channels>1: each channel pools its own histogram across frames+shards."""
+    from imageenhancement_mp_tpu.parallel.sharding import equalize_hist_global_sharded
+
+    mesh = make_mesh(8)
+    N, C, H, W = 16, 3, 21, 26
+    batch = rng.integers(0, 256, (N * C, H, W), dtype=np.uint8)  # frame-major
+    x = device_put_sharded_batch(batch, mesh)
+    got = np.asarray(equalize_hist_global_sharded(mesh, channels=C)(x))
+
+    want = np.empty_like(batch)
+    for c in range(C):
+        idx = [n * C + c for n in range(N)]
+        stack = batch[idx]
+        hist = np.bincount(stack.ravel(), minlength=256)
+        lut = ref_ops._equalize_lut(hist, stack.size)
+        want[idx] = lut[stack]
+    assert maxdiff(got, want) == 0
