@@ -31,12 +31,14 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "histeq+unsharp 1080p gray b8": 0.607,
     "histeq+unsharp 4K gray b2": 0.294,
     "equalize_hist 512x512": 1.657,
-    "gamma+stretch 1080p rgb b32": 0.811,
+    "gamma+stretch 1080p rgb b32": 0.939,  # LUT gamma + per-channel normalize
     "unsharp 1080p gray b8": 0.963,
     "gaussian5 1080p gray b8": 1.339,
-    "median3 1080p gray b8": 0.750,
+    "gaussian5 4K gray b2": 0.874,
+    "median3 1080p gray b8": 1.729,
     "median5 1080p gray b8": 0.750,
-    "clahe 4K rgb": 0.224,
+    "median5 4K gray b2": 0.722,
+    "clahe 4K rgb": 0.156,  # per-channel cv2 CLAHE on 4K RGB
     "median5>clahe>unsharp 4K gray b2": 0.122,
 }
 
@@ -58,6 +60,13 @@ def main() -> int:
         "--json-out",
         default=None,
         help="also write the full per-config table as JSON to this path",
+    )
+    ap.add_argument(
+        "--gate",
+        type=float,
+        default=400.0,
+        help="fail (exit 1) if the TPU headline falls below this GPix/s floor "
+        "(0 disables; ignored on the CPU backend)",
     )
     ap.add_argument(
         "--profile",
@@ -90,6 +99,19 @@ def main() -> int:
             lambda x: np.stack([ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0) for p in x]),
         )
     ]
+    def gray_oracle(op):
+        """Per-plane oracle over a [N,H,W] batch."""
+        return lambda x: np.stack([op(p) for p in x])
+
+    def rgb_oracle(op):
+        """Per-plane oracle over a [N,H,W,C] batch."""
+        return lambda x: np.stack(
+            [
+                np.stack([op(x[n, :, :, c]) for c in range(x.shape[-1])], axis=-1)
+                for n in range(x.shape[0])
+            ]
+        )
+
     if args.all:
         i512 = rng.integers(0, 256, (512, 512), dtype=np.uint8)
         b32 = rng.integers(0, 256, (32, 1080, 1920, 3), dtype=np.uint8)
@@ -101,40 +123,67 @@ def main() -> int:
                 "histeq+unsharp 4K gray b2",
                 lambda x: equalize_unsharp(x, 1.0, 5, 0.0),
                 b4k,
-                lambda x: np.stack([ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0) for p in x]),
+                gray_oracle(lambda p: ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0)),
             ),
             ("equalize_hist 512x512", ie.equalize_hist, i512, lambda x: ref.equalize_hist(x)),
-            ("gamma+stretch 1080p rgb b32", pipe2, b32, None),
-            ("unsharp 1080p gray b8", lambda x: ie.unsharp_mask(x, 1.0, 5), b1080, None),
-            ("gaussian5 1080p gray b8", lambda x: ie.gaussian_blur(x, 5), b1080, None),
-            ("median3 1080p gray b8", lambda x: ie.median_blur(x, 3), b1080, None),
-            ("median5 1080p gray b8", lambda x: ie.median_blur(x, 5), b1080, None),
+            (
+                "gamma+stretch 1080p rgb b32",
+                pipe2,
+                b32,
+                rgb_oracle(lambda p: ref.contrast_stretch(ref.gamma_transform(p, 2.2))),
+            ),
+            (
+                "unsharp 1080p gray b8",
+                lambda x: ie.unsharp_mask(x, 1.0, 5),
+                b1080,
+                gray_oracle(lambda p: ref.unsharp_mask(p, 1.0, 5, 0.0)),
+            ),
+            (
+                "gaussian5 1080p gray b8",
+                lambda x: ie.gaussian_blur(x, 5),
+                b1080,
+                gray_oracle(lambda p: ref.gaussian_blur(p, 5, 0.0)),
+            ),
+            (
+                "median3 1080p gray b8",
+                lambda x: ie.median_blur(x, 3),
+                b1080,
+                gray_oracle(lambda p: ref.median_blur(p, 3)),
+            ),
+            (
+                "median5 1080p gray b8",
+                lambda x: ie.median_blur(x, 5),
+                b1080,
+                gray_oracle(lambda p: ref.median_blur(p, 5)),
+            ),
             (
                 "gaussian5 4K gray b2",
                 lambda x: ie.gaussian_blur(x, 5),
                 b4k,
-                None,
+                gray_oracle(lambda p: ref.gaussian_blur(p, 5, 0.0)),
             ),
             (
                 "median5 4K gray b2",
                 lambda x: ie.median_blur(x, 5),
                 b4k,
-                None,
+                gray_oracle(lambda p: ref.median_blur(p, 5)),
             ),
             (
                 "clahe 4K rgb",
                 lambda x: ie.clahe(x, 2.0, (8, 8)),
                 rgb4k,
-                lambda x: np.stack(
-                    [
-                        np.stack(
-                            [ref.clahe(x[n, :, :, c], 2.0, (8, 8)) for c in range(3)], axis=-1
-                        )
-                        for n in range(x.shape[0])
-                    ]
+                rgb_oracle(lambda p: ref.clahe(p, 2.0, (8, 8))),
+            ),
+            (
+                "median5>clahe>unsharp 4K gray b2",
+                pipe5,
+                b4k,
+                gray_oracle(
+                    lambda p: ref.unsharp_mask(
+                        ref.clahe(ref.median_blur(p, 5), 2.0, (8, 8)), 1.0, 5, 0.0
+                    )
                 ),
             ),
-            ("median5>clahe>unsharp 4K gray b2", pipe5, b4k, None),
         ]
 
     # ---------------- phase 1: timing (NO device->host transfers) ----------
@@ -163,6 +212,7 @@ def main() -> int:
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     # ---------------- phase 2: parity (transfers OK; slow per-call) --------
+    parity = {}
     if not args.no_parity:
         for name, fn, x, oracle in suite:
             if oracle is None:
@@ -171,6 +221,7 @@ def main() -> int:
             got = np.asarray(f(xd))
             want = oracle(x)
             lsb = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            parity[name] = lsb
             print(f"{name:40s} max-LSB={lsb}", file=sys.stderr)
 
     if args.json_out:
@@ -187,6 +238,7 @@ def main() -> int:
                                 if name in BASELINES
                                 else None
                             ),
+                            "max_lsb": parity.get(name),
                         }
                         for name, g in results.items()
                     ],
@@ -207,7 +259,26 @@ def main() -> int:
             }
         )
     )
-    return 0
+
+    # ---------------- regression gates ------------------------------------
+    # Perf floor (TPU only): half the round-1 measured 771 GPix/s headline,
+    # far above any unfused/regressed state (docs/DESIGN.md §4).  Parity
+    # gate: every oracled uint8 σ=0 row must stay within the judged ±1 LSB.
+    rc = 0
+    if args.gate > 0 and dev.platform != "cpu":
+        if headline < args.gate:
+            print(
+                f"GATE FAIL: headline {headline:.1f} GPix/s below the "
+                f"{args.gate:.0f} GPix/s floor — XLA fusion or kernel "
+                "dispatch regressed (see docs/DESIGN.md §4)",
+                file=sys.stderr,
+            )
+            rc = 1
+    bad = {k: v for k, v in parity.items() if v > 1}
+    if bad:
+        print(f"GATE FAIL: parity over ±1 LSB: {bad}", file=sys.stderr)
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
