@@ -35,11 +35,9 @@ __all__ = ["median_blur_pallas"]
 
 
 def _median_kernel(
-    in_hbm, out_hbm, buf_in, buf_out, sem_in, sem_out, *, ksize, th, n_tiles
+    in_hbm, out_hbm, buf_in, buf_out, sem_in, sem_out, *, ksize, th, n_tiles, halo
 ):
     b = pl.program_id(0)
-    pad = ksize // 2
-    halo = -(-2 * pad // 8) * 8
 
     def dma_in(slot, t):
         return pltpu.make_async_copy(
@@ -67,7 +65,7 @@ def _median_kernel(
         def _():
             dma_out(slot, t - 2).wait()
 
-        x = buf_in[slot].astype(jnp.int32)  # u8 -> i32 for VPU min/max
+        x = buf_in[slot].astype(jnp.int32)  # u8/u16 -> i32 for VPU min/max
         # window taps: rows j (0..k-1), cols shifted left by j
         taps = [
             _shift_left(x[dy : dy + th, :], dx)
@@ -75,7 +73,7 @@ def _median_kernel(
             for dx in range(ksize)
         ]
         med = _median9(taps) if ksize == 3 else _median25(taps)
-        buf_out[slot] = med.astype(jnp.uint8)
+        buf_out[slot] = med.astype(buf_out.dtype)
         dma_out(slot, t).start()
 
     jax.lax.fori_loop(0, n_tiles, body, None)
@@ -90,41 +88,48 @@ def _median_kernel(
 def median_blur_pallas(
     planes: jnp.ndarray, ksize: int = 3, tile_rows: int = 256, interpret: bool | None = None
 ) -> jnp.ndarray:
-    """``cv2.medianBlur`` on uint8 planes — exact; border = replicate."""
+    """``cv2.medianBlur`` on uint8/uint16 planes — exact; border = replicate."""
     if ksize not in (3, 5):
         raise ValueError("pallas median supports ksize in (3, 5)")
+    if planes.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"pallas median supports uint8/uint16, got {planes.dtype}")
     B, H, W = planes.shape
     pad = ksize // 2
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # DMA row slices must be aligned to the dtype's sublane packing:
+    # 8 rows for u8 (measured), 16 for 2-byte types ((16,128) native tile)
+    ra = 8 if planes.dtype == jnp.uint8 else 16
     wp = _round_up(W + 2 * pad, _LANES)
     # i32 working set: ~k^2 window taps + sorting temps, 4B each; bound th
     # so the live set stays well under the 16MB VMEM scoped limit
     bytes_per_row = (ksize * ksize + 10) * 4 * wp
-    vmem_cap = max(8, min(tile_rows, 6_000_000 // bytes_per_row // 8 * 8))
-    h8 = _round_up(H, 8)
+    vmem_cap = max(ra, min(tile_rows, 6_000_000 // bytes_per_row // ra * ra))
+    h8 = _round_up(H, ra)
     if h8 <= vmem_cap:
         th = h8
     else:
-        th = min(range(8, vmem_cap + 1, 8), key=lambda c: (_round_up(h8, c), -c))
+        th = min(range(ra, vmem_cap + 1, ra), key=lambda c: (_round_up(h8, c), -c))
     hp = _round_up(h8, th)
-    halo = -(-2 * pad // 8) * 8
+    halo = _round_up(2 * pad, ra)
 
     p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     p = jnp.pad(p, ((0, 0), (0, hp + halo - H - 2 * pad), (0, wp - W - 2 * pad)), mode="edge")
     n_tiles = hp // th
 
-    kernel = functools.partial(_median_kernel, ksize=ksize, th=th, n_tiles=n_tiles)
+    kernel = functools.partial(
+        _median_kernel, ksize=ksize, th=th, n_tiles=n_tiles, halo=halo
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        out_shape=jax.ShapeDtypeStruct((B, hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wp), planes.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, th + halo, wp), jnp.uint8),
-            pltpu.VMEM((2, th, wp), jnp.uint8),
+            pltpu.VMEM((2, th + halo, wp), planes.dtype),
+            pltpu.VMEM((2, th, wp), planes.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

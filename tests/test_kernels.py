@@ -101,3 +101,27 @@ def test_fused_median_unsharp_small_image_fallback(rng):
     got = median_unsharp_pallas(x, 5, 1.0, 5, interpret=True)
     want = ref.unsharp_mask(ref.median_blur(x[0], 5), 1.0, 5, 0.0)[None]
     assert maxdiff(got, want) == 0
+
+
+def test_median_pallas_u16(rng):
+    """u16 Pallas median (interpret on CPU) vs oracle — exact, both sizes."""
+    from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
+    from imageenhancement_mp_tpu import ref
+
+    planes = rng.integers(0, 65536, (2, 53, 67), dtype=np.uint16)
+    for k in (3, 5):
+        got = np.asarray(median_blur_pallas(planes, k))
+        want = np.stack([ref.median_blur(p, k) for p in planes])
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, want), k
+
+
+def test_median_pallas_u16_dispatch(rng):
+    """ops.median_blur_planes routes u16 k3/k5 to the Pallas kernel."""
+    from imageenhancement_mp_tpu.ops.median import median_blur_planes
+    from imageenhancement_mp_tpu import ref
+
+    planes = rng.integers(0, 65536, (1, 40, 44), dtype=np.uint16)
+    got = np.asarray(median_blur_planes(planes, 5, backend="pallas"))
+    want = np.stack([ref.median_blur(p, 5) for p in planes])
+    assert np.array_equal(got, want)
