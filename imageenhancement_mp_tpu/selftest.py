@@ -59,12 +59,31 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
     checks += [
         ("gauss5/u16", lambda: ie.gaussian_blur(img16, 5),
          lambda: ref.gaussian_blur(img16, 5, 0.0), 0),
+        ("median3/u16", lambda: ie.median_blur(img16, 3),
+         lambda: ref.median_blur(img16, 3), 0),
         ("median5/u16", lambda: ie.median_blur(img16, 5),
          lambda: ref.median_blur(img16, 5), 0),
         ("clahe/u16", lambda: ie.clahe(img16, 2.0, (4, 4)),
          lambda: ref.clahe(img16, 2.0, (4, 4)), 1),
         ("unsharp/u16", lambda: ie.unsharp_mask(img16, 1.0),
          lambda: ref.unsharp_mask(img16, 1.0), 0),
+    ]
+
+    # pooled (video-mode) equalization: per-channel LUTs across frames
+    vid = rng.integers(0, 256, (3, *size, 2), dtype=np.uint8)
+
+    def _pooled_oracle():
+        from imageenhancement_mp_tpu.ref.ops import _equalize_lut
+
+        out = np.empty_like(vid)
+        for c in range(vid.shape[-1]):
+            stack = vid[..., c]
+            hist = np.bincount(stack.ravel(), minlength=256)
+            out[..., c] = _equalize_lut(hist, stack.size)[stack]
+        return out
+
+    checks += [
+        ("equalize/pool", lambda: ie.equalize_hist(vid, per_frame=False), _pooled_oracle, 0),
     ]
 
     dev = jax.devices()[0]
