@@ -73,7 +73,7 @@ def main() -> int:
         metavar="DIR",
         default=None,
         help="capture a jax.profiler trace of the headline config into DIR "
-        "(may hang on tunneled PJRT platforms like axon — off by default)",
+        "(verified working on the axon tunnel — see docs/traces/)",
     )
     args = ap.parse_args()
 
