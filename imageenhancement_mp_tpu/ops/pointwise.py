@@ -93,31 +93,65 @@ def convert_scale_abs_planes(
     return apply_lut_planes(planes, jnp.asarray(convert_scale_abs_lut(alpha, beta, n)))
 
 
+def _two_prod(x, y):
+    """Dekker two-product: exact ``x·y = p + e`` in f32 (no FMA hardware)."""
+    p = x * y
+    c = jnp.float32(4097.0)  # 2^12 + 1: f32 Veltkamp split constant
+    xx = x * c
+    xh = xx - (xx - x)
+    xl = x - xh
+    yy = y * c
+    yh = yy - (yy - y)
+    yl = y - yh
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    return p, e
+
+
+def _two_sum(x, y):
+    """Knuth two-sum: exact ``x + y = s + e`` in f32, any signs."""
+    s = x + y
+    yp = s - x
+    e = (x - (s - yp)) + (y - yp)
+    return s, e
+
+
+def _fma32(i, scale, shift):
+    """Single-rounded f32 FMA ``RN(i·scale + shift)`` emulated with exact
+    error terms (matches cv2's SIMD convertTo rounding; the oracle's
+    f64-product + one-f32-rounding trick, ref/ops.py)."""
+    p, pe = _two_prod(i, scale)
+    s, se = _two_sum(p, shift)
+    return s + (pe + se)
+
+
+def _stretch_scale_tables(a: float, b: float, maxv: int):
+    """Host-built double-float tables of cv2's f64 ``scale = (β−α)·(1/d)``
+    for every possible integer range ``d = max − min`` (the key insight:
+    d has ≤ maxv values, so the f64 arithmetic JAX can't do on device is a
+    static table lookup).  Returns (hi, lo) f32 pairs with hi = f32(scale64),
+    lo = f32(scale64 − hi)."""
+    d = np.arange(maxv + 1, dtype=np.float64)
+    d[0] = 1.0  # constant plane: handled by the d==0 select
+    scale64 = (b - a) * (1.0 / d)  # cv2's reciprocal-multiply convention
+    sh = scale64.astype(np.float32)
+    sl = (scale64 - sh.astype(np.float64)).astype(np.float32)
+    return sh, sl
+
+
 def contrast_stretch_planes(
     planes: jnp.ndarray, out_range: tuple[float, float] = (0.0, 255.0)
 ) -> jnp.ndarray:
-    """``cv2.normalize(MINMAX, α, β)`` per plane (SURVEY.md §8.5; exact for
-    the default 0..255 range, ±1 for arbitrary float ranges).
+    """``cv2.normalize(MINMAX, α, β)`` per plane (SURVEY.md §8.5) — exact
+    for uint8/uint16 across arbitrary float ranges.
 
-    uint8: ``round((x − min)·(β−α)/(max − min) + α)`` half-to-even (computed
-    in f64-equivalent exact int math only for the default 0..255 case; the
-    general case uses f32 LUT math, still exact for 8-bit domains since all
-    products are < 2^24).  Constant plane → α.
-    float32: no rounding (cv2 float path).
+    cv2 computes ``scale/shift`` in f64 and applies a single-rounded f32
+    FMA per element; JAX has no f64, so the f64 parts are reproduced with
+    a static per-``d`` double-float scale table plus double-float shift
+    arithmetic, and the per-entry FMA with an exact-error-term emulation.
+    Constant plane → α.  float32: no rounding (cv2 float path).
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))
-    if planes.dtype == jnp.uint16:
-
-        def one16(p: jnp.ndarray) -> jnp.ndarray:
-            lo = p.min().astype(jnp.float32)
-            hi = p.max().astype(jnp.float32)
-            scale = jnp.float32(b - a) / jnp.maximum(hi - lo, jnp.float32(1.0))
-            out = jnp.round((p.astype(jnp.float32) - lo) * scale + jnp.float32(a))
-            out = jnp.where(hi == lo, jnp.float32(np.clip(round(a), 0, 65535)), out)
-            return jnp.clip(out, 0, 65535).astype(jnp.uint16)
-
-        return jax.vmap(one16)(planes)
     if planes.dtype == jnp.float32:
 
         def onef(p: jnp.ndarray) -> jnp.ndarray:
@@ -128,20 +162,28 @@ def contrast_stretch_planes(
 
         return jax.vmap(onef)(planes)
 
+    maxv = 65535 if planes.dtype == jnp.uint16 else 255
+    sh_np, sl_np = _stretch_scale_tables(a, b, maxv)
+    sh_tab = jnp.asarray(sh_np)
+    sl_tab = jnp.asarray(sl_np)
+    # α as a static double-float pair
+    ah = np.float32(a)
+    al = np.float32(a - float(ah))
+    fill = jnp.int32(round(max(min(a, float(maxv)), 0.0)))
+
     def one(p: jnp.ndarray) -> jnp.ndarray:
-        # mirror cv2's normalize->convertTo expression (reciprocal-multiply
-        # scale, round(x*scale + shift)); f32 here vs cv2's f64 flips only
-        # exact .5 ties (±1, rare)
-        lo = p.min().astype(jnp.float32)
-        hi = p.max().astype(jnp.float32)
-        den = jnp.maximum(hi - lo, jnp.float32(1.0))
-        scale = jnp.float32(b - a) * (jnp.float32(1.0) / den)
-        shift = jnp.float32(a) - lo * scale
-        i = jnp.arange(256, dtype=jnp.float32)
-        lut = jnp.clip(jnp.round(i * scale + shift), 0, 255).astype(jnp.int32)
-        lut = jnp.where(hi == lo, jnp.int32(round(max(min(a, 255.0), 0.0))), lut).astype(
-            jnp.uint8
-        )
+        lo = p.min().astype(jnp.int32)
+        hi = p.max().astype(jnp.int32)
+        d = hi - lo
+        scale = sh_tab[d]  # f32(scale64), cv2's per-element scale
+        # shift64 = α − lo·scale64, reproduced in double-float
+        lof = lo.astype(jnp.float32)  # exact (integer ≤ 65535)
+        p1, e1 = _two_prod(lof, scale)
+        s1, se1 = _two_sum(jnp.float32(ah), -p1)
+        shift = s1 + ((jnp.float32(al) - e1 - lof * sl_tab[d]) + se1)
+        i = jnp.arange(maxv + 1, dtype=jnp.float32)
+        lut = jnp.clip(jnp.round(_fma32(i, scale, shift)), 0, maxv).astype(jnp.int32)
+        lut = jnp.where(d == 0, fill, lut).astype(planes.dtype)
         return lut[p.astype(jnp.int32)]
 
     return jax.vmap(one)(planes)

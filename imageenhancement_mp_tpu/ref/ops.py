@@ -158,8 +158,9 @@ def contrast_stretch(
     (SURVEY.md §8.5; probe: round((x−min)·(β−α)/(max−min) + α) half-even,
     range sorted so src-min maps to min(α,β); constant image → min(α,β)).
 
-    uint8: exact for the default (0, 255) range; arbitrary float ranges can
-    tie-flip ±1 (fuzz: 1 case in ~2000).  uint16/float32: ±1 / no rounding.
+    uint8/uint16: bit-exact vs cv2 for arbitrary float ranges (0/6000
+    fuzz mismatches — the FMA emulation below is the whole story).
+    float32: cv2 float path, no rounding.
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))

@@ -42,7 +42,7 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("apply_lut", lambda: ie.apply_lut(img, lut), lambda: ref.apply_lut(img, lut), 0),
         ("gamma 2.2", lambda: ie.gamma(img, 2.2), lambda: ref.gamma_transform(img, 2.2), 0),
         ("log", lambda: ie.log_transform(img), lambda: ref.log_transform(img), 0),
-        ("stretch", lambda: ie.contrast_stretch(img), lambda: ref.contrast_stretch(img), 1),
+        ("stretch", lambda: ie.contrast_stretch(img), lambda: ref.contrast_stretch(img), 0),
         ("scale_abs", lambda: ie.convert_scale_abs(img, 1.3, -7.0),
          lambda: ref.convert_scale_abs(img, 1.3, -7.0), 0),
         ("histogram", lambda: ie.histogram(img), lambda: ref.calc_hist(img), 0),

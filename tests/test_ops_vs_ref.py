@@ -330,3 +330,24 @@ def test_channels_last_escape_hatch(rng):
     got_g = np.asarray(ie.gaussian_blur(x, 3, channels_last=False))
     want_g = np.stack([ref.gaussian_blur(p, 3, 0.0) for p in x])
     assert np.array_equal(got_g, want_g)
+
+
+def test_contrast_stretch_arbitrary_ranges_exact(rng):
+    """Device stretch is bit-exact vs cv2 for arbitrary float ranges (the
+    round-2 double-float scale/shift + FMA-emulation path), u8 and u16."""
+    cv2 = pytest.importorskip("cv2")
+    from imageenhancement_mp_tpu.ops.pointwise import contrast_stretch_planes
+
+    for dt, hi_v in [(np.uint8, 256), (np.uint16, 65536)]:
+        for _ in range(25):
+            p = rng.integers(0, hi_v, (2, 9, 11), dtype=dt)
+            a = float(rng.uniform(-200, hi_v * 1.2))
+            b = a + float(rng.uniform(0.0, hi_v * 1.2))
+            got = np.asarray(contrast_stretch_planes(p, (a, b)))
+            want = np.stack([cv2.normalize(q, None, a, b, cv2.NORM_MINMAX) for q in p])
+            assert np.array_equal(got, want), (dt, a, b)
+    # constant plane edge case
+    const = np.full((1, 6, 6), 77, np.uint8)
+    got = np.asarray(contrast_stretch_planes(const, (10.5, 200.0)))
+    want = cv2.normalize(const[0], None, 10.5, 200.0, cv2.NORM_MINMAX)[None]
+    assert np.array_equal(got, want)
