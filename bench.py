@@ -40,6 +40,9 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "median5 4K gray b2": 0.722,
     "clahe 4K rgb": 0.156,  # per-channel cv2 CLAHE on 4K RGB
     "median5>clahe>unsharp 4K gray b2": 0.122,
+    "clahe/u16 4K gray b2": 0.049,
+    "median5/u16 4K gray b2": 0.395,
+    "gaussian5/u16 4K gray b2": 0.497,
 }
 
 
@@ -183,6 +186,28 @@ def main() -> int:
                         ref.clahe(ref.median_blur(p, 5), 2.0, (8, 8)), 1.0, 5, 0.0
                     )
                 ),
+            ),
+        ]
+        # uint16 tier (the headline extension; baselines measured BASELINE.md)
+        b4k16 = rng.integers(0, 65536, (2, 2160, 3840), dtype=np.uint16)
+        suite += [
+            (
+                "clahe/u16 4K gray b2",
+                lambda x: ie.clahe(x, 2.0, (8, 8)),
+                b4k16,
+                gray_oracle(lambda p: ref.clahe(p, 2.0, (8, 8))),
+            ),
+            (
+                "median5/u16 4K gray b2",
+                lambda x: ie.median_blur(x, 5),
+                b4k16,
+                gray_oracle(lambda p: ref.median_blur(p, 5)),
+            ),
+            (
+                "gaussian5/u16 4K gray b2",
+                lambda x: ie.gaussian_blur(x, 5),
+                b4k16,
+                gray_oracle(lambda p: ref.gaussian_blur(p, 5, 0.0)),
             ),
         ]
 

@@ -351,3 +351,18 @@ def test_contrast_stretch_arbitrary_ranges_exact(rng):
     got = np.asarray(contrast_stretch_planes(const, (10.5, 200.0)))
     want = cv2.normalize(const[0], None, 10.5, 200.0, cv2.NORM_MINMAX)[None]
     assert np.array_equal(got, want)
+
+
+def test_pooled_histeq_int32_overflow_guard():
+    """Pooled totals past 2^31 pixels must raise at trace time, not wrap."""
+    import jax
+    import jax.numpy as jnp
+    from imageenhancement_mp_tpu.ops.histogram import equalize_hist_global_planes
+
+    big = jax.ShapeDtypeStruct((1100, 1080, 1920), jnp.uint8)  # 2.28e9 px
+    with pytest.raises(ValueError, match="overflow"):
+        jax.eval_shape(equalize_hist_global_planes, big)
+    # just under the limit traces fine
+    ok = jax.ShapeDtypeStruct((1000, 1080, 1920), jnp.uint8)  # 2.07e9 px
+    out = jax.eval_shape(equalize_hist_global_planes, ok)
+    assert out.shape == ok.shape
