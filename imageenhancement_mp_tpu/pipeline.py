@@ -29,11 +29,15 @@ __all__ = ["OP_REGISTRY", "make_pipeline", "equalize_unsharp", "stream_frames"]
 Stage = tuple[str, dict[str, Any]]
 
 
-def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def make_pipeline(
+    stages: Sequence[Stage | str], channels_last: bool = True
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Compose named stages into one jitted callable over batched images.
 
     ``stages``: sequence of ``name`` or ``(name, kwargs)``; kwargs must be
-    static (hashable).  Example (config 5)::
+    static (hashable).  ``channels_last=False`` reads 3-D inputs as
+    ``[N, H, W]`` grayscale even when W ≤ 4 (utils/shapes.py).
+    Example (config 5)::
 
         pipe = make_pipeline([
             ("median_blur", {"ksize": 5}),
@@ -63,7 +67,7 @@ def make_pipeline(stages: Sequence[Stage | str]) -> Callable[[jnp.ndarray], jnp.
 
     @jax.jit
     def run_jit(img: jnp.ndarray) -> jnp.ndarray:
-        planes, restore = as_planes(img)
+        planes, restore = as_planes(img, channels_last=channels_last)
         for name, kw in norm_t:
             planes = OP_REGISTRY[name](planes, **dict(kw))
         return restore(planes)

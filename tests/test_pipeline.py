@@ -79,3 +79,15 @@ def test_profiling_helpers(rng):
     secs = time_op(pipe, img, iters=2, warmup=1)
     assert secs > 0
     assert throughput_gpixs(img.shape, secs) > 0
+
+
+def test_pipeline_channels_last_false(rng):
+    """make_pipeline(channels_last=False) treats [N,H,W<=4] as gray frames."""
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+    from imageenhancement_mp_tpu import ref
+
+    x = rng.integers(0, 256, (5, 24, 3), dtype=np.uint8)
+    pipe = make_pipeline([("equalize_hist", {})], channels_last=False)
+    got = np.asarray(pipe(x))
+    want = np.stack([ref.equalize_hist(p) for p in x])
+    assert np.array_equal(got, want)
