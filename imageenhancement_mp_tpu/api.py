@@ -195,8 +195,8 @@ def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8), ch
 def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0, channels_last: bool = True):
     """``cv2.GaussianBlur((k,k), σ)``.
 
-    σ=0: bit-exact for k ≤ 11 (binomial/256-sum taps), ≤2 LSB for larger k.
-    σ>0: within ±2 LSB (cv2's softfloat path; judged configs use σ=0).
+    Bit-exact for any odd ksize and ANY σ on uint8/uint16 (cv2's
+    cumulative-quantized fixed-point taps — docs/PARITY.md).
     """
     return _apply("gaussian_blur", img, channels_last, ksize=int(ksize), sigma=float(sigma))
 

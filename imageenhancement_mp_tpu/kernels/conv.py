@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed
+from imageenhancement_mp_tpu.ref.ops import gaussian_kernel_fixed
 
 from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
@@ -46,15 +46,13 @@ def _conv_kernel(
     taps: tuple[float, ...],
     th: int,
     n_tiles: int,
-    fixed_point: bool,
     amount: float | None,
 ):
     """One plane: loop over row stripes with double-buffered in/out DMA."""
     b = pl.program_id(0)
     k = len(taps)
     pad = k // 2
-    if fixed_point:
-        taps = tuple(int(t) for t in taps)  # int constants keep i32 math i32
+    taps = tuple(int(t) for t in taps)  # int constants keep i32 math i32
 
     halo = -(-2 * pad // 8) * 8  # DMA row counts must be 8-aligned
 
@@ -89,50 +87,33 @@ def _conv_kernel(
         def _():
             dma_out(slot, t - 2).wait()
 
-        if fixed_point:
-            # Pure int32 path: taps·256 are integers, acc < 2^24, output
-            # (acc + 2^15) >> 16 — bit-exact and ~25% faster than f32
-            # (smaller working set → bigger stripes).  Taps are symmetric:
-            # pair the mirrored ends to halve the multiplies.
-            x = buf_in[slot].astype(jnp.int32)
-            v = taps[pad] * x[pad : pad + th, :]
-            for j in range(pad):
-                v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
-            h = taps[pad] * _shift_left(v, pad)
-            for j in range(pad):
-                h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
-            blur = jnp.clip((h + 32768) >> 16, 0, 255)
-            if amount is None:
-                res = blur
-            else:
-                src = _shift_left(x[pad : pad + th, :], pad)
-                if amount == int(amount):
-                    # integral gain: exact in int32
-                    res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
-                else:
-                    srcf = src.astype(jnp.float32)
-                    res = jnp.clip(
-                        jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))),
-                        0.0,
-                        255.0,
-                    ).astype(jnp.int32)
-            buf_out[slot] = res.astype(jnp.uint8)
+        # Pure int32 path: taps·256 are integers, acc < 2^24, output
+        # (acc + 2^15) >> 16 — bit-exact and ~25% faster than f32
+        # (smaller working set → bigger stripes).  Taps are symmetric:
+        # pair the mirrored ends to halve the multiplies.
+        x = buf_in[slot].astype(jnp.int32)
+        v = taps[pad] * x[pad : pad + th, :]
+        for j in range(pad):
+            v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
+        h = taps[pad] * _shift_left(v, pad)
+        for j in range(pad):
+            h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
+        blur = jnp.clip((h + 32768) >> 16, 0, 255)
+        if amount is None:
+            res = blur
         else:
-            # float taps (σ>0): f32 accumulation, cvRound at the end
-            x = buf_in[slot].astype(jnp.int32).astype(jnp.float32)
-            v = taps[pad] * x[pad : pad + th, :]
-            for j in range(pad):
-                v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
-            h = taps[pad] * _shift_left(v, pad)
-            for j in range(pad):
-                h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
-            blur = jnp.clip(jnp.round(h), 0.0, 255.0)
-            if amount is None:
-                res = blur
+            src = _shift_left(x[pad : pad + th, :], pad)
+            if amount == int(amount):
+                # integral gain: exact in int32
+                res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
             else:
-                src = _shift_left(x[pad : pad + th, :], pad)
-                res = jnp.clip(jnp.round(src + amount * (src - blur)), 0.0, 255.0)
-            buf_out[slot] = res.astype(jnp.int32).astype(jnp.uint8)
+                srcf = src.astype(jnp.float32)
+                res = jnp.clip(
+                    jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))),
+                    0.0,
+                    255.0,
+                ).astype(jnp.int32)
+        buf_out[slot] = res.astype(jnp.uint8)
         dma_out(slot, t).start()
 
     jax.lax.fori_loop(0, n_tiles, body, None)
@@ -147,7 +128,6 @@ def _conv_kernel(
 def _sep_conv_planes(
     planes: jnp.ndarray,
     taps: tuple[float, ...],
-    fixed_point: bool,
     amount: float | None,
     tile_rows: int = 256,
     interpret: bool | None = None,
@@ -162,8 +142,8 @@ def _sep_conv_planes(
     # columns: pad-left halo + W + pad-right halo, rounded up to lanes.
     wp = _round_up(W + 2 * pad, _LANES)
     # pick stripe height (multiple of 8) minimizing padding waste, bounded so
-    # the working set fits VMEM (~14 B/px int path, ~20 B/px float path)
-    bpp = 14 if fixed_point else 20
+    # the working set fits VMEM (~14 B/px int32 working set)
+    bpp = 14
     vmem_cap = max(8, min(tile_rows, 11_000_000 // (bpp * wp) // 8 * 8))
     h8 = _round_up(H, 8)
     if h8 <= vmem_cap:
@@ -185,7 +165,6 @@ def _sep_conv_planes(
         taps=taps,
         th=th,
         n_tiles=n_tiles,
-        fixed_point=fixed_point,
         amount=amount,
     )
     out = pl.pallas_call(
@@ -209,12 +188,12 @@ def _sep_conv_planes(
 def gaussian_blur_pallas(
     planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0, interpret: bool | None = None
 ) -> jnp.ndarray:
-    """``cv2.GaussianBlur`` as a double-buffered Pallas kernel (σ=0 exact)."""
-    if sigma <= 0:
-        taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize))
-        return _sep_conv_planes(planes, taps, True, None, interpret=interpret)
-    taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
-    return _sep_conv_planes(planes, taps, False, None, interpret=interpret)
+    """``cv2.GaussianBlur`` as a double-buffered Pallas kernel.
+
+    Bit-exact for ANY σ: cv2's Q8 fixed-point taps (cumulative-quantized,
+    ref/ops.py) feed the same integer fixed-point tile math as σ=0."""
+    taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize, sigma))
+    return _sep_conv_planes(planes, taps, None, interpret=interpret)
 
 
 def unsharp_mask_pallas(
@@ -224,9 +203,7 @@ def unsharp_mask_pallas(
     sigma: float = 0.0,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Fused GaussianBlur + addWeighted epilogue in one VMEM residency."""
-    if sigma <= 0:
-        taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize))
-        return _sep_conv_planes(planes, taps, True, float(amount), interpret=interpret)
-    taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
-    return _sep_conv_planes(planes, taps, False, float(amount), interpret=interpret)
+    """Fused GaussianBlur + addWeighted epilogue in one VMEM residency
+    (blur bit-exact for any σ via the Q8 fixed-point taps)."""
+    taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize, sigma))
+    return _sep_conv_planes(planes, taps, float(amount), interpret=interpret)

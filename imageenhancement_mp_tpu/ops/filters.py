@@ -19,7 +19,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.ref.ops import gaussian_kernel, gaussian_kernel_fixed
+from imageenhancement_mp_tpu.ref.ops import (
+    gaussian_kernel,
+    gaussian_kernel_fixed,
+    gaussian_taps_u16,
+)
 
 __all__ = [
     "gaussian_blur_planes",
@@ -44,10 +48,10 @@ def gaussian_blur_planes(
 ) -> jnp.ndarray:
     """``cv2.GaussianBlur`` on uint8/uint16/float32 planes.
 
-    σ=0: bit-exact integer fixed point (u8 in f32; u16 via int32 split
-    accumulation).
-    σ>0: f32 separable float conv + round-half-even (±2 LSB worst case vs
-    cv2's softfloat fixed-point path; judged configs use σ=0).
+    uint8/uint16: bit-exact for ANY σ — cv2's fixed-point taps (Q8 for u8,
+    Q16 for u16; cumulative-quantized, ref/ops.py ``_cdf_fixed_taps``) with
+    exact integer accumulation and one final rounding shift.
+    float32: f32 separable conv (cv2's float path; no rounding).
     ``backend``: "pallas" | "xla" | None (auto: Pallas on TPU).  Standalone
     calls favor the Pallas kernel; fused pipelines default to "xla" so the
     whole chain stays in one compiler view (clean A/B shows the two chain
@@ -62,23 +66,16 @@ def gaussian_blur_planes(
         return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)
     if planes.dtype == jnp.uint16:
         if sigma <= 0 and ksize <= 9:
+            # dyadic /256 taps: the cheaper Q8 split-accumulation suffices
             return _gauss_u16_fixed(planes, ksize)
-        # k>=11 auto-sigma and all sigma>0: float path (cv2's u16 path uses
-        # higher-precision taps there; f32 keeps within a few LSB)
-        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
-        out = jnp.round(_sep_conv_f32(planes, taps))
-        return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+        return _gauss_u16_q16(planes, ksize, sigma)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import gaussian_blur_pallas
 
         return gaussian_blur_pallas(planes, ksize, sigma)
-    if sigma <= 0:
-        taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
-        acc = _sep_conv_f32(planes, taps)
-        out = jnp.floor((acc + 32768.0) * (1.0 / 65536.0))
-    else:
-        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
-        out = jnp.round(_sep_conv_f32(planes, taps))
+    taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize, sigma))
+    acc = _sep_conv_f32(planes, taps)
+    out = jnp.floor((acc + 32768.0) * (1.0 / 65536.0))
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
@@ -104,6 +101,49 @@ def _gauss_u16_fixed(planes: jnp.ndarray, ksize: int) -> jnp.ndarray:
     A = sum(taps[j] * v_hi[:, :, j : j + W] for j in range(k))
     B = sum(taps[j] * v_lo[:, :, j : j + W] for j in range(k))
     out = (A + ((B + 32768) >> 12)) >> 4
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+
+def _gauss_u16_q16(planes: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
+    """uint16 Gaussian with cv2's Q16 taps — bit-exact without 64-bit math.
+
+    The exact accumulator reaches 2^48 (Σtaps = 2^16, pixels ≤ 2^16,
+    two separable passes), so the value is carried as four int32 partial
+    sums at known power-of-two scales and the final ``(h + 2^31) >> 32``
+    is reassembled with uint32 carry propagation:
+
+      vertical:  x = xh·2^8 + xl       → Vh = Σt·xh, Vl = Σt·xl  (< 2^24)
+      horizontal: V• = a•·2^12 + b•    → S1..S4 = Σt·a/b          (< 2^28)
+      h = S1·2^20 + S2·2^8 + S3·2^12 + S4  (recombined in two u32 words)
+    """
+    taps = tuple(int(t) for t in gaussian_taps_u16(ksize, sigma))
+    k = len(taps)
+    pad = k // 2
+    H, W = planes.shape[-2], planes.shape[-1]
+    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(
+        jnp.int32
+    )
+    xh = p >> 8
+    xl = p & 255
+    Vh = sum(taps[j] * xh[:, j : j + H, :] for j in range(k))
+    Vl = sum(taps[j] * xl[:, j : j + H, :] for j in range(k))
+    ah, bh = Vh >> 12, Vh & 4095
+    al, bl = Vl >> 12, Vl & 4095
+    S1 = sum(taps[j] * ah[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
+    S2 = sum(taps[j] * bh[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
+    S3 = sum(taps[j] * al[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
+    S4 = sum(taps[j] * bl[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
+    t1, h1 = S1 << 20, S1 >> 12
+    t2, h2 = S2 << 8, S2 >> 24
+    t3, h3 = S3 << 12, S3 >> 20
+    lo = t1 + t2
+    c1 = (lo < t1).astype(jnp.uint32)
+    lo2 = lo + t3
+    c2 = (lo2 < t3).astype(jnp.uint32)
+    lo3 = lo2 + S4
+    c3 = (lo3 < S4).astype(jnp.uint32)
+    hi = h1 + h2 + h3 + c1 + c2 + c3
+    out = hi + (lo3 >= jnp.uint32(1 << 31)).astype(jnp.uint32)
     return jnp.clip(out, 0, 65535).astype(jnp.uint16)
 
 

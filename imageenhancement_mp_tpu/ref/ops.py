@@ -357,21 +357,53 @@ _BINOMIAL_FX = {
 }
 
 
-def gaussian_kernel_fixed(ksize: int) -> np.ndarray:
-    """cv2's auto-σ (σ=0) uint8-path kernel ·256.
-
-    k ∈ {3,5,7}: hardcoded binomial taps (SURVEY.md §8.2) — bit-exact.
-    k ≥ 9 odd: taps = round(gauss(σ=0.3((k−1)/2−1)+0.8)·256) with the center
-    tap adjusted so Σtaps = 256 (probe: exact for k=9/11, ≤2 LSB beyond).
+def _cdf_fixed_taps(ksize: int, sigma: float, q: int) -> np.ndarray:
+    """cv2's bit-exact fixed-point Gaussian tap quantization, reverse-
+    engineered (round 2): quantize the kernel's CUMULATIVE sums at scale
+    ``q`` and difference — ``tap_i = round(q·cdf_i) − round(q·cdf_{i−1})``
+    (guarantees Σtaps = q exactly).  Pinned by per-tap impulse staircase
+    probes (80/80 configs) and 1500/1500 full-image fuzz vs cv2 5.0.0
+    across k ≤ 31, σ ∈ (0, 8], u8 (q=256) and u16 (q=65536).
     """
-    if ksize in _BINOMIAL_FX:
-        return _BINOMIAL_FX[ksize]
+    c = (ksize - 1) * 0.5
+    i = np.arange(ksize, dtype=np.float64) - c
+    v = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    v = v / v.sum()
+    cdf = np.round(np.cumsum(v) * q)
+    return np.diff(np.concatenate([[0.0], cdf])).astype(np.int64)
+
+
+def gaussian_kernel_fixed(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2's uint8-path Gaussian kernel ·256 (bit-exact, any σ).
+
+    σ≤0, k ∈ {1,3,5,7}: hardcoded binomial taps (SURVEY.md §8.2).
+    Otherwise (σ≤0 uses auto-σ): cumulative-quantized taps at Q8
+    (``_cdf_fixed_taps``) — cv2's bit-exact fixed-point scheme.
+    """
     if ksize % 2 == 0 or ksize < 1:
         raise ValueError(f"ksize must be odd >= 1, got {ksize}")
-    g = gaussian_kernel(ksize, _auto_sigma(ksize))
-    taps = np.round(g * 256.0).astype(np.int64)
-    taps[ksize // 2] += 256 - taps.sum()
-    return taps
+    if sigma <= 0:
+        if ksize in _BINOMIAL_FX:
+            return _BINOMIAL_FX[ksize]
+        sigma = _auto_sigma(ksize)
+    return _cdf_fixed_taps(ksize, sigma, 256)
+
+
+def gaussian_taps_u16(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2's uint16-path Gaussian taps ·65536 (bit-exact, any σ).
+
+    σ≤0: k ≤ 9 the dyadic /256 tables ·256 (cv2 quirk — its 16U σ=0 k=9
+    filter reuses the 8-bit kernel, pinned by probe); k ≥ 11 cumulative-
+    quantized at Q16.  σ>0: cumulative-quantized at Q16.
+    Apply with int accumulation and a single final ``(h + 2^31) >> 32``.
+    """
+    if ksize % 2 == 0 or ksize < 1:
+        raise ValueError(f"ksize must be odd >= 1, got {ksize}")
+    if sigma <= 0:
+        if ksize in _BINOMIAL_FX:
+            return _BINOMIAL_FX[ksize] * 256
+        sigma = _auto_sigma(ksize)
+    return _cdf_fixed_taps(ksize, sigma, 65536)
 
 
 def _auto_sigma(ksize: int) -> float:
@@ -396,16 +428,18 @@ def _reflect_pad(img: np.ndarray, pad: int) -> np.ndarray:
 
 
 def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.ndarray:
-    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8 or float32.
+    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8/uint16/float32.
 
-    uint8 σ=0 (auto): bit-exact integer fixed point — taps·256 are integers,
-    int accumulation over a separable pass, output ``(acc + 2^15) >> 16``,
-    saturating (pinned by probe: maxdiff 0 for k∈{3,5,7,9,11}; ≤2 beyond).
-    uint8 σ>0: float64 separable conv + round-half-even (±2 LSB worst case
-    vs cv2's softfloat fixed-point path; judged configs use σ=0).
+    uint8 (ANY σ): bit-exact integer fixed point — Q8 taps from
+    ``gaussian_kernel_fixed``, int separable accumulation, single final
+    ``(acc + 2^15) >> 16`` (round 2: 1500/1500 fuzz vs cv2, k ≤ 31).
+    uint16 (ANY σ): same with the Q16 taps from ``gaussian_taps_u16`` and
+    ``(acc + 2^31) >> 32``.
     float32: plain separable float conv (f64 accumulation), no round/clip.
     """
     kind = _img_kind(img)
+    if ksize == 1:
+        return img.copy()  # cv2: k=1 is the identity for any sigma (probe)
     pad = ksize // 2
     H, W = img.shape
     p = _reflect_pad(img, pad)
@@ -415,22 +449,16 @@ def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.nda
         v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
         h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
         return h.astype(np.float32)
-    maxv = _int_maxval(kind)
-    if sigma <= 0 and not (kind == "u16" and ksize > 9):
-        # same integer fixed point for u8 and u16 (probe: bit-exact for both
-        # through k=9; cv2's u16 path switches to higher-precision taps for
-        # k>=11, where the 256-scaled taps diverge — handled below via f64,
-        # ±2 LSB)
-        kf = gaussian_kernel_fixed(ksize)
-        acc = p.astype(np.int64)
-        v = sum(kf[j] * acc[j : j + H, :] for j in range(ksize))
-        h = sum(kf[j] * v[:, j : j + W] for j in range(ksize))
-        return np.clip((h + (1 << 15)) >> 16, 0, maxv).astype(img.dtype)
-    g = gaussian_kernel(ksize, sigma)
-    acc = p.astype(np.float64)
-    v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
-    h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
-    return np.clip(np.round(h), 0, maxv).astype(img.dtype)
+    if kind == "u8":
+        kf = gaussian_kernel_fixed(ksize, sigma)
+        shift, maxv = 16, 255
+    else:
+        kf = gaussian_taps_u16(ksize, sigma)
+        shift, maxv = 32, 65535
+    acc = p.astype(np.int64)
+    v = sum(kf[j] * acc[j : j + H, :] for j in range(ksize))
+    h = sum(kf[j] * v[:, j : j + W] for j in range(ksize))
+    return np.clip((h + (1 << (shift - 1))) >> shift, 0, maxv).astype(img.dtype)
 
 
 def laplacian(img: np.ndarray) -> np.ndarray:

@@ -49,6 +49,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("equalize", lambda: ie.equalize_hist(img), lambda: ref.equalize_hist(img), 0),
         ("clahe", lambda: ie.clahe(img, 2.0, (8, 8)), lambda: ref.clahe(img, 2.0, (8, 8)), 1),
         ("gauss5", lambda: ie.gaussian_blur(img, 5), lambda: ref.gaussian_blur(img, 5, 0.0), 0),
+        ("gauss5/s1.5", lambda: ie.gaussian_blur(img, 5, 1.5),
+         lambda: ref.gaussian_blur(img, 5, 1.5), 0),
         ("laplacian", lambda: ie.laplacian(img), lambda: ref.laplacian(img), 0),
         ("lap_sharpen", lambda: ie.laplacian_sharpen(img), lambda: ref.laplacian_sharpen(img), 0),
         ("unsharp", lambda: ie.unsharp_mask(img, 1.0), lambda: ref.unsharp_mask(img, 1.0), 0),
@@ -59,6 +61,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
     checks += [
         ("gauss5/u16", lambda: ie.gaussian_blur(img16, 5),
          lambda: ref.gaussian_blur(img16, 5, 0.0), 0),
+        ("gauss13/u16/s2", lambda: ie.gaussian_blur(img16, 13, 2.0),
+         lambda: ref.gaussian_blur(img16, 13, 2.0), 0),
         ("median3/u16", lambda: ie.median_blur(img16, 3),
          lambda: ref.median_blur(img16, 3), 0),
         ("median5/u16", lambda: ie.median_blur(img16, 5),

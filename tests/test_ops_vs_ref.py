@@ -91,9 +91,18 @@ def test_gaussian_auto_sigma_exact(rng, k):
     assert maxdiff(got, ref.gaussian_blur(img, k, 0.0)) == 0
 
 
-def test_gaussian_sigma_1lsb(rng):
+@pytest.mark.parametrize("k,sigma", [(5, 1.5), (7, 0.7), (13, 2.2)])
+def test_gaussian_sigma_exact(rng, k, sigma):
+    # round 2: device shares cv2's fixed-point taps with the oracle — exact
     img = _rand(rng, (64, 67))
-    assert maxdiff(ie.gaussian_blur(img, 5, 1.5), ref.gaussian_blur(img, 5, 1.5)) <= 1
+    assert maxdiff(ie.gaussian_blur(img, k, sigma), ref.gaussian_blur(img, k, sigma)) == 0
+
+
+@pytest.mark.parametrize("k,sigma", [(5, 1.5), (11, 0.0), (13, 3.0)])
+def test_gaussian_u16_sigma_exact(rng, k, sigma):
+    # uint16 Q16 path: int32 split accumulation + u32 carry recombination
+    img = rng.integers(0, 65536, (64, 67), dtype=np.uint16)
+    assert maxdiff(ie.gaussian_blur(img, k, sigma), ref.gaussian_blur(img, k, sigma)) == 0
 
 
 @pytest.mark.parametrize("shape", SHAPES)
@@ -230,12 +239,12 @@ def test_gaussian_large_k_vs_cv2(rng, k):
     assert maxdiff(ref.gaussian_blur(img, k), want) == 0
 
 
-def test_gaussian_k13_within_1lsb(rng):
+def test_gaussian_k13_bitexact(rng):
     cv2 = pytest.importorskip("cv2")
     cv2.setNumThreads(1)
     img = rng.integers(0, 256, (64, 67), dtype=np.uint8)
     want = cv2.GaussianBlur(img, (13, 13), 0)
-    assert maxdiff(ie.gaussian_blur(img, 13), want) <= 2
+    assert maxdiff(ie.gaussian_blur(img, 13), want) == 0
 
 
 @pytest.mark.parametrize("out_range", [(10.0, 200.0), (50.0, 100.0)])

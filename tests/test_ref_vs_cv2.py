@@ -103,14 +103,22 @@ def test_gaussian_auto_sigma_bitexact(rng, k):
         assert maxdiff(ref.gaussian_blur(img, k, 0.0), want) == 0
 
 
-@pytest.mark.parametrize("k,sigma", [(3, 1.0), (5, 1.5), (7, 2.0), (5, 0.8)])
-def test_gaussian_explicit_sigma_2lsb(rng, k, sigma):
-    # cv2's sigma>0 uint8 path is softfloat fixed point; f64 reconstruction
-    # lands within 2 LSB worst-case (300-image sweep) — judged configs use
-    # sigma=0 where the oracle is bit-exact
+@pytest.mark.parametrize("k,sigma", [(3, 1.0), (5, 1.5), (7, 2.0), (5, 0.8), (13, 3.3), (21, 0.6)])
+def test_gaussian_explicit_sigma_bitexact(rng, k, sigma):
+    # round 2: cv2's fixed-point sigma>0 scheme reverse-engineered
+    # (cumulative-quantized taps, ref/ops.py _cdf_fixed_taps) — exact
     img = _rand(rng, (256, 259))
     want = cv2.GaussianBlur(img, (k, k), sigma)
-    assert maxdiff(ref.gaussian_blur(img, k, sigma), want) <= 2
+    assert maxdiff(ref.gaussian_blur(img, k, sigma), want) == 0
+
+
+@pytest.mark.parametrize("k,sigma", [(5, 1.3), (9, 0.0), (11, 0.0), (13, 0.0), (11, 2.6)])
+def test_gaussian_u16_bitexact(rng, k, sigma):
+    # uint16: Q16 cumulative-quantized taps (sigma=0 k<=9 reuses the
+    # dyadic /256 kernels, a pinned cv2 quirk) — exact for any sigma
+    img = rng.integers(0, 65536, (128, 131), dtype=np.uint16)
+    want = cv2.GaussianBlur(img, (k, k), sigma)
+    assert maxdiff(ref.gaussian_blur(img, k, sigma), want) == 0
 
 
 def test_laplacian_exact(rng):
