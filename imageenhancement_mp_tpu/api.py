@@ -223,8 +223,9 @@ def laplacian_sharpen(img, channels_last: bool = True):
 
 
 def unsharp_mask(img, amount: float = 1.0, ksize: int = 5, sigma: float = 0.0, channels_last: bool = True):
-    """``cv2.addWeighted(src, 1+a, GaussianBlur(src), −a, 0)`` (±1 LSB; exact
-    for integral ``amount``)."""
+    """``cv2.addWeighted(src, 1+a, GaussianBlur(src), −a, 0)`` — exact for
+    any ``amount`` and any σ on u8/u16 (cv2's two-FMA f32 chain,
+    docs/PARITY.md)."""
     return _apply(
         "unsharp_mask", img, channels_last,
         amount=float(amount), ksize=int(ksize), sigma=float(sigma),

@@ -10,7 +10,8 @@ speed-of-light 2 bytes/pixel instead of XLA's materialized f32 intermediates.
 Exactness (SURVEY.md §8.2): σ=0 taps are cv2's integer binomials ·256; all
 accumulators are integers < 2^24 so f32 math is exact; output is
 ``floor((acc + 2^15)·2^-16)`` — bit-identical to cv2's fixed-point uint8
-path.  The unsharp epilogue rounds half-to-even once (ties ±1 vs f64).
+path.  The fractional unsharp epilogue reproduces cv2's two single-rounded
+f32 FMAs exactly (utils/fma.py).
 
 Layout strategy: the caller pads the plane with the REFLECT_101 halo on all
 sides and right-pads columns to a lane multiple (128).  Horizontal taps use
@@ -30,6 +31,7 @@ from imageenhancement_mp_tpu.ref.ops import gaussian_kernel_fixed
 
 from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+from imageenhancement_mp_tpu.utils.fma import fma32 as _fma32
 from imageenhancement_mp_tpu.kernels.common import shift_left as _shift_left
 
 __all__ = ["gaussian_blur_pallas", "unsharp_mask_pallas"]
@@ -107,9 +109,11 @@ def _conv_kernel(
                 # integral gain: exact in int32
                 res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
             else:
+                # cv2's fractional addWeighted: two single-rounded f32 FMAs
                 srcf = src.astype(jnp.float32)
+                addend = blur.astype(jnp.float32) * jnp.float32(-amount)
                 res = jnp.clip(
-                    jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))),
+                    jnp.round(_fma32(srcf, jnp.float32(1.0 + amount), addend)),
                     0.0,
                     255.0,
                 ).astype(jnp.int32)

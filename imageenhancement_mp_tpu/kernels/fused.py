@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imageenhancement_mp_tpu.kernels.common import LANES as _LANES
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+from imageenhancement_mp_tpu.utils.fma import fma32 as _fma32
 from imageenhancement_mp_tpu.kernels.common import shift_left as _shift_left
 from imageenhancement_mp_tpu.kernels.networks import median9 as _median9
 from imageenhancement_mp_tpu.kernels.networks import median25 as _median25
@@ -155,9 +156,11 @@ def _fused_kernel(
         if amount == int(amount):
             res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
         else:
+            # cv2's fractional addWeighted: two single-rounded f32 FMAs
             srcf = src.astype(jnp.float32)
+            addend = blur.astype(jnp.float32) * jnp.float32(-amount)
             res = jnp.clip(
-                jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32))), 0.0, 255.0
+                jnp.round(_fma32(srcf, jnp.float32(1.0 + amount), addend)), 0.0, 255.0
             ).astype(jnp.int32)
         buf_out[slot] = res.astype(jnp.uint8)
         dma_out(slot, t).start()

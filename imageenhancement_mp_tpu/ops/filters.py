@@ -174,6 +174,17 @@ def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(planes.astype(jnp.int32) - lap, 0, maxv).astype(planes.dtype)
 
 
+def _add_weighted_fma(src_f32, blur_f32, amount: float):
+    """cv2's integer addWeighted for fractional weights: two single-rounded
+    f32 FMAs, reproduced exactly with the utils/fma.py emulation."""
+    from imageenhancement_mp_tpu.utils.fma import fma32
+
+    alpha = jnp.float32(1.0 + amount)
+    beta = jnp.float32(-amount)
+    t = blur_f32 * beta  # f32(blur·β): one rounding — an FMA with 0 addend
+    return jnp.round(fma32(src_f32, alpha, t))
+
+
 def unsharp_mask_planes(
     planes: jnp.ndarray,
     amount: float = 1.0,
@@ -181,11 +192,10 @@ def unsharp_mask_planes(
     sigma: float = 0.0,
     backend: str | None = None,
 ) -> jnp.ndarray:
-    """``cv2.addWeighted(src, 1+a, blur, −a, 0)`` — half-even round, saturate.
-
-    Computed as ``src + a·(src − blur)``: src−blur is an exact integer in
-    f32, so the only rounding is the final cvRound (ties within ±1 LSB of
-    cv2's f64 path; exact for integral ``a``).
+    """``cv2.addWeighted(src, 1+a, blur, −a, 0)`` — exact for u8/u16 and
+    any ``amount``: integral amounts stay in exact int32; fractional
+    amounts reproduce cv2's two single-rounded f32 FMAs
+    (``round(f32(src·f32(1+a) + f32(blur·f32(−a))))`` — ref/ops.py probe).
     On TPU dispatches to the fused double-buffered Pallas kernel
     (``backend`` as in gaussian_blur_planes).
     """
@@ -200,8 +210,9 @@ def unsharp_mask_planes(
         if amount == int(amount):
             out = src + int(amount) * (src - blur)
         else:
-            srcf = src.astype(jnp.float32)
-            out = jnp.round(srcf + amount * (srcf - blur.astype(jnp.float32)))
+            out = _add_weighted_fma(
+                src.astype(jnp.float32), blur.astype(jnp.float32), amount
+            )
         return jnp.clip(out, 0, 65535).astype(jnp.uint16)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import unsharp_mask_pallas
@@ -209,5 +220,8 @@ def unsharp_mask_planes(
         return unsharp_mask_pallas(planes, amount, ksize, sigma)
     blur = gaussian_blur_planes(planes, ksize, sigma, backend="xla")
     src = planes.astype(jnp.float32)
-    out = jnp.round(src + amount * (src - blur.astype(jnp.float32)))
+    if amount == int(amount):
+        out = src + int(amount) * (src - blur.astype(jnp.float32))
+    else:
+        out = _add_weighted_fma(src, blur.astype(jnp.float32), amount)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -13,6 +13,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from imageenhancement_mp_tpu.utils.fma import fma32 as _fma32
+from imageenhancement_mp_tpu.utils.fma import two_prod as _two_prod
+from imageenhancement_mp_tpu.utils.fma import two_sum as _two_sum
+
 
 __all__ = [
     "apply_lut_planes",
@@ -81,47 +85,16 @@ def convert_scale_abs_planes(
 
     cv2 ALWAYS returns 8-bit regardless of input depth (verified probe).
     Integer inputs use exact static LUTs built with cv2's single-rounded
-    f32 FMA semantics; float32 computes on device with f32 mul+add (±1 at
-    FMA ties vs cv2).
+    f32 FMA semantics; float32 reproduces the same single-rounded FMA on
+    device via the exact-error-term emulation (utils/fma.py).
     """
     if planes.dtype == jnp.float32:
-        out = jnp.abs(jnp.round(jnp.float32(alpha) * planes + jnp.float32(beta)))
+        out = jnp.abs(jnp.round(_fma32(planes, jnp.float32(alpha), jnp.float32(beta))))
         return jnp.clip(out, 0, 255).astype(jnp.int32).astype(jnp.uint8)
     from imageenhancement_mp_tpu.ref.ops import convert_scale_abs_lut
 
     n = 65536 if planes.dtype == jnp.uint16 else 256
     return apply_lut_planes(planes, jnp.asarray(convert_scale_abs_lut(alpha, beta, n)))
-
-
-def _two_prod(x, y):
-    """Dekker two-product: exact ``x·y = p + e`` in f32 (no FMA hardware)."""
-    p = x * y
-    c = jnp.float32(4097.0)  # 2^12 + 1: f32 Veltkamp split constant
-    xx = x * c
-    xh = xx - (xx - x)
-    xl = x - xh
-    yy = y * c
-    yh = yy - (yy - y)
-    yl = y - yh
-    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
-    return p, e
-
-
-def _two_sum(x, y):
-    """Knuth two-sum: exact ``x + y = s + e`` in f32, any signs."""
-    s = x + y
-    yp = s - x
-    e = (x - (s - yp)) + (y - yp)
-    return s, e
-
-
-def _fma32(i, scale, shift):
-    """Single-rounded f32 FMA ``RN(i·scale + shift)`` emulated with exact
-    error terms (matches cv2's SIMD convertTo rounding; the oracle's
-    f64-product + one-f32-rounding trick, ref/ops.py)."""
-    p, pe = _two_prod(i, scale)
-    s, se = _two_sum(p, shift)
-    return s + (pe + se)
 
 
 def _stretch_scale_tables(a: float, b: float, maxv: int):

@@ -163,3 +163,23 @@ def test_median_exact(rng, k):
     for shape in SHAPES:
         img = _rand(rng, shape)
         assert maxdiff(ref.median_blur(img, k), cv2.medianBlur(img, k)) == 0
+
+
+@pytest.mark.parametrize("amount", [0.3, 1.7, 2.45])
+def test_unsharp_fractional_u16_exact(rng, amount):
+    # round 2: addWeighted pinned as a two-FMA f32 chain — exact on u16 too
+    img = rng.integers(0, 65536, (64, 67), dtype=np.uint16)
+    blur = cv2.GaussianBlur(img, (5, 5), 0)
+    want = cv2.addWeighted(img, 1.0 + amount, blur, -amount, 0)
+    assert maxdiff(ref.unsharp_mask(img, amount, 5, 0.0), want) == 0
+
+
+def test_convert_scale_abs_f32_input_exact(rng):
+    # f32-input convertScaleAbs: device reproduces the single-rounded FMA
+    from imageenhancement_mp_tpu.ops.pointwise import convert_scale_abs_planes
+
+    img = rng.uniform(-300, 900, (2, 31, 37)).astype(np.float32)
+    for alpha, beta in [(1.3, -7.0), (0.017, 200.0), (-2.2, 80.5)]:
+        want = cv2.convertScaleAbs(img[0], alpha=alpha, beta=beta)
+        got = np.asarray(convert_scale_abs_planes(img, alpha, beta))[0]
+        assert maxdiff(got, want) == 0, (alpha, beta)
