@@ -102,8 +102,13 @@ def _interp_coords(n: int, tile: int, ntiles: int):
 def clahe_planes(
     planes: jnp.ndarray, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)
 ) -> jnp.ndarray:
-    """``cv2.createCLAHE`` on uint8/uint16 planes ``[B, H, W]`` — ±1 LSB
-    (bit-exact in practice; uint16 uses cv2's 65536-bin histogram)."""
+    """``cv2.createCLAHE`` on uint8/uint16 planes ``[B, H, W]``.
+
+    Bit-exact vs cv2 on TPU (round-2 on-chip fuzz: 0/40 random configs);
+    on the CPU test backend the blend can flip ±1 LSB because XLA:CPU
+    contracts ``mul+add`` into FMA, changing the f32 rounding sequence —
+    the TPU backend does not contract (verified probe, docs/PARITY.md).
+    uint16 uses cv2's 65536-bin histogram."""
     hist_size = 65536 if planes.dtype == jnp.uint16 else 256
     B, H, W = planes.shape
     gh, gw = tile_grid

@@ -73,3 +73,18 @@ def test_u16_clahe_4k(rng):
     out = np.asarray(ie.clahe(img, 2.0, (8, 8)))
     want = ref.clahe(img, 2.0, (8, 8))
     assert maxdiff(out, want) <= 1
+
+
+def test_clahe_exact_on_tpu(rng):
+    """CLAHE is bit-exact on the TPU backend (no XLA FMA contraction there;
+    the hermetic CPU tier keeps a ±1 budget — docs/PARITY.md)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("exactness holds on TPU; XLA:CPU contracts the blend")
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    for hw, clip, grid in [((512, 512), 2.0, (8, 8)), ((250, 251), 3.5, (4, 6))]:
+        img = rng.integers(0, 256, hw, dtype=np.uint8)
+        want = cv2.createCLAHE(clip, (grid[1], grid[0])).apply(img)
+        assert maxdiff(ie.clahe(img, clip, grid), want) == 0, (hw, clip, grid)
