@@ -240,3 +240,32 @@ def test_u16_stream_clahe_end_to_end(tmp_path, rng):
         want = ref.clahe(want_in, 2.0, (4, 4))
         assert got.dtype == np.uint16
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_order_preserved_with_errors_at_scale(tmp_path, rng):
+    """32 files, 5 corrupt, 8 threads, sentinel mode: slots stay aligned."""
+    from imageenhancement_mp_tpu.io import FrameError
+
+    paths, want = [], []
+    bad_idx = {3, 7, 15, 16, 29}
+    for i in range(32):
+        p = tmp_path / f"s{i:02d}.pgm"
+        if i in bad_idx:
+            p.write_bytes(b"P5\nbroken")
+            want.append(None)
+        else:
+            a = np.full((6, 7), i, np.uint8)
+            _write_pgm(p, a)
+            want.append(a)
+        paths.append(p)
+    for force in (False, True):
+        loader = FrameLoader(paths, threads=8, force_fallback=force, on_error="sentinel")
+        if not force and not loader.native:
+            continue
+        got = list(loader)
+        assert len(got) == 32
+        for i, (g, w) in enumerate(zip(got, want)):
+            if w is None:
+                assert isinstance(g, FrameError), (force, i)
+            else:
+                assert np.array_equal(g, w), (force, i)

@@ -35,9 +35,8 @@ def test_fuzz_pointwise_vs_oracle(rng):
         h, w = rng.integers(2, 120, 2)
         img = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
         assert maxdiff(ie.equalize_hist(img), ref.equalize_hist(img)) == 0
-        # device f32 mul+add vs oracle's exact f32-FMA mirror of cv2: ±1 at
-        # FMA ties (the oracle itself is bit-exact vs cv2)
-        assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) <= 1
+        # round 2: device reproduces the oracle's cv2 f32-FMA mirror exactly
+        assert maxdiff(ie.contrast_stretch(img), ref.contrast_stretch(img)) == 0
         g = float(rng.uniform(0.2, 3.0))
         assert maxdiff(ie.gamma(img, g), ref.gamma_transform(img, g)) == 0
 
@@ -111,3 +110,23 @@ def test_clahe_clip_zero_plain_ahe(rng):
     want = cv2.createCLAHE(0.0, (8, 8)).apply(img)  # clip<=0 disables clipping
     assert maxdiff(ref.clahe(img, 0.0, (8, 8)), want) == 0
     assert maxdiff(ie.clahe(img, 0.0, (8, 8)), want) <= 1
+
+
+def test_fuzz_round2_exactness_paths(rng):
+    """Random sweep over the round-2 exactness upgrades: arbitrary-range
+    stretch, σ>0 gaussian (u8+u16), fractional unsharp (u8+u16)."""
+    for _ in range(8):
+        h, w = (int(v) for v in rng.integers(6, 90, 2))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        img16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        a = float(rng.uniform(-150, 300))
+        b = a + float(rng.uniform(0.1, 400))
+        assert maxdiff(ie.contrast_stretch(img, (a, b)), ref.contrast_stretch(img, (a, b))) == 0
+        assert maxdiff(ie.contrast_stretch(img16, (a, b)), ref.contrast_stretch(img16, (a, b))) == 0
+        k = int(rng.choice([3, 5, 7, 9, 11, 13]))
+        s = float(rng.uniform(0.2, 5.0))
+        assert maxdiff(ie.gaussian_blur(img, k, s), ref.gaussian_blur(img, k, s)) == 0
+        assert maxdiff(ie.gaussian_blur(img16, k, s), ref.gaussian_blur(img16, k, s)) == 0
+        amt = float(rng.uniform(0.05, 3.0))
+        assert maxdiff(ie.unsharp_mask(img, amt), ref.unsharp_mask(img, amt)) == 0
+        assert maxdiff(ie.unsharp_mask(img16, amt), ref.unsharp_mask(img16, amt)) == 0
