@@ -149,8 +149,12 @@ def clahe_planes(
         l01 = flat[base01 + v].astype(jnp.float32)
         l10 = flat[base10 + v].astype(jnp.float32)
         l11 = flat[base11 + v].astype(jnp.float32)
-        # same association as the oracle/cv2 float path (keeps tie rounding
-        # aligned so the ±1 budgets don't compound)
+        # same association as the oracle/cv2 float path — bit-exact on the
+        # TPU backend (strict per-op f32).  XLA:CPU codegen keeps excess
+        # precision / contracts FMAs through f32 chains (pinned by probe;
+        # optimization_barrier and --xla_allow_excess_precision=false do
+        # NOT disable it), so the hermetic CPU tier carries a ±1 budget —
+        # a property of the test backend, not of the op (docs/PARITY.md).
         top = (1.0 - fx) * l00 + fx * l01
         bot = (1.0 - fx) * l10 + fx * l11
         out = (1.0 - fy) * top + fy * bot
