@@ -21,6 +21,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from imageenhancement_mp_tpu.ops import OP_REGISTRY, apply_lut_planes, laplacian_planes
 from imageenhancement_mp_tpu.utils.shapes import as_planes
@@ -192,13 +193,20 @@ def clahe(img, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8), ch
     )
 
 
-def gaussian_blur(img, ksize: int = 5, sigma: float = 0.0, channels_last: bool = True):
-    """``cv2.GaussianBlur((k,k), σ)``.
+def gaussian_blur(img, ksize=5, sigma: float = 0.0, sigma_y: float = 0.0, channels_last: bool = True):
+    """``cv2.GaussianBlur(Size(kw,kh), σX, σY)`` — cv2's full surface.
 
+    ``ksize``: int (square) or (rows, cols) — NOTE cv2's Size argument is
+    (cols, rows); a 0 dimension is derived from its σ like cv2.
+    ``sigma_y`` ≤ 0 follows ``sigma`` (cv2 convention).
     Bit-exact for any odd ksize and ANY σ on uint8/uint16 (cv2's
     cumulative-quantized fixed-point taps — docs/PARITY.md).
     """
-    return _apply("gaussian_blur", img, channels_last, ksize=int(ksize), sigma=float(sigma))
+    ks = int(ksize) if isinstance(ksize, (int, np.integer)) else (int(ksize[0]), int(ksize[1]))
+    return _apply(
+        "gaussian_blur", img, channels_last,
+        ksize=ks, sigma=float(sigma), sigma_y=float(sigma_y),
+    )
 
 
 @lru_cache(maxsize=None)

@@ -45,18 +45,20 @@ def _conv_kernel(
     sem_in,
     sem_out,
     *,
-    taps: tuple[float, ...],
+    taps_v: tuple[float, ...],
+    taps_h: tuple[float, ...],
     th: int,
     n_tiles: int,
     amount: float | None,
 ):
     """One plane: loop over row stripes with double-buffered in/out DMA."""
     b = pl.program_id(0)
-    k = len(taps)
-    pad = k // 2
-    taps = tuple(int(t) for t in taps)  # int constants keep i32 math i32
+    pv = len(taps_v) // 2  # vertical (row) halo
+    ph = len(taps_h) // 2  # horizontal (lane) halo
+    taps_v = tuple(int(t) for t in taps_v)  # int constants keep i32 math i32
+    taps_h = tuple(int(t) for t in taps_h)
 
-    halo = -(-2 * pad // 8) * 8  # DMA row counts must be 8-aligned
+    halo = -(-2 * pv // 8) * 8  # DMA row counts must be 8-aligned
 
     def dma_in(slot, t):
         return pltpu.make_async_copy(
@@ -94,17 +96,17 @@ def _conv_kernel(
         # (smaller working set → bigger stripes).  Taps are symmetric:
         # pair the mirrored ends to halve the multiplies.
         x = buf_in[slot].astype(jnp.int32)
-        v = taps[pad] * x[pad : pad + th, :]
-        for j in range(pad):
-            v = v + taps[j] * (x[j : j + th, :] + x[2 * pad - j : 2 * pad - j + th, :])
-        h = taps[pad] * _shift_left(v, pad)
-        for j in range(pad):
-            h = h + taps[j] * (_shift_left(v, j) + _shift_left(v, 2 * pad - j))
+        v = taps_v[pv] * x[pv : pv + th, :]
+        for j in range(pv):
+            v = v + taps_v[j] * (x[j : j + th, :] + x[2 * pv - j : 2 * pv - j + th, :])
+        h = taps_h[ph] * _shift_left(v, ph)
+        for j in range(ph):
+            h = h + taps_h[j] * (_shift_left(v, j) + _shift_left(v, 2 * ph - j))
         blur = jnp.clip((h + 32768) >> 16, 0, 255)
         if amount is None:
             res = blur
         else:
-            src = _shift_left(x[pad : pad + th, :], pad)
+            src = _shift_left(x[pv : pv + th, :], ph)
             if amount == int(amount):
                 # integral gain: exact in int32
                 res = jnp.clip(src + int(amount) * (src - blur), 0, 255)
@@ -131,20 +133,21 @@ def _conv_kernel(
 
 def _sep_conv_planes(
     planes: jnp.ndarray,
-    taps: tuple[float, ...],
+    taps_v: tuple[float, ...],
+    taps_h: tuple[float, ...],
     amount: float | None,
     tile_rows: int = 256,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the DMA kernel over [B,H,W] u8 planes; returns [B,H,W] u8."""
     B, H, W = planes.shape
-    k = len(taps)
-    pad = k // 2
+    pv = len(taps_v) // 2
+    ph = len(taps_h) // 2
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
     # columns: pad-left halo + W + pad-right halo, rounded up to lanes.
-    wp = _round_up(W + 2 * pad, _LANES)
+    wp = _round_up(W + 2 * ph, _LANES)
     # pick stripe height (multiple of 8) minimizing padding waste, bounded so
     # the working set fits VMEM (~14 B/px int32 working set)
     bpp = 14
@@ -159,14 +162,15 @@ def _sep_conv_planes(
         )
     hp = _round_up(h8, th)
     # rows: top halo + H + bottom fill to hp + 8 (8-aligned DMA row blocks)
-    halo = -(-2 * pad // 8) * 8
-    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    p = jnp.pad(p, ((0, 0), (0, hp + halo - H - 2 * pad), (0, wp - W - 2 * pad)), mode="edge")
+    halo = -(-2 * pv // 8) * 8
+    p = jnp.pad(planes, ((0, 0), (pv, pv), (ph, ph)), mode="reflect")
+    p = jnp.pad(p, ((0, 0), (0, hp + halo - H - 2 * pv), (0, wp - W - 2 * ph)), mode="edge")
     n_tiles = hp // th
 
     kernel = functools.partial(
         _conv_kernel,
-        taps=taps,
+        taps_v=taps_v,
+        taps_h=taps_h,
         th=th,
         n_tiles=n_tiles,
         amount=amount,
@@ -178,7 +182,7 @@ def _sep_conv_planes(
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, th + -(-2 * pad // 8) * 8, wp), jnp.uint8),
+            pltpu.VMEM((2, th + halo, wp), jnp.uint8),
             pltpu.VMEM((2, th, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -190,14 +194,22 @@ def _sep_conv_planes(
 
 
 def gaussian_blur_pallas(
-    planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0, interpret: bool | None = None
+    planes: jnp.ndarray,
+    ksize=5,
+    sigma: float = 0.0,
+    sigma_y: float = 0.0,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """``cv2.GaussianBlur`` as a double-buffered Pallas kernel.
 
-    Bit-exact for ANY σ: cv2's Q8 fixed-point taps (cumulative-quantized,
-    ref/ops.py) feed the same integer fixed-point tile math as σ=0."""
-    taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize, sigma))
-    return _sep_conv_planes(planes, taps, None, interpret=interpret)
+    Bit-exact for ANY σ (and rectangular ksize): cv2's Q8 fixed-point taps
+    (cumulative-quantized, ref/ops.py) feed the integer tile math."""
+    from imageenhancement_mp_tpu.ref.ops import gaussian_axes
+
+    kh, kw, sy, sx = gaussian_axes(ksize, sigma, sigma_y, True)
+    tv = tuple(float(t) for t in gaussian_kernel_fixed(kh, sy))
+    th = tuple(float(t) for t in gaussian_kernel_fixed(kw, sx))
+    return _sep_conv_planes(planes, tv, th, None, interpret=interpret)
 
 
 def unsharp_mask_pallas(
@@ -210,4 +222,4 @@ def unsharp_mask_pallas(
     """Fused GaussianBlur + addWeighted epilogue in one VMEM residency
     (blur bit-exact for any σ via the Q8 fixed-point taps)."""
     taps = tuple(float(t) for t in gaussian_kernel_fixed(ksize, sigma))
-    return _sep_conv_planes(planes, taps, float(amount), interpret=interpret)
+    return _sep_conv_planes(planes, taps, taps, float(amount), interpret=interpret)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.ref.ops import (
+    gaussian_axes,
     gaussian_kernel,
     gaussian_kernel_fixed,
     gaussian_taps_u16,
@@ -33,21 +34,32 @@ __all__ = [
 ]
 
 
-def _sep_conv_f32(x: jnp.ndarray, taps: tuple[float, ...]) -> jnp.ndarray:
+def _sep_conv_f32(
+    x: jnp.ndarray, taps_v: tuple[float, ...], taps_h: tuple[float, ...] | None = None
+) -> jnp.ndarray:
     """Separable [B,H,W] conv with REFLECT_101 border, f32 accumulation."""
-    k = len(taps)
-    pad = k // 2
+    if taps_h is None:
+        taps_h = taps_v
+    kh, kw = len(taps_v), len(taps_h)
+    ph, pw = kh // 2, kw // 2
     H, W = x.shape[-2], x.shape[-1]
-    p = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(jnp.float32)
-    v = sum(taps[j] * p[:, j : j + H, :] for j in range(k))
-    return sum(taps[j] * v[:, :, j : j + W] for j in range(k))
+    p = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw)), mode="reflect").astype(jnp.float32)
+    v = sum(taps_v[j] * p[:, j : j + H, :] for j in range(kh))
+    return sum(taps_h[j] * v[:, :, j : j + W] for j in range(kw))
 
 
 def gaussian_blur_planes(
-    planes: jnp.ndarray, ksize: int = 5, sigma: float = 0.0, backend: str | None = None
+    planes: jnp.ndarray,
+    ksize=5,
+    sigma: float = 0.0,
+    sigma_y: float = 0.0,
+    backend: str | None = None,
 ) -> jnp.ndarray:
     """``cv2.GaussianBlur`` on uint8/uint16/float32 planes.
 
+    ``ksize``: int (square) or (rows, cols) — cv2's full surface incl.
+    rectangular kernels, ``sigma_y`` (≤0 follows ``sigma``), and 0-sized
+    dims derived from σ (ref/ops.py ``gaussian_axes``).
     uint8/uint16: bit-exact for ANY σ — cv2's fixed-point taps (Q8 for u8,
     Q16 for u16; cumulative-quantized, ref/ops.py ``_cdf_fixed_taps``) with
     exact integer accumulation and one final rounding shift.
@@ -59,27 +71,31 @@ def gaussian_blur_planes(
     """
     from imageenhancement_mp_tpu import config
 
-    if ksize == 1:
+    kh, kw, sy, sx = gaussian_axes(sigma=sigma, sigma_y=sigma_y, ksize=ksize,
+                                   depth_u8=planes.dtype == jnp.uint8)
+    if kh == 1 and kw == 1:
         return planes  # cv2: k=1 is the identity for any sigma (probe)
     if planes.dtype == jnp.float32:
-        taps = tuple(float(t) for t in gaussian_kernel(ksize, sigma))
-        return _sep_conv_f32(planes.astype(jnp.float32), taps).astype(jnp.float32)
+        tv = tuple(float(t) for t in gaussian_kernel(kh, sy))
+        th = tuple(float(t) for t in gaussian_kernel(kw, sx))
+        return _sep_conv_f32(planes.astype(jnp.float32), tv, th).astype(jnp.float32)
     if planes.dtype == jnp.uint16:
-        if sigma <= 0 and ksize <= 9:
+        if sx <= 0 and sy <= 0 and kh <= 9 and kw <= 9:
             # dyadic /256 taps: the cheaper Q8 split-accumulation suffices
-            return _gauss_u16_fixed(planes, ksize)
-        return _gauss_u16_q16(planes, ksize, sigma)
+            return _gauss_u16_fixed(planes, kh, kw)
+        return _gauss_u16_q16(planes, kh, kw, sy, sx)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import gaussian_blur_pallas
 
-        return gaussian_blur_pallas(planes, ksize, sigma)
-    taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize, sigma))
-    acc = _sep_conv_f32(planes, taps)
+        return gaussian_blur_pallas(planes, (kh, kw), sx, sy)
+    tv = tuple(int(t) for t in gaussian_kernel_fixed(kh, sy))
+    th = tuple(int(t) for t in gaussian_kernel_fixed(kw, sx))
+    acc = _sep_conv_f32(planes, tv, th)
     out = jnp.floor((acc + 32768.0) * (1.0 / 65536.0))
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
-def _gauss_u16_fixed(planes: jnp.ndarray, ksize: int) -> jnp.ndarray:
+def _gauss_u16_fixed(planes: jnp.ndarray, kh: int, kw: int | None = None) -> jnp.ndarray:
     """uint16 σ=0 fixed point, bit-exact without 64-bit math.
 
     The horizontal accumulation Σtaps·v reaches 2^32 (v ≤ 2^24, Σtaps=256),
@@ -88,23 +104,27 @@ def _gauss_u16_fixed(planes: jnp.ndarray, ksize: int) -> jnp.ndarray:
     ``((A + ((B + 2^15) >> 12)) >> 4`` with A = Σtaps·v_hi, B = Σtaps·v_lo
     (both < 2^21; the low remainder cannot carry across the final >> 4).
     """
-    taps = tuple(int(t) for t in gaussian_kernel_fixed(ksize))
-    k = len(taps)
-    pad = k // 2
+    if kw is None:
+        kw = kh
+    tv = tuple(int(t) for t in gaussian_kernel_fixed(kh))
+    tw = tuple(int(t) for t in gaussian_kernel_fixed(kw))
+    ph, pw = kh // 2, kw // 2
     H, W = planes.shape[-2], planes.shape[-1]
-    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(
+    p = jnp.pad(planes, ((0, 0), (ph, ph), (pw, pw)), mode="reflect").astype(
         jnp.int32
     )
-    v = sum(taps[j] * p[:, j : j + H, :] for j in range(k))  # <= 2^24
+    v = sum(tv[j] * p[:, j : j + H, :] for j in range(kh))  # <= 2^24
     v_hi = v >> 12
     v_lo = v & 4095
-    A = sum(taps[j] * v_hi[:, :, j : j + W] for j in range(k))
-    B = sum(taps[j] * v_lo[:, :, j : j + W] for j in range(k))
+    A = sum(tw[j] * v_hi[:, :, j : j + W] for j in range(kw))
+    B = sum(tw[j] * v_lo[:, :, j : j + W] for j in range(kw))
     out = (A + ((B + 32768) >> 12)) >> 4
     return jnp.clip(out, 0, 65535).astype(jnp.uint16)
 
 
-def _gauss_u16_q16(planes: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
+def _gauss_u16_q16(
+    planes: jnp.ndarray, kh: int, kw: int, sigma_y: float, sigma_x: float
+) -> jnp.ndarray:
     """uint16 Gaussian with cv2's Q16 taps — bit-exact without 64-bit math.
 
     The exact accumulator reaches 2^48 (Σtaps = 2^16, pixels ≤ 2^16,
@@ -116,23 +136,23 @@ def _gauss_u16_q16(planes: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray
       horizontal: V• = a•·2^12 + b•    → S1..S4 = Σt·a/b          (< 2^28)
       h = S1·2^20 + S2·2^8 + S3·2^12 + S4  (recombined in two u32 words)
     """
-    taps = tuple(int(t) for t in gaussian_taps_u16(ksize, sigma))
-    k = len(taps)
-    pad = k // 2
+    tv = tuple(int(t) for t in gaussian_taps_u16(kh, sigma_y))
+    tw = tuple(int(t) for t in gaussian_taps_u16(kw, sigma_x))
+    ph, pw = kh // 2, kw // 2
     H, W = planes.shape[-2], planes.shape[-1]
-    p = jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="reflect").astype(
+    p = jnp.pad(planes, ((0, 0), (ph, ph), (pw, pw)), mode="reflect").astype(
         jnp.int32
     )
     xh = p >> 8
     xl = p & 255
-    Vh = sum(taps[j] * xh[:, j : j + H, :] for j in range(k))
-    Vl = sum(taps[j] * xl[:, j : j + H, :] for j in range(k))
+    Vh = sum(tv[j] * xh[:, j : j + H, :] for j in range(kh))
+    Vl = sum(tv[j] * xl[:, j : j + H, :] for j in range(kh))
     ah, bh = Vh >> 12, Vh & 4095
     al, bl = Vl >> 12, Vl & 4095
-    S1 = sum(taps[j] * ah[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
-    S2 = sum(taps[j] * bh[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
-    S3 = sum(taps[j] * al[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
-    S4 = sum(taps[j] * bl[:, :, j : j + W] for j in range(k)).astype(jnp.uint32)
+    S1 = sum(tw[j] * ah[:, :, j : j + W] for j in range(kw)).astype(jnp.uint32)
+    S2 = sum(tw[j] * bh[:, :, j : j + W] for j in range(kw)).astype(jnp.uint32)
+    S3 = sum(tw[j] * al[:, :, j : j + W] for j in range(kw)).astype(jnp.uint32)
+    S4 = sum(tw[j] * bl[:, :, j : j + W] for j in range(kw)).astype(jnp.uint32)
     t1, h1 = S1 << 20, S1 >> 12
     t2, h2 = S2 << 8, S2 >> 24
     t3, h3 = S3 << 12, S3 >> 20

@@ -427,37 +427,74 @@ def _reflect_pad(img: np.ndarray, pad: int) -> np.ndarray:
     return np.pad(img, pad, mode="reflect")
 
 
-def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 0.0) -> np.ndarray:
-    """``cv2.GaussianBlur(img, (k,k), sigma)`` on uint8/uint16/float32.
+def gaussian_axes(ksize, sigma: float, sigma_y: float, depth_u8: bool):
+    """Resolve cv2's GaussianBlur parameter conventions to per-axis
+    ``(kh, kw, sy, sx)``:
 
-    uint8 (ANY σ): bit-exact integer fixed point — Q8 taps from
+    * ``ksize``: int (square) or ``(kh, kw)`` rows-cols; a 0 dimension is
+      derived from its sigma like cv2 — ``round(σ·F·2 + 1) | 1`` with
+      F = 3 for 8-bit, 4 for deeper (pinned probe);
+    * ``sigma_y <= 0`` follows ``sigma`` (cv2's sigmaY=0 convention);
+      a ≤0 sigma with a positive ksize means auto-σ from that ksize
+      (handled downstream by the tap builders).
+    """
+    kh, kw = (ksize, ksize) if isinstance(ksize, int) else (int(ksize[0]), int(ksize[1]))
+    sx = float(sigma)
+    sy = float(sigma_y) if sigma_y > 0 else sx
+    factor = 3 if depth_u8 else 4
+    if kw <= 0:
+        if sx <= 0:
+            raise ValueError("ksize width 0 requires sigma > 0 (cv2 semantics)")
+        kw = int(round(sx * factor * 2 + 1)) | 1
+    if kh <= 0:
+        if sy <= 0:
+            raise ValueError("ksize height 0 requires sigma(_y) > 0 (cv2 semantics)")
+        kh = int(round(sy * factor * 2 + 1)) | 1
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(f"ksize must be odd, got ({kh}, {kw})")
+    return kh, kw, sy, sx
+
+
+def gaussian_blur(
+    img: np.ndarray, ksize=5, sigma: float = 0.0, sigma_y: float = 0.0
+) -> np.ndarray:
+    """``cv2.GaussianBlur(img, (kw,kh), sigmaX, sigmaY)`` on u8/u16/f32.
+
+    ``ksize`` here is int or (rows, cols) — NOTE cv2's Size argument is
+    (cols, rows).  ``sigma_y`` ≤ 0 follows ``sigma`` (cv2 convention).
+
+    uint8 (ANY σ): bit-exact integer fixed point — Q8 taps per axis from
     ``gaussian_kernel_fixed``, int separable accumulation, single final
-    ``(acc + 2^15) >> 16`` (round 2: 1500/1500 fuzz vs cv2, k ≤ 31).
+    ``(acc + 2^15) >> 16`` (round 2: 1500/1500 + 200/200 rect fuzz vs cv2).
     uint16 (ANY σ): same with the Q16 taps from ``gaussian_taps_u16`` and
     ``(acc + 2^31) >> 32``.
     float32: plain separable float conv (f64 accumulation), no round/clip.
     """
     kind = _img_kind(img)
-    if ksize == 1:
+    kh, kw, sy, sx = gaussian_axes(ksize, sigma, sigma_y, kind == "u8")
+    if kh == 1 and kw == 1:
         return img.copy()  # cv2: k=1 is the identity for any sigma (probe)
-    pad = ksize // 2
+    ph, pw = kh // 2, kw // 2
     H, W = img.shape
-    p = _reflect_pad(img, pad)
+    p = np.pad(img, ((ph, ph), (pw, pw)), mode="reflect")
     if kind == "f32":
-        g = gaussian_kernel(ksize, sigma)
+        gv = gaussian_kernel(kh, sy)
+        gh_ = gaussian_kernel(kw, sx)
         acc = p.astype(np.float64)
-        v = sum(g[j] * acc[j : j + H, :] for j in range(ksize))
-        h = sum(g[j] * v[:, j : j + W] for j in range(ksize))
+        v = sum(gv[j] * acc[j : j + H, :] for j in range(kh))
+        h = sum(gh_[j] * v[:, j : j + W] for j in range(kw))
         return h.astype(np.float32)
     if kind == "u8":
-        kf = gaussian_kernel_fixed(ksize, sigma)
+        tv = gaussian_kernel_fixed(kh, sy)
+        tw = gaussian_kernel_fixed(kw, sx)
         shift, maxv = 16, 255
     else:
-        kf = gaussian_taps_u16(ksize, sigma)
+        tv = gaussian_taps_u16(kh, sy)
+        tw = gaussian_taps_u16(kw, sx)
         shift, maxv = 32, 65535
     acc = p.astype(np.int64)
-    v = sum(kf[j] * acc[j : j + H, :] for j in range(ksize))
-    h = sum(kf[j] * v[:, j : j + W] for j in range(ksize))
+    v = sum(tv[j] * acc[j : j + H, :] for j in range(kh))
+    h = sum(tw[j] * v[:, j : j + W] for j in range(kw))
     return np.clip((h + (1 << (shift - 1))) >> shift, 0, maxv).astype(img.dtype)
 
 

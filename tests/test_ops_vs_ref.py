@@ -375,3 +375,14 @@ def test_pooled_histeq_int32_overflow_guard():
     ok = jax.ShapeDtypeStruct((1000, 1080, 1920), jnp.uint8)  # 2.07e9 px
     out = jax.eval_shape(equalize_hist_global_planes, ok)
     assert out.shape == ok.shape
+
+
+@pytest.mark.parametrize("kh,kw,sx,sy", [(3, 7, 0.0, 0.0), (5, 5, 1.2, 2.4), (9, 3, 0.0, 1.1), (0, 5, 2.0, 0.0)])
+def test_gaussian_rect_sigma_y_exact(rng, kh, kw, sx, sy):
+    """cv2's full GaussianBlur surface: rectangular ksize + sigmaY (and a
+    0-dim derived from sigma) — exact vs the oracle for u8 and u16."""
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        img = rng.integers(0, hi, (48, 53), dtype=dt)
+        got = ie.gaussian_blur(img, (kh, kw), sx, sy)
+        want = ref.gaussian_blur(img, (kh, kw), sx, sy)
+        assert maxdiff(got, want) == 0, (dt, kh, kw)

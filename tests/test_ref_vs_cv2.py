@@ -183,3 +183,12 @@ def test_convert_scale_abs_f32_input_exact(rng):
         want = cv2.convertScaleAbs(img[0], alpha=alpha, beta=beta)
         got = np.asarray(convert_scale_abs_planes(img, alpha, beta))[0]
         assert maxdiff(got, want) == 0, (alpha, beta)
+
+
+@pytest.mark.parametrize("kh,kw,sx,sy", [(3, 7, 0.0, 0.0), (5, 5, 1.2, 2.4), (9, 3, 0.0, 1.1), (0, 5, 2.0, 0.0), (11, 1, 0.0, 3.0)])
+def test_gaussian_rect_sigma_y_vs_cv2(rng, kh, kw, sx, sy):
+    # NOTE cv2's Size is (cols, rows) = (kw, kh)
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        img = rng.integers(0, hi, (48, 53), dtype=dt)
+        want = cv2.GaussianBlur(img, (kw, kh), sx, sigmaY=sy)
+        assert maxdiff(ref.gaussian_blur(img, (kh, kw), sx, sy), want) == 0, (dt, kh, kw)
