@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["clahe_planes", "clahe_tile_luts"]
+__all__ = ["clahe_planes", "clahe_tile_luts", "blend_tile_luts"]
 
 
 def _tile_hists(
@@ -99,6 +99,45 @@ def _interp_coords(n: int, tile: int, ntiles: int):
     return i0, i1, frac
 
 
+def blend_tile_luts(
+    img: jnp.ndarray,
+    flat_luts: jnp.ndarray,
+    y0, y1, fy_col,
+    x0, x1, fx_row,
+    gw: int,
+    hist_size: int,
+) -> jnp.ndarray:
+    """Stage C: bilinear blend of the 4 neighboring tile LUTs for one image.
+
+    ``flat_luts``: the flattened ``[gh·gw·hist_size]`` LUT table;
+    ``y0/y1/fy_col``: per-row tile indices + f32 fraction (column vectors
+    ``[H, 1]`` for ``fy_col``); ``x0/x1/fx_row`` likewise per column.
+    Shared by the single-device path and the spatially-sharded path
+    (parallel/spatial.py), so the exactness-critical f32 association lives
+    in exactly one place.
+    """
+    v = img.astype(jnp.int32)
+    # flat index: (ty*gw + tx)*hist_size + v
+    base00 = (y0[:, None] * gw + x0[None, :]) * hist_size
+    base01 = (y0[:, None] * gw + x1[None, :]) * hist_size
+    base10 = (y1[:, None] * gw + x0[None, :]) * hist_size
+    base11 = (y1[:, None] * gw + x1[None, :]) * hist_size
+    l00 = flat_luts[base00 + v].astype(jnp.float32)
+    l01 = flat_luts[base01 + v].astype(jnp.float32)
+    l10 = flat_luts[base10 + v].astype(jnp.float32)
+    l11 = flat_luts[base11 + v].astype(jnp.float32)
+    # same association as the oracle/cv2 float path — bit-exact on the
+    # TPU backend (strict per-op f32).  XLA:CPU codegen keeps excess
+    # precision / contracts FMAs through f32 chains (pinned by probe;
+    # optimization_barrier and --xla_allow_excess_precision=false do
+    # NOT disable it), so the hermetic CPU tier carries a ±1 budget —
+    # a property of the test backend, not of the op (docs/PARITY.md).
+    top = (1.0 - fx_row) * l00 + fx_row * l01
+    bot = (1.0 - fx_row) * l10 + fx_row * l11
+    out = (1.0 - fy_col) * top + fy_col * bot
+    return jnp.clip(jnp.round(out), 0, hist_size - 1).astype(img.dtype)
+
+
 def clahe_planes(
     planes: jnp.ndarray, clip_limit: float = 40.0, tile_grid: tuple[int, int] = (8, 8)
 ) -> jnp.ndarray:
@@ -139,25 +178,6 @@ def clahe_planes(
         hists = _tile_hists(padded, gh, gw, th, tw, hist_size)
         luts = clahe_tile_luts(hists, area, clip_limit, hist_size)
         flat = luts.reshape(-1)  # [gh*gw*hist_size]
-        v = img.astype(jnp.int32)
-        # flat index: (ty*gw + tx)*hist_size + v
-        base00 = (y0[:, None] * gw + x0[None, :]) * hist_size
-        base01 = (y0[:, None] * gw + x1[None, :]) * hist_size
-        base10 = (y1[:, None] * gw + x0[None, :]) * hist_size
-        base11 = (y1[:, None] * gw + x1[None, :]) * hist_size
-        l00 = flat[base00 + v].astype(jnp.float32)
-        l01 = flat[base01 + v].astype(jnp.float32)
-        l10 = flat[base10 + v].astype(jnp.float32)
-        l11 = flat[base11 + v].astype(jnp.float32)
-        # same association as the oracle/cv2 float path — bit-exact on the
-        # TPU backend (strict per-op f32).  XLA:CPU codegen keeps excess
-        # precision / contracts FMAs through f32 chains (pinned by probe;
-        # optimization_barrier and --xla_allow_excess_precision=false do
-        # NOT disable it), so the hermetic CPU tier carries a ±1 budget —
-        # a property of the test backend, not of the op (docs/PARITY.md).
-        top = (1.0 - fx) * l00 + fx * l01
-        bot = (1.0 - fx) * l10 + fx * l11
-        out = (1.0 - fy) * top + fy * bot
-        return jnp.clip(jnp.round(out), 0, hist_size - 1).astype(planes.dtype)
+        return blend_tile_luts(img, flat, y0, y1, fy, x0, x1, fx, gw, hist_size)
 
     return jax.vmap(one)(planes)

@@ -26,6 +26,7 @@ __all__ = [
     "gamma_planes",
     "log_planes",
     "contrast_stretch_planes",
+    "stretch_luts_from_minmax",
 ]
 
 
@@ -136,6 +137,23 @@ def contrast_stretch_planes(
         return jax.vmap(onef)(planes)
 
     maxv = 65535 if planes.dtype == jnp.uint16 else 255
+    lo = jnp.min(planes, axis=(-2, -1)).astype(jnp.int32)
+    hi = jnp.max(planes, axis=(-2, -1)).astype(jnp.int32)
+    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, planes.dtype)
+    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, planes)
+
+
+def stretch_luts_from_minmax(
+    lo: jnp.ndarray, hi: jnp.ndarray, a: float, b: float, maxv: int, dtype
+) -> jnp.ndarray:
+    """cv2-exact normalize(MINMAX) LUTs from per-plane min/max vectors.
+
+    ``lo``/``hi``: ``[B] int32``.  Returns ``[B, maxv+1]`` LUTs in ``dtype``.
+    Split out of :func:`contrast_stretch_planes` so the spatially-sharded
+    path (parallel/spatial.py) can pool min/max across shards with
+    ``pmin``/``pmax`` and reuse the exactness-critical double-float math.
+    ``a``/``b`` must already be sorted (``a ≤ b``).
+    """
     sh_np, sl_np = _stretch_scale_tables(a, b, maxv)
     sh_tab = jnp.asarray(sh_np)
     sl_tab = jnp.asarray(sl_np)
@@ -144,19 +162,16 @@ def contrast_stretch_planes(
     al = np.float32(a - float(ah))
     fill = jnp.int32(round(max(min(a, float(maxv)), 0.0)))
 
-    def one(p: jnp.ndarray) -> jnp.ndarray:
-        lo = p.min().astype(jnp.int32)
-        hi = p.max().astype(jnp.int32)
-        d = hi - lo
+    def one(lo_i: jnp.ndarray, hi_i: jnp.ndarray) -> jnp.ndarray:
+        d = hi_i - lo_i
         scale = sh_tab[d]  # f32(scale64), cv2's per-element scale
         # shift64 = α − lo·scale64, reproduced in double-float
-        lof = lo.astype(jnp.float32)  # exact (integer ≤ 65535)
+        lof = lo_i.astype(jnp.float32)  # exact (integer ≤ 65535)
         p1, e1 = _two_prod(lof, scale)
         s1, se1 = _two_sum(jnp.float32(ah), -p1)
         shift = s1 + ((jnp.float32(al) - e1 - lof * sl_tab[d]) + se1)
         i = jnp.arange(maxv + 1, dtype=jnp.float32)
         lut = jnp.clip(jnp.round(_fma32(i, scale, shift)), 0, maxv).astype(jnp.int32)
-        lut = jnp.where(d == 0, fill, lut).astype(planes.dtype)
-        return lut[p.astype(jnp.int32)]
+        return jnp.where(d == 0, fill, lut).astype(dtype)
 
-    return jax.vmap(one)(planes)
+    return jax.vmap(one)(lo, hi)

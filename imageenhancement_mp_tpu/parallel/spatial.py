@@ -1,0 +1,328 @@
+"""Spatial sharding: one frame's ROWS split across the device mesh.
+
+Batch DP (parallel/sharding.py) scales *throughput*; spatial sharding
+scales the *frame*: the height dimension is sharded over a mesh axis so a
+single giant frame (gigapixel scans, stitched aerial tiles) — or a
+latency-critical stream of them — uses every chip at once.  The reference
+is single-image/single-process (SURVEY.md §2), so nothing here mirrors it;
+this is the TPU-native answer to "the image no longer fits one chip",
+built from the three collective patterns the domain actually needs:
+
+* **stencil ops** (Gaussian/median/unsharp/Laplacian) exchange their
+  ``r = k//2`` boundary rows with mesh neighbors via ``jax.lax.ppermute``
+  over ICI (classic halo exchange; the edge shards synthesize the cv2
+  border — REFLECT_101 for convs, replicate for median — from their own
+  rows, so global border semantics are preserved bit-for-bit);
+* **histogram ops** (hist-eq, contrast stretch) pool per-shard statistics
+  with ``psum`` / ``pmin`` / ``pmax`` (1 KB per chip per frame);
+* **CLAHE** computes tile LUTs for its local tile rows, ``all_gather``s
+  the tiny ``[gh·gw, S]`` LUT table (64 KB for u8), and blends locally
+  with globally-indexed interpolation coordinates.
+
+Every op here is **bit-identical** to its single-device planes twin —
+the collectives move exact integers (histograms, min/max, LUT tables,
+halo rows), never rounded intermediates (tests/test_spatial.py proves
+equality on the virtual 8-device mesh).
+
+Composability: the local functions take ``axis_name`` and run inside
+``shard_map``; :func:`shard_spatial` builds the jitted sharded program.
+A 2-D ``Mesh(('batch', 'y'))`` composes batch DP × spatial sharding —
+pass ``batch_axis='batch'`` and the spatial collectives stay scoped to
+each batch-shard's row group.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imageenhancement_mp_tpu.ref.ops import gaussian_axes
+
+__all__ = [
+    "shard_spatial",
+    "device_put_spatial",
+    "halo_exchange",
+    "gaussian_blur_spatial",
+    "unsharp_mask_spatial",
+    "median_blur_spatial",
+    "laplacian_sharpen_spatial",
+    "equalize_hist_spatial",
+    "contrast_stretch_spatial",
+    "clahe_spatial",
+]
+
+
+def shard_spatial(
+    planes_fn: Callable,
+    mesh: Mesh,
+    axis_name: str = "y",
+    batch_axis: str | None = None,
+) -> Callable:
+    """Shard a planes-level function ``[B,H,W]→[B,H,W]`` over frame rows.
+
+    ``planes_fn`` receives the local ``[B, H/n, W]`` block and must use the
+    ``*_spatial`` ops (closing over ``axis_name``) for anything that needs
+    cross-shard data; purely pointwise ops (gamma/log LUTs) can be called
+    as-is.  ``H`` must be divisible by the mesh's ``axis_name`` size.
+    ``batch_axis`` additionally shards the leading planes dim (2-D mesh:
+    batch DP × spatial).  Returns a jitted callable.
+    """
+    sharded = jax.shard_map(
+        planes_fn,
+        mesh=mesh,
+        in_specs=P(batch_axis, axis_name, None),
+        out_specs=P(batch_axis, axis_name, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def device_put_spatial(
+    planes, mesh: Mesh, axis_name: str = "y", batch_axis: str | None = None
+):
+    """Place host planes ``[B,H,W]`` onto the mesh, rows sharded."""
+    return jax.device_put(planes, NamedSharding(mesh, P(batch_axis, axis_name, None)))
+
+
+def halo_exchange(
+    local: jnp.ndarray, r: int, axis_name: str = "y", mode: str = "reflect"
+) -> jnp.ndarray:
+    """Extend a local ``[B, h, W]`` row block by ``r`` halo rows per side.
+
+    Interior halos are the neighbor shards' boundary rows, moved with two
+    ``ppermute`` shifts over ICI; the global top/bottom shards synthesize
+    the cv2 border instead — ``mode="reflect"`` (BORDER_REFLECT_101, rows
+    ``r..1`` / ``h-2..h-1-r``) or ``mode="edge"`` (replicate).  Requires
+    ``h ≥ r+1`` so the border rows exist locally.
+    """
+    if r <= 0:
+        return local
+    h = local.shape[1]
+    if h < r + 1:
+        raise ValueError(
+            f"shard height {h} too small for halo radius {r} (need h ≥ r+1); "
+            "use fewer shards or a smaller kernel"
+        )
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    # my bottom rows become the lower neighbor's TOP halo, and vice versa;
+    # the edge shards receive zeros (no pair) and select their border rows
+    from_above = jax.lax.ppermute(
+        local[:, -r:, :], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        local[:, :r, :], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    if mode == "reflect":
+        self_top = local[:, r:0:-1, :]
+        self_bot = local[:, -2 : -r - 2 : -1, :]
+    elif mode == "edge":
+        self_top = jnp.repeat(local[:, :1, :], r, axis=1)
+        self_bot = jnp.repeat(local[:, -1:, :], r, axis=1)
+    else:
+        raise ValueError(f"mode must be 'reflect' or 'edge', got {mode!r}")
+    top = jnp.where(idx == 0, self_top, from_above)
+    bot = jnp.where(idx == n - 1, self_bot, from_below)
+    return jnp.concatenate([top, local, bot], axis=1)
+
+
+def _stencil_spatial(local, op: Callable, r: int, mode: str, axis_name: str):
+    """Halo-exchange → run the single-device op on the extended block →
+    crop.  Exact because the op's own border handling only influences the
+    ``r`` outermost output rows, which are cropped; every kept output row
+    sees true (halo or local) data only."""
+    if r == 0:
+        return op(local)
+    ext = halo_exchange(local, r, axis_name, mode)
+    return op(ext)[:, r:-r, :]
+
+
+def gaussian_blur_spatial(
+    local: jnp.ndarray,
+    ksize=5,
+    sigma: float = 0.0,
+    sigma_y: float = 0.0,
+    axis_name: str = "y",
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """``cv2.GaussianBlur`` on row-sharded planes — bit-identical to
+    :func:`ops.filters.gaussian_blur_planes` on the gathered frame."""
+    from imageenhancement_mp_tpu.ops.filters import gaussian_blur_planes
+
+    kh, _, _, _ = gaussian_axes(
+        sigma=sigma, sigma_y=sigma_y, ksize=ksize, depth_u8=local.dtype == jnp.uint8
+    )
+    op = partial(gaussian_blur_planes, ksize=ksize, sigma=sigma, sigma_y=sigma_y,
+                 backend=backend)
+    return _stencil_spatial(local, op, kh // 2, "reflect", axis_name)
+
+
+def unsharp_mask_spatial(
+    local: jnp.ndarray,
+    amount: float = 1.0,
+    ksize: int = 5,
+    sigma: float = 0.0,
+    axis_name: str = "y",
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Unsharp mask on row-sharded planes (halo = the blur's radius)."""
+    from imageenhancement_mp_tpu.ops.filters import unsharp_mask_planes
+
+    kh, _, _, _ = gaussian_axes(
+        sigma=sigma, sigma_y=sigma, ksize=ksize, depth_u8=local.dtype == jnp.uint8
+    )
+    op = partial(unsharp_mask_planes, amount=amount, ksize=ksize, sigma=sigma,
+                 backend=backend)
+    return _stencil_spatial(local, op, kh // 2, "reflect", axis_name)
+
+
+def median_blur_spatial(
+    local: jnp.ndarray, ksize: int = 3, axis_name: str = "y",
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """``cv2.medianBlur`` on row-sharded planes (replicate border)."""
+    from imageenhancement_mp_tpu.ops.median import median_blur_planes
+
+    op = partial(median_blur_planes, ksize=ksize, backend=backend)
+    return _stencil_spatial(local, op, ksize // 2, "edge", axis_name)
+
+
+def laplacian_sharpen_spatial(local: jnp.ndarray, axis_name: str = "y") -> jnp.ndarray:
+    """Laplacian sharpen on row-sharded planes (3×3 stencil, halo 1)."""
+    from imageenhancement_mp_tpu.ops.filters import laplacian_sharpen_planes
+
+    return _stencil_spatial(local, laplacian_sharpen_planes, 1, "reflect", axis_name)
+
+
+def equalize_hist_spatial(
+    local: jnp.ndarray, method: str = "nibble_matmul", axis_name: str = "y"
+) -> jnp.ndarray:
+    """``cv2.equalizeHist`` per frame on row-sharded planes.
+
+    Each shard histograms its rows (the MXU one-hot matmul), a ``psum``
+    pools the 256 bins across the mesh, and every shard maps its rows
+    through the identical full-frame LUT — 1 KB over ICI per plane.
+    """
+    from imageenhancement_mp_tpu.ops.histogram import equalize_lut, histogram_256
+
+    if local.dtype != jnp.uint8:
+        raise TypeError(f"equalizeHist is 8-bit only (cv2 parity), got {local.dtype}")
+    n = jax.lax.axis_size(axis_name)
+    total = local.shape[-2] * local.shape[-1] * n
+    if total > jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"frame covers {total} pixels, which overflows the int32 cdf; "
+            "equalizeHist parity is defined up to 2^31-1 pixels per frame"
+        )
+    hists = jax.lax.psum(histogram_256(local, method), axis_name)
+    luts = jax.vmap(partial(equalize_lut, total=total))(hists)
+    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, local)
+
+
+def contrast_stretch_spatial(
+    local: jnp.ndarray,
+    out_range: tuple[float, float] = (0.0, 255.0),
+    axis_name: str = "y",
+) -> jnp.ndarray:
+    """``cv2.normalize(MINMAX)`` per frame on row-sharded planes.
+
+    Per-shard min/max reduce, ``pmin``/``pmax`` across the mesh, then the
+    same double-float LUT build as the single-device path (exact u8/u16;
+    float32 uses cv2's float path).
+    """
+    from imageenhancement_mp_tpu.ops.pointwise import stretch_luts_from_minmax
+
+    a, b = sorted((float(out_range[0]), float(out_range[1])))
+    if local.dtype == jnp.float32:
+        lo = jax.lax.pmin(jnp.min(local, axis=(-2, -1)), axis_name)
+        hi = jax.lax.pmax(jnp.max(local, axis=(-2, -1)), axis_name)
+
+        def onef(p, lo_i, hi_i):
+            out = (p - lo_i) * ((b - a) / jnp.maximum(hi_i - lo_i, jnp.float32(1e-45))) + a
+            return jnp.where(hi_i == lo_i, jnp.float32(a), out).astype(jnp.float32)
+
+        return jax.vmap(onef)(local, lo, hi)
+    maxv = 65535 if local.dtype == jnp.uint16 else 255
+    lo = jax.lax.pmin(jnp.min(local, axis=(-2, -1)).astype(jnp.int32), axis_name)
+    hi = jax.lax.pmax(jnp.max(local, axis=(-2, -1)).astype(jnp.int32), axis_name)
+    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, local.dtype)
+    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, local)
+
+
+def clahe_spatial(
+    local: jnp.ndarray,
+    clip_limit: float = 40.0,
+    tile_grid: tuple[int, int] = (8, 8),
+    axis_name: str = "y",
+) -> jnp.ndarray:
+    """``cv2.createCLAHE`` on row-sharded planes.
+
+    Each shard owns ``gh/n`` tile rows: stages A+B (per-tile histogram →
+    clipped LUT) are shard-local; one ``all_gather`` shares the
+    ``[gh·gw, S]`` LUT table (64 KB for u8 — the only cross-shard state
+    the blend needs); stage C blends locally with globally-indexed row
+    coordinates.  Bit-identical to :func:`ops.clahe.clahe_planes`.
+
+    Sharded CLAHE requires divisible geometry: ``gh % n == 0``,
+    ``(H/n) % (gh/n) == 0`` and ``W % gw == 0`` (cv2's non-divisible
+    REFLECT_101 pad quirk is only supported on the single-device path —
+    pad explicitly before sharding if needed).
+    """
+    from imageenhancement_mp_tpu.ops.clahe import (
+        _interp_coords,
+        _tile_hists,
+        blend_tile_luts,
+        clahe_tile_luts,
+    )
+
+    hist_size = 65536 if local.dtype == jnp.uint16 else 256
+    B, h, W = local.shape
+    n = jax.lax.axis_size(axis_name)
+    gh, gw = tile_grid
+    if gh % n:
+        raise ValueError(
+            f"spatial CLAHE needs tile rows {gh} divisible by mesh size {n}"
+        )
+    ghl = gh // n
+    if h % ghl or W % gw:
+        raise ValueError(
+            f"spatial CLAHE needs divisible geometry: local rows {h} % {ghl} == 0 "
+            f"and width {W} % {gw} == 0 (pad the frame before sharding)"
+        )
+    th, tw = h // ghl, W // gw
+    area = th * tw
+
+    # stages A+B: local tile rows only
+    hists = jax.vmap(lambda img: _tile_hists(img, ghl, gw, th, tw, hist_size))(local)
+    luts = clahe_tile_luts(
+        hists.reshape(B * ghl * gw, hist_size), area, clip_limit, hist_size
+    ).reshape(B, ghl * gw, hist_size)
+    # the one collective: every shard needs its neighbors' tile-row LUTs
+    # for the bilinear blend near the shard boundary
+    luts = jax.lax.all_gather(luts, axis_name, axis=1, tiled=True)  # [B, gh*gw, S]
+
+    # blend coords: x is static host-side; y must be GLOBAL row indices,
+    # computed on device with cv2's exact f32 convention (y·(1/th) − 0.5)
+    x0, x1, fx = _interp_coords(W, tw, gw)
+    x0 = jnp.asarray(x0)
+    x1 = jnp.asarray(x1)
+    fx = jnp.asarray(fx)[None, :]
+    inv = np.float32(1.0) / np.float32(th)
+    row0 = jax.lax.axis_index(axis_name) * h
+    yg = (row0 + jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
+    f = yg * inv - np.float32(0.5)
+    i0f = jnp.floor(f)
+    fy = (f - i0f)[:, None]
+    y0 = jnp.clip(i0f.astype(jnp.int32), 0, gh - 1)
+    y1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, gh - 1)
+
+    return jax.vmap(
+        lambda img, lt: blend_tile_luts(
+            img, lt.reshape(-1), y0, y1, fy, x0, x1, fx, gw, hist_size
+        )
+    )(local, luts)
