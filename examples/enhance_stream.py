@@ -1,13 +1,14 @@
-"""End-to-end streaming demo: native loader → device pipeline → outputs.
+"""End-to-end streaming demo: native loader → device pipeline → native writer.
 
 Generates a few synthetic PGM frames, then streams them through the judged
 config-5 pipeline (median → CLAHE → unsharp) with:
 
   * disk IO prefetch on native C++ worker threads (io.FrameLoader),
   * H2D-transfer/compute overlap (pipeline.stream_frames),
-  * in-program DMA double buffering (Pallas kernels on TPU).
+  * in-program DMA double buffering (Pallas kernels on TPU),
+  * encode + write-behind on native C++ worker threads (io.FrameWriter).
 
-Run: ``python examples/enhance_stream.py [--frames N] [--size HxW]``
+Run: ``python examples/enhance_stream.py [--frames N] [--size HxW] [--outdir D]``
 """
 
 from __future__ import annotations
@@ -28,10 +29,11 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", default="1080x1920")
     ap.add_argument("--batch", type=int, default=2, help="frames per device batch")
+    ap.add_argument("--outdir", default=None, help="write enhanced frames here (PGM)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.size.split("x"))
 
-    from imageenhancement_mp_tpu.io import FrameLoader
+    from imageenhancement_mp_tpu.io import FrameLoader, FrameWriter
     from imageenhancement_mp_tpu.models.presets import get_preset
     from imageenhancement_mp_tpu.pipeline import stream_frames
 
@@ -80,6 +82,20 @@ def main() -> int:
         f"enhanced {args.frames} frames ({n_px/1e6:.1f} MPix) in {dt*1e3:.1f} ms "
         f"-> {n_px/dt/1e9:.2f} GPix/s end-to-end (incl. disk IO)"
     )
+
+    if args.outdir:
+        outdir = Path(args.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        with FrameWriter(threads=4) as writer:
+            print(f"writer backend: {'native C++' if writer.native else 'python fallback'}")
+            k = 0
+            for out in outs:  # d2h now; encode+write proceeds behind us
+                for frame in np.asarray(out):
+                    writer.save(outdir / f"frame{k:04d}_out.pgm", frame)
+                    k += 1
+        for err in writer.failures:
+            print(f"write failed: {err}", file=sys.stderr)
+        print(f"wrote {k - len(writer.failures)} enhanced frames to {outdir}")
     return 0
 
 

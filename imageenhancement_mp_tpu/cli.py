@@ -96,15 +96,18 @@ def _apply_ops(ie, out, specs):
 
 
 def _batch_mode(args, ie) -> int:
-    """Stream many files: native prefetch -> per-frame pipeline -> outdir.
+    """Stream many files: native prefetch -> per-frame pipeline -> native
+    write-behind into outdir (encode/disk IO overlaps device compute on
+    both ends).
 
     Per-frame decode failures are yielded as FrameError sentinels (not
     raised through the generator), so one corrupt file never aborts the
-    rest of the batch.
+    rest of the batch; encode/write failures surface the same way from
+    the writer's flush().
     """
     from pathlib import Path
 
-    from imageenhancement_mp_tpu.io import FrameError
+    from imageenhancement_mp_tpu.io import FrameError, FrameWriter
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -128,23 +131,39 @@ def _batch_mode(args, ie) -> int:
         frames = bounded_map(safe_load, args.input, threads=4)
     specs = args.op or ["histeq"]
     n = failed = 0
-    for path, (frame, rgb_order) in zip(args.input, frames):
-        if isinstance(frame, FrameError):
-            print(f"error: frame decode failed: {frame}", file=sys.stderr)
+    writer = FrameWriter(threads=4)
+    try:
+        for path, (frame, rgb_order) in zip(args.input, frames):
+            if isinstance(frame, FrameError):
+                print(f"error: frame decode failed: {frame}", file=sys.stderr)
+                failed += 1
+                continue
+            if frame.dtype not in (np.uint8, np.uint16) or frame.ndim < 2:
+                print(f"skipping {path}: unsupported decoded form", file=sys.stderr)
+                failed += 1
+                continue
+            try:
+                out = _apply_ops(ie, frame, specs)
+            except (ValueError, TypeError) as e:
+                print(f"error: {path}: {e}", file=sys.stderr)
+                return 2
+            dst = outdir / (Path(path).stem + "_out" + Path(path).suffix)
+            out = np.asarray(out)
+            if dst.suffix.lower() in native_exts and (
+                out.ndim == 2 or (out.ndim == 3 and out.shape[-1] <= 4)
+            ):
+                # async write-behind; FrameWriter takes RGB(A) order
+                img = out if rgb_order or out.ndim == 2 else out[..., ::-1]
+                writer.save(dst, img)
+            else:
+                _save(str(dst), out, rgb_order=rgb_order)
+            n += 1
+    finally:
+        for err in writer.flush():
+            print(f"error: frame write failed: {err}", file=sys.stderr)
             failed += 1
-            continue
-        if frame.dtype not in (np.uint8, np.uint16) or frame.ndim < 2:
-            print(f"skipping {path}: unsupported decoded form", file=sys.stderr)
-            failed += 1
-            continue
-        try:
-            out = _apply_ops(ie, frame, specs)
-        except (ValueError, TypeError) as e:
-            print(f"error: {path}: {e}", file=sys.stderr)
-            return 2
-        dst = outdir / (Path(path).stem + "_out" + Path(path).suffix)
-        _save(str(dst), np.asarray(out), rgb_order=rgb_order)
-        n += 1
+            n -= 1
+        writer.close()
     print(f"wrote {n} files to {outdir}" + (f" ({failed} failed)" if failed else ""))
     return 0 if n and not failed else (1 if failed else 2)
 

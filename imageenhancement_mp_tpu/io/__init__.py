@@ -1,5 +1,6 @@
-"""Host-side IO runtime: native prefetching frame loader."""
+"""Host-side IO runtime: native prefetching frame loader + async writer."""
 
 from imageenhancement_mp_tpu.io.loader import FrameError, FrameLoader
+from imageenhancement_mp_tpu.io.writer import FrameWriter
 
-__all__ = ["FrameError", "FrameLoader"]
+__all__ = ["FrameError", "FrameLoader", "FrameWriter"]

@@ -1,0 +1,124 @@
+"""FrameWriter (native + fallback): encode/write roundtrips through
+FrameLoader and cross-checks against cv2's decoders."""
+
+import numpy as np
+import pytest
+
+from imageenhancement_mp_tpu.io import FrameLoader, FrameWriter
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@pytest.fixture(params=[False, True], ids=["native", "fallback"])
+def writer_kind(request):
+    if not request.param and not FrameWriter(threads=1).native:
+        pytest.skip("native writer unavailable (no C++ toolchain)")
+    return request.param
+
+
+def roundtrip(tmp_path, name, frame, force_fallback, **save_kw):
+    path = tmp_path / name
+    with FrameWriter(threads=2, force_fallback=force_fallback) as fw:
+        fw.save(path, frame, **save_kw)
+    assert fw.failures == []
+    got = next(iter(FrameLoader([path])))
+    return path, got
+
+
+@pytest.mark.parametrize(
+    "name,shape,dtype",
+    [
+        ("gray.pgm", (33, 47), np.uint8),
+        ("gray16.pgm", (21, 17), np.uint16),
+        ("rgb.ppm", (19, 23, 3), np.uint8),
+        ("rgb16.ppm", (11, 13, 3), np.uint16),
+        ("gray.png", (33, 47), np.uint8),
+        ("gray16.png", (21, 17), np.uint16),
+        ("rgb.png", (19, 23, 3), np.uint8),
+        ("rgb16.png", (11, 13, 3), np.uint16),
+        ("rgba.png", (9, 14, 4), np.uint8),
+    ],
+)
+def test_lossless_roundtrip(tmp_path, rng, writer_kind, name, shape, dtype):
+    hi = 256 if dtype == np.uint8 else 65536
+    frame = rng.integers(0, hi, shape, dtype=dtype)
+    _, got = roundtrip(tmp_path, name, frame, writer_kind)
+    assert got.dtype == dtype
+    np.testing.assert_array_equal(got, frame)
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 unavailable")
+def test_png_decodable_by_cv2(tmp_path, rng, writer_kind):
+    """Our PNG encoder must produce files other decoders accept."""
+    frame = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    path, _ = roundtrip(tmp_path, "x.png", frame, writer_kind)
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    assert img is not None
+    np.testing.assert_array_equal(img[..., ::-1], frame)  # cv2 gives BGR
+    frame16 = rng.integers(0, 65536, (12, 9), dtype=np.uint16)
+    path, _ = roundtrip(tmp_path, "x16.png", frame16, writer_kind)
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(img, frame16)
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 unavailable")
+def test_jpeg_roundtrip_lossy(tmp_path, rng, writer_kind):
+    frame = rng.integers(100, 156, (32, 32), dtype=np.uint8)  # low contrast
+    path, got = roundtrip(tmp_path, "x.jpg", frame, writer_kind, quality=95)
+    assert got.shape == frame.shape
+    assert np.abs(got.astype(int) - frame.astype(int)).mean() < 12
+    assert cv2.imread(str(path), cv2.IMREAD_UNCHANGED) is not None
+
+
+def test_many_frames_stress(tmp_path, rng, writer_kind):
+    frames = [
+        rng.integers(0, 256, (8 + i % 5, 9 + i % 7), dtype=np.uint8)
+        for i in range(40)
+    ]
+    with FrameWriter(threads=4, force_fallback=writer_kind) as fw:
+        for i, f in enumerate(frames):
+            fw.save(tmp_path / f"f{i:03d}.png", f)
+    assert fw.failures == []
+    paths = [tmp_path / f"f{i:03d}.png" for i in range(40)]
+    for got, want in zip(FrameLoader(paths), frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_failure_reported_not_raised(tmp_path, rng, writer_kind):
+    frame = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    with FrameWriter(threads=2, force_fallback=writer_kind) as fw:
+        fw.save(tmp_path / "ok.png", frame)
+        fw.save(tmp_path / "no_such_dir" / "x.png", frame)  # open fails
+        fails = fw.flush()
+    assert len(fails) == 1
+    assert "no_such_dir" in str(fails[0])
+    got = next(iter(FrameLoader([tmp_path / "ok.png"])))
+    np.testing.assert_array_equal(got, frame)
+
+
+def test_invalid_frames_raise(tmp_path, writer_kind):
+    with FrameWriter(threads=1, force_fallback=writer_kind) as fw:
+        with pytest.raises(TypeError):
+            fw.save(tmp_path / "f.png", np.zeros((4, 4), np.float32))
+        with pytest.raises(ValueError):
+            fw.save(tmp_path / "f.png", np.zeros((4, 4, 7), np.uint8))
+
+
+def test_raw_extension_writes_bytes(tmp_path, rng, writer_kind):
+    frame = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    with FrameWriter(threads=1, force_fallback=writer_kind) as fw:
+        fw.save(tmp_path / "f.u8", frame)
+    assert (tmp_path / "f.u8").read_bytes() == frame.tobytes()
+
+
+def test_pnm_16bit_is_big_endian_per_spec(tmp_path, rng, writer_kind):
+    frame = rng.integers(0, 65536, (4, 3), dtype=np.uint16)
+    with FrameWriter(threads=1, force_fallback=writer_kind) as fw:
+        fw.save(tmp_path / "f.pgm", frame)
+    data = (tmp_path / "f.pgm").read_bytes()
+    header_end = data.index(b"65535\n") + 6
+    samples = np.frombuffer(data[header_end:], ">u2").reshape(4, 3)
+    np.testing.assert_array_equal(samples.astype(np.uint16), frame)
