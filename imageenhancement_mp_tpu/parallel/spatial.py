@@ -54,6 +54,8 @@ __all__ = [
     "equalize_hist_spatial",
     "contrast_stretch_spatial",
     "clahe_spatial",
+    "SPATIAL_OP_REGISTRY",
+    "make_spatial_pipeline",
 ]
 
 
@@ -326,3 +328,96 @@ def clahe_spatial(
             img, lt.reshape(-1), y0, y1, fy, x0, x1, fx, gw, hist_size
         )
     )(local, luts)
+
+
+def _local_op(fn):
+    """Adapt a purely-pointwise planes op (no cross-row/cross-shard state)
+    to the spatial registry signature — it ignores ``axis_name``."""
+
+    def run(local, axis_name: str = "y", **kw):
+        del axis_name
+        return fn(local, **kw)
+
+    return run
+
+
+def _equalize_hist_global_spatial(local, axis_name: str = "y", **kw):
+    """Video-consistent pooled hist-eq over rows × frames × shards: the
+    existing psum path pools across any named axis, so spatial reuse is
+    direct (channels= grouping still applies along the local planes dim)."""
+    from imageenhancement_mp_tpu.ops.histogram import equalize_hist_global_planes
+
+    return equalize_hist_global_planes(local, axis_name=axis_name, **kw)
+
+
+def _spatial_registry():
+    from imageenhancement_mp_tpu.ops.pointwise import (
+        convert_scale_abs_planes,
+        gamma_planes,
+        log_planes,
+    )
+
+    return {
+        # pointwise: no cross-shard state, the planes op runs as-is
+        "gamma": _local_op(gamma_planes),
+        "log_transform": _local_op(log_planes),
+        "convert_scale_abs": _local_op(convert_scale_abs_planes),
+        # pooled statistics / halo ops: the spatial twins
+        "contrast_stretch": contrast_stretch_spatial,
+        "equalize_hist": equalize_hist_spatial,
+        "equalize_hist_global": _equalize_hist_global_spatial,
+        "clahe": clahe_spatial,
+        "gaussian_blur": gaussian_blur_spatial,
+        "laplacian_sharpen": laplacian_sharpen_spatial,
+        "unsharp_mask": unsharp_mask_spatial,
+        "median_blur": median_blur_spatial,
+    }
+
+
+SPATIAL_OP_REGISTRY = _spatial_registry()
+
+
+def make_spatial_pipeline(
+    stages,
+    mesh: Mesh,
+    axis_name: str = "y",
+    batch_axis: str | None = None,
+) -> Callable:
+    """Row-sharded twin of ``pipeline.make_pipeline``: the same stage specs
+    (``name`` or ``(name, kwargs)`` drawn from ``pipeline.OP_REGISTRY``),
+    compiled into ONE shard_map program over the mesh.
+
+    Operates on planes ``[B, H, W]`` (use ``utils.shapes.as_planes`` for
+    HWC inputs); ``H`` must be divisible by the ``axis_name`` mesh size.
+    Example — the judged config-5 chain across 8 chips::
+
+        pipe = make_spatial_pipeline([
+            ("median_blur", {"ksize": 5}),
+            ("clahe", {"clip_limit": 2.0, "tile_grid": (8, 8)}),
+            ("unsharp_mask", {"amount": 1.0}),
+        ], mesh)
+        out = pipe(device_put_spatial(planes, mesh))
+    """
+    _BACKEND_AWARE = {"gaussian_blur", "unsharp_mask", "median_blur"}
+    norm: list[tuple[str, tuple[tuple[str, object], ...]]] = []
+    multi = len(stages) > 1
+    for s in stages:
+        name, kwargs = (s, {}) if isinstance(s, str) else s
+        if name not in SPATIAL_OP_REGISTRY:
+            raise KeyError(
+                f"unknown spatial op {name!r}; available: {sorted(SPATIAL_OP_REGISTRY)}"
+            )
+        kwargs = dict(kwargs)
+        # same chain policy as make_pipeline: multi-stage chains stay in
+        # one XLA compiler view (docs/DESIGN.md §4)
+        if multi and name in _BACKEND_AWARE:
+            kwargs.setdefault("backend", "xla")
+        norm.append((name, tuple(sorted(kwargs.items()))))
+    norm_t = tuple(norm)
+
+    def run(local):
+        for name, kw in norm_t:
+            local = SPATIAL_OP_REGISTRY[name](local, axis_name=axis_name, **dict(kw))
+        return local
+
+    return shard_spatial(run, mesh, axis_name=axis_name, batch_axis=batch_axis)

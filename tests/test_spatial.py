@@ -223,3 +223,45 @@ def test_clahe_spatial_indivisible_raises(rng):
         run_spatial(lambda p: sp.clahe_spatial(p, 2.0, (4, 4), axis_name="y"), planes)
     with pytest.raises(ValueError, match="divisible geometry"):
         run_spatial(lambda p: sp.clahe_spatial(p, 2.0, (8, 5), axis_name="y"), planes)
+
+
+def test_make_spatial_pipeline_matches_make_pipeline(rng):
+    """The same stage specs, row-sharded, must match pipeline.make_pipeline."""
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+    from imageenhancement_mp_tpu.parallel.spatial import make_spatial_pipeline
+
+    specs = [
+        ("median_blur", {"ksize": 3}),
+        ("clahe", {"clip_limit": 2.0, "tile_grid": (8, 8)}),
+        ("unsharp_mask", {"amount": 1.0}),
+    ]
+    planes = rng.integers(0, 256, (2, 64, 40), dtype=np.uint8)
+    mesh = make_mesh(8, axis_name="y")
+    got = np.asarray(
+        make_spatial_pipeline(specs, mesh)(sp.device_put_spatial(planes, mesh))
+    )
+    want = np.asarray(make_pipeline(specs)(planes))
+    # CLAHE's documented ±1 CPU-tier budget amplifies ≤3 through unsharp
+    assert maxdiff(got, want) <= 3
+
+
+def test_make_spatial_pipeline_pointwise_and_pooled(rng):
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+    from imageenhancement_mp_tpu.parallel.spatial import make_spatial_pipeline
+
+    specs = [("gamma", {"gamma": 2.2}), "equalize_hist", "contrast_stretch"]
+    planes = rng.integers(0, 256, (3, 40, 28), dtype=np.uint8)
+    mesh = make_mesh(8, axis_name="y")
+    got = np.asarray(
+        make_spatial_pipeline(specs, mesh)(sp.device_put_spatial(planes, mesh))
+    )
+    want = np.asarray(make_pipeline(specs)(planes))
+    assert maxdiff(got, want) == 0
+
+
+def test_make_spatial_pipeline_unknown_op():
+    from imageenhancement_mp_tpu.parallel.spatial import make_spatial_pipeline
+
+    mesh = make_mesh(8, axis_name="y")
+    with pytest.raises(KeyError, match="unknown spatial op"):
+        make_spatial_pipeline(["nope"], mesh)
