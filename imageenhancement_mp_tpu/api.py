@@ -48,10 +48,12 @@ def _check_u8(img) -> None:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")
 
 
-def _check_image_dtype(img) -> None:
-    if img.dtype not in (jnp.uint8, jnp.uint16, jnp.float32):
+def _check_image_dtype(img, allow_i16: bool = False) -> None:
+    ok = (jnp.uint8, jnp.uint16, jnp.float32) + ((jnp.int16,) if allow_i16 else ())
+    if img.dtype not in ok:
         raise TypeError(
-            f"expected uint8/uint16/float32 image array, got {img.dtype}"
+            f"expected uint8/uint16{'/int16' if allow_i16 else ''}/float32 "
+            f"image array, got {img.dtype}"
         )
 
 
@@ -70,6 +72,16 @@ def _jitted(op_name: str, static_items: tuple, channels_last: bool) -> callable:
 
 _U8_ONLY = {"equalize_hist", "equalize_hist_global"}  # cv2.equalizeHist is 8-bit only
 _NO_FLOAT = {"clahe"}                                 # cv2 CLAHE: uint8/uint16 only
+# ops where cv2 has a CV_16S path (filters, addWeighted, normalize,
+# convertScaleAbs) — everything else rejects int16 like cv2 does
+_I16_OK = {
+    "gaussian_blur",
+    "median_blur",
+    "laplacian_sharpen",
+    "unsharp_mask",
+    "contrast_stretch",
+    "convert_scale_abs",
+}
 
 
 def _apply(op_name: str, img, channels_last: bool = True, **static):
@@ -79,7 +91,7 @@ def _apply(op_name: str, img, channels_last: bool = True, **static):
         if img.dtype not in (jnp.uint8, jnp.uint16):
             raise TypeError(f"expected uint8 or uint16 image array, got {img.dtype}")
     else:
-        _check_image_dtype(img)
+        _check_image_dtype(img, allow_i16=op_name in _I16_OK)
     return _jitted(op_name, tuple(sorted(static.items())), bool(channels_last))(img)
 
 
@@ -220,8 +232,8 @@ def _lap_jit(channels_last: bool):
 
 
 def laplacian(img, channels_last: bool = True):
-    """``cv2.Laplacian(ksize=1)`` (exact; u8→int16, u16→int32, f32→f32)."""
-    _check_image_dtype(img)
+    """``cv2.Laplacian(ksize=1)`` (exact; u8→int16, u16/i16→int32, f32→f32)."""
+    _check_image_dtype(img, allow_i16=True)
     return _lap_jit(bool(channels_last))(img)
 
 

@@ -148,6 +148,8 @@ def clahe_planes(
     contracts ``mul+add`` into FMA, changing the f32 rounding sequence —
     the TPU backend does not contract (verified probe, docs/PARITY.md).
     uint16 uses cv2's 65536-bin histogram."""
+    if planes.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"CLAHE supports uint8/uint16 (cv2 parity), got {planes.dtype}")
     hist_size = 65536 if planes.dtype == jnp.uint16 else 256
     B, H, W = planes.shape
     gh, gw = tile_grid

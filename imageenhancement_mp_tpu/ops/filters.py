@@ -63,6 +63,9 @@ def gaussian_blur_planes(
     uint8/uint16: bit-exact for ANY σ — cv2's fixed-point taps (Q8 for u8,
     Q16 for u16; cumulative-quantized, ref/ops.py ``_cdf_fixed_taps``) with
     exact integer accumulation and one final rounding shift.
+    int16 (CV_16S): cv2 uses its FLOAT filter path here; the f32 separable
+    conv below is within ±1 LSB of cv2 (ref/ops.py ``gaussian_blur``
+    docstring; docs/PARITY.md).
     float32: f32 separable conv (cv2's float path; no rounding).
     ``backend``: "pallas" | "xla" | None (auto: Pallas on TPU).  Standalone
     calls favor the Pallas kernel; fused pipelines default to "xla" so the
@@ -79,6 +82,13 @@ def gaussian_blur_planes(
         tv = tuple(float(t) for t in gaussian_kernel(kh, sy))
         th = tuple(float(t) for t in gaussian_kernel(kw, sx))
         return _sep_conv_f32(planes.astype(jnp.float32), tv, th).astype(jnp.float32)
+    if planes.dtype == jnp.int16:
+        import numpy as np
+
+        tv = tuple(float(np.float32(t)) for t in gaussian_kernel(kh, sy))
+        th = tuple(float(np.float32(t)) for t in gaussian_kernel(kw, sx))
+        acc = _sep_conv_f32(planes, tv, th)
+        return jnp.clip(jnp.round(acc), -32768, 32767).astype(jnp.int16)
     if planes.dtype == jnp.uint16:
         if sx <= 0 and sy <= 0 and kh <= 9 and kw <= 9:
             # dyadic /256 taps: the cheaper Q8 split-accumulation suffices
@@ -169,7 +179,7 @@ def _gauss_u16_q16(
 
 def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil.
-    uint8 → int16; uint16 → int32; float32 → float32."""
+    uint8 → int16; uint16/int16 → int32; float32 → float32."""
     acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
     p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(acc)
     lap = (
@@ -184,14 +194,22 @@ def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return lap.astype(jnp.int16 if planes.dtype == jnp.uint8 else jnp.int32)
 
 
+def _int_bounds(dtype) -> tuple[int, int]:
+    if dtype == jnp.uint8:
+        return 0, 255
+    if dtype == jnp.int16:
+        return -32768, 32767
+    return 0, 65535
+
+
 def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """Sharpen = src − Laplacian(src); saturating for integer dtypes
     (SURVEY.md §2 #7)."""
     if planes.dtype == jnp.float32:
         return planes - laplacian_planes(planes)
-    maxv = 255 if planes.dtype == jnp.uint8 else 65535
+    minv, maxv = _int_bounds(planes.dtype)
     lap = laplacian_planes(planes).astype(jnp.int32)
-    return jnp.clip(planes.astype(jnp.int32) - lap, 0, maxv).astype(planes.dtype)
+    return jnp.clip(planes.astype(jnp.int32) - lap, minv, maxv).astype(planes.dtype)
 
 
 def _add_weighted_fma(src_f32, blur_f32, amount: float):
@@ -224,7 +242,8 @@ def unsharp_mask_planes(
     if planes.dtype == jnp.float32:
         blur = gaussian_blur_planes(planes, ksize, sigma)
         return planes + jnp.float32(amount) * (planes - blur)
-    if planes.dtype == jnp.uint16:
+    if planes.dtype in (jnp.uint16, jnp.int16):
+        minv, maxv = _int_bounds(planes.dtype)
         blur = gaussian_blur_planes(planes, ksize, sigma).astype(jnp.int32)
         src = planes.astype(jnp.int32)
         if amount == int(amount):
@@ -233,7 +252,7 @@ def unsharp_mask_planes(
             out = _add_weighted_fma(
                 src.astype(jnp.float32), blur.astype(jnp.float32), amount
             )
-        return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+        return jnp.clip(out, minv, maxv).astype(planes.dtype)
     if backend == "pallas" or (backend is None and config.pallas_enabled()):
         from imageenhancement_mp_tpu.kernels.conv import unsharp_mask_pallas
 

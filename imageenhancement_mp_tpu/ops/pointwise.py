@@ -57,6 +57,8 @@ def log_lut_host() -> np.ndarray:
 
 def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
     """uint8/uint16: LUT path (exact).  float32: direct ``255·(r/255)^γ``."""
+    if planes.dtype == jnp.int16:
+        raise TypeError("gamma is defined for uint8/uint16/float32 (not int16)")
     if planes.dtype == jnp.float32:
         r = jnp.maximum(planes, 0.0) * (1.0 / 255.0)
         return (255.0 * jnp.power(r, jnp.float32(gamma))).astype(jnp.float32)
@@ -69,6 +71,8 @@ def gamma_planes(planes: jnp.ndarray, gamma: float) -> jnp.ndarray:
 
 def log_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """uint8/uint16: LUT path (exact).  float32: direct ``c·log(1+r)``."""
+    if planes.dtype == jnp.int16:
+        raise TypeError("log_transform is defined for uint8/uint16/float32 (not int16)")
     if planes.dtype == jnp.float32:
         c = jnp.float32(255.0 / np.log(256.0))
         return c * jnp.log1p(jnp.maximum(planes, 0.0))
@@ -94,17 +98,20 @@ def convert_scale_abs_planes(
         return jnp.clip(out, 0, 255).astype(jnp.int32).astype(jnp.uint8)
     from imageenhancement_mp_tpu.ref.ops import convert_scale_abs_lut
 
+    if planes.dtype == jnp.int16:
+        lut = jnp.asarray(convert_scale_abs_lut(alpha, beta, 65536, offset=-32768))
+        return lut[planes.astype(jnp.int32) + 32768]
     n = 65536 if planes.dtype == jnp.uint16 else 256
     return apply_lut_planes(planes, jnp.asarray(convert_scale_abs_lut(alpha, beta, n)))
 
 
-def _stretch_scale_tables(a: float, b: float, maxv: int):
+def _stretch_scale_tables(a: float, b: float, dmax: int):
     """Host-built double-float tables of cv2's f64 ``scale = (β−α)·(1/d)``
-    for every possible integer range ``d = max − min`` (the key insight:
-    d has ≤ maxv values, so the f64 arithmetic JAX can't do on device is a
-    static table lookup).  Returns (hi, lo) f32 pairs with hi = f32(scale64),
-    lo = f32(scale64 − hi)."""
-    d = np.arange(maxv + 1, dtype=np.float64)
+    for every possible integer range ``d = max − min ≤ dmax`` (the key
+    insight: d has ≤ dmax values, so the f64 arithmetic JAX can't do on
+    device is a static table lookup).  Returns (hi, lo) f32 pairs with
+    hi = f32(scale64), lo = f32(scale64 − hi)."""
+    d = np.arange(dmax + 1, dtype=np.float64)
     d[0] = 1.0  # constant plane: handled by the d==0 select
     scale64 = (b - a) * (1.0 / d)  # cv2's reciprocal-multiply convention
     sh = scale64.astype(np.float32)
@@ -136,42 +143,50 @@ def contrast_stretch_planes(
 
         return jax.vmap(onef)(planes)
 
-    maxv = 65535 if planes.dtype == jnp.uint16 else 255
+    if planes.dtype == jnp.int16:
+        minv, maxv = -32768, 32767
+    else:
+        minv, maxv = 0, (65535 if planes.dtype == jnp.uint16 else 255)
     lo = jnp.min(planes, axis=(-2, -1)).astype(jnp.int32)
     hi = jnp.max(planes, axis=(-2, -1)).astype(jnp.int32)
-    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, planes.dtype)
-    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, planes)
+    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, planes.dtype, minv)
+    return jax.vmap(lambda l, p: l[p.astype(jnp.int32) - minv])(luts, planes)
 
 
 def stretch_luts_from_minmax(
-    lo: jnp.ndarray, hi: jnp.ndarray, a: float, b: float, maxv: int, dtype
+    lo: jnp.ndarray, hi: jnp.ndarray, a: float, b: float, maxv: int, dtype,
+    minv: int = 0,
 ) -> jnp.ndarray:
     """cv2-exact normalize(MINMAX) LUTs from per-plane min/max vectors.
 
-    ``lo``/``hi``: ``[B] int32``.  Returns ``[B, maxv+1]`` LUTs in ``dtype``.
+    ``lo``/``hi``: ``[B] int32`` (actual plane values — may be negative for
+    int16, whose value domain starts at ``minv = −32768``).  Returns
+    ``[B, maxv−minv+1]`` LUTs in ``dtype``, indexed by ``value − minv``.
     Split out of :func:`contrast_stretch_planes` so the spatially-sharded
     path (parallel/spatial.py) can pool min/max across shards with
     ``pmin``/``pmax`` and reuse the exactness-critical double-float math.
     ``a``/``b`` must already be sorted (``a ≤ b``).
     """
-    sh_np, sl_np = _stretch_scale_tables(a, b, maxv)
+    sh_np, sl_np = _stretch_scale_tables(a, b, maxv - minv)
     sh_tab = jnp.asarray(sh_np)
     sl_tab = jnp.asarray(sl_np)
     # α as a static double-float pair
     ah = np.float32(a)
     al = np.float32(a - float(ah))
-    fill = jnp.int32(round(max(min(a, float(maxv)), 0.0)))
+    fill = jnp.int32(round(max(min(a, float(maxv)), float(minv))))
 
     def one(lo_i: jnp.ndarray, hi_i: jnp.ndarray) -> jnp.ndarray:
         d = hi_i - lo_i
         scale = sh_tab[d]  # f32(scale64), cv2's per-element scale
         # shift64 = α − lo·scale64, reproduced in double-float
-        lof = lo_i.astype(jnp.float32)  # exact (integer ≤ 65535)
+        lof = lo_i.astype(jnp.float32)  # exact (|integer| ≤ 65535)
         p1, e1 = _two_prod(lof, scale)
         s1, se1 = _two_sum(jnp.float32(ah), -p1)
         shift = s1 + ((jnp.float32(al) - e1 - lof * sl_tab[d]) + se1)
-        i = jnp.arange(maxv + 1, dtype=jnp.float32)
-        lut = jnp.clip(jnp.round(_fma32(i, scale, shift)), 0, maxv).astype(jnp.int32)
+        i = jnp.arange(minv, maxv + 1, dtype=jnp.float32)
+        lut = jnp.clip(jnp.round(_fma32(i, scale, shift)), minv, maxv).astype(
+            jnp.int32
+        )
         return jnp.where(d == 0, fill, lut).astype(dtype)
 
     return jax.vmap(one)(lo, hi)

@@ -249,11 +249,14 @@ def contrast_stretch_spatial(
             return jnp.where(hi_i == lo_i, jnp.float32(a), out).astype(jnp.float32)
 
         return jax.vmap(onef)(local, lo, hi)
-    maxv = 65535 if local.dtype == jnp.uint16 else 255
+    if local.dtype == jnp.int16:
+        minv, maxv = -32768, 32767
+    else:
+        minv, maxv = 0, (65535 if local.dtype == jnp.uint16 else 255)
     lo = jax.lax.pmin(jnp.min(local, axis=(-2, -1)).astype(jnp.int32), axis_name)
     hi = jax.lax.pmax(jnp.max(local, axis=(-2, -1)).astype(jnp.int32), axis_name)
-    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, local.dtype)
-    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, local)
+    luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, local.dtype, minv)
+    return jax.vmap(lambda l, p: l[p.astype(jnp.int32) - minv])(luts, local)
 
 
 def clahe_spatial(
@@ -282,6 +285,8 @@ def clahe_spatial(
         clahe_tile_luts,
     )
 
+    if local.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"CLAHE supports uint8/uint16 (cv2 parity), got {local.dtype}")
     hist_size = 65536 if local.dtype == jnp.uint16 else 256
     B, h, W = local.shape
     n = jax.lax.axis_size(axis_name)

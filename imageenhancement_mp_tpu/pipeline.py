@@ -73,9 +73,9 @@ def make_pipeline(
         return restore(planes)
 
     def run(img: jnp.ndarray) -> jnp.ndarray:
-        if img.dtype not in (jnp.uint8, jnp.uint16, jnp.float32):
+        if img.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
             raise TypeError(
-                f"expected uint8/uint16/float32 image array, got {img.dtype}"
+                f"expected uint8/uint16/int16/float32 image array, got {img.dtype}"
             )
         return run_jit(img)
 

@@ -68,19 +68,29 @@ def _check_u8(img: np.ndarray) -> None:
         raise TypeError(f"expected uint8 image, got {img.dtype}")
 
 
-def _img_kind(img: np.ndarray) -> str:
-    """'u8' | 'u16' | 'f32' for ops supporting all three (cv2-style)."""
+def _img_kind(img: np.ndarray, allow_i16: bool = False) -> str:
+    """'u8' | 'u16' | 'i16' | 'f32'; int16 (CV_16S) only where cv2 has a
+    16S path (filters, addWeighted, normalize, convertScaleAbs)."""
     if img.dtype == np.uint8:
         return "u8"
     if img.dtype == np.uint16:
         return "u16"
     if img.dtype == np.float32:
         return "f32"
-    raise TypeError(f"expected uint8/uint16/float32 image, got {img.dtype}")
+    if img.dtype == np.int16 and allow_i16:
+        return "i16"
+    raise TypeError(
+        f"expected uint8/uint16{'/int16' if allow_i16 else ''}/float32 image, "
+        f"got {img.dtype}"
+    )
 
 
 def _int_maxval(kind: str) -> int:
-    return 255 if kind == "u8" else 65535
+    return 255 if kind == "u8" else (32767 if kind == "i16" else 65535)
+
+
+def _int_minval(kind: str) -> int:
+    return -32768 if kind == "i16" else 0
 
 
 # ---------------------------------------------------------------------------
@@ -120,9 +130,11 @@ def log_lut16() -> np.ndarray:
     ).astype(np.uint16)
 
 
-def convert_scale_abs_lut(alpha: float, beta: float, n: int) -> np.ndarray:
-    """convertScaleAbs LUT with cv2's single-rounded f32-FMA semantics."""
-    i = np.arange(n, dtype=np.float64)
+def convert_scale_abs_lut(alpha: float, beta: float, n: int, offset: int = 0) -> np.ndarray:
+    """convertScaleAbs LUT with cv2's single-rounded f32-FMA semantics.
+    ``offset`` shifts the value domain (−32768 for int16 inputs; the LUT is
+    then indexed by ``v − offset``)."""
+    i = np.arange(n, dtype=np.float64) + offset
     fma = np.float32(i * float(np.float32(alpha)) + float(np.float32(beta)))
     return np.clip(np.abs(np.round(fma.astype(np.float64))), 0, 255).astype(np.uint8)
 
@@ -164,7 +176,7 @@ def contrast_stretch(
     """
     # cv2 sorts the output range: src-min maps to min(α,β) (verified probe)
     a, b = sorted((float(out_range[0]), float(out_range[1])))
-    kind = _img_kind(img)
+    kind = _img_kind(img, allow_i16=True)
     if kind == "f32":
         lo = float(img.min())
         hi = float(img.max())
@@ -176,19 +188,20 @@ def contrast_stretch(
     # the per-element SIMD op is a SINGLE-ROUNDED f32 FMA of f32-converted
     # scale/shift — same convention as convertScaleAbs.  Emulated via the
     # exact-f64-product + one-f32-rounding trick (probe: 0/3000 mismatches;
-    # plain f64 or f32 mul+add both mis-round ties on ~3-5% of tiny images).
+    # plain f64 or f32 mul+add both mis-round ties on ~3-5% of tiny images;
+    # int16 verified 0/200 with the value domain shifted by −32768).
     lo = float(img.min())
     hi = float(img.max())
     maxv = _int_maxval(kind)
+    minv = _int_minval(kind)
     if hi == lo:
-        return np.full_like(img, img.dtype.type(np.clip(round(a), 0, maxv)))
+        return np.full_like(img, img.dtype.type(np.clip(round(a), minv, maxv)))
     scale = (b - a) * (np.float64(1.0) / (hi - lo))
     shift = a - lo * scale
-    n = maxv + 1
-    i = np.arange(n, dtype=np.float64)
+    i = np.arange(minv, maxv + 1, dtype=np.float64)
     fma = np.float32(i * float(np.float32(scale)) + float(np.float32(shift)))
-    lut = np.clip(np.round(fma.astype(np.float64)), 0, maxv).astype(img.dtype)
-    return lut[img]
+    lut = np.clip(np.round(fma.astype(np.float64)), minv, maxv).astype(img.dtype)
+    return lut[img.astype(np.int32) - minv]
 
 
 def convert_scale_abs(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) -> np.ndarray:
@@ -198,15 +211,19 @@ def convert_scale_abs(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) ->
     cv2 ALWAYS returns 8-bit regardless of input depth (probe: u16 input
     → u8 saturated at 255; float input → u8); so does this.  The integer
     paths mirror cv2's SIMD exactly: a single-rounded f32 FMA
-    ``f32(x·f32(α) + f32(β))`` then cvRound (probe: bit-exact for u8/u16
-    across sweeping α/β; plain f64 or f32 arithmetic both mis-round ties).
+    ``f32(x·f32(α) + f32(β))`` then cvRound (probe: bit-exact for
+    u8/u16/i16 across sweeping α/β; plain f64 or f32 arithmetic both
+    mis-round ties).
     """
-    kind = _img_kind(img)
+    kind = _img_kind(img, allow_i16=True)
     if kind == "f32":
         fma = np.float32(img.astype(np.float64) * float(np.float32(alpha))
                          + float(np.float32(beta)))
         out = np.abs(np.round(fma.astype(np.float64)))
         return np.clip(out, 0, 255).astype(np.uint8)
+    if kind == "i16":
+        lut = convert_scale_abs_lut(alpha, beta, 65536, offset=-32768)
+        return lut[img.astype(np.int32) + 32768]
     return convert_scale_abs_lut(alpha, beta, 256 if kind == "u8" else 65536)[img]
 
 
@@ -468,9 +485,15 @@ def gaussian_blur(
     ``(acc + 2^15) >> 16`` (round 2: 1500/1500 + 200/200 rect fuzz vs cv2).
     uint16 (ANY σ): same with the Q16 taps from ``gaussian_taps_u16`` and
     ``(acc + 2^31) >> 32``.
+    int16 (CV_16S): cv2 takes its FLOAT filter path here (per-tap impulse
+    staircases show float-kernel × half-even behavior, and no fixed-point
+    Q reproduces them); the f32 separable conv below lands within ±1 LSB
+    of cv2 (worst over 200 fuzz configs) — cv2's exact SIMD accumulation
+    order is not reproducible portably, so i16 carries a documented ±1
+    budget (docs/PARITY.md).
     float32: plain separable float conv (f64 accumulation), no round/clip.
     """
-    kind = _img_kind(img)
+    kind = _img_kind(img, allow_i16=True)
     kh, kw, sy, sx = gaussian_axes(ksize, sigma, sigma_y, kind == "u8")
     if kh == 1 and kw == 1:
         return img.copy()  # cv2: k=1 is the identity for any sigma (probe)
@@ -484,6 +507,15 @@ def gaussian_blur(
         v = sum(gv[j] * acc[j : j + H, :] for j in range(kh))
         h = sum(gh_[j] * v[:, j : j + W] for j in range(kw))
         return h.astype(np.float32)
+    if kind == "i16":
+        gv = gaussian_kernel(kh, sy).astype(np.float32)
+        gh_ = gaussian_kernel(kw, sx).astype(np.float32)
+        acc = p.astype(np.float32)
+        v = sum(gv[j] * acc[j : j + H, :] for j in range(kh))
+        h = sum(gh_[j] * v[:, j : j + W] for j in range(kw))
+        return np.clip(
+            np.round(h.astype(np.float64)), -32768, 32767
+        ).astype(np.int16)
     if kind == "u8":
         tv = gaussian_kernel_fixed(kh, sy)
         tw = gaussian_kernel_fixed(kw, sx)
@@ -501,15 +533,15 @@ def gaussian_blur(
 def laplacian(img: np.ndarray) -> np.ndarray:
     """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil
     ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2).
-    uint8 → int16 (CV_16S); uint16 → int32; float32 → float32 (CV_32F)."""
-    kind = _img_kind(img)
+    uint8 → int16 (CV_16S); uint16/int16 → int32; float32 → float32 (CV_32F)."""
+    kind = _img_kind(img, allow_i16=True)
     if kind == "f32":
         p = _reflect_pad(img.astype(np.float64), 1)
         lap = (
             p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
         )
         return lap.astype(np.float32)
-    if kind == "u16":
+    if kind in ("u16", "i16"):
         p = _reflect_pad(img.astype(np.int64), 1)
         lap = (
             p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
@@ -525,11 +557,13 @@ def laplacian(img: np.ndarray) -> np.ndarray:
 def laplacian_sharpen(img: np.ndarray) -> np.ndarray:
     """Sharpen = src − Laplacian(src); saturating for integer dtypes
     (SURVEY.md §2 #7)."""
-    kind = _img_kind(img)
+    kind = _img_kind(img, allow_i16=True)
     if kind == "f32":
         return (img.astype(np.float64) - laplacian(img)).astype(np.float32)
     lap = laplacian(img).astype(np.int64)
-    return np.clip(img.astype(np.int64) - lap, 0, _int_maxval(kind)).astype(img.dtype)
+    return np.clip(
+        img.astype(np.int64) - lap, _int_minval(kind), _int_maxval(kind)
+    ).astype(img.dtype)
 
 
 def unsharp_mask(
@@ -545,9 +579,11 @@ def unsharp_mask(
         out = cvRound(f32(src·f32(1+a) + t)), saturating
 
     (cvRound = half-to-even; probe: 0.5·[1,3,5] → [0,2,2].)  The float32
-    path neither rounds nor saturates.
+    path neither rounds nor saturates.  int16: the addWeighted chain is the
+    same two-FMA model (0/200 fuzz vs cv2); the blur inherits the i16
+    Gaussian's ±1 float-path budget.
     """
-    kind = _img_kind(img)
+    kind = _img_kind(img, allow_i16=True)
     blur = gaussian_blur(img, ksize, sigma)
     if kind == "f32":
         out = (1.0 + amount) * img.astype(np.float64) - amount * blur.astype(np.float64)
@@ -556,17 +592,20 @@ def unsharp_mask(
     beta = float(np.float32(-amount))
     t = np.float32(blur.astype(np.float64) * beta)
     fma = np.float32(img.astype(np.float64) * alpha + t.astype(np.float64))
-    return np.clip(np.round(fma.astype(np.float64)), 0, _int_maxval(kind)).astype(img.dtype)
+    return np.clip(
+        np.round(fma.astype(np.float64)), _int_minval(kind), _int_maxval(kind)
+    ).astype(img.dtype)
 
 
 def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
     """``cv2.medianBlur`` — exact; border = replicate (SURVEY.md §8.2).
 
-    uint16 is supported for k∈{3,5} (cv2 parity, exact); float32 for any
-    odd k (cv2 only supports k=3 for floats — a strict extension; the k=3
-    float results match cv2 exactly).
+    uint16/int16 are supported for k∈{3,5} (cv2 parity, exact — i16
+    verified order-statistic-identical to the u16 path by offset probe);
+    float32 for any odd k (cv2 only supports k=3 for floats — a strict
+    extension; the k=3 float results match cv2 exactly).
     """
-    _img_kind(img)
+    _img_kind(img, allow_i16=True)
     if ksize % 2 == 0 or ksize < 3:
         raise ValueError("ksize must be odd and >= 3")
     pad = ksize // 2
