@@ -73,6 +73,43 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.unsharp_mask(img16, 1.0), 0),
     ]
 
+    imgs16 = rng.integers(-32768, 32768, size, dtype=np.int16)
+    checks += [
+        ("median5/i16", lambda: ie.median_blur(imgs16, 5),
+         lambda: ref.median_blur(imgs16, 5), 0),
+        ("stretch/i16", lambda: ie.contrast_stretch(imgs16, (-20.5, 512.0)),
+         lambda: ref.contrast_stretch(imgs16, (-20.5, 512.0)), 0),
+        # i16 Gaussian: device vs oracle use the same f32 conv — budget 1
+        # covers backend FMA-contraction differences (docs/PARITY.md)
+        ("gauss5/i16", lambda: ie.gaussian_blur(imgs16, 5),
+         lambda: ref.gaussian_blur(imgs16, 5, 0.0), 1),
+        ("lap_sharp/i16", lambda: ie.laplacian_sharpen(imgs16),
+         lambda: ref.laplacian_sharpen(imgs16), 0),
+    ]
+
+    # spatial sharding on a 1-device mesh (exercises the halo self-border,
+    # psum/all_gather collectives and the shard_map program end-to-end;
+    # multi-device equality is covered by tests/test_spatial.py)
+    def _spatial_config5():
+        from imageenhancement_mp_tpu.parallel.sharding import make_mesh
+        from imageenhancement_mp_tpu.parallel import spatial as sp
+
+        mesh = make_mesh(1, axis_name="y")
+        pipe = sp.make_spatial_pipeline(
+            [("median_blur", {"ksize": 3}),
+             ("clahe", {"clip_limit": 2.0, "tile_grid": (4, 4)}),
+             ("unsharp_mask", {"amount": 1.0})],
+            mesh,
+        )
+        crop = img[: size[0] - size[0] % 4, : size[1] - size[1] % 4]
+        return pipe(sp.device_put_spatial(crop[None], mesh))[0]
+
+    def _spatial_oracle():
+        crop = img[: size[0] - size[0] % 4, : size[1] - size[1] % 4]
+        return ref.unsharp_mask(ref.clahe(ref.median_blur(crop, 3), 2.0, (4, 4)), 1.0)
+
+    checks += [("spatial/cfg5", _spatial_config5, _spatial_oracle, 3)]
+
     # pooled (video-mode) equalization: per-channel LUTs across frames
     vid = rng.integers(0, 256, (3, *size, 2), dtype=np.uint8)
 
