@@ -88,11 +88,13 @@ def _median_kernel(
 def median_blur_pallas(
     planes: jnp.ndarray, ksize: int = 3, tile_rows: int = 256, interpret: bool | None = None
 ) -> jnp.ndarray:
-    """``cv2.medianBlur`` on uint8/uint16 planes — exact; border = replicate."""
+    """``cv2.medianBlur`` on uint8/uint16/int16 planes — exact; border =
+    replicate.  int16 needs no special casing: the window taps are widened
+    to int32 in-kernel, where the min/max network is sign-correct."""
     if ksize not in (3, 5):
         raise ValueError("pallas median supports ksize in (3, 5)")
-    if planes.dtype not in (jnp.uint8, jnp.uint16):
-        raise TypeError(f"pallas median supports uint8/uint16, got {planes.dtype}")
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16):
+        raise TypeError(f"pallas median supports uint8/uint16/int16, got {planes.dtype}")
     B, H, W = planes.shape
     pad = ksize // 2
     if interpret is None:

@@ -41,7 +41,7 @@ def median_blur_planes(
     from imageenhancement_mp_tpu import config
 
     if (
-        planes.dtype in (jnp.uint8, jnp.uint16)
+        planes.dtype in (jnp.uint8, jnp.uint16, jnp.int16)
         and ksize in (3, 5)
         and (backend == "pallas" or (backend is None and config.pallas_enabled()))
     ):

@@ -181,3 +181,15 @@ def test_i16_pipeline_and_spatial(rng):
     )
     want = np.stack([ref.contrast_stretch(p, (-50.0, 900.0)) for p in x])
     assert maxdiff(got, want) == 0
+
+
+@pytest.mark.parametrize("ksize", [3, 5])
+def test_median_i16_pallas_kernel(rng, ksize):
+    """The Pallas sorting-network kernel (interpret mode on CPU) takes i16
+    directly — the in-kernel int32 widening is sign-correct."""
+    from imageenhancement_mp_tpu.kernels.median import median_blur_pallas
+
+    x = rand_i16(rng, (2, 37, 53))
+    got = np.asarray(median_blur_pallas(x, ksize))
+    want = np.stack([ref.median_blur(p, ksize) for p in x])
+    assert maxdiff(got, want) == 0
