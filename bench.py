@@ -43,6 +43,8 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
+    "median5/i16 4K gray b2": 0.430,
+    "gaussian5/i16 4K gray b2": 1.367,
 }
 
 
@@ -207,6 +209,23 @@ def main() -> int:
                 "gaussian5/u16 4K gray b2",
                 lambda x: ie.gaussian_blur(x, 5),
                 b4k16,
+                gray_oracle(lambda p: ref.gaussian_blur(p, 5, 0.0)),
+            ),
+        ]
+        # int16 (CV_16S) tier — median rides the Pallas sorting network;
+        # gaussian is the documented float path (oracle = same f32 conv)
+        b4ks16 = rng.integers(-32768, 32768, (2, 2160, 3840), dtype=np.int16)
+        suite += [
+            (
+                "median5/i16 4K gray b2",
+                lambda x: ie.median_blur(x, 5),
+                b4ks16,
+                gray_oracle(lambda p: ref.median_blur(p, 5)),
+            ),
+            (
+                "gaussian5/i16 4K gray b2",
+                lambda x: ie.gaussian_blur(x, 5),
+                b4ks16,
                 gray_oracle(lambda p: ref.gaussian_blur(p, 5, 0.0)),
             ),
         ]
