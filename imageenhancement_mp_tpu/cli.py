@@ -131,7 +131,7 @@ def _batch_mode(args, ie) -> int:
         frames = bounded_map(safe_load, args.input, threads=4)
     specs = args.op or ["histeq"]
     n = failed = 0
-    writer = FrameWriter(threads=4)
+    writer = None  # created lazily: the first-use g++ build is not free
     try:
         for path, (frame, rgb_order) in zip(args.input, frames):
             if isinstance(frame, FrameError):
@@ -152,18 +152,25 @@ def _batch_mode(args, ie) -> int:
             if dst.suffix.lower() in native_exts and (
                 out.ndim == 2 or (out.ndim == 3 and out.shape[-1] <= 4)
             ):
-                # async write-behind; FrameWriter takes RGB(A) order
-                img = out if rgb_order or out.ndim == 2 else out[..., ::-1]
+                # async write-behind; FrameWriter takes RGB(A) order.  A
+                # BGR(A) frame swaps only its first three channels — alpha
+                # stays in place.
+                img = out
+                if not rgb_order and out.ndim == 3 and out.shape[-1] >= 3:
+                    img = out[..., [2, 1, 0, *range(3, out.shape[-1])]]
+                if writer is None:
+                    writer = FrameWriter(threads=4)
                 writer.save(dst, img)
             else:
                 _save(str(dst), out, rgb_order=rgb_order)
             n += 1
     finally:
-        for err in writer.flush():
-            print(f"error: frame write failed: {err}", file=sys.stderr)
-            failed += 1
-            n -= 1
-        writer.close()
+        if writer is not None:
+            for err in writer.flush():
+                print(f"error: frame write failed: {err}", file=sys.stderr)
+                failed += 1
+                n -= 1
+            writer.close()
     print(f"wrote {n} files to {outdir}" + (f" ({failed} failed)" if failed else ""))
     return 0 if n and not failed else (1 if failed else 2)
 

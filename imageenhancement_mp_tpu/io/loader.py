@@ -30,39 +30,48 @@ _lib = None
 _native_failed = False
 
 
+def build_native_lib(src: Path, lib: Path) -> ctypes.CDLL | None:
+    """Compile-and-cache bootstrap shared by the native loader and writer
+    (io/writer.py).  Caller holds its module lock.  Returns None when no
+    C++ toolchain is available (callers fall back to pure Python)."""
+    if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
+        try:
+            return ctypes.CDLL(str(lib))
+        except OSError:
+            # stale/truncated cache (interrupted build, cross-process
+            # race) — remove and rebuild below
+            lib.unlink(missing_ok=True)
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O2",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                "-pthread",
+                str(src),
+                "-lz",
+                "-ljpeg",
+                "-o",
+                str(lib),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return ctypes.CDLL(str(lib))
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def _build_lib() -> ctypes.CDLL | None:
     global _native_failed
     with _lock:
-        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-            try:
-                return ctypes.CDLL(str(_LIB))
-            except OSError:
-                # stale/truncated cache (interrupted build, cross-process
-                # race) — remove and rebuild below
-                _LIB.unlink(missing_ok=True)
-        try:
-            subprocess.run(
-                [
-                    "g++",
-                    "-O2",
-                    "-std=c++17",
-                    "-shared",
-                    "-fPIC",
-                    "-pthread",
-                    str(_SRC),
-                    "-lz",
-                    "-ljpeg",
-                    "-o",
-                    str(_LIB),
-                ],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return ctypes.CDLL(str(_LIB))
-        except (OSError, subprocess.SubprocessError):
+        lib = build_native_lib(_SRC, _LIB)
+        if lib is None:
             _native_failed = True
-            return None
+        return lib
 
 
 def _get_lib() -> ctypes.CDLL | None:

@@ -213,7 +213,7 @@ static long encode_jpeg(const Job& j) {
   cinfo.input_components = j.ch;
   cinfo.in_color_space = j.ch == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_set_defaults(&cinfo);
-  int q = j.quality < 1 ? 95 : (j.quality > 100 ? 100 : j.quality);
+  int q = j.quality < 1 ? 1 : (j.quality > 100 ? 100 : j.quality);
   jpeg_set_quality(&cinfo, q, TRUE);
   jpeg_start_compress(&cinfo, TRUE);
   const size_t stride = static_cast<size_t>(j.w) * j.ch;

@@ -17,14 +17,13 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
 import threading
 import zlib
 from pathlib import Path
 
 import numpy as np
 
-from imageenhancement_mp_tpu.io.loader import FrameError
+from imageenhancement_mp_tpu.io.loader import FrameError, build_native_lib
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SRC = _NATIVE_DIR / "framewriter.cpp"
@@ -39,23 +38,10 @@ __all__ = ["FrameWriter", "encode_frame"]
 def _build_lib() -> ctypes.CDLL | None:
     global _native_failed
     with _lock:
-        if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-            try:
-                return ctypes.CDLL(str(_LIB))
-            except OSError:
-                _LIB.unlink(missing_ok=True)
-        try:
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 str(_SRC), "-lz", "-ljpeg", "-o", str(_LIB)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return ctypes.CDLL(str(_LIB))
-        except (OSError, subprocess.SubprocessError):
+        lib = build_native_lib(_SRC, _LIB)  # shared bootstrap (io/loader.py)
+        if lib is None:
             _native_failed = True
-            return None
+        return lib
 
 
 def _get_lib() -> ctypes.CDLL | None:
@@ -227,6 +213,7 @@ class FrameWriter:
         IO/encode failures surface via ``flush()``/``failures``."""
         path = str(path)
         frame, w, h, ch, depth = _canon_frame(frame)
+        quality = min(100, max(1, int(quality)))  # same clamp on both backends
         if self._h is not None:
             rc = self._lib.fw_submit(
                 self._h,
@@ -237,6 +224,10 @@ class FrameWriter:
             if rc < 0:
                 raise ValueError(f"fw_submit rejected frame (code {rc}): {path}")
             return
+        # the native path copies the buffer synchronously inside fw_submit;
+        # match that contract here so a caller-reused buffer can't change
+        # under the encode worker
+        frame = frame.copy()
 
         def run():
             try:

@@ -100,15 +100,18 @@ def halo_exchange(
     ``ppermute`` shifts over ICI; the global top/bottom shards synthesize
     the cv2 border instead — ``mode="reflect"`` (BORDER_REFLECT_101, rows
     ``r..1`` / ``h-2..h-1-r``) or ``mode="edge"`` (replicate).  Requires
-    ``h ≥ r+1`` so the border rows exist locally.
+    ``h ≥ r+1`` for reflect (the REFLECT_101 border reads local row ``r``)
+    but only ``h ≥ r`` for edge (replicate reads rows 0/−1, and interior
+    halos come from the immediate neighbor's ``r`` rows).
     """
     if r <= 0:
         return local
     h = local.shape[1]
-    if h < r + 1:
+    h_min = r + 1 if mode == "reflect" else r
+    if h < h_min:
         raise ValueError(
-            f"shard height {h} too small for halo radius {r} (need h ≥ r+1); "
-            "use fewer shards or a smaller kernel"
+            f"shard height {h} too small for halo radius {r} with mode "
+            f"{mode!r} (need h ≥ {h_min}); use fewer shards or a smaller kernel"
         )
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)

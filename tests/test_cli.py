@@ -162,3 +162,23 @@ def test_cli_single_image_pillow_color_order(tmp_path, rng, monkeypatch):
     assert r.returncode == 0, r.stderr[-500:]
     back = np.asarray(Image.open(out))
     assert back[..., 0].min() >= 190 and back[..., 2].max() == 0
+
+
+def test_cli_batch_bgra_channel_order(tmp_path, rng):
+    """Mixed-ext batch forces the cv2 fallback loader (BGRA order); the
+    write-behind path must swap only B<->R — alpha stays in place."""
+    cv2 = pytest.importorskip("cv2")
+    rgba = rng.integers(0, 256, (20, 24, 4), dtype=np.uint8)
+    png = tmp_path / "a.png"
+    cv2.imwrite(str(png), rgba)  # cv2 takes BGRA; file stores RGBA faithfully
+    npy = tmp_path / "b.npy"
+    np.save(npy, rng.integers(0, 256, (20, 24), dtype=np.uint8))
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", str(png), str(npy),
+         "-o", str(outdir), "--op", "gamma:1.0"],  # identity op
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    got = cv2.imread(str(outdir / "a_out.png"), cv2.IMREAD_UNCHANGED)  # BGRA
+    np.testing.assert_array_equal(got, rgba)  # all four channels in place

@@ -122,3 +122,31 @@ def test_pnm_16bit_is_big_endian_per_spec(tmp_path, rng, writer_kind):
     header_end = data.index(b"65535\n") + 6
     samples = np.frombuffer(data[header_end:], ">u2").reshape(4, 3)
     np.testing.assert_array_equal(samples.astype(np.uint16), frame)
+
+
+def test_fallback_save_copies_buffer(tmp_path, rng):
+    """The fallback must snapshot the frame at save() time (same contract
+    as the native fw_submit copy): reusing the buffer can't corrupt output."""
+    frames = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(8)]
+    buf = np.empty((16, 16), np.uint8)
+    with FrameWriter(threads=2, force_fallback=True) as fw:
+        for i, f in enumerate(frames):
+            buf[:] = f
+            fw.save(tmp_path / f"r{i}.png", buf)
+    assert fw.failures == []
+    for i, f in enumerate(frames):
+        got = next(iter(FrameLoader([tmp_path / f"r{i}.png"])))
+        np.testing.assert_array_equal(got, f)
+
+
+def test_jpeg_quality_clamped_consistently(tmp_path, rng, writer_kind):
+    """quality is clamped to [1,100] identically on both backends; a low
+    quality must actually produce a smaller file than a high one."""
+    frame = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    with FrameWriter(threads=1, force_fallback=writer_kind) as fw:
+        fw.save(tmp_path / "q_low.jpg", frame, quality=-5)   # -> 1
+        fw.save(tmp_path / "q_hi.jpg", frame, quality=400)   # -> 100
+    assert fw.failures == []
+    lo = (tmp_path / "q_low.jpg").stat().st_size
+    hi = (tmp_path / "q_hi.jpg").stat().st_size
+    assert lo < hi

@@ -265,3 +265,12 @@ def test_make_spatial_pipeline_unknown_op():
     mesh = make_mesh(8, axis_name="y")
     with pytest.raises(KeyError, match="unknown spatial op"):
         make_spatial_pipeline(["nope"], mesh)
+
+
+def test_median_spatial_shard_height_equals_radius(rng):
+    """Replicate-border halo exchange only needs h >= r: median5 (r=2) on
+    2-row shards must work and match the single-device op."""
+    planes = rng.integers(0, 256, (1, 16, 24), dtype=np.uint8)  # h=2 per shard
+    got = run_spatial(lambda p: sp.median_blur_spatial(p, 5, axis_name="y"), planes)
+    want = np.asarray(median_blur_planes(jnp.asarray(planes), 5))
+    assert maxdiff(got, want) == 0
