@@ -96,14 +96,6 @@ def main() -> int:
     b1080 = rng.integers(0, 256, (8, 1080, 1920), dtype=np.uint8)
     b4k = rng.integers(0, 256, (2, 2160, 3840), dtype=np.uint8)
 
-    suite = [
-        (
-            "histeq+unsharp 1080p gray b8",
-            lambda x: equalize_unsharp(x, 1.0, 5, 0.0),
-            b1080,
-            lambda x: np.stack([ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0) for p in x]),
-        )
-    ]
     def gray_oracle(op):
         """Per-plane oracle over a [N,H,W] batch."""
         return lambda x: np.stack([op(p) for p in x])
@@ -116,6 +108,15 @@ def main() -> int:
                 for n in range(x.shape[0])
             ]
         )
+
+    suite = [
+        (
+            "histeq+unsharp 1080p gray b8",
+            lambda x: equalize_unsharp(x, 1.0, 5, 0.0),
+            b1080,
+            gray_oracle(lambda p: ref.unsharp_mask(ref.equalize_hist(p), 1.0, 5, 0.0)),
+        )
+    ]
 
     if args.all:
         i512 = rng.integers(0, 256, (512, 512), dtype=np.uint8)

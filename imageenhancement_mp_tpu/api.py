@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imageenhancement_mp_tpu.ops import OP_REGISTRY, apply_lut_planes, laplacian_planes
-from imageenhancement_mp_tpu.utils.shapes import as_planes
+from imageenhancement_mp_tpu.utils.shapes import as_planes, treat_as_hwc
 
 __all__ = [
     "apply_lut",
@@ -186,11 +186,8 @@ def equalize_hist(img, per_frame: bool = True, per_channel: bool = True, channel
     if per_frame:
         return _apply("equalize_hist", img, channels_last)
     channels = 1
-    if per_channel:
-        if img.ndim == 4:
-            channels = img.shape[-1]
-        elif img.ndim == 3 and channels_last and img.shape[-1] in (1, 2, 3, 4):
-            channels = img.shape[-1]
+    if per_channel and (img.ndim == 4 or treat_as_hwc(img, channels_last)):
+        channels = img.shape[-1]
     return _apply("equalize_hist_global", img, channels_last, channels=channels)
 
 

@@ -192,6 +192,7 @@ class FrameWriter:
         self._force_fallback = force_fallback
         self.failures: list[FrameError] = []
         self._h = None
+        self._closed = False
         self._lib = None if force_fallback else _get_lib()
         if self._lib is not None:
             self._h = self._lib.fw_create(self.threads, max_queue_bytes)
@@ -202,6 +203,10 @@ class FrameWriter:
 
             self._pool = ThreadPoolExecutor(self.threads)
             self._pending: list = []
+            # backpressure state mirroring the native queue cap: bytes of
+            # frame copies queued but not yet written
+            self._qbytes = 0
+            self._qcond = threading.Condition()
 
     @property
     def native(self) -> bool:
@@ -211,6 +216,8 @@ class FrameWriter:
         """Queue one frame for encode+write.  Returns immediately (may block
         briefly when the encode queue is full).  Raises on invalid frames;
         IO/encode failures surface via ``flush()``/``failures``."""
+        if self._closed:
+            raise RuntimeError("FrameWriter is closed")
         path = str(path)
         frame, w, h, ch, depth = _canon_frame(frame)
         quality = min(100, max(1, int(quality)))  # same clamp on both backends
@@ -224,9 +231,16 @@ class FrameWriter:
             if rc < 0:
                 raise ValueError(f"fw_submit rejected frame (code {rc}): {path}")
             return
-        # the native path copies the buffer synchronously inside fw_submit;
-        # match that contract here so a caller-reused buffer can't change
-        # under the encode worker
+        # the native path copies the buffer synchronously inside fw_submit
+        # and blocks while the queue holds max_queue_bytes of copies; match
+        # both halves of that contract here so a caller-reused buffer can't
+        # change under the encode worker and a slow disk can't grow memory
+        # without bound
+        nbytes = frame.nbytes
+        with self._qcond:
+            while self._qbytes > 0 and self._qbytes + nbytes > self.max_queue_bytes:
+                self._qcond.wait()
+            self._qbytes += nbytes
         frame = frame.copy()
 
         def run():
@@ -237,11 +251,17 @@ class FrameWriter:
                 return None
             except Exception as e:  # per-frame failure
                 return FrameError(path, cause=e)
+            finally:
+                with self._qcond:
+                    self._qbytes -= nbytes
+                    self._qcond.notify_all()
 
         self._pending.append(self._pool.submit(run))
 
     def flush(self) -> list[FrameError]:
         """Wait for all queued writes; return (and record) the failure list."""
+        if self._closed:
+            return self.failures
         if self._h is not None:
             nfail = self._lib.fw_flush(self._h)
             seen = len(self.failures)
@@ -267,6 +287,7 @@ class FrameWriter:
             self.flush()
             self._pool.shutdown()
             self._pool = None
+        self._closed = True
 
     def __enter__(self) -> "FrameWriter":
         return self

@@ -29,6 +29,13 @@ import jax.numpy as jnp
 Restore = Callable[[jnp.ndarray], jnp.ndarray]
 
 
+def treat_as_hwc(img, channels_last: bool = True) -> bool:
+    """THE ambiguity rule (see module docstring): a 3-D array is one
+    ``[H, W, C]`` image iff ``channels_last`` and its last dim is ≤ 4.
+    Single source of truth — every layout decision routes through here."""
+    return img.ndim == 3 and channels_last and img.shape[-1] in (1, 2, 3, 4)
+
+
 def as_planes(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, Restore]:
     """Canonicalize to ``[B, H, W]`` and return a function undoing the reshape."""
     nd = img.ndim
@@ -36,7 +43,7 @@ def as_planes(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray
         planes = img[None]
         return planes, lambda out: out[0]
     if nd == 3:
-        if channels_last and img.shape[-1] in (1, 2, 3, 4):
+        if treat_as_hwc(img, channels_last):
             # [H, W, C] -> [C, H, W]
             planes = jnp.moveaxis(img, -1, 0)
             return planes, lambda out: jnp.moveaxis(out, 0, -1)

@@ -150,3 +150,57 @@ def test_jpeg_quality_clamped_consistently(tmp_path, rng, writer_kind):
     lo = (tmp_path / "q_low.jpg").stat().st_size
     hi = (tmp_path / "q_hi.jpg").stat().st_size
     assert lo < hi
+
+
+def test_save_after_close_raises(tmp_path, rng, writer_kind):
+    """A closed writer must reject save() with a clear error (not an
+    AttributeError from the wrong backend branch) and keep flush() safe."""
+    frame = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    fw = FrameWriter(threads=1, force_fallback=writer_kind)
+    fw.save(tmp_path / "a.png", frame)
+    fw.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fw.save(tmp_path / "b.png", frame)
+    assert fw.flush() == []  # no-op, returns recorded failures
+    fw.close()  # idempotent
+
+
+def test_fallback_backpressure_blocks_at_cap(tmp_path, rng, monkeypatch):
+    """The fallback honors max_queue_bytes like the native queue: save()
+    blocks once the queued frame copies reach the cap, instead of growing
+    memory without bound."""
+    import threading
+
+    import imageenhancement_mp_tpu.io.writer as W
+
+    gate = threading.Event()
+    real = W.encode_frame
+
+    def slow_encode(path, frame, quality=95):
+        gate.wait(10)
+        return real(path, frame, quality)
+
+    monkeypatch.setattr(W, "encode_frame", slow_encode)
+    frame = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    fw = FrameWriter(
+        threads=1, max_queue_bytes=2 * frame.nbytes, force_fallback=True
+    )
+    fw.save(tmp_path / "a.png", frame)  # worker holds this one at the gate
+    fw.save(tmp_path / "b.png", frame)  # queued: at the cap now
+    unblocked = threading.Event()
+
+    def third():
+        fw.save(tmp_path / "c.png", frame)  # must block until a drains
+        unblocked.set()
+
+    t = threading.Thread(target=third, daemon=True)
+    t.start()
+    assert not unblocked.wait(0.3), "save() did not block at max_queue_bytes"
+    gate.set()
+    assert unblocked.wait(10)
+    t.join(10)
+    fw.close()
+    assert fw.failures == []
+    for name in ("a.png", "b.png", "c.png"):
+        got = next(iter(FrameLoader([tmp_path / name])))
+        np.testing.assert_array_equal(got, frame)
