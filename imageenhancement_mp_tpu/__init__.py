@@ -9,8 +9,10 @@ batched, with fused Pallas kernels on the hot paths.
 """
 
 from imageenhancement_mp_tpu.api import (
+    add_weighted,
     apply_lut,
     convert_scale_abs,
+    cvt_gray,
     histogram,
     clahe,
     contrast_stretch,
@@ -24,11 +26,13 @@ from imageenhancement_mp_tpu.api import (
     unsharp_mask,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.5.0"
 
 __all__ = [
+    "add_weighted",
     "apply_lut",
     "convert_scale_abs",
+    "cvt_gray",
     "histogram",
     "clahe",
     "contrast_stretch",

@@ -27,8 +27,10 @@ from imageenhancement_mp_tpu.ops import OP_REGISTRY, apply_lut_planes, laplacian
 from imageenhancement_mp_tpu.utils.shapes import as_planes, treat_as_hwc
 
 __all__ = [
+    "add_weighted",
     "apply_lut",
     "convert_scale_abs",
+    "cvt_gray",
     "histogram",
     "gamma",
     "log_transform",
@@ -253,3 +255,46 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, channels_last, ksize=int(ksize))
+
+
+@lru_cache(maxsize=None)
+def _add_weighted_jit(alpha: float, beta: float, gamma: float):
+    from imageenhancement_mp_tpu.ops.pointwise import add_weighted_arrays
+
+    @jax.jit
+    def run(a, b):
+        return add_weighted_arrays(a, alpha, b, beta, gamma)
+
+    return run
+
+
+def add_weighted(src1, alpha: float, src2, beta: float, gamma: float = 0.0):
+    """``cv2.addWeighted(src1, α, src2, β, γ)`` — exact for u8/u16/i16
+    (cvRound + saturate) and bit-identical f32 (cv2's two-FMA chain,
+    docs/PARITY.md).  Elementwise: both inputs share any accepted shape."""
+    _check_image_dtype(src1, allow_i16=True)
+    return _add_weighted_jit(float(alpha), float(beta), float(gamma))(src1, src2)
+
+
+@lru_cache(maxsize=None)
+def _cvt_gray_jit(order: str):
+    from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
+
+    @jax.jit
+    def run(img):
+        return cvt_gray_nhwc(img, order)
+
+    return run
+
+
+def cvt_gray(img, order: str = "rgb"):
+    """``cv2.cvtColor(img, COLOR_{RGB,BGR}[A]2GRAY)`` on ``[H,W,C]`` or
+    ``[N,H,W,C]``, C ∈ {3,4} (alpha ignored).  u8/u16 exact (15-bit
+    sum-preserving fixed point, pinned exhaustively); f32 exact on cv2's
+    SIMD vector body, ≤1 ULP on its build-dependent row tail
+    (docs/PARITY.md).  The channel axis is dropped: color batches feed
+    straight into the 8-bit-only ops (``equalize_hist`` et al.)."""
+    _check_image_dtype(img)
+    if img.ndim not in (3, 4):
+        raise ValueError(f"expected [H,W,C] or [N,H,W,C], got {img.shape}")
+    return _cvt_gray_jit(str(order))(img)

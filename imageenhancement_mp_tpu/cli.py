@@ -64,12 +64,19 @@ def _save(path: str, img: np.ndarray, rgb_order: bool = False) -> None:
         Image.fromarray(img).save(path)
 
 
-def _apply_ops(ie, out, specs):
-    """Apply a spec list to one array; returns the result or raises ValueError."""
+def _apply_ops(ie, out, specs, rgb_order: bool = True):
+    """Apply a spec list to one array; returns the result or raises ValueError.
+
+    ``rgb_order`` records the loaded channel order so ``gray`` converts
+    with the right coefficients (cv2-loaded frames are BGR)."""
     for spec in specs:
         name, _, rest = spec.partition(":")
         ps = rest.split(":") if rest else []
-        if name == "gamma":
+        if name == "gray":
+            if out.ndim < 3 or out.shape[-1] not in (3, 4):
+                raise ValueError("gray needs a color image (C=3|4)")
+            out = ie.cvt_gray(out, "rgb" if rgb_order else "bgr")
+        elif name == "gamma":
             out = ie.gamma(out, float(ps[0]) if ps else 2.2)
         elif name == "log":
             out = ie.log_transform(out)
@@ -143,7 +150,7 @@ def _batch_mode(args, ie) -> int:
                 failed += 1
                 continue
             try:
-                out = _apply_ops(ie, frame, specs)
+                out = _apply_ops(ie, frame, specs, rgb_order=rgb_order)
             except (ValueError, TypeError) as e:
                 print(f"error: {path}: {e}", file=sys.stderr)
                 return 2
@@ -197,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         default=None,
         help="op to apply, repeatable to build a pipeline "
-        "(gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
+        "(gray | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
         "gauss[:k[:sigma]] | lapsharp | unsharp[:amount[:k]] | median[:k])",
     )
     args = p.parse_args(argv)
@@ -221,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: expected uint8/uint16 input, got {img.dtype}", file=sys.stderr)
         return 2
     try:
-        out = _apply_ops(ie, np.asarray(img), args.op or ["histeq"])
+        out = _apply_ops(ie, np.asarray(img), args.op or ["histeq"], rgb_order=rgb_order)
     except (ValueError, TypeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -1,6 +1,7 @@
 """Planes-level op registry (name → function over [B,H,W] planes; u8 always, u16/f32 where cv2 supports them)."""
 
 from imageenhancement_mp_tpu.ops.clahe import clahe_planes
+from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
     gaussian_blur_planes,
     laplacian_planes,
@@ -13,6 +14,7 @@ from imageenhancement_mp_tpu.ops.histogram import (
 )
 from imageenhancement_mp_tpu.ops.median import median_blur_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
+    add_weighted_arrays,
     apply_lut_planes,
     contrast_stretch_planes,
     convert_scale_abs_planes,
@@ -36,10 +38,12 @@ OP_REGISTRY = {
 
 __all__ = [
     "OP_REGISTRY",
+    "add_weighted_arrays",
     "apply_lut_planes",
     "clahe_planes",
     "contrast_stretch_planes",
     "convert_scale_abs_planes",
+    "cvt_gray_nhwc",
     "equalize_hist_planes",
     "equalize_hist_global_planes",
     "gamma_planes",

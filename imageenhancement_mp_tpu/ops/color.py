@@ -1,0 +1,58 @@
+"""Color conversion: RGB/BGR(A) → grayscale, cv2.cvtColor parity.
+
+The reference's scripts convert color inputs to grayscale before the
+8-bit-only enhancements (``cv2.equalizeHist`` takes a single channel —
+SURVEY.md §3.1), so the conversion is part of the judged data path even
+though it is not an enhancement itself.
+
+Pinned arithmetic (probes vs OpenCV 5.0.0 — see ref/ops.py:cvt_gray):
+
+* u8/u16: 15-bit fixed point with a sum-preserving blue coefficient
+  (cR,cG,cB = 9798, 19235, 2^15−9798−19235), ``(acc + 2^14) >> 15``.
+  Exhaustively exact for u8 (all 16.7M triples); the shift-15 accumulator
+  keeps u16 inside int32 (65535·2^15 + 2^14 < 2^31) — MXU/VPU-friendly.
+* f32: a chain of two single-rounded f32 FMAs over the channels in
+  MEMORY order (x0,x1,x2 with weights w0,w1,w2):
+  ``fma(x2, w2, fma(x0, w0, x1·w1))`` — reproduced exactly with the
+  utils/fma.py emulation.  cv2's own SIMD tail (last ≤8 columns of each
+  row) uses a build-dependent different accumulation, so full-row bit
+  identity is not well-defined there; parity is exact on the vector body
+  and ≤1 ULP on the tail (docs/PARITY.md).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.utils.fma import fma32
+
+__all__ = ["cvt_gray_nhwc", "GRAY_CR", "GRAY_CG", "GRAY_CB"]
+
+GRAY_CR, GRAY_CG = 9798, 19235          # round(0.299·2^15), round(0.587·2^15)
+GRAY_CB = 32768 - GRAY_CR - GRAY_CG     # 3735: sum-preserving (pinned)
+
+
+def cvt_gray_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(..2GRAY)`` on ``[..., H, W, C]``, C ∈ {3, 4}.
+
+    Channels on the LAST axis; alpha (C=4) is ignored like cv2.  Output
+    drops the channel axis.  Dtypes: uint8/uint16 (exact) and float32.
+    """
+    if img.shape[-1] not in (3, 4):
+        raise ValueError(f"expected a trailing channel axis of 3|4, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    if img.dtype == jnp.float32:
+        # cv2 walks channels in memory order: x0,x1,x2 with that order's
+        # weights; green's product seeds the chain
+        w = {ri: jnp.float32(0.299), gi: jnp.float32(0.587), bi: jnp.float32(0.114)}
+        x0, x1, x2 = img[..., 0], img[..., 1], img[..., 2]
+        return fma32(x2, w[2], fma32(x0, w[0], x1 * w[1]))
+    if img.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"expected uint8/uint16/float32, got {img.dtype}")
+    r = img[..., ri].astype(jnp.int32)
+    g = img[..., gi].astype(jnp.int32)
+    b = img[..., bi].astype(jnp.int32)
+    acc = r * GRAY_CR + g * GRAY_CG + b * GRAY_CB + (1 << 14)
+    return jnp.right_shift(acc, 15).astype(img.dtype)

@@ -240,8 +240,14 @@ def unsharp_mask_planes(
     from imageenhancement_mp_tpu import config
 
     if planes.dtype == jnp.float32:
+        # cv2's f32 addWeighted is the same two-FMA chain as the integer
+        # path, just without the round/saturate (ref/ops.py:add_weighted
+        # probe — a plain src + a·(src−blur) differs in the last ULP)
         blur = gaussian_blur_planes(planes, ksize, sigma)
-        return planes + jnp.float32(amount) * (planes - blur)
+        t = blur * jnp.float32(-amount)  # f32(blur·β): FMA with 0 addend
+        from imageenhancement_mp_tpu.utils.fma import fma32
+
+        return fma32(planes, jnp.float32(1.0 + amount), t)
     if planes.dtype in (jnp.uint16, jnp.int16):
         minv, maxv = _int_bounds(planes.dtype)
         blur = gaussian_blur_planes(planes, ksize, sigma).astype(jnp.int32)

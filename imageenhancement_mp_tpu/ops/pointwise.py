@@ -19,6 +19,7 @@ from imageenhancement_mp_tpu.utils.fma import two_sum as _two_sum
 
 
 __all__ = [
+    "add_weighted_arrays",
     "apply_lut_planes",
     "convert_scale_abs_planes",
     "gamma_lut_host",
@@ -103,6 +104,41 @@ def convert_scale_abs_planes(
         return lut[planes.astype(jnp.int32) + 32768]
     n = 65536 if planes.dtype == jnp.uint16 else 256
     return apply_lut_planes(planes, jnp.asarray(convert_scale_abs_lut(alpha, beta, n)))
+
+
+def add_weighted_arrays(
+    src1: jnp.ndarray,
+    alpha: float,
+    src2: jnp.ndarray,
+    beta: float,
+    gamma: float = 0.0,
+) -> jnp.ndarray:
+    """``cv2.addWeighted(src1, α, src2, β, γ)`` — exact, all dtypes.
+
+    Elementwise over any matching shapes.  Pinned arithmetic
+    (ref/ops.py:add_weighted — 0 mismatches in 1300 fuzz configs): two
+    single-rounded f32 FMAs, ``f32(src1·f32(α) + f32(src2·f32(β) + f32(γ)))``,
+    then cvRound + saturate for integer dtypes (float32 returns the f32
+    accumulator unrounded).  Reproduced on device with the exact
+    utils/fma.py emulation.
+    """
+    if src2.dtype != src1.dtype:
+        raise TypeError(f"src dtypes differ: {src1.dtype} vs {src2.dtype}")
+    if src2.shape != src1.shape:
+        raise ValueError(f"src shapes differ: {src1.shape} vs {src2.shape}")
+    if src1.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {src1.dtype}")
+    al, be, ga = jnp.float32(alpha), jnp.float32(beta), jnp.float32(gamma)
+    a32 = src1.astype(jnp.float32)
+    b32 = src2.astype(jnp.float32)
+    acc = _fma32(a32, al, _fma32(b32, be, jnp.broadcast_to(ga, b32.shape)))
+    if src1.dtype == jnp.float32:
+        return acc
+    if src1.dtype == jnp.int16:
+        minv, maxv = -32768, 32767
+    else:
+        minv, maxv = 0, 255 if src1.dtype == jnp.uint8 else 65535
+    return jnp.clip(jnp.round(acc), minv, maxv).astype(src1.dtype)
 
 
 def _stretch_scale_tables(a: float, b: float, dmax: int):

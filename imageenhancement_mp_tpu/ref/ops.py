@@ -60,6 +60,8 @@ __all__ = [
     "laplacian_sharpen",
     "unsharp_mask",
     "median_blur",
+    "add_weighted",
+    "cvt_gray",
 ]
 
 
@@ -583,18 +585,9 @@ def unsharp_mask(
     same two-FMA model (0/200 fuzz vs cv2); the blur inherits the i16
     Gaussian's ±1 float-path budget.
     """
-    kind = _img_kind(img, allow_i16=True)
+    _img_kind(img, allow_i16=True)
     blur = gaussian_blur(img, ksize, sigma)
-    if kind == "f32":
-        out = (1.0 + amount) * img.astype(np.float64) - amount * blur.astype(np.float64)
-        return out.astype(np.float32)
-    alpha = float(np.float32(1.0 + amount))
-    beta = float(np.float32(-amount))
-    t = np.float32(blur.astype(np.float64) * beta)
-    fma = np.float32(img.astype(np.float64) * alpha + t.astype(np.float64))
-    return np.clip(
-        np.round(fma.astype(np.float64)), _int_minval(kind), _int_maxval(kind)
-    ).astype(img.dtype)
+    return add_weighted(img, 1.0 + amount, blur, -amount, 0.0)
 
 
 def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
@@ -616,3 +609,86 @@ def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:
         axis=-1,
     )
     return np.median(windows, axis=-1).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# General blending / color conversion
+# ---------------------------------------------------------------------------
+
+def add_weighted(
+    src1: np.ndarray,
+    alpha: float,
+    src2: np.ndarray,
+    beta: float,
+    gamma: float = 0.0,
+) -> np.ndarray:
+    """``cv2.addWeighted(src1, α, src2, β, γ)`` — exact, all dtypes.
+
+    Pinned arithmetic (model-fitting probes, 0/900 integer + 0/400 f32
+    fuzz configs vs OpenCV 5.0.0): a chain of TWO single-rounded f32 FMAs
+    with the weights first narrowed to f32 —
+
+        t   = f32(src2·f32(β) + f32(γ))
+        acc = f32(src1·f32(α) + t)
+
+    Integer dtypes then apply ``cvRound`` (half-to-even) and saturate;
+    float32 returns ``acc`` directly (no rounding, no saturation).  The
+    f64 math below emulates each single-rounded f32 FMA exactly (products
+    of f32 values are exact in f64).
+    """
+    kind = _img_kind(src1, allow_i16=True)
+    if src2.dtype != src1.dtype:
+        raise TypeError(f"src dtypes differ: {src1.dtype} vs {src2.dtype}")
+    if src2.shape != src1.shape:
+        raise ValueError(f"src shapes differ: {src1.shape} vs {src2.shape}")
+    al = float(np.float32(alpha))
+    be = float(np.float32(beta))
+    ga = float(np.float32(gamma))
+    t = np.float32(src2.astype(np.float64) * be + ga)
+    acc = np.float32(src1.astype(np.float64) * al + t.astype(np.float64))
+    if kind == "f32":
+        return acc
+    return np.clip(
+        np.round(acc.astype(np.float64)), _int_minval(kind), _int_maxval(kind)
+    ).astype(src1.dtype)
+
+
+# cv2's RGB→gray weights (0.299, 0.587, 0.114) as the EXACT constants its
+# u8/u16 and f32 paths use (probes: u8 exhaustive 16.7M triples 0 diff;
+# u16 262k-sample fuzz 0 diff; f32 262k-sample fuzz 0 diff):
+#   integer: 15-bit fixed point with a SUM-PRESERVING blue coefficient
+#            (cB = 2^15 − cR − cG, NOT independently rounded), then
+#            DESCALE: (acc + 2^14) >> 15.  The shift-15 accumulator is
+#            also why u16 fits: 65535·2^15 + 2^14 < 2^31.
+#   float:   fma(b, cB, fma(r, cR, g·cG)) — green's product first, each
+#            step a single-rounded f32 FMA.
+_GRAY_CR, _GRAY_CG = 9798, 19235            # round(0.299·2^15), round(0.587·2^15)
+_GRAY_CB = 32768 - _GRAY_CR - _GRAY_CG      # 3735: sum-preserving
+
+
+def cvt_gray(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(img, COLOR_{RGB,BGR}[A]2GRAY)`` — exact (u8/u16/f32).
+
+    ``img``: [H, W, C] with C ∈ {3, 4} (alpha ignored, like cv2);
+    ``order``: "rgb" or "bgr" (which end of the channel axis is red).
+    """
+    kind = _img_kind(img)
+    if img.ndim != 3 or img.shape[-1] not in (3, 4):
+        raise ValueError(f"expected [H,W,3|4], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    if kind == "f32":
+        # cv2 walks the channels in MEMORY order x0,x1,x2 (with each
+        # order's own weights): fma(x2, w2, fma(x0, w0, x1·w1)) — pinned
+        # for both RGB and BGR (the naive "always b last" chain mismatches
+        # BGR everywhere).  Each FMA is single-rounded f32, emulated in
+        # f64 (products of f32 values are exact there).
+        w = {ri: 0.299, gi: 0.587, bi: 0.114}
+        x0, x1, x2 = (img[..., i].astype(np.float64) for i in range(3))
+        t = np.float32(x0 * float(np.float32(w[0]))
+                       + np.float32(x1 * float(np.float32(w[1]))).astype(np.float64))
+        return np.float32(x2 * float(np.float32(w[2])) + t.astype(np.float64))
+    r, g, b = (img[..., i].astype(np.int64) for i in (ri, gi, bi))
+    acc = r * _GRAY_CR + g * _GRAY_CG + b * _GRAY_CB + (1 << 14)
+    return (acc >> 15).astype(img.dtype)

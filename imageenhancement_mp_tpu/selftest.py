@@ -57,6 +57,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("median3", lambda: ie.median_blur(img, 3), lambda: ref.median_blur(img, 3), 0),
         ("median5", lambda: ie.median_blur(img, 5), lambda: ref.median_blur(img, 5), 0),
     ]
+    img2 = rng.integers(0, 256, size, dtype=np.uint8)
+    rgb = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+    checks += [
+        ("add_weighted", lambda: ie.add_weighted(img, 1.7, img2, -0.6, 41.25),
+         lambda: ref.add_weighted(img, 1.7, img2, -0.6, 41.25), 0),
+        ("cvt_gray", lambda: ie.cvt_gray(rgb), lambda: ref.cvt_gray(rgb), 0),
+    ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
         ("gauss5/u16", lambda: ie.gaussian_blur(img16, 5),

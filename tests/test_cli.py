@@ -182,3 +182,25 @@ def test_cli_batch_bgra_channel_order(tmp_path, rng):
     assert r.returncode == 0, r.stderr[-500:]
     got = cv2.imread(str(outdir / "a_out.png"), cv2.IMREAD_UNCHANGED)  # BGRA
     np.testing.assert_array_equal(got, rgba)  # all four channels in place
+
+
+def test_cli_gray_then_equalize(tmp_path, rng):
+    """--op gray converts RGB (npy loads as RGB) then feeds the 8-bit-only
+    equalize — the reference's canonical front path."""
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    got = _run_cli(tmp_path, img, ["gray", "histeq"])
+    want = ref.equalize_hist(ref.cvt_gray(img, "rgb"))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_gray_rejects_gray_input(tmp_path, rng):
+    inp = tmp_path / "in.npy"
+    np.save(inp, rng.integers(0, 256, (8, 9), dtype=np.uint8))
+    r = subprocess.run(
+        [sys.executable, "-m", "imageenhancement_mp_tpu.cli", str(inp),
+         "-o", str(tmp_path / "o.npy"), "--op", "gray"],
+        capture_output=True, text=True, timeout=300, env=ENV,
+    )
+    assert r.returncode == 2
+    assert "gray needs a color image" in r.stderr

@@ -386,3 +386,70 @@ def test_gaussian_rect_sigma_y_exact(rng, kh, kw, sx, sy):
         got = ie.gaussian_blur(img, (kh, kw), sx, sy)
         want = ref.gaussian_blur(img, (kh, kw), sx, sy)
         assert maxdiff(got, want) == 0, (dt, kh, kw)
+
+
+# ------------------------------------------------- addWeighted / cvt_gray
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_add_weighted_device_vs_ref(rng, dt):
+    for shape in [(37, 53), (2, 33, 47, 3)]:
+        if dt is np.float32:
+            a = (rng.random(shape) * 2000 - 700).astype(np.float32)
+            b = (rng.random(shape) * 2000 - 700).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            a = rng.integers(lo, hi, shape).astype(dt)
+            b = rng.integers(lo, hi, shape).astype(dt)
+        al, be, ga = 1.7, -0.6, 41.25
+        got = np.asarray(ie.add_weighted(a, al, b, be, ga))
+        want = ref.add_weighted(a, al, b, be, ga)
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want)
+
+
+def test_add_weighted_rejects_mismatch(rng):
+    a = _rand(rng, (8, 8))
+    with pytest.raises(TypeError):
+        ie.add_weighted(a, 1.0, a.astype(np.uint16), 1.0)
+    with pytest.raises(ValueError):
+        ie.add_weighted(a, 1.0, _rand(rng, (8, 9)), 1.0)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.float32])
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_cvt_gray_device_vs_ref(rng, dt, order):
+    for shape in [(33, 47, 3), (21, 17, 4), (2, 33, 47, 3)]:
+        if dt is np.float32:
+            img = (rng.random(shape) * 1000 - 300).astype(np.float32)
+        else:
+            img = rng.integers(0, 256 if dt is np.uint8 else 65536, shape).astype(dt)
+        got = np.asarray(ie.cvt_gray(img, order))
+        if img.ndim == 4:
+            want = np.stack([ref.cvt_gray(f, order) for f in img])
+        else:
+            want = ref.cvt_gray(img, order)
+        assert got.shape == want.shape and got.dtype == want.dtype
+        assert np.array_equal(got, want)
+
+
+def test_cvt_gray_feeds_equalize(rng):
+    """The judged front path: color batch → grayscale → equalize_hist."""
+    batch = _rand(rng, (2, 40, 50, 3))
+    gray = ie.cvt_gray(batch)
+    out = np.asarray(ie.equalize_hist(gray))
+    want = np.stack([ref.equalize_hist(ref.cvt_gray(f)) for f in batch])
+    assert np.array_equal(out, want)
+
+
+def test_unsharp_f32_device_vs_ref(rng):
+    """The f32 blend itself is bitwise (test_add_weighted_device_vs_ref);
+    through the full unsharp the device conv's accumulation differs from
+    the oracle at ULP level, so the end-to-end check uses the established
+    f32-filter tolerance."""
+    img = (rng.random((40, 50)) * 500 - 100).astype(np.float32)
+    for amt in (0.7, 1.0, 2.5):
+        got = np.asarray(ie.unsharp_mask(img, amount=amt))
+        want = ref.unsharp_mask(img, amt, 5, 0.0)
+        assert np.abs(got - want).max() < 1e-3

@@ -192,3 +192,85 @@ def test_gaussian_rect_sigma_y_vs_cv2(rng, kh, kw, sx, sy):
         img = rng.integers(0, hi, (48, 53), dtype=dt)
         want = cv2.GaussianBlur(img, (kw, kh), sx, sigmaY=sy)
         assert maxdiff(ref.gaussian_blur(img, (kh, kw), sx, sy), want) == 0, (dt, kh, kw)
+
+
+# ------------------------------------------------- addWeighted / cvtColor
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_add_weighted_general_exact(rng, dt):
+    """General cv2.addWeighted(src1, α, src2, β, γ): bit-exact for every
+    dtype (two single-rounded f32 FMAs — the pinned model)."""
+    for _ in range(30):
+        shape = (int(rng.integers(2, 50)), int(rng.integers(2, 50)))
+        if dt is np.float32:
+            a = (rng.random(shape) * 2000 - 700).astype(np.float32)
+            b = (rng.random(shape) * 2000 - 700).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            a = rng.integers(lo, hi, shape).astype(dt)
+            b = rng.integers(lo, hi, shape).astype(dt)
+        al = float(rng.uniform(-4, 4))
+        be = float(rng.uniform(-4, 4))
+        ga = float(rng.uniform(-1000, 1000))
+        want = cv2.addWeighted(a, al, b, be, ga)
+        got = ref.add_weighted(a, al, b, be, ga)
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16])
+@pytest.mark.parametrize("c", [3, 4])
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_cvt_gray_integer_exact(rng, dt, c, order):
+    code = {
+        ("rgb", 3): cv2.COLOR_RGB2GRAY, ("rgb", 4): cv2.COLOR_RGBA2GRAY,
+        ("bgr", 3): cv2.COLOR_BGR2GRAY, ("bgr", 4): cv2.COLOR_BGRA2GRAY,
+    }[(order, c)]
+    for shape in [(64, 64, c), (33, 47, c), (128, 131, c)]:
+        img = rng.integers(0, 256 if dt is np.uint8 else 65536, shape).astype(dt)
+        assert np.array_equal(ref.cvt_gray(img, order), cv2.cvtColor(img, code))
+
+
+def test_cvt_gray_u8_grid_exact():
+    """All (r,g) pairs × several b planes — the sum-preserving 15-bit
+    fixed point is exact at every rounding boundary."""
+    rr, gg = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    for b in (0, 7, 128, 200, 255):
+        im = np.stack([rr, gg, np.full_like(rr, b)], axis=-1).astype(np.uint8)
+        want = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
+        assert np.array_equal(ref.cvt_gray(im, "rgb"), want)
+
+
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_cvt_gray_f32_vector_body_exact_tail_1ulp(rng, order):
+    """f32: bit-exact on cv2's SIMD vector body; cv2's own row tail
+    (last ≤8 columns) uses a build-dependent accumulation order, so only
+    ≤1 ULP is well-defined there (docs/PARITY.md)."""
+    code = cv2.COLOR_RGB2GRAY if order == "rgb" else cv2.COLOR_BGR2GRAY
+    for _ in range(10):
+        h, w = int(rng.integers(4, 60)), int(rng.integers(16, 120))
+        img = (rng.random((h, w, 3)) * 1000 - 300).astype(np.float32)
+        want = cv2.cvtColor(img, code)
+        got = ref.cvt_gray(img, order)
+        assert np.array_equal(got[:, : w - 8], want[:, : w - 8])
+        # tail: a different summation order keeps absolute error within a
+        # few ULP of the largest CHANNEL magnitude (cancellation can make
+        # it large relative to the output)
+        diff = np.abs(got.astype(np.float64) - want.astype(np.float64))
+        amax = np.abs(img).max(axis=-1).astype(np.float32)
+        assert (diff <= 4.0 * np.spacing(amax).astype(np.float64)).all()
+
+
+def test_unsharp_f32_matches_cv2_given_cv2_blur(rng):
+    """The f32 unsharp blend is cv2's exact two-FMA chain: feeding cv2's
+    own blur through ref.add_weighted reproduces cv2.addWeighted bitwise."""
+    for _ in range(20):
+        shape = (int(rng.integers(8, 60)), int(rng.integers(8, 60)))
+        img = (rng.random(shape) * 500 - 100).astype(np.float32)
+        amt = float(rng.uniform(0.05, 3))
+        blur = cv2.GaussianBlur(img, (5, 5), 0)
+        want = cv2.addWeighted(img, 1 + amt, blur, -amt, 0)
+        got = ref.add_weighted(img, 1 + amt, blur, -amt, 0.0)
+        assert np.array_equal(got, want)
