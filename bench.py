@@ -40,6 +40,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "median5 4K gray b2": 0.722,
     "clahe 4K rgb": 0.156,  # per-channel cv2 CLAHE on 4K RGB
     "median5>clahe>unsharp 4K gray b2": 0.122,
+    "box5 4K gray b2": 3.581,  # cv2.blur running sums are fast on CPU
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -189,6 +190,12 @@ def main() -> int:
                         ref.clahe(ref.median_blur(p, 5), 2.0, (8, 8)), 1.0, 5, 0.0
                     )
                 ),
+            ),
+            (
+                "box5 4K gray b2",
+                lambda x: ie.box_blur(x, 5),
+                b4k,
+                gray_oracle(lambda p: ref.box_blur(p, 5)),
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

@@ -11,6 +11,7 @@ batched, with fused Pallas kernels on the hot paths.
 from imageenhancement_mp_tpu.api import (
     add_weighted,
     apply_lut,
+    box_blur,
     convert_scale_abs,
     cvt_gray,
     histogram,
@@ -31,6 +32,7 @@ __version__ = "0.5.0"
 __all__ = [
     "add_weighted",
     "apply_lut",
+    "box_blur",
     "convert_scale_abs",
     "cvt_gray",
     "histogram",

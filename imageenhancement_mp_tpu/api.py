@@ -29,6 +29,7 @@ from imageenhancement_mp_tpu.utils.shapes import as_planes, treat_as_hwc
 __all__ = [
     "add_weighted",
     "apply_lut",
+    "box_blur",
     "convert_scale_abs",
     "cvt_gray",
     "histogram",
@@ -78,6 +79,7 @@ _NO_FLOAT = {"clahe"}                                 # cv2 CLAHE: uint8/uint16 
 # convertScaleAbs) — everything else rejects int16 like cv2 does
 _I16_OK = {
     "gaussian_blur",
+    "box_blur",
     "median_blur",
     "laplacian_sharpen",
     "unsharp_mask",
@@ -255,6 +257,15 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, channels_last, ksize=int(ksize))
+
+
+def box_blur(img, ksize=3, channels_last: bool = True):
+    """``cv2.blur(img, Size(kw, kh))`` — normalized box (mean) filter,
+    REFLECT_101 border.  ``ksize``: int or (rows, cols), odd dims ≥ 1.
+    u8/u16/i16 bit-exact to cv2's SIMD model (cv2's own scalar row tail
+    is build-dependent — docs/PARITY.md); f32 at float-conv tolerance."""
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("box_blur", img, channels_last, ksize=ks)
 
 
 @lru_cache(maxsize=None)

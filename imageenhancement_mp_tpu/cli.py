@@ -96,6 +96,8 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.unsharp_mask(out, float(ps[0]) if ps else 1.0, int(ps[1]) if len(ps) > 1 else 5)
         elif name == "median":
             out = ie.median_blur(out, int(ps[0]) if ps else 3)
+        elif name == "box":
+            out = ie.box_blur(out, int(ps[0]) if ps else 3)
         else:
             raise ValueError(f"unknown op {name!r}")
         out = np.asarray(out)
@@ -205,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="op to apply, repeatable to build a pipeline "
         "(gray | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
-        "gauss[:k[:sigma]] | lapsharp | unsharp[:amount[:k]] | median[:k])",
+        "gauss[:k[:sigma]] | box[:k] | lapsharp | unsharp[:amount[:k]] | median[:k])",
     )
     args = p.parse_args(argv)
 

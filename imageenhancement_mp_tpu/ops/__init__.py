@@ -3,6 +3,7 @@
 from imageenhancement_mp_tpu.ops.clahe import clahe_planes
 from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
+    box_blur_planes,
     gaussian_blur_planes,
     laplacian_planes,
     laplacian_sharpen_planes,
@@ -31,6 +32,7 @@ OP_REGISTRY = {
     "equalize_hist_global": equalize_hist_global_planes,
     "clahe": clahe_planes,
     "gaussian_blur": gaussian_blur_planes,
+    "box_blur": box_blur_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -40,6 +42,7 @@ __all__ = [
     "OP_REGISTRY",
     "add_weighted_arrays",
     "apply_lut_planes",
+    "box_blur_planes",
     "clahe_planes",
     "contrast_stretch_planes",
     "convert_scale_abs_planes",

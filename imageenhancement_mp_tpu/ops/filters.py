@@ -202,6 +202,47 @@ def _int_bounds(dtype) -> tuple[int, int]:
     return 0, 65535
 
 
+def box_blur_planes(planes: jnp.ndarray, ksize=3) -> jnp.ndarray:
+    """``cv2.blur`` (normalized box filter) per plane — REFLECT_101 border.
+
+    ``ksize``: int or (rows, cols), odd dims ≥ 1.  Integer dtypes are
+    bit-exact to cv2's SIMD model: exact int32 separable window sums, then
+    ``cvRound(f32(f32(S)·f32(1/area)))`` (cv2's scalar row tail uses a
+    double scale instead — ref/ops.py ``box_blur`` docstring,
+    docs/PARITY.md).  float32: f32 separable sums vs the oracle's f64
+    (ULP-level tolerance, like the float conv paths).
+
+    TPU mapping: kh+kw shifted adds over one VMEM-resident stripe — pure
+    VPU integer adds at the 2-passes/HBM roofline; XLA fuses the
+    normalize multiply into the final add.
+    """
+    if isinstance(ksize, (tuple, list)):
+        kh, kw = int(ksize[0]), int(ksize[1])
+    else:
+        kh = kw = int(ksize)
+    if kh < 1 or kw < 1 or kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(f"ksize dims must be odd and >= 1, got {(kh, kw)}")
+    if kh == 1 and kw == 1:
+        return planes
+    H, W = planes.shape[-2], planes.shape[-1]
+    area = kh * kw
+    if planes.dtype == jnp.float32:
+        p = jnp.pad(planes, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    mode="reflect")
+        rows = sum(p[:, j : j + H, :] for j in range(kh))
+        S = sum(rows[:, :, j : j + W] for j in range(kw))
+        return (S * jnp.float32(1.0 / area)).astype(jnp.float32)
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    p = jnp.pad(planes.astype(jnp.int32),
+                ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)), mode="reflect")
+    rows = sum(p[:, j : j + H, :] for j in range(kh))
+    S = sum(rows[:, :, j : j + W] for j in range(kw))
+    prod = S.astype(jnp.float32) * jnp.float32(1.0 / area)
+    minv, maxv = _int_bounds(planes.dtype)
+    return jnp.clip(jnp.round(prod), minv, maxv).astype(planes.dtype)
+
+
 def laplacian_sharpen_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """Sharpen = src − Laplacian(src); saturating for integer dtypes
     (SURVEY.md §2 #7)."""

@@ -48,6 +48,7 @@ __all__ = [
     "device_put_spatial",
     "halo_exchange",
     "gaussian_blur_spatial",
+    "box_blur_spatial",
     "unsharp_mask_spatial",
     "median_blur_spatial",
     "laplacian_sharpen_spatial",
@@ -195,6 +196,17 @@ def median_blur_spatial(
 
     op = partial(median_blur_planes, ksize=ksize, backend=backend)
     return _stencil_spatial(local, op, ksize // 2, "edge", axis_name)
+
+
+def box_blur_spatial(
+    local: jnp.ndarray, ksize=3, axis_name: str = "y"
+) -> jnp.ndarray:
+    """``cv2.blur`` on row-sharded planes (halo = kh//2 rows)."""
+    from imageenhancement_mp_tpu.ops.filters import box_blur_planes
+
+    kh = int(ksize[0]) if isinstance(ksize, (tuple, list)) else int(ksize)
+    op = partial(box_blur_planes, ksize=ksize)
+    return _stencil_spatial(local, op, kh // 2, "reflect", axis_name)
 
 
 def laplacian_sharpen_spatial(local: jnp.ndarray, axis_name: str = "y") -> jnp.ndarray:
@@ -376,6 +388,7 @@ def _spatial_registry():
         "equalize_hist_global": _equalize_hist_global_spatial,
         "clahe": clahe_spatial,
         "gaussian_blur": gaussian_blur_spatial,
+        "box_blur": box_blur_spatial,
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,

@@ -59,6 +59,7 @@ __all__ = [
     "laplacian",
     "laplacian_sharpen",
     "unsharp_mask",
+    "box_blur",
     "median_blur",
     "add_weighted",
     "cvt_gray",
@@ -588,6 +589,45 @@ def unsharp_mask(
     _img_kind(img, allow_i16=True)
     blur = gaussian_blur(img, ksize, sigma)
     return add_weighted(img, 1.0 + amount, blur, -amount, 0.0)
+
+
+def box_blur(img: np.ndarray, ksize=3) -> np.ndarray:
+    """``cv2.blur(img, Size(kw, kh))`` (normalized box filter) — exact.
+
+    ``ksize``: int (square) or (rows, cols); odd dims ≥ 1 (cv2 also allows
+    even kernels — anchor semantics differ, rejected here).  Default border
+    BORDER_REFLECT_101, like cv2.
+
+    Pinned arithmetic (fuzz vs OpenCV 5.0.0): integer dtypes multiply the
+    int32 window sum by the **f32** reciprocal — ``cvRound(f32(f32(S) ·
+    f32(1/area)))`` — on cv2's SIMD body (0 mismatches there in 240
+    configs); cv2's scalar ROW TAIL (last < one-vector columns) uses a
+    double scale instead, so the tail is build-dependent and can differ
+    by ±1 where the two straddle a .5 boundary (~1 px per 300k in fuzz).
+    We implement the SIMD model everywhere (docs/PARITY.md).  float32
+    images are the f64 window sum times ``1/area`` rounded once to f32 —
+    bitwise (0/100 fuzz configs).
+    """
+    kind = _img_kind(img, allow_i16=True)
+    kh, kw = (int(ksize), int(ksize)) if np.isscalar(ksize) else (int(ksize[0]), int(ksize[1]))
+    if kh < 1 or kw < 1 or kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(f"ksize dims must be odd and >= 1, got {(kh, kw)}")
+    if kh == 1 and kw == 1:
+        return img.copy()
+    H, W = img.shape
+    area = kh * kw
+    acc_dt = np.float64 if kind == "f32" else np.int64
+    p = np.pad(img.astype(acc_dt), ((kh // 2,) * 2, (kw // 2,) * 2), mode="reflect")
+    rows = np.zeros((H, p.shape[1]), acc_dt)
+    for dy in range(kh):
+        rows += p[dy : dy + H, :]
+    S = np.zeros((H, W), acc_dt)
+    for dx in range(kw):
+        S += rows[:, dx : dx + W]
+    if kind == "f32":
+        return (S * (1.0 / area)).astype(np.float32)
+    prod = (S.astype(np.float32) * np.float32(1.0 / area)).astype(np.float64)
+    return np.clip(np.round(prod), _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 
 
 def median_blur(img: np.ndarray, ksize: int = 3) -> np.ndarray:

@@ -453,3 +453,26 @@ def test_unsharp_f32_device_vs_ref(rng):
         got = np.asarray(ie.unsharp_mask(img, amount=amt))
         want = ref.unsharp_mask(img, amt, 5, 0.0)
         assert np.abs(got - want).max() < 1e-3
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_box_blur_device_vs_ref(rng, dt):
+    for shape in SHAPES:
+        if dt is np.float32:
+            img = (rng.random(shape) * 900 - 300).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            img = rng.integers(lo, hi, shape).astype(dt)
+        for ks in (3, (5, 7), (1, 9)):
+            got = np.asarray(ie.box_blur(img, ks))
+            want = per_plane_ref(lambda p: ref.box_blur(p, ks), img)
+            if dt is np.float32:
+                assert np.abs(got - want).max() < 1e-3
+            else:
+                assert maxdiff(got, want) == 0
+
+
+def test_box_blur_rejects_even_k(rng):
+    with pytest.raises(ValueError):
+        ie.box_blur(_rand(rng, (8, 8)), 4)

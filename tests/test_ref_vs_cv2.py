@@ -274,3 +274,30 @@ def test_unsharp_f32_matches_cv2_given_cv2_blur(rng):
         want = cv2.addWeighted(img, 1 + amt, blur, -amt, 0)
         got = ref.add_weighted(img, 1 + amt, blur, -amt, 0.0)
         assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_box_blur_vs_cv2(rng, dt):
+    """cv2.blur: integer dtypes bit-exact on cv2's SIMD body (any diffs
+    are confined to cv2's build-dependent <16-column scalar row tail and
+    are ±1 — docs/PARITY.md); f32 bitwise (f64-sum model)."""
+    for _ in range(25):
+        kh, kw = int(rng.choice([1, 3, 5, 7, 9, 15])), int(rng.choice([1, 3, 5, 7, 9, 15]))
+        H = int(rng.integers(max(kh, kw), 70))
+        W = int(rng.integers(max(kh, kw), 70))
+        if dt is np.float32:
+            img = (rng.random((H, W)) * 1000 - 300).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            img = rng.integers(lo, hi, (H, W)).astype(dt)
+        want = cv2.blur(img, (kw, kh))  # cv2 Size = (cols, rows)
+        got = ref.box_blur(img, (kh, kw))
+        assert got.dtype == want.dtype
+        d = got != want
+        if dt is np.float32:
+            assert not d.any()
+        elif d.any():
+            cols = np.argwhere(d)[:, 1]
+            assert (cols >= W - 16).all()  # cv2's scalar-tail region only
+            assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1

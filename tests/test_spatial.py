@@ -274,3 +274,15 @@ def test_median_spatial_shard_height_equals_radius(rng):
     got = run_spatial(lambda p: sp.median_blur_spatial(p, 5, axis_name="y"), planes)
     want = np.asarray(median_blur_planes(jnp.asarray(planes), 5))
     assert maxdiff(got, want) == 0
+
+
+@pytest.mark.parametrize("ksize", [3, (5, 7)])
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16])
+def test_box_blur_spatial_bitexact(rng, ksize, dtype):
+    lo, hi = (0, 256) if dtype == np.uint8 else (-32768, 32768)
+    planes = rng.integers(lo, hi, (2, 64, 36)).astype(dtype)
+    from imageenhancement_mp_tpu.ops.filters import box_blur_planes
+
+    got = run_spatial(lambda p: sp.box_blur_spatial(p, ksize, axis_name="y"), planes)
+    want = np.asarray(box_blur_planes(jnp.asarray(planes), ksize))
+    assert maxdiff(got, want) == 0
