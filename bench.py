@@ -41,6 +41,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "clahe 4K rgb": 0.156,  # per-channel cv2 CLAHE on 4K RGB
     "median5>clahe>unsharp 4K gray b2": 0.122,
     "box5 4K gray b2": 3.581,  # cv2.blur running sums are fast on CPU
+    "bilateral9 4K gray b2": 0.0674,  # cv2.bilateralFilter d=9 (IPP path)
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -196,6 +197,12 @@ def main() -> int:
                 lambda x: ie.box_blur(x, 5),
                 b4k,
                 gray_oracle(lambda p: ref.box_blur(p, 5)),
+            ),
+            (
+                "bilateral9 4K gray b2",
+                lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
+                b4k,
+                gray_oracle(lambda p: ref.bilateral_filter(p, 9, 75.0, 75.0)),
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

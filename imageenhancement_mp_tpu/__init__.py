@@ -11,6 +11,7 @@ batched, with fused Pallas kernels on the hot paths.
 from imageenhancement_mp_tpu.api import (
     add_weighted,
     apply_lut,
+    bilateral_filter,
     box_blur,
     convert_scale_abs,
     cvt_gray,
@@ -32,6 +33,7 @@ __version__ = "0.5.0"
 __all__ = [
     "add_weighted",
     "apply_lut",
+    "bilateral_filter",
     "box_blur",
     "convert_scale_abs",
     "cvt_gray",

@@ -29,6 +29,7 @@ from imageenhancement_mp_tpu.utils.shapes import as_planes, treat_as_hwc
 __all__ = [
     "add_weighted",
     "apply_lut",
+    "bilateral_filter",
     "box_blur",
     "convert_scale_abs",
     "cvt_gray",
@@ -257,6 +258,41 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, channels_last, ksize=int(ksize))
+
+
+@lru_cache(maxsize=None)
+def _bilateral_jit(d: int, sc: float, ss: float, color: bool, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.bilateral import bilateral_color, bilateral_planes
+
+    @jax.jit
+    def run(img):
+        if color:
+            return bilateral_color(img, d, sc, ss)
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(bilateral_planes(planes, d, sc, ss))
+
+    return run
+
+
+def bilateral_filter(img, d: int = 5, sigma_color: float = 50.0,
+                     sigma_space: float = 50.0, channels_last: bool = True):
+    """``cv2.bilateralFilter(img, d, σ_color, σ_space)`` — edge-preserving
+    denoise, uint8.  Grayscale shapes filter per plane (bit-exact vs
+    cv2's reference path); C=3 color uses cv2's JOINT semantics (one
+    weight per pixel from the L1 color distance; ±1 on ~1e-5 px).  σ ≤ 0
+    raises — unpinnable in cv2 5.0 (docs/PARITY.md)."""
+    _check_u8(img)
+    color = (img.ndim in (3, 4)) and (
+        treat_as_hwc(img, channels_last) if img.ndim == 3 else True
+    ) and img.shape[-1] == 3
+    if img.ndim == 4 and img.shape[-1] not in (1, 3):
+        raise ValueError(f"bilateral_filter needs C in (1, 3) like cv2, got {img.shape}")
+    if not color and img.ndim == 3 and treat_as_hwc(img, channels_last):
+        if img.shape[-1] != 1:
+            raise ValueError(f"bilateral_filter needs C in (1, 3) like cv2, got {img.shape}")
+    return _bilateral_jit(
+        int(d), float(sigma_color), float(sigma_space), color, bool(channels_last)
+    )(img)
 
 
 def box_blur(img, ksize=3, channels_last: bool = True):

@@ -98,6 +98,12 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.median_blur(out, int(ps[0]) if ps else 3)
         elif name == "box":
             out = ie.box_blur(out, int(ps[0]) if ps else 3)
+        elif name == "bilateral":
+            out = ie.bilateral_filter(
+                out, int(ps[0]) if ps else 5,
+                float(ps[1]) if len(ps) > 1 else 50.0,
+                float(ps[2]) if len(ps) > 2 else 50.0,
+            )
         else:
             raise ValueError(f"unknown op {name!r}")
         out = np.asarray(out)
@@ -207,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="op to apply, repeatable to build a pipeline "
         "(gray | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
-        "gauss[:k[:sigma]] | box[:k] | lapsharp | unsharp[:amount[:k]] | median[:k])",
+        "gauss[:k[:sigma]] | box[:k] | bilateral[:d[:sc[:ss]]] | lapsharp | "
+        "unsharp[:amount[:k]] | median[:k])",
     )
     args = p.parse_args(argv)
 

@@ -1,5 +1,6 @@
 """Planes-level op registry (name → function over [B,H,W] planes; u8 always, u16/f32 where cv2 supports them)."""
 
+from imageenhancement_mp_tpu.ops.bilateral import bilateral_color, bilateral_planes
 from imageenhancement_mp_tpu.ops.clahe import clahe_planes
 from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
@@ -33,6 +34,7 @@ OP_REGISTRY = {
     "clahe": clahe_planes,
     "gaussian_blur": gaussian_blur_planes,
     "box_blur": box_blur_planes,
+    "bilateral": bilateral_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -42,6 +44,8 @@ __all__ = [
     "OP_REGISTRY",
     "add_weighted_arrays",
     "apply_lut_planes",
+    "bilateral_color",
+    "bilateral_planes",
     "box_blur_planes",
     "clahe_planes",
     "contrast_stretch_planes",

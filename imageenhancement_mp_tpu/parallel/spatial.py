@@ -49,6 +49,7 @@ __all__ = [
     "halo_exchange",
     "gaussian_blur_spatial",
     "box_blur_spatial",
+    "bilateral_spatial",
     "unsharp_mask_spatial",
     "median_blur_spatial",
     "laplacian_sharpen_spatial",
@@ -207,6 +208,19 @@ def box_blur_spatial(
     kh = int(ksize[0]) if isinstance(ksize, (tuple, list)) else int(ksize)
     op = partial(box_blur_planes, ksize=ksize)
     return _stencil_spatial(local, op, kh // 2, "reflect", axis_name)
+
+
+def bilateral_spatial(
+    local: jnp.ndarray, d: int = 5, sigma_color: float = 50.0,
+    sigma_space: float = 50.0, axis_name: str = "y"
+) -> jnp.ndarray:
+    """``cv2.bilateralFilter`` on row-sharded grayscale planes (halo =
+    the disc radius)."""
+    from imageenhancement_mp_tpu.ops.bilateral import bilateral_offsets, bilateral_planes
+
+    _, _, r = bilateral_offsets(d, sigma_color, sigma_space)
+    op = partial(bilateral_planes, d=d, sigma_color=sigma_color, sigma_space=sigma_space)
+    return _stencil_spatial(local, op, r, "reflect", axis_name)
 
 
 def laplacian_sharpen_spatial(local: jnp.ndarray, axis_name: str = "y") -> jnp.ndarray:
@@ -389,6 +403,7 @@ def _spatial_registry():
         "clahe": clahe_spatial,
         "gaussian_blur": gaussian_blur_spatial,
         "box_blur": box_blur_spatial,
+        "bilateral": bilateral_spatial,
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,

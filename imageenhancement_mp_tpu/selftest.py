@@ -64,6 +64,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.add_weighted(img, 1.7, img2, -0.6, 41.25), 0),
         ("cvt_gray", lambda: ie.cvt_gray(rgb), lambda: ref.cvt_gray(rgb), 0),
         ("box5", lambda: ie.box_blur(img, 5), lambda: ref.box_blur(img, 5), 0),
+        ("bilateral", lambda: ie.bilateral_filter(img, 5, 30.0, 6.0),
+         lambda: ref.bilateral_filter(img, 5, 30.0, 6.0), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -476,3 +476,39 @@ def test_box_blur_device_vs_ref(rng, dt):
 def test_box_blur_rejects_even_k(rng):
     with pytest.raises(ValueError):
         ie.box_blur(_rand(rng, (8, 8)), 4)
+
+
+# ------------------------------------------------------------- bilateral
+
+
+def test_bilateral_gray_device_vs_ref(rng):
+    for shape in [(37, 53), (4, 37, 53)]:
+        img = _rand(rng, shape)
+        for d, sc, ss in [(5, 25.0, 5.0), (9, 75.0, 75.0), (0, 40.0, 3.0)]:
+            got = np.asarray(ie.bilateral_filter(img, d, sc, ss))
+            want = per_plane_ref(lambda p: ref.bilateral_filter(p, d, sc, ss), img)
+            assert maxdiff(got, want) == 0, (shape, d, sc, ss)
+
+
+def test_bilateral_color_device_vs_ref(rng):
+    for shape in [(30, 31, 3), (2, 24, 25, 3)]:
+        img = _rand(rng, shape)
+        got = np.asarray(ie.bilateral_filter(img, 7, 40.0, 8.0))
+        if img.ndim == 4:
+            want = np.stack([ref.bilateral_filter(f, 7, 40.0, 8.0) for f in img])
+        else:
+            want = ref.bilateral_filter(img, 7, 40.0, 8.0)
+        assert maxdiff(got, want) == 0
+
+
+def test_bilateral_hw1_and_rejects(rng):
+    img1 = _rand(rng, (20, 21, 1))
+    got = np.asarray(ie.bilateral_filter(img1, 5, 30.0, 6.0))
+    want = ref.bilateral_filter(img1[..., 0], 5, 30.0, 6.0)[..., None]
+    assert maxdiff(got, want) == 0
+    with pytest.raises(ValueError):
+        ie.bilateral_filter(_rand(rng, (8, 9, 4)), 5, 30.0, 6.0)
+    with pytest.raises(ValueError):
+        ie.bilateral_filter(_rand(rng, (8, 9)), 5, 0.0, 6.0)
+    with pytest.raises(TypeError):
+        ie.bilateral_filter(np.zeros((8, 9), np.uint16), 5, 30.0, 6.0)

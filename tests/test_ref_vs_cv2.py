@@ -301,3 +301,48 @@ def test_box_blur_vs_cv2(rng, dt):
             cols = np.argwhere(d)[:, 1]
             assert (cols >= W - 16).all()  # cv2's scalar-tail region only
             assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+
+
+@pytest.mark.parametrize("d,sc,ss", [(5, 25.0, 5.0), (9, 75.0, 75.0), (7, 30.0, 10.0), (0, 40.0, 3.0)])
+def test_bilateral_gray_exact_vs_plain_cv2(rng, d, sc, ss):
+    """Bit-exact vs cv2's reference C++ path.  cv2's DEFAULT dispatch uses
+    IPP on x86, which differs from cv2's own reference path by ±1 on ~20 %
+    of pixels — so the pinned contract is the reference path
+    (docs/PARITY.md)."""
+    img = _rand(rng, (64, 71))
+    opt = cv2.useOptimized()
+    try:
+        cv2.setUseOptimized(False)
+        want = cv2.bilateralFilter(img, d, sc, ss)
+    finally:
+        cv2.setUseOptimized(opt)
+    assert np.array_equal(ref.bilateral_filter(img, d, sc, ss), want)
+
+
+def test_bilateral_color_joint_vs_plain_cv2(rng):
+    img = rng.integers(0, 256, (40, 43, 3), dtype=np.uint8)
+    opt = cv2.useOptimized()
+    try:
+        cv2.setUseOptimized(False)
+        want = cv2.bilateralFilter(img, 7, 40.0, 8.0)
+    finally:
+        cv2.setUseOptimized(opt)
+    got = ref.bilateral_filter(img, 7, 40.0, 8.0)
+    # color: cv2's SIMD accumulation order leaves ±1 on ~1e-5 of pixels
+    assert maxdiff(got, want) <= 1
+    assert (got != want).mean() < 1e-3
+
+
+def test_bilateral_vs_default_cv2_within_1(rng):
+    """Against cv2's default (IPP) dispatch the budget is ±1 — cv2's own
+    two paths disagree by that much."""
+    img = _rand(rng, (48, 53))
+    want = cv2.bilateralFilter(img, 7, 50.0, 7.0)
+    assert maxdiff(ref.bilateral_filter(img, 7, 50.0, 7.0), want) <= 1
+
+
+def test_bilateral_rejects_nonpositive_sigma(rng):
+    with pytest.raises(ValueError):
+        ref.bilateral_filter(_rand(rng, (16, 16)), 5, -1.0, 5.0)
+    with pytest.raises(ValueError):
+        ref.bilateral_filter(_rand(rng, (16, 16)), 5, 25.0, 0.0)

@@ -286,3 +286,14 @@ def test_box_blur_spatial_bitexact(rng, ksize, dtype):
     got = run_spatial(lambda p: sp.box_blur_spatial(p, ksize, axis_name="y"), planes)
     want = np.asarray(box_blur_planes(jnp.asarray(planes), ksize))
     assert maxdiff(got, want) == 0
+
+
+def test_bilateral_spatial_bitexact(rng):
+    planes = rng.integers(0, 256, (2, 64, 36), dtype=np.uint8)
+    from imageenhancement_mp_tpu.ops.bilateral import bilateral_planes
+
+    got = run_spatial(
+        lambda p: sp.bilateral_spatial(p, 5, 30.0, 6.0, axis_name="y"), planes
+    )
+    want = np.asarray(bilateral_planes(jnp.asarray(planes), 5, 30.0, 6.0))
+    assert maxdiff(got, want) == 0
