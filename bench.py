@@ -263,6 +263,20 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # tunnel-sanity canary: the 61-pass bilateral is VPU-compute-bound at
+    # ~1.5 GPix/s on this chip (docs/DESIGN.md §5b) and cannot physically
+    # exceed ~20.  A higher reading means the tunnel entered a state where
+    # block_until_ready acks WITHOUT syncing (observed: every row then
+    # clusters at a ~30 µs dispatch floor) — the sweep's timing phase is
+    # untrustworthy and must be rerun in a fresh process.
+    timing_suspect = results.get("bilateral9 4K gray b2", 0.0) > 20.0
+    if timing_suspect:
+        print(
+            "WARNING: bilateral canary exceeded its physical bound — the "
+            "tunnel is ack'ing without sync; DISCARD this sweep's timings",
+            file=sys.stderr,
+        )
+
     if args.profile:
         fn, xd = handles["histeq+unsharp 1080p gray b8"]
         with jax.profiler.trace(args.profile):
@@ -288,6 +302,7 @@ def main() -> int:
             json.dump(
                 {
                     "device": f"{dev.device_kind} ({dev.platform})",
+                    "timing_suspect": timing_suspect,
                     "rows": [
                         {
                             "name": name,

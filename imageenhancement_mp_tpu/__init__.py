@@ -25,6 +25,7 @@ from imageenhancement_mp_tpu.api import (
     laplacian_sharpen,
     log_transform,
     median_blur,
+    threshold,
     unsharp_mask,
 )
 
@@ -47,6 +48,7 @@ __all__ = [
     "laplacian_sharpen",
     "log_transform",
     "median_blur",
+    "threshold",
     "unsharp_mask",
     "__version__",
 ]

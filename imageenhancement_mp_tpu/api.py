@@ -42,6 +42,7 @@ __all__ = [
     "gaussian_blur",
     "laplacian",
     "laplacian_sharpen",
+    "threshold",
     "unsharp_mask",
     "median_blur",
 ]
@@ -258,6 +259,72 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, channels_last, ksize=int(ksize))
+
+
+@lru_cache(maxsize=None)
+def _thresh_jit(maxval: float, type: str, channels_last: bool, thresh):
+    """thresh: a float (static, shared) or None (per-plane array argument)."""
+    from imageenhancement_mp_tpu.ops.threshold import threshold_planes
+
+    if thresh is None:
+
+        @jax.jit
+        def run(img, t):
+            planes, restore = as_planes(img, channels_last=channels_last)
+            return restore(threshold_planes(planes, t, maxval, type))
+
+    else:
+
+        @jax.jit
+        def run(img):
+            planes, restore = as_planes(img, channels_last=channels_last)
+            return restore(threshold_planes(planes, thresh, maxval, type))
+
+    return run
+
+
+def threshold(img, thresh: float = 0.0, maxval: float = 255.0, type: str = "binary",
+              method: str | None = None, channels_last: bool = True):
+    """``cv2.threshold(img, thresh, maxval, type)`` — exact; returns
+    ``(ret, dst)`` like cv2.
+
+    ``type``: binary | binary_inv | trunc | tozero | tozero_inv.
+    ``method``: None | "otsu" | "triangle" — compute the threshold from
+    each plane's histogram (uint8 only, like cv2; exact transcriptions of
+    cv2's double recurrences).  On a batch, every plane gets its own
+    threshold — ``ret`` is then an array shaped like the plane structure
+    ([C], [N], or [N,C]) instead of cv2's scalar.
+    """
+    _check_image_dtype(img, allow_i16=True)
+    if method is None:
+        ret = float(thresh) if img.dtype == jnp.float32 else float(np.floor(float(thresh)))
+        out = _thresh_jit(float(maxval), str(type), bool(channels_last), float(thresh))(img)
+        return ret, out
+    if method not in ("otsu", "triangle"):
+        raise ValueError(f"method must be None, 'otsu' or 'triangle', got {method!r}")
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"{method} threshold is uint8-only, like cv2")
+    from imageenhancement_mp_tpu.ref.ops import otsu_threshold, triangle_threshold
+
+    hists = np.asarray(_hist_jit(bool(channels_last))(img))  # [B, 256], plane order
+    plane_px = int(np.asarray(img).size // hists.shape[0])
+    scan = otsu_threshold if method == "otsu" else triangle_threshold
+    ts = np.array(
+        [scan(h, plane_px) if method == "otsu" else scan(h) for h in hists],
+        dtype=np.int32,
+    )
+    out = _thresh_jit(float(maxval), str(type), bool(channels_last), None)(
+        img, jnp.asarray(ts)
+    )
+    nd = img.ndim
+    if nd == 2:
+        ret = float(ts[0])
+    elif nd == 3:
+        ret = ts.astype(np.float64)  # [C] or [N], plane order == as_planes
+    else:
+        n, _, _, c = img.shape
+        ret = ts.reshape(n, c).astype(np.float64)
+    return ret, out
 
 
 @lru_cache(maxsize=None)

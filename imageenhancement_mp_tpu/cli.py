@@ -98,6 +98,17 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.median_blur(out, int(ps[0]) if ps else 3)
         elif name == "box":
             out = ie.box_blur(out, int(ps[0]) if ps else 3)
+        elif name == "thresh":
+            _, out = ie.threshold(
+                out, float(ps[0]) if ps else 127.0,
+                float(ps[1]) if len(ps) > 1 else 255.0,
+                ps[2] if len(ps) > 2 else "binary",
+            )
+        elif name in ("otsu", "triangle"):
+            _, out = ie.threshold(
+                out, 0.0, float(ps[0]) if ps else 255.0,
+                ps[1] if len(ps) > 1 else "binary", method=name,
+            )
         elif name == "bilateral":
             out = ie.bilateral_filter(
                 out, int(ps[0]) if ps else 5,
@@ -214,7 +225,8 @@ def main(argv: list[str] | None = None) -> int:
         help="op to apply, repeatable to build a pipeline "
         "(gray | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
         "gauss[:k[:sigma]] | box[:k] | bilateral[:d[:sc[:ss]]] | lapsharp | "
-        "unsharp[:amount[:k]] | median[:k])",
+        "unsharp[:amount[:k]] | median[:k] | thresh[:t[:mv[:type]]] | "
+        "otsu[:mv[:type]] | triangle[:mv[:type]])",
     )
     args = p.parse_args(argv)
 

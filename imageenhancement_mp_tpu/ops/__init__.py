@@ -15,6 +15,7 @@ from imageenhancement_mp_tpu.ops.histogram import (
     equalize_hist_planes,
 )
 from imageenhancement_mp_tpu.ops.median import median_blur_planes
+from imageenhancement_mp_tpu.ops.threshold import threshold_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -35,6 +36,7 @@ OP_REGISTRY = {
     "gaussian_blur": gaussian_blur_planes,
     "box_blur": box_blur_planes,
     "bilateral": bilateral_planes,
+    "threshold": threshold_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -59,5 +61,6 @@ __all__ = [
     "laplacian_sharpen_planes",
     "log_planes",
     "median_blur_planes",
+    "threshold_planes",
     "unsharp_mask_planes",
 ]

@@ -384,6 +384,12 @@ def _equalize_hist_global_spatial(local, axis_name: str = "y", **kw):
     return equalize_hist_global_planes(local, axis_name=axis_name, **kw)
 
 
+def _threshold_pointwise(planes, **kw):
+    from imageenhancement_mp_tpu.ops.threshold import threshold_planes
+
+    return threshold_planes(planes, **kw)
+
+
 def _spatial_registry():
     from imageenhancement_mp_tpu.ops.pointwise import (
         convert_scale_abs_planes,
@@ -396,6 +402,7 @@ def _spatial_registry():
         "gamma": _local_op(gamma_planes),
         "log_transform": _local_op(log_planes),
         "convert_scale_abs": _local_op(convert_scale_abs_planes),
+        "threshold": _local_op(_threshold_pointwise),
         # pooled statistics / halo ops: the spatial twins
         "contrast_stretch": contrast_stretch_spatial,
         "equalize_hist": equalize_hist_spatial,

@@ -64,8 +64,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.add_weighted(img, 1.7, img2, -0.6, 41.25), 0),
         ("cvt_gray", lambda: ie.cvt_gray(rgb), lambda: ref.cvt_gray(rgb), 0),
         ("box5", lambda: ie.box_blur(img, 5), lambda: ref.box_blur(img, 5), 0),
+        # budget 1: the device accumulate chain may FMA-contract vs the
+        # oracle's strict per-op f32 (seen: 1 px at 4K scale; cv2's own
+        # -ffp-contract build has the same property — docs/PARITY.md)
         ("bilateral", lambda: ie.bilateral_filter(img, 5, 30.0, 6.0),
-         lambda: ref.bilateral_filter(img, 5, 30.0, 6.0), 0),
+         lambda: ref.bilateral_filter(img, 5, 30.0, 6.0), 1),
+        ("thresh/otsu", lambda: ie.threshold(img, method="otsu")[1],
+         lambda: ref.threshold(img, method="otsu")[1], 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -512,3 +512,39 @@ def test_bilateral_hw1_and_rejects(rng):
         ie.bilateral_filter(_rand(rng, (8, 9)), 5, 0.0, 6.0)
     with pytest.raises(TypeError):
         ie.bilateral_filter(np.zeros((8, 9), np.uint16), 5, 30.0, 6.0)
+
+
+# ------------------------------------------------------------- threshold
+
+
+@pytest.mark.parametrize("typ", ["binary", "binary_inv", "trunc", "tozero", "tozero_inv"])
+def test_threshold_device_vs_ref(rng, typ):
+    for dt in (np.uint8, np.uint16, np.int16, np.float32):
+        if dt is np.float32:
+            img = (rng.random((4, 30, 31)) * 600 - 150).astype(np.float32)
+            t, mv = 80.4, 500.2
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            img = rng.integers(lo, hi, (4, 30, 31)).astype(dt)
+            t, mv = (100.7, 210.3) if dt is np.uint8 else (1000.5, 40000.0)
+        ret, got = ie.threshold(img, t, mv, typ)
+        want = np.stack([ref.threshold(p, t, mv, typ)[1] for p in img])
+        assert np.array_equal(np.asarray(got), want), (typ, dt)
+
+
+@pytest.mark.parametrize("method", ["otsu", "triangle"])
+def test_threshold_auto_device_per_plane(rng, method):
+    img = _rand(rng, (2, 33, 47, 3))
+    ret, got = ie.threshold(img, method=method)
+    assert np.asarray(ret).shape == (2, 3)
+    for n in range(2):
+        for c in range(3):
+            r, o = ref.threshold(img[n, :, :, c], method=method)
+            assert ret[n, c] == r
+            assert np.array_equal(np.asarray(got)[n, :, :, c], o)
+
+
+def test_threshold_auto_rejects_non_u8(rng):
+    with pytest.raises(TypeError):
+        ie.threshold(np.zeros((8, 8), np.uint16), method="otsu")

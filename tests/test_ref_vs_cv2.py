@@ -346,3 +346,61 @@ def test_bilateral_rejects_nonpositive_sigma(rng):
         ref.bilateral_filter(_rand(rng, (16, 16)), 5, -1.0, 5.0)
     with pytest.raises(ValueError):
         ref.bilateral_filter(_rand(rng, (16, 16)), 5, 25.0, 0.0)
+
+
+_CV_THRESH = None
+
+
+def _cv_thresh_map():
+    global _CV_THRESH
+    if _CV_THRESH is None:
+        _CV_THRESH = {
+            "binary": cv2.THRESH_BINARY, "binary_inv": cv2.THRESH_BINARY_INV,
+            "trunc": cv2.THRESH_TRUNC, "tozero": cv2.THRESH_TOZERO,
+            "tozero_inv": cv2.THRESH_TOZERO_INV,
+        }
+    return _CV_THRESH
+
+
+@pytest.mark.parametrize("typ", ["binary", "binary_inv", "trunc", "tozero", "tozero_inv"])
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_threshold_exact(rng, typ, dt):
+    for t, mv in [(100.7, 210.3), (127.5, 255.0), (-3.0, 300.0), (255.0, 128.5), (0.0, 77.0)]:
+        if dt is np.float32:
+            img = (rng.random((33, 47)) * 600 - 150).astype(np.float32)
+            t *= 2.0
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            img = rng.integers(lo, hi, (33, 47)).astype(dt)
+            if dt is not np.uint8:
+                t *= 100
+                mv *= 90
+        want_ret, want = cv2.threshold(img, t, mv, _cv_thresh_map()[typ])
+        got_ret, got = ref.threshold(img, t, mv, typ)
+        assert got_ret == want_ret, (typ, dt, t)
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want), (typ, dt, t, mv)
+
+
+@pytest.mark.parametrize("method,flag", [("otsu", cv2.THRESH_OTSU), ("triangle", cv2.THRESH_TRIANGLE)])
+def test_threshold_auto_exact(rng, method, flag):
+    for kind in range(6):
+        shape = (int(rng.integers(8, 80)), int(rng.integers(8, 80)))
+        if kind == 0:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+        elif kind == 1:
+            img = rng.integers(0, 40, shape).astype(np.uint8)
+        elif kind == 2:
+            img = rng.normal(128, 30, shape).clip(0, 255).astype(np.uint8)
+        elif kind == 3:
+            img = np.where(rng.random(shape) > 0.5,
+                           rng.integers(0, 50), rng.integers(200, 256)).astype(np.uint8)
+        elif kind == 4:
+            img = np.full(shape, 77, np.uint8)
+        else:
+            img = np.where(rng.random(shape) > 0.9, 255, 0).astype(np.uint8)
+        want_ret, want = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + flag)
+        got_ret, got = ref.threshold(img, 0, 255, "binary", method=method)
+        assert got_ret == want_ret, (method, kind)
+        assert np.array_equal(got, want)
