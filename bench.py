@@ -53,9 +53,13 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
 def _time(fn, x, iters, warmup=2):
     from imageenhancement_mp_tpu.profiling import time_op
 
-    # min-of-iters: robust to the tunnel's dispatch-latency spikes
-    # (docs/DESIGN.md §9); equals the median in healthy states
-    return time_op(fn, x, iters=iters, warmup=warmup, reduce="min")
+    # median-of-iters: the tunnel has TWO lying modes (docs/DESIGN.md §9)
+    # — slow dispatch spikes (inflate the mean) and, mid-sweep, EARLY
+    # ACKS where block_until_ready returns before the device finishes
+    # (deflate the min to a ~30 µs floor).  The median survives both as
+    # long as most iters are honest; the bilateral canary below catches
+    # the case where they are not.
+    return time_op(fn, x, iters=iters, warmup=warmup, reduce="median")
 
 
 def main() -> int:

@@ -14,7 +14,9 @@ from imageenhancement_mp_tpu.api import (
     bilateral_filter,
     box_blur,
     convert_scale_abs,
+    cvt_color,
     cvt_gray,
+    equalize_luma,
     histogram,
     clahe,
     contrast_stretch,
@@ -37,7 +39,9 @@ __all__ = [
     "bilateral_filter",
     "box_blur",
     "convert_scale_abs",
+    "cvt_color",
     "cvt_gray",
+    "equalize_luma",
     "histogram",
     "clahe",
     "contrast_stretch",

@@ -32,7 +32,9 @@ __all__ = [
     "bilateral_filter",
     "box_blur",
     "convert_scale_abs",
+    "cvt_color",
     "cvt_gray",
+    "equalize_luma",
     "histogram",
     "gamma",
     "log_transform",
@@ -259,6 +261,75 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
     """``cv2.medianBlur`` (exact; border = replicate; any odd ksize ≥ 3 —
     k∈{3,5} matches cv2 for u8/u16, larger k verified for u8)."""
     return _apply("median_blur", img, channels_last, ksize=int(ksize))
+
+
+_CVT_CODES = (
+    "rgb2gray", "bgr2gray", "rgba2gray", "bgra2gray",
+    "rgb2ycrcb", "bgr2ycrcb", "ycrcb2rgb", "ycrcb2bgr",
+)
+
+
+@lru_cache(maxsize=None)
+def _cvt_color_jit(code: str):
+    from imageenhancement_mp_tpu.ops.color import (
+        cvt_gray_nhwc,
+        rgb_to_ycrcb_nhwc,
+        ycrcb_to_rgb_nhwc,
+    )
+
+    @jax.jit
+    def run(img):
+        if code.endswith("2gray"):
+            return cvt_gray_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.endswith("2ycrcb"):
+            return rgb_to_ycrcb_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        return ycrcb_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
+
+    return run
+
+
+def cvt_color(img, code: str):
+    """``cv2.cvtColor`` — codes: ``rgb2gray, bgr2gray, rgba2gray,
+    bgra2gray, rgb2ycrcb, bgr2ycrcb, ycrcb2rgb, ycrcb2bgr`` on
+    ``[..,H,W,C]``.  u8/u16 exact (pinned fixed point — note cv2's →GRAY
+    uses a 15-bit table but YCrCb's Y a 14-bit one); f32 exact on cv2's
+    SIMD vector body (docs/PARITY.md)."""
+    _check_image_dtype(img)
+    code = str(code).lower()
+    if code not in _CVT_CODES:
+        raise ValueError(f"code must be one of {_CVT_CODES}, got {code!r}")
+    if img.ndim not in (3, 4):
+        raise ValueError(f"expected [H,W,C] or [N,H,W,C], got {img.shape}")
+    return _cvt_color_jit(code)(img)
+
+
+@lru_cache(maxsize=None)
+def _equalize_luma_jit(order: str):
+    from imageenhancement_mp_tpu.ops.color import rgb_to_ycrcb_nhwc, ycrcb_to_rgb_nhwc
+    from imageenhancement_mp_tpu.ops.histogram import equalize_hist_planes
+
+    @jax.jit
+    def run(img):
+        ycc = rgb_to_ycrcb_nhwc(img, order)
+        y = equalize_hist_planes(ycc[..., 0].reshape((-1,) + ycc.shape[-3:-1]))
+        y = y.reshape(ycc.shape[:-1])
+        return ycrcb_to_rgb_nhwc(
+            jnp.concatenate([y[..., None], ycc[..., 1:]], axis=-1), order
+        )
+
+    return run
+
+
+def equalize_luma(img, order: str = "rgb"):
+    """The classic COLOR histogram equalization: RGB → YCrCb, equalize the
+    luma plane, convert back — contrast without hue shifts (per-channel
+    ``equalize_hist`` distorts colors).  uint8 ``[H,W,3]`` / ``[N,H,W,3]``;
+    every stage is the exact pinned cv2 arithmetic."""
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"equalize_luma is uint8 (cv2.equalizeHist is 8-bit), got {img.dtype}")
+    if img.ndim not in (3, 4) or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] or [N,H,W,3], got {img.shape}")
+    return _equalize_luma_jit(str(order))(img)
 
 
 @lru_cache(maxsize=None)

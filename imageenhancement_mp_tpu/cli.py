@@ -76,6 +76,10 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             if out.ndim < 3 or out.shape[-1] not in (3, 4):
                 raise ValueError("gray needs a color image (C=3|4)")
             out = ie.cvt_gray(out, "rgb" if rgb_order else "bgr")
+        elif name == "eqluma":
+            if out.ndim < 3 or out.shape[-1] != 3:
+                raise ValueError("eqluma needs a color image (C=3)")
+            out = ie.equalize_luma(out, "rgb" if rgb_order else "bgr")
         elif name == "gamma":
             out = ie.gamma(out, float(ps[0]) if ps else 2.2)
         elif name == "log":
@@ -223,7 +227,7 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         default=None,
         help="op to apply, repeatable to build a pipeline "
-        "(gray | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
+        "(gray | eqluma | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
         "gauss[:k[:sigma]] | box[:k] | bilateral[:d[:sc[:ss]]] | lapsharp | "
         "unsharp[:amount[:k]] | median[:k] | thresh[:t[:mv[:type]]] | "
         "otsu[:mv[:type]] | triangle[:mv[:type]])",

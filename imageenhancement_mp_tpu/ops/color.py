@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.utils.fma import fma32
 
-__all__ = ["cvt_gray_nhwc", "GRAY_CR", "GRAY_CG", "GRAY_CB"]
+__all__ = ["cvt_gray_nhwc", "rgb_to_ycrcb_nhwc", "ycrcb_to_rgb_nhwc",
+           "GRAY_CR", "GRAY_CG", "GRAY_CB"]
 
 GRAY_CR, GRAY_CG = 9798, 19235          # round(0.299·2^15), round(0.587·2^15)
 GRAY_CB = 32768 - GRAY_CR - GRAY_CG     # 3735: sum-preserving (pinned)
@@ -56,3 +57,86 @@ def cvt_gray_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     b = img[..., bi].astype(jnp.int32)
     acc = r * GRAY_CR + g * GRAY_CG + b * GRAY_CB + (1 << 14)
     return jnp.right_shift(acc, 15).astype(img.dtype)
+
+
+# ---------------------------------------------------------------- YCrCb
+# cv2 fixed point, shift 14 (probes: u8+u16 fwd/inv maxdiff 0; note Y here
+# uses the CLASSIC 14-bit table while →GRAY uses 15-bit sum-preserving —
+# a pinned cv2 inconsistency).  f32 is the reverse-memory-order FMA chain
+# (x2's product seeds, x0 applied last) with f32-subtracted chroma
+# deltas — exact on cv2's vector body, tail ≤ a-few-ULP like cvt_gray.
+YCRCB_SHIFT = 14
+YCRCB_CR, YCRCB_CG = 4899, 9617                 # round(0.299/0.587 · 2^14)
+YCRCB_CB = (1 << 14) - YCRCB_CR - YCRCB_CG      # 1868: sum-preserving
+YCRCB_C713 = 11682                              # round(0.713 · 2^14)
+YCRCB_C564 = 9241                               # round(0.564 · 2^14)
+YCRCB_INV = (22987, 11698, 5636, 29049)         # 1.403, 0.714, 0.344, 1.773
+
+
+def _delta(dtype):
+    return {jnp.dtype(jnp.uint8): 128, jnp.dtype(jnp.uint16): 32768}[jnp.dtype(dtype)]
+
+
+def rgb_to_ycrcb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(..., COLOR_{RGB,BGR}2YCrCb)`` on ``[..., H, W, 3]``."""
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    if img.dtype == jnp.float32:
+        w = {ri: jnp.float32(0.299), gi: jnp.float32(0.587), bi: jnp.float32(0.114)}
+        x0, x1, x2 = img[..., 0], img[..., 1], img[..., 2]
+        y = fma32(x0, w[0], fma32(x1, w[1], x2 * w[2]))
+        half = jnp.float32(0.5)
+        cr = fma32(img[..., ri] - y, jnp.float32(0.713), jnp.broadcast_to(half, y.shape))
+        cb = fma32(img[..., bi] - y, jnp.float32(0.564), jnp.broadcast_to(half, y.shape))
+        return jnp.stack([y, cr, cb], axis=-1)
+    if img.dtype not in (jnp.uint8, jnp.uint16):
+        raise TypeError(f"expected uint8/uint16/float32, got {img.dtype}")
+    r = img[..., ri].astype(jnp.int32)
+    g = img[..., gi].astype(jnp.int32)
+    b = img[..., bi].astype(jnp.int32)
+    half = 1 << (YCRCB_SHIFT - 1)
+    y = jnp.right_shift(r * YCRCB_CR + g * YCRCB_CG + b * YCRCB_CB + half, YCRCB_SHIFT)
+    d = _delta(img.dtype)
+    cr = jnp.right_shift((r - y) * YCRCB_C713 + half, YCRCB_SHIFT) + d
+    cb = jnp.right_shift((b - y) * YCRCB_C564 + half, YCRCB_SHIFT) + d
+    maxv = 2 * d - 1
+    return jnp.stack(
+        [jnp.clip(v, 0, maxv) for v in (y, cr, cb)], axis=-1
+    ).astype(img.dtype)
+
+
+def ycrcb_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(..., COLOR_YCrCb2{RGB,BGR})`` on ``[..., H, W, 3]``."""
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    c1, c2, c3, c4 = YCRCB_INV
+    if img.dtype == jnp.float32:
+        y, cr, cb = img[..., 0], img[..., 1], img[..., 2]
+        dcr = cr - jnp.float32(0.5)
+        dcb = cb - jnp.float32(0.5)
+        f1, f2, f3, f4 = (jnp.float32(v) for v in (1.403, -0.714, -0.344, 1.773))
+        r = fma32(dcr, f1, y)
+        g = fma32(dcr, f2, fma32(dcb, f3, y))
+        b = fma32(dcb, f4, y)
+        out = [r, g, b]
+    elif img.dtype in (jnp.uint8, jnp.uint16):
+        d = _delta(img.dtype)
+        maxv = 2 * d - 1
+        half = 1 << (YCRCB_SHIFT - 1)
+        y = img[..., 0].astype(jnp.int32)
+        dcr = img[..., 1].astype(jnp.int32) - d
+        dcb = img[..., 2].astype(jnp.int32) - d
+        r = y + jnp.right_shift(dcr * c1 + half, YCRCB_SHIFT)
+        g = y + jnp.right_shift(dcr * (-c2) + dcb * (-c3) + half, YCRCB_SHIFT)
+        b = y + jnp.right_shift(dcb * c4 + half, YCRCB_SHIFT)
+        out = [jnp.clip(v, 0, maxv) for v in (r, g, b)]
+    else:
+        raise TypeError(f"expected uint8/uint16/float32, got {img.dtype}")
+    if order == "bgr":
+        out = out[::-1]
+    return jnp.stack(out, axis=-1).astype(img.dtype)

@@ -67,6 +67,8 @@ __all__ = [
     "triangle_threshold",
     "add_weighted",
     "cvt_gray",
+    "rgb_to_ycrcb",
+    "ycrcb_to_rgb",
 ]
 
 
@@ -917,3 +919,80 @@ def cvt_gray(img: np.ndarray, order: str = "rgb") -> np.ndarray:
     r, g, b = (img[..., i].astype(np.int64) for i in (ri, gi, bi))
     acc = r * _GRAY_CR + g * _GRAY_CG + b * _GRAY_CB + (1 << 14)
     return (acc >> 15).astype(img.dtype)
+
+
+# cv2's YCrCb fixed point (shift 14; Y here uses the CLASSIC 14-bit table
+# — 4899/9617/1868 sum-preserving at 14 bits — while →GRAY uses the
+# 15-bit table: a pinned cv2 inconsistency).  Probes: u8+u16 fwd/inv
+# maxdiff 0; f32 = reverse-memory-order FMA chain with f32-subtracted
+# chroma deltas, exact on cv2's vector body (tail like cvt_gray).
+_YCRCB = dict(sh=14, cR=4899, cG=9617, cB=(1 << 14) - 4899 - 9617,
+              c713=11682, c564=9241, inv=(22987, 11698, 5636, 29049))
+
+
+def rgb_to_ycrcb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_{RGB,BGR}2YCrCb)`` — exact (u8/u16; f32 on
+    cv2's vector body)."""
+    kind = _img_kind(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    p = _YCRCB
+    if kind == "f32":
+        w = {ri: 0.299, gi: 0.587, bi: 0.114}
+        x0, x1, x2 = (img[..., i].astype(np.float64) for i in range(3))
+        t = np.float32(x1 * float(np.float32(w[1]))
+                       + np.float32(x2 * float(np.float32(w[2]))).astype(np.float64))
+        y = np.float32(x0 * float(np.float32(w[0])) + t.astype(np.float64))
+        y64 = y.astype(np.float64)
+        cr = np.float32(np.float32(img[..., ri].astype(np.float64) - y64).astype(np.float64)
+                        * float(np.float32(0.713)) + 0.5)
+        cb = np.float32(np.float32(img[..., bi].astype(np.float64) - y64).astype(np.float64)
+                        * float(np.float32(0.564)) + 0.5)
+        return np.stack([y, cr, cb], axis=-1)
+    r, g, b = (img[..., i].astype(np.int64) for i in (ri, gi, bi))
+    half = 1 << (p["sh"] - 1)
+    y = (r * p["cR"] + g * p["cG"] + b * p["cB"] + half) >> p["sh"]
+    d = 128 if kind == "u8" else 32768
+    cr = ((r - y) * p["c713"] + half >> p["sh"]) + d
+    cb = ((b - y) * p["c564"] + half >> p["sh"]) + d
+    maxv = 2 * d - 1
+    return np.stack(
+        [np.clip(v, 0, maxv) for v in (y, cr, cb)], axis=-1
+    ).astype(img.dtype)
+
+
+def ycrcb_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_YCrCb2{RGB,BGR})`` — exact (u8/u16; f32 on
+    cv2's vector body)."""
+    kind = _img_kind(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    c1, c2, c3, c4 = _YCRCB["inv"]
+    if kind == "f32":
+        y = img[..., 0].astype(np.float64)
+        dcr = np.float32(img[..., 1] - np.float32(0.5)).astype(np.float64)
+        dcb = np.float32(img[..., 2] - np.float32(0.5)).astype(np.float64)
+        f1, f2, f3, f4 = (float(np.float32(v)) for v in (1.403, -0.714, -0.344, 1.773))
+        r = np.float32(dcr * f1 + y)
+        g = np.float32(dcr * f2 + np.float32(dcb * f3 + y).astype(np.float64))
+        b = np.float32(dcb * f4 + y)
+        out = [r, g, b]
+    else:
+        d = 128 if kind == "u8" else 32768
+        maxv = 2 * d - 1
+        half = 1 << (_YCRCB["sh"] - 1)
+        y = img[..., 0].astype(np.int64)
+        dcr = img[..., 1].astype(np.int64) - d
+        dcb = img[..., 2].astype(np.int64) - d
+        r = y + ((dcr * c1 + half) >> _YCRCB["sh"])
+        g = y + ((dcr * (-c2) + dcb * (-c3) + half) >> _YCRCB["sh"])
+        b = y + ((dcb * c4 + half) >> _YCRCB["sh"])
+        out = [np.clip(v, 0, maxv) for v in (r, g, b)]
+    if order == "bgr":
+        out = out[::-1]
+    return np.stack(out, axis=-1).astype(img.dtype)

@@ -72,6 +72,15 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("thresh/otsu", lambda: ie.threshold(img, method="otsu")[1],
          lambda: ref.threshold(img, method="otsu")[1], 0),
     ]
+
+    def _luma_oracle():
+        ycc = ref.rgb_to_ycrcb(rgb)
+        y = ref.equalize_hist(ycc[..., 0])
+        return ref.ycrcb_to_rgb(np.concatenate([y[..., None], ycc[..., 1:]], axis=-1))
+
+    checks += [
+        ("eq_luma", lambda: ie.equalize_luma(rgb), _luma_oracle, 0),
+    ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
         ("gauss5/u16", lambda: ie.gaussian_blur(img16, 5),

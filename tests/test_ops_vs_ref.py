@@ -548,3 +548,44 @@ def test_threshold_auto_device_per_plane(rng, method):
 def test_threshold_auto_rejects_non_u8(rng):
     with pytest.raises(TypeError):
         ie.threshold(np.zeros((8, 8), np.uint16), method="otsu")
+
+
+# ---------------------------------------------------------- YCrCb / luma
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.float32])
+@pytest.mark.parametrize("code", ["rgb2ycrcb", "bgr2ycrcb", "ycrcb2rgb", "ycrcb2bgr"])
+def test_cvt_color_ycrcb_device_vs_ref(rng, dt, code):
+    for shape in [(33, 47, 3), (2, 24, 25, 3)]:
+        if dt is np.float32:
+            img = (rng.random(shape) * 3 - 1).astype(np.float32)
+        else:
+            img = rng.integers(0, 256 if dt is np.uint8 else 65536, shape).astype(dt)
+        got = np.asarray(ie.cvt_color(img, code))
+        fn = (ref.rgb_to_ycrcb if code.endswith("2ycrcb") else ref.ycrcb_to_rgb)
+        order = ("bgr" if (code.startswith("b") or code.endswith("bgr")) else "rgb")
+        if img.ndim == 4:
+            want = np.stack([fn(f, order) for f in img])
+        else:
+            want = fn(img, order)
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want), (dt, code, shape)
+
+
+def test_equalize_luma_device_vs_ref(rng):
+    for shape in [(40, 50, 3), (2, 30, 31, 3)]:
+        img = _rand(rng, shape)
+        got = np.asarray(ie.equalize_luma(img))
+
+        def one(f):
+            ycc = ref.rgb_to_ycrcb(f)
+            y = ref.equalize_hist(ycc[..., 0])
+            return ref.ycrcb_to_rgb(
+                np.concatenate([y[..., None], ycc[..., 1:]], axis=-1))
+
+        want = one(img) if img.ndim == 3 else np.stack([one(f) for f in img])
+        assert np.array_equal(got, want)
+    with pytest.raises(ValueError):
+        ie.equalize_luma(_rand(rng, (8, 9)))
+    with pytest.raises(TypeError):
+        ie.equalize_luma(np.zeros((8, 9, 3), np.uint16))

@@ -404,3 +404,41 @@ def test_threshold_auto_exact(rng, method, flag):
         got_ret, got = ref.threshold(img, 0, 255, "binary", method=method)
         assert got_ret == want_ret, (method, kind)
         assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16])
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_ycrcb_roundtrip_exact(rng, dt, order):
+    fwd = {"rgb": cv2.COLOR_RGB2YCrCb, "bgr": cv2.COLOR_BGR2YCrCb}[order]
+    inv = {"rgb": cv2.COLOR_YCrCb2RGB, "bgr": cv2.COLOR_YCrCb2BGR}[order]
+    for shape in [(64, 64, 3), (33, 47, 3), (128, 131, 3)]:
+        img = rng.integers(0, 256 if dt is np.uint8 else 65536, shape).astype(dt)
+        assert np.array_equal(ref.rgb_to_ycrcb(img, order), cv2.cvtColor(img, fwd))
+        assert np.array_equal(ref.ycrcb_to_rgb(img, order), cv2.cvtColor(img, inv))
+
+
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_ycrcb_f32_vector_body_exact(rng, order):
+    fwd = {"rgb": cv2.COLOR_RGB2YCrCb, "bgr": cv2.COLOR_BGR2YCrCb}[order]
+    inv = {"rgb": cv2.COLOR_YCrCb2RGB, "bgr": cv2.COLOR_YCrCb2BGR}[order]
+    img = (rng.random((40, 64, 3)) * 3 - 1).astype(np.float32)  # W % 16 == 0
+    assert np.array_equal(ref.rgb_to_ycrcb(img, order), cv2.cvtColor(img, fwd))
+    assert np.array_equal(ref.ycrcb_to_rgb(img, order), cv2.cvtColor(img, inv))
+    # ragged width: mismatches only in cv2's trailing tail columns
+    img = (rng.random((20, 77, 3)) * 3 - 1).astype(np.float32)
+    got, want = ref.rgb_to_ycrcb(img, order), cv2.cvtColor(img, fwd)
+    bad = np.argwhere((got != want).any(axis=-1))
+    assert all(x >= 77 - 16 for _, x in bad)
+
+
+def test_equalize_luma_recipe_vs_cv2(rng):
+    """The classic color-equalization recipe, end-to-end bit-exact."""
+    img = rng.integers(0, 256, (60, 71, 3), dtype=np.uint8)
+    ycc = cv2.cvtColor(img, cv2.COLOR_RGB2YCrCb)
+    ycc[..., 0] = cv2.equalizeHist(ycc[..., 0])
+    want = cv2.cvtColor(ycc, cv2.COLOR_YCrCb2RGB)
+    got = ref.ycrcb_to_rgb(
+        np.concatenate(
+            [ref.equalize_hist(ref.rgb_to_ycrcb(img)[..., 0])[..., None],
+             ref.rgb_to_ycrcb(img)[..., 1:]], axis=-1))
+    assert np.array_equal(got, want)
