@@ -9,6 +9,7 @@ batched, with fused Pallas kernels on the hot paths.
 """
 
 from imageenhancement_mp_tpu.api import (
+    adaptive_threshold,
     add_weighted,
     apply_lut,
     bilateral_filter,
@@ -16,7 +17,10 @@ from imageenhancement_mp_tpu.api import (
     convert_scale_abs,
     cvt_color,
     cvt_gray,
+    dilate,
     equalize_luma,
+    erode,
+    morphology_ex,
     histogram,
     clahe,
     contrast_stretch,
@@ -34,6 +38,7 @@ from imageenhancement_mp_tpu.api import (
 __version__ = "0.5.0"
 
 __all__ = [
+    "adaptive_threshold",
     "add_weighted",
     "apply_lut",
     "bilateral_filter",
@@ -41,7 +46,10 @@ __all__ = [
     "convert_scale_abs",
     "cvt_color",
     "cvt_gray",
+    "dilate",
     "equalize_luma",
+    "erode",
+    "morphology_ex",
     "histogram",
     "clahe",
     "contrast_stretch",

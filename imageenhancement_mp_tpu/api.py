@@ -27,6 +27,7 @@ from imageenhancement_mp_tpu.ops import OP_REGISTRY, apply_lut_planes, laplacian
 from imageenhancement_mp_tpu.utils.shapes import as_planes, treat_as_hwc
 
 __all__ = [
+    "adaptive_threshold",
     "add_weighted",
     "apply_lut",
     "bilateral_filter",
@@ -34,7 +35,10 @@ __all__ = [
     "convert_scale_abs",
     "cvt_color",
     "cvt_gray",
+    "dilate",
     "equalize_luma",
+    "erode",
+    "morphology_ex",
     "histogram",
     "gamma",
     "log_transform",
@@ -85,6 +89,9 @@ _I16_OK = {
     "gaussian_blur",
     "box_blur",
     "median_blur",
+    "erode",
+    "dilate",
+    "morphology",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -396,6 +403,46 @@ def threshold(img, thresh: float = 0.0, maxval: float = 255.0, type: str = "bina
         n, _, _, c = img.shape
         ret = ts.reshape(n, c).astype(np.float64)
     return ret, out
+
+
+def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):
+    """``cv2.erode`` (rect kernel, anchor k//2) — exact min filter;
+    u8/u16/i16/f32, int or (rows, cols) kernels (even allowed)."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("erode", img, channels_last, ksize=ks, iterations=int(iterations))
+
+
+def dilate(img, ksize=3, iterations: int = 1, channels_last: bool = True):
+    """``cv2.dilate`` (rect kernel) — exact max filter (see ``erode``)."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("dilate", img, channels_last, ksize=ks, iterations=int(iterations))
+
+
+def morphology_ex(img, op: str = "open", ksize=3, iterations: int = 1,
+                  channels_last: bool = True):
+    """``cv2.morphologyEx`` (rect kernel) — exact: erode | dilate | open |
+    close | gradient | tophat | blackhat."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("morphology", img, channels_last, op=str(op), ksize=ks,
+                  iterations=int(iterations))
+
+
+def adaptive_threshold(img, maxval: float = 255.0, method: str = "mean",
+                       type: str = "binary", block_size: int = 3, C: float = 0.0,
+                       channels_last: bool = True):
+    """``cv2.adaptiveThreshold(img, maxval, method, type, blockSize, C)``
+    — exact (uint8).  ``method``: mean | gaussian; ``type``: binary |
+    binary_inv.  Local mean over BORDER_REPLICATE; gaussian uses cv2's
+    float-kernel path (docs/PARITY.md)."""
+    _check_u8(img)
+    return _apply(
+        "adaptive_threshold", img, channels_last,
+        maxval=float(maxval), method=str(method), type=str(type),
+        block_size=int(block_size), C=float(C),
+    )
 
 
 @lru_cache(maxsize=None)

@@ -108,6 +108,16 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                 float(ps[1]) if len(ps) > 1 else 255.0,
                 ps[2] if len(ps) > 2 else "binary",
             )
+        elif name in ("erode", "dilate", "open", "close", "gradient", "tophat", "blackhat"):
+            out = ie.morphology_ex(out, name, int(ps[0]) if ps else 3,
+                                   int(ps[1]) if len(ps) > 1 else 1)
+        elif name == "athresh":
+            out = ie.adaptive_threshold(
+                out, 255.0, ps[0] if ps else "mean",
+                ps[1] if len(ps) > 1 else "binary",
+                int(ps[2]) if len(ps) > 2 else 11,
+                float(ps[3]) if len(ps) > 3 else 2.0,
+            )
         elif name in ("otsu", "triangle"):
             _, out = ie.threshold(
                 out, 0.0, float(ps[0]) if ps else 255.0,
@@ -230,7 +240,9 @@ def main(argv: list[str] | None = None) -> int:
         "(gray | eqluma | gamma:2.2 | log | stretch | histeq | clahe[:clip[:gh[:gw]]] | "
         "gauss[:k[:sigma]] | box[:k] | bilateral[:d[:sc[:ss]]] | lapsharp | "
         "unsharp[:amount[:k]] | median[:k] | thresh[:t[:mv[:type]]] | "
-        "otsu[:mv[:type]] | triangle[:mv[:type]])",
+        "otsu[:mv[:type]] | triangle[:mv[:type]] | "
+        "athresh[:method[:type[:bs[:C]]]] | "
+        "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]])",
     )
     args = p.parse_args(argv)
 

@@ -15,7 +15,12 @@ from imageenhancement_mp_tpu.ops.histogram import (
     equalize_hist_planes,
 )
 from imageenhancement_mp_tpu.ops.median import median_blur_planes
-from imageenhancement_mp_tpu.ops.threshold import threshold_planes
+from imageenhancement_mp_tpu.ops.morphology import (
+    dilate_planes,
+    erode_planes,
+    morphology_planes,
+)
+from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes, threshold_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -37,6 +42,10 @@ OP_REGISTRY = {
     "box_blur": box_blur_planes,
     "bilateral": bilateral_planes,
     "threshold": threshold_planes,
+    "adaptive_threshold": adaptive_threshold_planes,
+    "erode": erode_planes,
+    "dilate": dilate_planes,
+    "morphology": morphology_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -61,6 +70,10 @@ __all__ = [
     "laplacian_sharpen_planes",
     "log_planes",
     "median_blur_planes",
+    "erode_planes",
+    "dilate_planes",
+    "morphology_planes",
     "threshold_planes",
+    "adaptive_threshold_planes",
     "unsharp_mask_planes",
 ]

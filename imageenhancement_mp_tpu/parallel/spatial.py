@@ -50,6 +50,10 @@ __all__ = [
     "gaussian_blur_spatial",
     "box_blur_spatial",
     "bilateral_spatial",
+    "adaptive_threshold_spatial",
+    "erode_spatial",
+    "dilate_spatial",
+    "morphology_spatial",
     "unsharp_mask_spatial",
     "median_blur_spatial",
     "laplacian_sharpen_spatial",
@@ -94,7 +98,8 @@ def device_put_spatial(
 
 
 def halo_exchange(
-    local: jnp.ndarray, r: int, axis_name: str = "y", mode: str = "reflect"
+    local: jnp.ndarray, r: int, axis_name: str = "y", mode: str = "reflect",
+    const_val=0,
 ) -> jnp.ndarray:
     """Extend a local ``[B, h, W]`` row block by ``r`` halo rows per side.
 
@@ -131,21 +136,25 @@ def halo_exchange(
     elif mode == "edge":
         self_top = jnp.repeat(local[:, :1, :], r, axis=1)
         self_bot = jnp.repeat(local[:, -1:, :], r, axis=1)
+    elif mode == "const":
+        fill = jnp.full((local.shape[0], r, local.shape[2]), const_val, local.dtype)
+        self_top = self_bot = fill
     else:
-        raise ValueError(f"mode must be 'reflect' or 'edge', got {mode!r}")
+        raise ValueError(f"mode must be 'reflect', 'edge' or 'const', got {mode!r}")
     top = jnp.where(idx == 0, self_top, from_above)
     bot = jnp.where(idx == n - 1, self_bot, from_below)
     return jnp.concatenate([top, local, bot], axis=1)
 
 
-def _stencil_spatial(local, op: Callable, r: int, mode: str, axis_name: str):
+def _stencil_spatial(local, op: Callable, r: int, mode: str, axis_name: str,
+                     const_val=0):
     """Halo-exchange → run the single-device op on the extended block →
     crop.  Exact because the op's own border handling only influences the
     ``r`` outermost output rows, which are cropped; every kept output row
     sees true (halo or local) data only."""
     if r == 0:
         return op(local)
-    ext = halo_exchange(local, r, axis_name, mode)
+    ext = halo_exchange(local, r, axis_name, mode, const_val=const_val)
     return op(ext)[:, r:-r, :]
 
 
@@ -221,6 +230,81 @@ def bilateral_spatial(
     _, _, r = bilateral_offsets(d, sigma_color, sigma_space)
     op = partial(bilateral_planes, d=d, sigma_color=sigma_color, sigma_space=sigma_space)
     return _stencil_spatial(local, op, r, "reflect", axis_name)
+
+
+def _morph_one_spatial(local, op: str, kh: int, kw: int, axis_name: str):
+    from imageenhancement_mp_tpu.ops.morphology import _identity, _minmax_filter
+
+    if kh % 2 == 0:
+        raise ValueError("spatial morphology needs an odd kernel height")
+    return _stencil_spatial(
+        local, lambda p: _minmax_filter(p, kh, kw, op), kh // 2, "const",
+        axis_name, const_val=_identity(local.dtype, op),
+    )
+
+
+def erode_spatial(local: jnp.ndarray, ksize=3, iterations: int = 1,
+                  axis_name: str = "y") -> jnp.ndarray:
+    """``cv2.erode`` on row-sharded planes (per-iteration halo; the const
+    halo rows are the op's identity at the global edges, matching cv2's
+    BORDER_CONSTANT)."""
+    from imageenhancement_mp_tpu.ops.morphology import _ksize2
+
+    kh, kw = _ksize2(ksize)
+    for _ in range(max(1, int(iterations))):
+        local = _morph_one_spatial(local, "min", kh, kw, axis_name)
+    return local
+
+
+def dilate_spatial(local: jnp.ndarray, ksize=3, iterations: int = 1,
+                   axis_name: str = "y") -> jnp.ndarray:
+    """``cv2.dilate`` on row-sharded planes (see erode_spatial)."""
+    from imageenhancement_mp_tpu.ops.morphology import _ksize2
+
+    kh, kw = _ksize2(ksize)
+    for _ in range(max(1, int(iterations))):
+        local = _morph_one_spatial(local, "max", kh, kw, axis_name)
+    return local
+
+
+def morphology_spatial(local: jnp.ndarray, op: str = "open", ksize=3,
+                       iterations: int = 1, axis_name: str = "y") -> jnp.ndarray:
+    """``cv2.morphologyEx`` on row-sharded planes — each stage stenciled
+    separately (cv2 pads every intermediate with that stage's identity,
+    so a fused halo would be wrong at the global edges)."""
+    from imageenhancement_mp_tpu.ops.morphology import MORPH_OPS, _sat_sub
+
+    if op not in MORPH_OPS:
+        raise ValueError(f"op must be one of {MORPH_OPS}, got {op!r}")
+    er = partial(erode_spatial, ksize=ksize, iterations=iterations, axis_name=axis_name)
+    di = partial(dilate_spatial, ksize=ksize, iterations=iterations, axis_name=axis_name)
+    if op == "erode":
+        return er(local)
+    if op == "dilate":
+        return di(local)
+    if op == "open":
+        return di(er(local))
+    if op == "close":
+        return er(di(local))
+    if op == "gradient":
+        return _sat_sub(di(local), er(local), local.dtype)
+    if op == "tophat":
+        return _sat_sub(local, di(er(local)), local.dtype)
+    return _sat_sub(er(di(local)), local, local.dtype)
+
+
+def adaptive_threshold_spatial(
+    local: jnp.ndarray, maxval: float = 255.0, method: str = "mean",
+    type: str = "binary", block_size: int = 3, C: float = 0.0,
+    axis_name: str = "y",
+) -> jnp.ndarray:
+    """``cv2.adaptiveThreshold`` on row-sharded planes (halo = bs//2 rows
+    of REPLICATE border — mode "edge" matches cv2's border here)."""
+    from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes
+
+    op = partial(adaptive_threshold_planes, maxval=maxval, method=method,
+                 type=type, block_size=block_size, C=C)
+    return _stencil_spatial(local, op, int(block_size) // 2, "edge", axis_name)
 
 
 def laplacian_sharpen_spatial(local: jnp.ndarray, axis_name: str = "y") -> jnp.ndarray:
@@ -411,6 +495,10 @@ def _spatial_registry():
         "gaussian_blur": gaussian_blur_spatial,
         "box_blur": box_blur_spatial,
         "bilateral": bilateral_spatial,
+        "adaptive_threshold": adaptive_threshold_spatial,
+        "erode": erode_spatial,
+        "dilate": dilate_spatial,
+        "morphology": morphology_spatial,
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,

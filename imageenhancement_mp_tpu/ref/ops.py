@@ -63,12 +63,16 @@ __all__ = [
     "bilateral_filter",
     "median_blur",
     "threshold",
+    "adaptive_threshold",
     "otsu_threshold",
     "triangle_threshold",
     "add_weighted",
     "cvt_gray",
     "rgb_to_ycrcb",
     "ycrcb_to_rgb",
+    "erode",
+    "dilate",
+    "morphology",
 ]
 
 
@@ -996,3 +1000,135 @@ def ycrcb_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
     if order == "bgr":
         out = out[::-1]
     return np.stack(out, axis=-1).astype(img.dtype)
+
+
+def adaptive_threshold(
+    img: np.ndarray,
+    maxval: float = 255.0,
+    method: str = "mean",
+    type: str = "binary",
+    block_size: int = 3,
+    C: float = 0.0,
+) -> np.ndarray:
+    """``cv2.adaptiveThreshold`` — exact (uint8 only, like cv2).
+
+    Pinned (probes, 0/160+ fuzz configs vs cv2): the local mean uses
+    BORDER_REPLICATE; the "mean" method is the box-sum × f32-reciprocal
+    model (like ``blur``); the "gaussian" method uses cv2's FLOAT σ=0
+    kernel in f64 — NOT the u8 fixed-point GaussianBlur path (a pinned
+    quirk); ``idelta = ceil(C)`` for binary / ``floor(C)`` for
+    binary_inv; ``dst = src > mean − idelta ? sat(round(maxval)) : 0``
+    (selects swapped for binary_inv).
+    """
+    _check_u8(img)
+    if type not in ("binary", "binary_inv"):
+        raise ValueError(f"type must be binary|binary_inv, got {type!r}")
+    if method not in ("mean", "gaussian"):
+        raise ValueError(f"method must be mean|gaussian, got {method!r}")
+    bs = int(block_size)
+    if bs < 3 or bs % 2 == 0:
+        raise ValueError(f"block_size must be odd and >= 3, got {bs}")
+    H, W = img.shape
+    r = bs // 2
+    if method == "mean":
+        p = np.pad(img.astype(np.int64), r, mode="edge")
+        S = np.zeros((H, W), np.int64)
+        rows = np.zeros((H, p.shape[1]), np.int64)
+        for dy in range(bs):
+            rows += p[dy : dy + H, :]
+        for dx in range(bs):
+            S += rows[:, dx : dx + W]
+        mean = np.round(
+            (S.astype(np.float32) * np.float32(1.0 / (bs * bs))).astype(np.float64)
+        ).astype(np.int64)
+    else:
+        k = gaussian_kernel(bs, 0.0)
+        p = np.pad(img.astype(np.float64), r, mode="edge")
+        rows = np.zeros((H, p.shape[1]))
+        for dy in range(bs):
+            rows += p[dy : dy + H, :] * k[dy]
+        acc = np.zeros((H, W))
+        for dx in range(bs):
+            acc += rows[:, dx : dx + W] * k[dx]
+        mean = np.round(acc).astype(np.int64)
+    idelta = int(np.ceil(C)) if type == "binary" else int(np.floor(C))
+    mv = int(np.clip(np.round(float(maxval)), 0, 255))
+    hit = img.astype(np.int64) > mean - idelta
+    return np.where(hit, mv, 0 if type == "binary" else 0).astype(np.uint8) if type == "binary" \
+        else np.where(hit, 0, mv).astype(np.uint8)
+
+
+_MORPH_OPS = ("erode", "dilate", "open", "close", "gradient", "tophat", "blackhat")
+
+
+def _minmax_filter_np(img, kh, kw, op):
+    kind = _img_kind(img, allow_i16=True)
+    if kind == "f32":
+        pad = np.inf if op == "min" else -np.inf
+    else:
+        pad = _int_maxval(kind) if op == "min" else _int_minval(kind)
+    p = np.pad(img.astype(np.float64 if kind == "f32" else np.int64),
+               ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+               mode="constant", constant_values=pad)
+    H, W = img.shape
+    f = np.minimum if op == "min" else np.maximum
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            v = p[dy : dy + H, dx : dx + W]
+            acc = v if acc is None else f(acc, v)
+    return acc.astype(img.dtype)
+
+
+def _morph_k2(ksize):
+    if np.isscalar(ksize):
+        return int(ksize), int(ksize)
+    return int(ksize[0]), int(ksize[1])
+
+
+def erode(img: np.ndarray, ksize=3, iterations: int = 1) -> np.ndarray:
+    """``cv2.erode`` (rect kernel, anchor k//2) — exact min filter with
+    identity (+dtype-max) border; even kernels supported (probe: even
+    anchor = k//2).  Dtypes u8/u16/i16/f32."""
+    kh, kw = _morph_k2(ksize)
+    for _ in range(max(1, int(iterations))):
+        img = _minmax_filter_np(img, kh, kw, "min")
+    return img
+
+
+def dilate(img: np.ndarray, ksize=3, iterations: int = 1) -> np.ndarray:
+    """``cv2.dilate`` (rect kernel) — exact max filter (see ``erode``)."""
+    kh, kw = _morph_k2(ksize)
+    for _ in range(max(1, int(iterations))):
+        img = _minmax_filter_np(img, kh, kw, "max")
+    return img
+
+
+def morphology(img: np.ndarray, op: str = "open", ksize=3, iterations: int = 1) -> np.ndarray:
+    """``cv2.morphologyEx`` (rect kernel) — exact compositions (probes):
+    open = dilateⁿ∘erodeⁿ, close = erodeⁿ∘dilateⁿ, gradient =
+    sat(dilate − erode), tophat = sat(src − open), blackhat =
+    sat(close − src)."""
+    if op not in _MORPH_OPS:
+        raise ValueError(f"op must be one of {_MORPH_OPS}, got {op!r}")
+    kind = _img_kind(img, allow_i16=True)
+
+    def sat_sub(a, b):
+        if kind == "f32":
+            return (a - b).astype(np.float32)
+        return np.clip(a.astype(np.int64) - b.astype(np.int64),
+                       _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
+
+    if op == "erode":
+        return erode(img, ksize, iterations)
+    if op == "dilate":
+        return dilate(img, ksize, iterations)
+    if op == "open":
+        return dilate(erode(img, ksize, iterations), ksize, iterations)
+    if op == "close":
+        return erode(dilate(img, ksize, iterations), ksize, iterations)
+    if op == "gradient":
+        return sat_sub(dilate(img, ksize, iterations), erode(img, ksize, iterations))
+    if op == "tophat":
+        return sat_sub(img, dilate(erode(img, ksize, iterations), ksize, iterations))
+    return sat_sub(erode(dilate(img, ksize, iterations), ksize, iterations), img)

@@ -80,6 +80,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
 
     checks += [
         ("eq_luma", lambda: ie.equalize_luma(rgb), _luma_oracle, 0),
+        ("athresh/gauss", lambda: ie.adaptive_threshold(img, 255.0, "gaussian", "binary", 11, 2.0),
+         lambda: ref.adaptive_threshold(img, 255.0, "gaussian", "binary", 11, 2.0), 0),
+        ("morph/open", lambda: ie.morphology_ex(img, "open", (3, 5)),
+         lambda: ref.morphology(img, "open", (3, 5)), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -589,3 +589,41 @@ def test_equalize_luma_device_vs_ref(rng):
         ie.equalize_luma(_rand(rng, (8, 9)))
     with pytest.raises(TypeError):
         ie.equalize_luma(np.zeros((8, 9, 3), np.uint16))
+
+
+@pytest.mark.parametrize("method", ["mean", "gaussian"])
+def test_adaptive_threshold_device_vs_ref(rng, method):
+    for shape in [(37, 53), (2, 33, 47, 3)]:
+        img = _rand(rng, shape)
+        for bs, C, typ in [(3, 2.0, "binary"), (11, -4.3, "binary_inv"), (9, 0.0, "binary")]:
+            got = np.asarray(ie.adaptive_threshold(img, 255.0, method, typ, bs, C))
+            want = per_plane_ref(
+                lambda p: ref.adaptive_threshold(p, 255.0, method, typ, bs, C), img)
+            assert np.array_equal(got, want), (method, shape, bs, C, typ)
+
+
+def test_adaptive_threshold_rejects(rng):
+    with pytest.raises(TypeError):
+        ie.adaptive_threshold(np.zeros((8, 8), np.uint16))
+    with pytest.raises(ValueError):
+        ie.adaptive_threshold(_rand(rng, (8, 8)), block_size=4)
+
+
+@pytest.mark.parametrize("op", ["erode", "dilate", "open", "close", "gradient", "tophat", "blackhat"])
+def test_morphology_device_vs_ref(rng, op):
+    for dt in (np.uint8, np.int16, np.float32):
+        for shape in [(37, 53), (2, 24, 25, 3)]:
+            if dt is np.float32:
+                img = (rng.random(shape) * 500 - 100).astype(np.float32)
+            else:
+                lo, hi = (0, 256) if dt is np.uint8 else (-32768, 32768)
+                img = rng.integers(lo, hi, shape).astype(dt)
+            got = np.asarray(ie.morphology_ex(img, op, (3, 5)))
+            want = per_plane_ref(lambda p: ref.morphology(p, op, (3, 5)), img)
+            assert np.array_equal(got, want), (op, dt, shape)
+
+
+def test_erode_dilate_iterations_device(rng):
+    img = _rand(rng, (40, 41))
+    assert np.array_equal(np.asarray(ie.erode(img, 3, 3)), ref.erode(img, 3, 3))
+    assert np.array_equal(np.asarray(ie.dilate(img, (2, 4), 2)), ref.dilate(img, (2, 4), 2))

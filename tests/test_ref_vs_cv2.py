@@ -442,3 +442,38 @@ def test_equalize_luma_recipe_vs_cv2(rng):
             [ref.equalize_hist(ref.rgb_to_ycrcb(img)[..., 0])[..., None],
              ref.rgb_to_ycrcb(img)[..., 1:]], axis=-1))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("method,cvm", [("mean", cv2.ADAPTIVE_THRESH_MEAN_C),
+                                        ("gaussian", cv2.ADAPTIVE_THRESH_GAUSSIAN_C)])
+@pytest.mark.parametrize("typ,cvt", [("binary", cv2.THRESH_BINARY),
+                                     ("binary_inv", cv2.THRESH_BINARY_INV)])
+def test_adaptive_threshold_exact(rng, method, cvm, typ, cvt):
+    for bs in (3, 5, 11, 21):
+        for C in (2.0, -3.7, 0.0, 7.5):
+            img = _rand(rng, (int(rng.integers(8, 70)), int(rng.integers(8, 70))))
+            want = cv2.adaptiveThreshold(img, 200.6, cvm, cvt, bs, C)
+            got = ref.adaptive_threshold(img, 200.6, method, typ, bs, C)
+            assert np.array_equal(got, want), (method, typ, bs, C)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_morphology_exact(rng, dt):
+    if dt is np.float32:
+        img = (rng.random((33, 47)) * 500 - 100).astype(np.float32)
+    else:
+        lo, hi = (0, 256) if dt is np.uint8 else (
+            (0, 65536) if dt is np.uint16 else (-32768, 32768))
+        img = rng.integers(lo, hi, (33, 47)).astype(dt)
+    for k in (3, (3, 5), (5, 1), (2, 4)):
+        ker = np.ones(k if isinstance(k, tuple) else (k, k), np.uint8)
+        assert np.array_equal(ref.erode(img, k), cv2.erode(img, ker)), k
+        assert np.array_equal(ref.dilate(img, k), cv2.dilate(img, ker)), k
+        assert np.array_equal(ref.erode(img, k, 2), cv2.erode(img, ker, iterations=2))
+    ker = np.ones((3, 3), np.uint8)
+    for op, cvop in (("open", cv2.MORPH_OPEN), ("close", cv2.MORPH_CLOSE),
+                     ("gradient", cv2.MORPH_GRADIENT), ("tophat", cv2.MORPH_TOPHAT),
+                     ("blackhat", cv2.MORPH_BLACKHAT)):
+        assert np.array_equal(ref.morphology(img, op, 3), cv2.morphologyEx(img, cvop, ker)), op
+        assert np.array_equal(ref.morphology(img, op, 3, 2),
+                              cv2.morphologyEx(img, cvop, ker, iterations=2)), op

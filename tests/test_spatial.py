@@ -297,3 +297,28 @@ def test_bilateral_spatial_bitexact(rng):
     )
     want = np.asarray(bilateral_planes(jnp.asarray(planes), 5, 30.0, 6.0))
     assert maxdiff(got, want) == 0
+
+
+def test_adaptive_threshold_spatial_bitexact(rng):
+    planes = rng.integers(0, 256, (2, 64, 36), dtype=np.uint8)
+    from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes
+
+    got = run_spatial(
+        lambda p: sp.adaptive_threshold_spatial(p, 255.0, "gaussian", "binary", 11, 2.0,
+                                                axis_name="y"), planes
+    )
+    want = np.asarray(adaptive_threshold_planes(jnp.asarray(planes), 255.0, "gaussian",
+                                                "binary", 11, 2.0))
+    assert maxdiff(got, want) == 0
+
+
+@pytest.mark.parametrize("op", ["erode", "dilate", "open", "gradient", "blackhat"])
+def test_morphology_spatial_bitexact(rng, op):
+    planes = rng.integers(0, 256, (2, 64, 36), dtype=np.uint8)
+    from imageenhancement_mp_tpu.ops.morphology import morphology_planes
+
+    got = run_spatial(
+        lambda p: sp.morphology_spatial(p, op, (3, 5), 2, axis_name="y"), planes
+    )
+    want = np.asarray(morphology_planes(jnp.asarray(planes), op, (3, 5), 2))
+    assert maxdiff(got, want) == 0, op
