@@ -273,7 +273,7 @@ def main() -> int:
     # block_until_ready acks WITHOUT syncing (observed: every row then
     # clusters at a ~30 µs dispatch floor) — the sweep's timing phase is
     # untrustworthy and must be rerun in a fresh process.
-    timing_suspect = results.get("bilateral9 4K gray b2", 0.0) > 20.0
+    timing_suspect = bool(results.get("bilateral9 4K gray b2", 0.0) > 20.0)
     if timing_suspect:
         print(
             "WARNING: bilateral canary exceeded its physical bound — the "

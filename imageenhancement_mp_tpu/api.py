@@ -385,7 +385,7 @@ def threshold(img, thresh: float = 0.0, maxval: float = 255.0, type: str = "bina
     from imageenhancement_mp_tpu.ref.ops import otsu_threshold, triangle_threshold
 
     hists = np.asarray(_hist_jit(bool(channels_last))(img))  # [B, 256], plane order
-    plane_px = int(np.asarray(img).size // hists.shape[0])
+    plane_px = int(np.prod(img.shape)) // hists.shape[0]  # static: no d2h
     scan = otsu_threshold if method == "otsu" else triangle_threshold
     ts = np.array(
         [scan(h, plane_px) if method == "otsu" else scan(h) for h in hists],

@@ -195,11 +195,9 @@ def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _int_bounds(dtype) -> tuple[int, int]:
-    if dtype == jnp.uint8:
-        return 0, 255
-    if dtype == jnp.int16:
-        return -32768, 32767
-    return 0, 65535
+    from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
+    return int_bounds(dtype)
 
 
 def box_blur_planes(planes: jnp.ndarray, ksize=3) -> jnp.ndarray:
@@ -234,12 +232,17 @@ def box_blur_planes(planes: jnp.ndarray, ksize=3) -> jnp.ndarray:
         return (S * jnp.float32(1.0 / area)).astype(jnp.float32)
     if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16):
         raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    minv, maxv = _int_bounds(planes.dtype)
+    if area * max(abs(minv), maxv) >= 2**31:
+        raise ValueError(
+            f"box ksize {(kh, kw)} overflows the int32 window sums for "
+            f"{planes.dtype} (area·maxval ≥ 2³¹); use a smaller kernel"
+        )
     p = jnp.pad(planes.astype(jnp.int32),
                 ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)), mode="reflect")
     rows = sum(p[:, j : j + H, :] for j in range(kh))
     S = sum(rows[:, :, j : j + W] for j in range(kw))
     prod = S.astype(jnp.float32) * jnp.float32(1.0 / area)
-    minv, maxv = _int_bounds(planes.dtype)
     return jnp.clip(jnp.round(prod), minv, maxv).astype(planes.dtype)
 
 

@@ -33,13 +33,11 @@ def _ksize2(ksize):
 
 
 def _identity(dtype, op: str):
+    from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
     if dtype == jnp.float32:
         return jnp.inf if op == "min" else -jnp.inf
-    lo, hi = {
-        jnp.dtype(jnp.uint8): (0, 255),
-        jnp.dtype(jnp.uint16): (0, 65535),
-        jnp.dtype(jnp.int16): (-32768, 32767),
-    }[jnp.dtype(dtype)]
+    lo, hi = int_bounds(dtype)
     return hi if op == "min" else lo
 
 

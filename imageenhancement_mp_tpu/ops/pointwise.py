@@ -134,10 +134,9 @@ def add_weighted_arrays(
     acc = _fma32(a32, al, _fma32(b32, be, jnp.broadcast_to(ga, b32.shape)))
     if src1.dtype == jnp.float32:
         return acc
-    if src1.dtype == jnp.int16:
-        minv, maxv = -32768, 32767
-    else:
-        minv, maxv = 0, 255 if src1.dtype == jnp.uint8 else 65535
+    from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
+    minv, maxv = int_bounds(src1.dtype)
     return jnp.clip(jnp.round(acc), minv, maxv).astype(src1.dtype)
 
 

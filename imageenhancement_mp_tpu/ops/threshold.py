@@ -37,13 +37,14 @@ def threshold_planes(planes: jnp.ndarray, thresh=0.0, maxval: float = 255.0,
         zero = jnp.float32(0)
         minv, maxv_d = None, None
     elif planes.dtype in (jnp.uint8, jnp.uint16, jnp.int16):
-        minv, maxv_d = {
-            jnp.dtype(jnp.uint8): (0, 255),
-            jnp.dtype(jnp.uint16): (0, 65535),
-            jnp.dtype(jnp.int16): (-32768, 32767),
-        }[jnp.dtype(planes.dtype)]
+        from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
+        minv, maxv_d = int_bounds(planes.dtype)
         if np.isscalar(thresh):
-            t = jnp.int32(int(np.floor(float(thresh))))
+            # clamp into the dtype's neighborhood BEFORE int32: comparisons
+            # beyond the value range are constant anyway, and cv2/oracle
+            # saturate rather than overflow (ref/ops.py threshold)
+            t = jnp.int32(int(np.clip(np.floor(float(thresh)), minv - 1, maxv_d + 1)))
         else:
             t = thresh.astype(jnp.int32)
         mv = jnp.int32(int(np.clip(np.round(float(maxval)), minv, maxv_d)))

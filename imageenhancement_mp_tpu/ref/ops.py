@@ -1054,8 +1054,8 @@ def adaptive_threshold(
     idelta = int(np.ceil(C)) if type == "binary" else int(np.floor(C))
     mv = int(np.clip(np.round(float(maxval)), 0, 255))
     hit = img.astype(np.int64) > mean - idelta
-    return np.where(hit, mv, 0 if type == "binary" else 0).astype(np.uint8) if type == "binary" \
-        else np.where(hit, 0, mv).astype(np.uint8)
+    out = np.where(hit, mv, 0) if type == "binary" else np.where(hit, 0, mv)
+    return out.astype(np.uint8)
 
 
 _MORPH_OPS = ("erode", "dilate", "open", "close", "gradient", "tophat", "blackhat")

@@ -627,3 +627,18 @@ def test_erode_dilate_iterations_device(rng):
     img = _rand(rng, (40, 41))
     assert np.array_equal(np.asarray(ie.erode(img, 3, 3)), ref.erode(img, 3, 3))
     assert np.array_equal(np.asarray(ie.dilate(img, (2, 4), 2)), ref.dilate(img, (2, 4), 2))
+
+
+def test_threshold_huge_thresh_saturates_not_overflows(rng):
+    """An out-of-int32 thresh must saturate like cv2/oracle, not raise."""
+    img = _rand(rng, (8, 9))
+    for t in (3e9, -3e9):
+        for typ in ("binary", "trunc", "tozero"):
+            got = np.asarray(ie.threshold(img, t, 255.0, typ)[1])
+            want = ref.threshold(img, t, 255.0, typ)[1]
+            assert np.array_equal(got, want), (t, typ)
+
+
+def test_box_blur_u16_overflow_guard(rng):
+    with pytest.raises(ValueError, match="overflow"):
+        ie.box_blur(rng.integers(0, 65536, (400, 400)).astype(np.uint16), 201)
