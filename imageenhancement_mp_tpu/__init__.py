@@ -31,6 +31,8 @@ from imageenhancement_mp_tpu.api import (
     laplacian_sharpen,
     log_transform,
     median_blur,
+    scharr,
+    sobel,
     threshold,
     unsharp_mask,
 )
@@ -60,6 +62,8 @@ __all__ = [
     "laplacian_sharpen",
     "log_transform",
     "median_blur",
+    "scharr",
+    "sobel",
     "threshold",
     "unsharp_mask",
     "__version__",

@@ -48,6 +48,8 @@ __all__ = [
     "gaussian_blur",
     "laplacian",
     "laplacian_sharpen",
+    "scharr",
+    "sobel",
     "threshold",
     "unsharp_mask",
     "median_blur",
@@ -92,6 +94,7 @@ _I16_OK = {
     "erode",
     "dilate",
     "morphology",
+    "sobel",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -403,6 +406,27 @@ def threshold(img, thresh: float = 0.0, maxval: float = 255.0, type: str = "bina
         n, _, _, c = img.shape
         ret = ts.reshape(n, c).astype(np.float64)
     return ret, out
+
+
+def sobel(img, dx: int = 1, dy: int = 0, ksize: int = 3, scale: float = 1.0,
+          delta: float = 0.0, channels_last: bool = True):
+    """``cv2.Sobel`` (``ksize=-1`` = Scharr) — REFLECT_101.  u8→int16
+    (= cv2 CV_16S, exact for scale=1 incl. any delta); u16/i16→int32
+    (exact — cv2 only offers a float destination there, and our integers
+    agree with its f32 to 0.5 ULP); f32→f32.  ``scale ≠ 1`` follows
+    cv2's float-kernel fold (scattered ±1 — docs/PARITY.md)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply(
+        "sobel", img, channels_last,
+        dx=int(dx), dy=int(dy), ksize=int(ksize),
+        scale=float(scale), delta=float(delta),
+    )
+
+
+def scharr(img, dx: int = 1, dy: int = 0, scale: float = 1.0,
+           delta: float = 0.0, channels_last: bool = True):
+    """``cv2.Scharr`` — the 3×3 [3,10,3] derivative (see ``sobel``)."""
+    return sobel(img, dx, dy, -1, scale, delta, channels_last)
 
 
 def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):

@@ -108,6 +108,12 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                 float(ps[1]) if len(ps) > 1 else 255.0,
                 ps[2] if len(ps) > 2 else "binary",
             )
+        elif name == "sobel":
+            # classic displayable gradient: |Sobel| scaled back to u8
+            g = ie.sobel(out, int(ps[0]) if ps else 1,
+                         int(ps[1]) if len(ps) > 1 else 0,
+                         int(ps[2]) if len(ps) > 2 else 3)
+            out = ie.convert_scale_abs(g)
         elif name in ("erode", "dilate", "open", "close", "gradient", "tophat", "blackhat"):
             out = ie.morphology_ex(out, name, int(ps[0]) if ps else 3,
                                    int(ps[1]) if len(ps) > 1 else 1)
@@ -242,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
         "unsharp[:amount[:k]] | median[:k] | thresh[:t[:mv[:type]]] | "
         "otsu[:mv[:type]] | triangle[:mv[:type]] | "
         "athresh[:method[:type[:bs[:C]]]] | "
-        "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]])",
+        "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
+        "sobel[:dx[:dy[:k]]])",
     )
     args = p.parse_args(argv)
 

@@ -6,6 +6,7 @@ from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
     box_blur_planes,
     gaussian_blur_planes,
+    sobel_planes,
     laplacian_planes,
     laplacian_sharpen_planes,
     unsharp_mask_planes,
@@ -46,6 +47,7 @@ OP_REGISTRY = {
     "erode": erode_planes,
     "dilate": dilate_planes,
     "morphology": morphology_planes,
+    "sobel": sobel_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -73,6 +75,7 @@ __all__ = [
     "erode_planes",
     "dilate_planes",
     "morphology_planes",
+    "sobel_planes",
     "threshold_planes",
     "adaptive_threshold_planes",
     "unsharp_mask_planes",

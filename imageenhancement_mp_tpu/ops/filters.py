@@ -27,7 +27,9 @@ from imageenhancement_mp_tpu.ref.ops import (
 )
 
 __all__ = [
+    "box_blur_planes",
     "gaussian_blur_planes",
+    "sobel_planes",
     "laplacian_planes",
     "laplacian_sharpen_planes",
     "unsharp_mask_planes",
@@ -314,3 +316,51 @@ def unsharp_mask_planes(
     else:
         out = _add_weighted_fma(src, blur.astype(jnp.float32), amount)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def sobel_planes(
+    planes: jnp.ndarray, dx: int = 1, dy: int = 0, ksize: int = 3,
+    scale: float = 1.0, delta: float = 0.0,
+) -> jnp.ndarray:
+    """``cv2.Sobel`` / ``cv2.Scharr`` (``ksize=-1``) per plane.
+
+    REFLECT_101; output widens like our Laplacian: u8→i16 (saturating,
+    = cv2's CV_16S — exact for scale=1 incl. any delta), u16/i16→i32
+    (cv2 only offers a FLOAT destination for 16-bit inputs; our exact
+    integers agree with cv2's f32 to 0.5 ULP — a strictly-more-precise
+    extension), f32→f32 (cv2's float path, accumulation-order ULP
+    tolerance).  ``scale ≠ 1`` folds the scale into the float kernel
+    like cv2 (scattered ±1 vs cv2's SIMD order — docs/PARITY.md).
+    """
+    from imageenhancement_mp_tpu.ref.ops import deriv_kernels
+
+    import numpy as np
+
+    kx, ky = deriv_kernels(dx, dy, ksize)
+    H, W = planes.shape[-2], planes.shape[-1]
+    ph, pw = len(ky) // 2, len(kx) // 2
+    float_path = planes.dtype == jnp.float32 or scale != 1.0
+    if float_path:
+        p = jnp.pad(planes, ((0, 0), (ph, ph), (pw, pw)), mode="reflect").astype(jnp.float32)
+        kxf = kx.astype(np.float64) * float(scale)
+        v = sum(jnp.float32(float(t)) * p[:, i : i + H, :] for i, t in enumerate(ky))
+        acc = sum(jnp.float32(float(t)) * v[:, :, i : i + W] for i, t in enumerate(kxf))
+        if planes.dtype == jnp.float32:
+            return (acc + jnp.float32(delta)).astype(jnp.float32)
+        out = jnp.round(acc + jnp.float32(delta))
+    else:
+        maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
+                  jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
+        if int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval >= 2**31:
+            raise ValueError(
+                f"sobel ksize {ksize} overflows int32 sums for {planes.dtype}; "
+                "use a smaller ksize"
+            )
+        p = jnp.pad(planes.astype(jnp.int32), ((0, 0), (ph, ph), (pw, pw)),
+                    mode="reflect")
+        v = sum(int(t) * p[:, i : i + H, :] for i, t in enumerate(ky) if int(t) != 0)
+        acc = sum(int(t) * v[:, :, i : i + W] for i, t in enumerate(kx) if int(t) != 0)
+        out = acc + int(np.round(float(delta)))
+    if planes.dtype == jnp.uint8:
+        return jnp.clip(out, -32768, 32767).astype(jnp.int16)
+    return out.astype(jnp.int32)

@@ -54,6 +54,7 @@ __all__ = [
     "erode_spatial",
     "dilate_spatial",
     "morphology_spatial",
+    "sobel_spatial",
     "unsharp_mask_spatial",
     "median_blur_spatial",
     "laplacian_sharpen_spatial",
@@ -293,6 +294,19 @@ def morphology_spatial(local: jnp.ndarray, op: str = "open", ksize=3,
     return _sat_sub(er(di(local)), local, local.dtype)
 
 
+def sobel_spatial(
+    local: jnp.ndarray, dx: int = 1, dy: int = 0, ksize: int = 3,
+    scale: float = 1.0, delta: float = 0.0, axis_name: str = "y",
+) -> jnp.ndarray:
+    """``cv2.Sobel``/``Scharr`` on row-sharded planes (halo = ky radius)."""
+    from imageenhancement_mp_tpu.ops.filters import sobel_planes
+    from imageenhancement_mp_tpu.ref.ops import deriv_kernels
+
+    _, ky = deriv_kernels(dx, dy, ksize)
+    op = partial(sobel_planes, dx=dx, dy=dy, ksize=ksize, scale=scale, delta=delta)
+    return _stencil_spatial(local, op, len(ky) // 2, "reflect", axis_name)
+
+
 def adaptive_threshold_spatial(
     local: jnp.ndarray, maxval: float = 255.0, method: str = "mean",
     type: str = "binary", block_size: int = 3, C: float = 0.0,
@@ -499,6 +513,7 @@ def _spatial_registry():
         "erode": erode_spatial,
         "dilate": dilate_spatial,
         "morphology": morphology_spatial,
+        "sobel": sobel_spatial,
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,

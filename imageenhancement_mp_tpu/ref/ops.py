@@ -73,6 +73,8 @@ __all__ = [
     "erode",
     "dilate",
     "morphology",
+    "deriv_kernels",
+    "sobel",
 ]
 
 
@@ -1132,3 +1134,84 @@ def morphology(img: np.ndarray, op: str = "open", ksize=3, iterations: int = 1) 
     if op == "tophat":
         return sat_sub(img, dilate(erode(img, ksize, iterations), ksize, iterations))
     return sat_sub(erode(dilate(img, ksize, iterations), ksize, iterations), img)
+
+
+def deriv_kernels(dx: int, dy: int, ksize: int = 3):
+    """``cv2.getDerivKernels(dx, dy, ksize)`` (normalize=False) — exact.
+
+    Pinned generation rule (verified against cv2 over the full grid in
+    tests): each axis kernel of order ``o`` is
+    ``[1] ⊛ [1,1]^(ksz−o−1) ⊛ [−1,1]^o`` with ``ksz = 3`` when
+    ``ksize == 1`` and ``o > 0`` (no smoothing), else ``ksize``.
+    ``ksize = -1`` selects the Scharr pair ([3,10,3] smoothing,
+    [−1,0,1] derivative; requires dx+dy == 1).  Returns (kx, ky) int
+    row vectors (x = columns axis, like cv2).
+    """
+    if ksize == -1:
+        if dx + dy != 1 or min(dx, dy) != 0:
+            raise ValueError("Scharr (ksize=-1) needs (dx,dy) in {(1,0),(0,1)}")
+        d = np.array([-1, 0, 1], np.int64)
+        s = np.array([3, 10, 3], np.int64)
+        return (d, s) if dx == 1 else (s, d)
+    if ksize % 2 == 0 or ksize < 1 or ksize > 27:
+        # cv2 allows up to 31 but returns FLOAT kernels whose binomials
+        # round in f32 beyond k=27 (C(28,14) > 2^24); we keep the exact
+        # integer domain
+        raise ValueError(f"ksize must be -1 or odd in [1, 27], got {ksize}")
+
+    def one(order):
+        ksz = 3 if (ksize == 1 and order > 0) else ksize
+        if order >= ksz:
+            raise ValueError(f"derivative order {order} needs ksize > {order}")
+        k = np.array([1], np.int64)
+        for _ in range(ksz - order - 1):
+            k = np.convolve(k, [1, 1])
+        for _ in range(order):
+            k = np.convolve(k, [-1, 1])
+        return k
+
+    return one(dx), one(dy)
+
+
+def sobel(
+    img: np.ndarray, dx: int = 1, dy: int = 0, ksize: int = 3,
+    scale: float = 1.0, delta: float = 0.0,
+) -> np.ndarray:
+    """``cv2.Sobel`` / ``cv2.Scharr`` (``ksize=-1``) — REFLECT_101 border.
+
+    Integer inputs widen like our Laplacian (u8→i16 saturating,
+    u16/i16→i32); f32→f32.  ``scale == 1``: exact integer separable conv
+    + ``cvRound(delta)`` (probes: 0 mismatches).  ``scale ≠ 1``: cv2
+    folds the scale into a float kernel and its SIMD accumulation order
+    leaves scattered ±1 (documented budget, like the i16 Gaussian float
+    path); the oracle uses the f64 fold.  f32 inputs follow cv2's float
+    path at ULP-level (accumulation-order) tolerance.
+    """
+    kind = _img_kind(img, allow_i16=True)
+    kx, ky = deriv_kernels(dx, dy, ksize)
+    H, W = img.shape
+    ph, pw = len(ky) // 2, len(kx) // 2
+    if kind == "f32" or scale != 1.0:
+        p = np.pad(img.astype(np.float64), ((ph, ph), (pw, pw)), mode="reflect")
+        kxf = kx.astype(np.float64) * float(scale)
+        v = np.zeros((H, p.shape[1]))
+        for i, t in enumerate(ky):
+            v += float(t) * p[i : i + H, :]
+        acc = np.zeros((H, W))
+        for i, t in enumerate(kxf):
+            acc += t * v[:, i : i + W]
+        if kind == "f32":
+            return (acc + float(delta)).astype(np.float32)
+        out = np.round(acc + float(delta))
+    else:
+        p = np.pad(img.astype(np.int64), ((ph, ph), (pw, pw)), mode="reflect")
+        v = np.zeros((H, p.shape[1]), np.int64)
+        for i, t in enumerate(ky):
+            v += int(t) * p[i : i + H, :]
+        acc = np.zeros((H, W), np.int64)
+        for i, t in enumerate(kx):
+            acc += int(t) * v[:, i : i + W]
+        out = acc + int(np.round(float(delta)))
+    if kind == "u8":
+        return np.clip(out, -32768, 32767).astype(np.int16)
+    return np.clip(out, -(2**31), 2**31 - 1).astype(np.int32)

@@ -642,3 +642,29 @@ def test_threshold_huge_thresh_saturates_not_overflows(rng):
 def test_box_blur_u16_overflow_guard(rng):
     with pytest.raises(ValueError, match="overflow"):
         ie.box_blur(rng.integers(0, 65536, (400, 400)).astype(np.uint16), 201)
+
+
+@pytest.mark.parametrize("dx,dy,k", [(1, 0, 3), (0, 1, 5), (1, 1, 7), (2, 0, 3), (1, 0, -1)])
+def test_sobel_device_vs_ref(rng, dx, dy, k):
+    for dt in (np.uint8, np.uint16, np.int16):
+        lo, hi = (0, 256) if dt is np.uint8 else (
+            (0, 65536) if dt is np.uint16 else (-32768, 32768))
+        for shape in [(37, 53), (2, 24, 25, 3)]:
+            img = rng.integers(lo, hi, shape).astype(dt)
+            got = np.asarray(ie.sobel(img, dx, dy, k, delta=7.0))
+            want = per_plane_ref(lambda p: ref.sobel(p, dx, dy, k, 1.0, 7.0), img)
+            assert got.dtype == want.dtype
+            assert np.array_equal(got, want), (dt, dx, dy, k)
+
+
+def test_scharr_device(rng):
+    img = _rand(rng, (33, 47))
+    got = np.asarray(ie.scharr(img, 0, 1))
+    assert np.array_equal(got, ref.sobel(img, 0, 1, -1))
+
+
+def test_sobel_f32_device_vs_ref(rng):
+    img = (rng.random((40, 41)) * 500 - 100).astype(np.float32)
+    got = np.asarray(ie.sobel(img, 1, 0, 5))
+    want = ref.sobel(img, 1, 0, 5)
+    assert np.abs(got - want).max() < 1e-2

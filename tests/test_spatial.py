@@ -322,3 +322,12 @@ def test_morphology_spatial_bitexact(rng, op):
     )
     want = np.asarray(morphology_planes(jnp.asarray(planes), op, (3, 5), 2))
     assert maxdiff(got, want) == 0, op
+
+
+def test_sobel_spatial_bitexact(rng):
+    planes = rng.integers(0, 256, (2, 64, 36), dtype=np.uint8)
+    from imageenhancement_mp_tpu.ops.filters import sobel_planes
+
+    got = run_spatial(lambda p: sp.sobel_spatial(p, 1, 1, 5, axis_name="y"), planes)
+    want = np.asarray(sobel_planes(jnp.asarray(planes), 1, 1, 5))
+    assert maxdiff(got, want) == 0
