@@ -276,6 +276,7 @@ def median_blur(img, ksize: int = 3, channels_last: bool = True):
 _CVT_CODES = (
     "rgb2gray", "bgr2gray", "rgba2gray", "bgra2gray",
     "rgb2ycrcb", "bgr2ycrcb", "ycrcb2rgb", "ycrcb2bgr",
+    "rgb2hsv", "bgr2hsv", "hsv2rgb", "hsv2bgr",
 )
 
 
@@ -283,6 +284,8 @@ _CVT_CODES = (
 def _cvt_color_jit(code: str):
     from imageenhancement_mp_tpu.ops.color import (
         cvt_gray_nhwc,
+        hsv_to_rgb_nhwc,
+        rgb_to_hsv_nhwc,
         rgb_to_ycrcb_nhwc,
         ycrcb_to_rgb_nhwc,
     )
@@ -293,17 +296,22 @@ def _cvt_color_jit(code: str):
             return cvt_gray_nhwc(img, "bgr" if code.startswith("b") else "rgb")
         if code.endswith("2ycrcb"):
             return rgb_to_ycrcb_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.endswith("2hsv"):
+            return rgb_to_hsv_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.startswith("hsv"):
+            return hsv_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
         return ycrcb_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
 
     return run
 
 
 def cvt_color(img, code: str):
-    """``cv2.cvtColor`` — codes: ``rgb2gray, bgr2gray, rgba2gray,
-    bgra2gray, rgb2ycrcb, bgr2ycrcb, ycrcb2rgb, ycrcb2bgr`` on
-    ``[..,H,W,C]``.  u8/u16 exact (pinned fixed point — note cv2's →GRAY
-    uses a 15-bit table but YCrCb's Y a 14-bit one); f32 exact on cv2's
-    SIMD vector body (docs/PARITY.md)."""
+    """``cv2.cvtColor`` — codes: ``{rgb,bgr,rgba,bgra}2gray``,
+    ``{rgb,bgr}2ycrcb``, ``ycrcb2{rgb,bgr}``, ``{rgb,bgr}2hsv``,
+    ``hsv2{rgb,bgr}`` on ``[..,H,W,C]``.  Gray/YCrCb: u8/u16 exact
+    (pinned fixed point), f32 exact on cv2's SIMD vector body.  HSV: u8
+    only; forward exact (12-bit fixed point), inverse = cv2's SIMD-body
+    model (its own scalar tail differs ±1 — docs/PARITY.md)."""
     _check_image_dtype(img)
     code = str(code).lower()
     if code not in _CVT_CODES:

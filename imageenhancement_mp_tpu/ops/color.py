@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from imageenhancement_mp_tpu.utils.fma import fma32
 
 __all__ = ["cvt_gray_nhwc", "rgb_to_ycrcb_nhwc", "ycrcb_to_rgb_nhwc",
+           "rgb_to_hsv_nhwc", "hsv_to_rgb_nhwc",
            "GRAY_CR", "GRAY_CG", "GRAY_CB"]
 
 GRAY_CR, GRAY_CG = 9798, 19235          # round(0.299·2^15), round(0.587·2^15)
@@ -140,3 +141,69 @@ def ycrcb_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     if order == "bgr":
         out = out[::-1]
     return jnp.stack(out, axis=-1).astype(img.dtype)
+
+
+# ------------------------------------------------------------------ HSV
+# cv2 u8 HSV (ref/ops.py): forward = exact 12-bit fixed point (sdiv/hdiv
+# gather tables); inverse = cv2's f32 sector chain with the SIMD body's
+# TRUNCATING final ·255 (cv2's own scalar tail rounds — build-dependent
+# ±1 there, docs/PARITY.md).
+HSV_SECTOR = ((0, 3, 1), (2, 0, 1), (1, 0, 3), (1, 2, 0), (3, 1, 0), (0, 1, 2))
+
+
+def rgb_to_hsv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(..2HSV)`` on uint8 ``[..., H, W, 3]`` (H ∈ 0..179)."""
+    import numpy as np
+
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"HSV is uint8-only here (cv2's 8u path), got {img.dtype}")
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    from imageenhancement_mp_tpu.ref.ops import _hsv_tables
+
+    sdiv_np, hdiv_np = _hsv_tables()
+    sdiv = jnp.asarray(sdiv_np.astype(np.int32))
+    hdiv = jnp.asarray(hdiv_np.astype(np.int32))
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    r = img[..., ri].astype(jnp.int32)
+    g = img[..., gi].astype(jnp.int32)
+    b = img[..., bi].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - vmin
+    half = 1 << 11
+    s = jnp.right_shift(diff * sdiv[v] + half, 12)
+    h_raw = jnp.where(v == r, g - b,
+                      jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = jnp.right_shift(h_raw * hdiv[diff] + half, 12)
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(COLOR_HSV2..)`` on uint8 — the SIMD-body model."""
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"HSV is uint8-only here (cv2's 8u path), got {img.dtype}")
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    h = img[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    s = img[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    v = img[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    fl = jnp.floor(h)
+    sector = jnp.mod(fl.astype(jnp.int32), 6)
+    f = h - fl
+    one = jnp.float32(1.0)
+    tab = [v, v * (one - s), v * (one - s * f), v * (one - s * (one - f))]
+    out = []
+    for comp in range(3):
+        val = tab[0]
+        for k in range(6):
+            val = jnp.where(sector == k, tab[HSV_SECTOR[k][comp]], val)
+        out.append(jnp.clip(jnp.floor(val * jnp.float32(255.0)), 0, 255))
+    if order == "bgr":
+        out = out[::-1]
+    return jnp.stack(out, axis=-1).astype(jnp.uint8)

@@ -75,6 +75,8 @@ __all__ = [
     "morphology",
     "deriv_kernels",
     "sobel",
+    "rgb_to_hsv",
+    "hsv_to_rgb",
 ]
 
 
@@ -1215,3 +1217,76 @@ def sobel(
     if kind == "u8":
         return np.clip(out, -32768, 32767).astype(np.int16)
     return np.clip(out, -(2**31), 2**31 - 1).astype(np.int32)
+
+
+# cv2 u8 HSV (probes): forward is 12-bit fixed point — EXACT:
+#   sdiv[i] = cvRound((255<<12)/i), hdiv[i] = cvRound((180<<12)/(6i));
+#   V = max, diff = V−min, S = (diff·sdiv[V] + 2^11) >> 12,
+#   Hraw = g−b | b−r+2·diff | r−g+4·diff by argmax branch (r-first),
+#   H = ((Hraw·hdiv[diff] + 2^11) >> 12) (+180 if negative).
+# The inverse is cv2's f32 sector chain, whose 32-pixel SIMD body
+# TRUNCATES the final ·255 while its scalar tail ROUNDS (probed; the
+# build-dependent tail is ±1 — docs/PARITY.md).  We implement the body.
+_HSV_SHIFT = 12
+_HSV_SECTOR = ((0, 3, 1), (2, 0, 1), (1, 0, 3), (1, 2, 0), (3, 1, 0), (0, 1, 2))
+
+
+def _hsv_tables():
+    i = np.arange(256, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        sdiv = np.where(i == 0, 0, np.round((255 << _HSV_SHIFT) / i)).astype(np.int64)
+        hdiv = np.where(i == 0, 0, np.round((180 << _HSV_SHIFT) / (6.0 * i))).astype(np.int64)
+    return sdiv, hdiv
+
+
+def rgb_to_hsv(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_{RGB,BGR}2HSV)`` — exact (uint8; H ∈ 0..179)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    r, g, b = (img[..., i].astype(np.int64) for i in (ri, gi, bi))
+    sdiv, hdiv = _hsv_tables()
+    v = np.maximum(np.maximum(r, g), b)
+    vmin = np.minimum(np.minimum(r, g), b)
+    diff = v - vmin
+    half = 1 << (_HSV_SHIFT - 1)
+    s = (diff * sdiv[v] + half) >> _HSV_SHIFT
+    h_raw = np.where(v == r, g - b,
+                     np.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = (h_raw * hdiv[diff] + half) >> _HSV_SHIFT
+    h = np.where(h < 0, h + 180, h)
+    return np.stack([h, s, v], axis=-1).astype(np.uint8)
+
+
+def hsv_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_HSV2{RGB,BGR})`` — cv2's SIMD-body model
+    (uint8).  cv2's own scalar row tail ROUNDS where its 32-pixel SIMD
+    body TRUNCATES, so full-row bit identity is build-dependent; parity
+    is exact on the body and ±1 on cv2's tail (docs/PARITY.md)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    f32 = np.float32
+    h = (img[..., 0].astype(f32) * f32(6.0 / 180.0)).astype(f32)
+    s = (img[..., 1].astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    v = (img[..., 2].astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    sector = np.floor(h).astype(np.int64) % 6
+    f = (h - np.floor(h)).astype(f32)
+    tab = [v,
+           (v * (f32(1) - s)).astype(f32),
+           (v * (f32(1) - (s * f).astype(f32))).astype(f32),
+           (v * (f32(1) - (s * (f32(1) - f)).astype(f32))).astype(f32)]
+    out = []
+    for comp in range(3):
+        val = np.select([sector == k for k in range(6)],
+                        [tab[_HSV_SECTOR[k][comp]] for k in range(6)])
+        out.append(np.clip(np.floor((val.astype(f32) * f32(255.0)).astype(np.float64)),
+                           0, 255))
+    if order == "bgr":
+        out = out[::-1]
+    return np.stack(out, axis=-1).astype(np.uint8)

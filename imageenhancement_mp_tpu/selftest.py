@@ -85,6 +85,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("morph/open", lambda: ie.morphology_ex(img, "open", (3, 5)),
          lambda: ref.morphology(img, "open", (3, 5)), 0),
         ("sobel5", lambda: ie.sobel(img, 1, 1, 5), lambda: ref.sobel(img, 1, 1, 5), 0),
+        ("hsv/fwd", lambda: ie.cvt_color(rgb, "rgb2hsv"),
+         lambda: ref.rgb_to_hsv(rgb), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

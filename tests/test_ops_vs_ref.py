@@ -668,3 +668,19 @@ def test_sobel_f32_device_vs_ref(rng):
     got = np.asarray(ie.sobel(img, 1, 0, 5))
     want = ref.sobel(img, 1, 0, 5)
     assert np.abs(got - want).max() < 1e-2
+
+
+@pytest.mark.parametrize("code", ["rgb2hsv", "bgr2hsv", "hsv2rgb", "hsv2bgr"])
+def test_cvt_color_hsv_device_vs_ref(rng, code):
+    for shape in [(33, 47, 3), (2, 24, 25, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        if code.startswith("hsv"):
+            img[..., 0] = (img[..., 0] % 180).astype(np.uint8)
+        got = np.asarray(ie.cvt_color(img, code))
+        fn = ref.rgb_to_hsv if code.endswith("2hsv") else ref.hsv_to_rgb
+        order = "bgr" if (code.startswith("b") or code.endswith("bgr")) else "rgb"
+        want = (np.stack([fn(f, order) for f in img]) if img.ndim == 4
+                else fn(img, order))
+        assert np.array_equal(got, want), (code, shape)
+    with pytest.raises(TypeError):
+        ie.cvt_color(np.zeros((8, 9, 3), np.uint16), "rgb2hsv")

@@ -539,3 +539,39 @@ def test_sobel_scale_fold_within_1(rng):
     want = cv2.Sobel(img, cv2.CV_16S, 1, 0, ksize=3, scale=0.37, delta=11.7)
     got = ref.sobel(img, 1, 0, 3, 0.37, 11.7)
     assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+
+
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_hsv_forward_exact(rng, order):
+    code = cv2.COLOR_RGB2HSV if order == "rgb" else cv2.COLOR_BGR2HSV
+    for shape in [(64, 64, 3), (33, 47, 3), (128, 131, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        want = cv2.cvtColor(img, code)
+        got = ref.rgb_to_hsv(img, order)
+        if not np.array_equal(got, want):
+            # cv2's latched IPP dispatch can flip odd pixels (see bilateral)
+            assert maxdiff(got, want) <= 1
+            assert (got != want).mean() < 1e-3
+
+
+@pytest.mark.parametrize("order", ["rgb", "bgr"])
+def test_hsv_inverse_body_model(rng, order):
+    """The SIMD-body (truncating) model: within ±1 of cv2 everywhere,
+    exact where cv2's own 32-px body ran."""
+    code = cv2.COLOR_HSV2RGB if order == "rgb" else cv2.COLOR_HSV2BGR
+    for _ in range(6):
+        H, W = int(rng.integers(8, 60)), int(rng.integers(34, 120))
+        hsv = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        hsv[..., 0] = rng.integers(0, 180, (H, W))
+        want = cv2.cvtColor(hsv, code)
+        got = ref.hsv_to_rgb(hsv, order)
+        assert maxdiff(got, want) <= 1
+
+
+def test_hsv_roundtrip_matches_cv2_roundtrip(rng):
+    """Our HSV roundtrip drifts exactly like cv2's own roundtrip (the
+    quantization loss is the format's, not ours)."""
+    img = rng.integers(0, 256, (40, 43, 3)).astype(np.uint8)
+    ours = ref.hsv_to_rgb(ref.rgb_to_hsv(img))
+    cv2s = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2HSV), cv2.COLOR_HSV2RGB)
+    assert maxdiff(ours, cv2s) <= 1
