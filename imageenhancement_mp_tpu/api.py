@@ -422,7 +422,9 @@ def sobel(img, dx: int = 1, dy: int = 0, ksize: int = 3, scale: float = 1.0,
     (= cv2 CV_16S, exact for scale=1 incl. any delta); u16/i16→int32
     (exact — cv2 only offers a float destination there, and our integers
     agree with its f32 to 0.5 ULP); f32→f32.  ``scale ≠ 1`` follows
-    cv2's float-kernel fold (scattered ±1 — docs/PARITY.md)."""
+    cv2's float-kernel fold (scattered ±1 — docs/PARITY.md).  Integer
+    inputs: ksize limited to the exact int32 range (u8 ≤ 11, 16-bit ≤ 7
+    for first derivatives) — convert to f32 for larger kernels."""
     _check_image_dtype(img, allow_i16=True)
     return _apply(
         "sobel", img, channels_last,

@@ -148,7 +148,7 @@ def ycrcb_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
 # gather tables); inverse = cv2's f32 sector chain with the SIMD body's
 # TRUNCATING final ·255 (cv2's own scalar tail rounds — build-dependent
 # ±1 there, docs/PARITY.md).
-HSV_SECTOR = ((0, 3, 1), (2, 0, 1), (1, 0, 3), (1, 2, 0), (3, 1, 0), (0, 1, 2))
+from imageenhancement_mp_tpu.ref.ops import _HSV_SECTOR as HSV_SECTOR
 
 
 def rgb_to_hsv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
@@ -170,14 +170,16 @@ def rgb_to_hsv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     r = img[..., ri].astype(jnp.int32)
     g = img[..., gi].astype(jnp.int32)
     b = img[..., bi].astype(jnp.int32)
+    from imageenhancement_mp_tpu.ref.ops import _HSV_SHIFT
+
     v = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - vmin
-    half = 1 << 11
-    s = jnp.right_shift(diff * sdiv[v] + half, 12)
+    half = 1 << (_HSV_SHIFT - 1)
+    s = jnp.right_shift(diff * sdiv[v] + half, _HSV_SHIFT)
     h_raw = jnp.where(v == r, g - b,
                       jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
-    h = jnp.right_shift(h_raw * hdiv[diff] + half, 12)
+    h = jnp.right_shift(h_raw * hdiv[diff] + half, _HSV_SHIFT)
     h = jnp.where(h < 0, h + 180, h)
     return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
 
@@ -190,6 +192,15 @@ def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
         raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
     if order not in ("rgb", "bgr"):
         raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    from imageenhancement_mp_tpu.utils.fma import two_prod
+
+    def rmul(a, b):
+        # force an explicitly ROUNDED f32 product (two_prod's error-term
+        # structure defeats XLA:CPU's FMA contraction, which otherwise
+        # fuses v*(1 - s*f) and flips ±1 vs the pinned model — the same
+        # trick the stretch/addWeighted emulation relies on)
+        return two_prod(a, b)[0]
+
     h = img[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
     s = img[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     v = img[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
@@ -197,13 +208,16 @@ def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     sector = jnp.mod(fl.astype(jnp.int32), 6)
     f = h - fl
     one = jnp.float32(1.0)
-    tab = [v, v * (one - s), v * (one - s * f), v * (one - s * (one - f))]
+    tab = [v,
+           rmul(v, one - s),
+           rmul(v, one - rmul(s, f)),
+           rmul(v, one - rmul(s, one - f))]
     out = []
     for comp in range(3):
         val = tab[0]
         for k in range(6):
             val = jnp.where(sector == k, tab[HSV_SECTOR[k][comp]], val)
-        out.append(jnp.clip(jnp.floor(val * jnp.float32(255.0)), 0, 255))
+        out.append(jnp.clip(jnp.floor(rmul(val, jnp.float32(255.0))), 0, 255))
     if order == "bgr":
         out = out[::-1]
     return jnp.stack(out, axis=-1).astype(jnp.uint8)

@@ -330,7 +330,11 @@ def sobel_planes(
     integers agree with cv2's f32 to 0.5 ULP — a strictly-more-precise
     extension), f32→f32 (cv2's float path, accumulation-order ULP
     tolerance).  ``scale ≠ 1`` folds the scale into the float kernel
-    like cv2 (scattered ±1 vs cv2's SIMD order — docs/PARITY.md).
+    like cv2 (scattered ±1 vs cv2's SIMD order for u8; f32-precision
+    relative at 16-bit magnitudes — docs/PARITY.md).  Integer inputs are
+    limited to kernels whose exact int32 sums fit (u8 ≤ 11, 16-bit ≤ 7
+    for first derivatives); beyond that convert to float32 — at those
+    magnitudes no exact integer path exists in cv2 either.
     """
     from imageenhancement_mp_tpu.ref.ops import deriv_kernels
 
@@ -339,6 +343,19 @@ def sobel_planes(
     kx, ky = deriv_kernels(dx, dy, ksize)
     H, W = planes.shape[-2], planes.shape[-1]
     ph, pw = len(ky) // 2, len(kx) // 2
+    if planes.dtype != jnp.float32:
+        maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
+                  jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
+        if int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval >= 2**31:
+            # beyond exact-int32 range the f32 device path would be off by
+            # HUNDREDS at these magnitudes (f32 ulp ≈ 512 at 4e9), and cv2's
+            # own integer destinations overflow here too — refuse rather
+            # than silently degrade; callers wanting huge kernels convert
+            # to float32 (cv2's only well-defined path at these sizes)
+            raise ValueError(
+                f"sobel ksize {ksize} exceeds the exact int32 range for "
+                f"{planes.dtype}; convert to float32 for kernels this large"
+            )
     float_path = planes.dtype == jnp.float32 or scale != 1.0
     if float_path:
         p = jnp.pad(planes, ((0, 0), (ph, ph), (pw, pw)), mode="reflect").astype(jnp.float32)
@@ -348,19 +365,25 @@ def sobel_planes(
         if planes.dtype == jnp.float32:
             return (acc + jnp.float32(delta)).astype(jnp.float32)
         out = jnp.round(acc + jnp.float32(delta))
+        if planes.dtype == jnp.uint8:
+            return jnp.clip(out, -32768, 32767).astype(jnp.int16)
+        return jnp.clip(out, -(2.0**31), 2.0**31 - 1).astype(jnp.int32)
+    p = jnp.pad(planes.astype(jnp.int32), ((0, 0), (ph, ph), (pw, pw)),
+                mode="reflect")
+    v = sum(int(t) * p[:, i : i + H, :] for i, t in enumerate(ky) if int(t) != 0)
+    acc = sum(int(t) * v[:, :, i : i + W] for i, t in enumerate(kx) if int(t) != 0)
+    # delta combine without int32 wrap: |acc| ≤ B (< 2³¹ by the int_fits
+    # gate above); pre-clip acc into [INT32_MIN−δ, INT32_MAX−δ] (bounds
+    # narrowed to ±(B+1), so they are themselves representable), THEN add
+    B = int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval
+    idelta = int(np.clip(np.round(float(delta)), -(2**31), 2**31 - 1))
+    lo_eff = max(-(2**31) - idelta, -B)
+    hi_eff = min(2**31 - 1 - idelta, B)
+    if lo_eff > hi_eff:  # |δ| so large every pixel saturates the same way
+        const = -(2**31) if idelta < 0 else 2**31 - 1
+        out = jnp.full(acc.shape, const, jnp.int32)
     else:
-        maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
-                  jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
-        if int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval >= 2**31:
-            raise ValueError(
-                f"sobel ksize {ksize} overflows int32 sums for {planes.dtype}; "
-                "use a smaller ksize"
-            )
-        p = jnp.pad(planes.astype(jnp.int32), ((0, 0), (ph, ph), (pw, pw)),
-                    mode="reflect")
-        v = sum(int(t) * p[:, i : i + H, :] for i, t in enumerate(ky) if int(t) != 0)
-        acc = sum(int(t) * v[:, :, i : i + W] for i, t in enumerate(kx) if int(t) != 0)
-        out = acc + int(np.round(float(delta)))
+        out = jnp.clip(acc, lo_eff, hi_eff) + idelta
     if planes.dtype == jnp.uint8:
         return jnp.clip(out, -32768, 32767).astype(jnp.int16)
     return out.astype(jnp.int32)

@@ -87,6 +87,11 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("sobel5", lambda: ie.sobel(img, 1, 1, 5), lambda: ref.sobel(img, 1, 1, 5), 0),
         ("hsv/fwd", lambda: ie.cvt_color(rgb, "rgb2hsv"),
          lambda: ref.rgb_to_hsv(rgb), 0),
+        # inverse budget 1: covers the CPU backend's codegen FMA
+        # contraction (docs/PARITY.md backend nuance; XLA:TPU is strict
+        # and measures 0, like the clahe check)
+        ("hsv/inv", lambda: ie.cvt_color(ref.rgb_to_hsv(rgb), "hsv2rgb"),
+         lambda: ref.hsv_to_rgb(ref.rgb_to_hsv(rgb)), 1),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -40,15 +40,23 @@ CHAIN_POOL = [
 ]
 
 
+NONCLAHE_POOL = [t for t in CHAIN_POOL if t[0] != "clahe"]
+CLAHE_STAGE = next(t for t in CHAIN_POOL if t[0] == "clahe")
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_random_chain_vs_oracle(rng, seed):
-    """A random 3-5 stage chain, one jitted program, ≤1 LSB vs the oracle
-    chain (the CLAHE stage alone carries the CPU-backend ±1 budget —
-    docs/PARITY.md; every other stage is exact, and chains without CLAHE
-    assert exactness)."""
+    """A random 3-5 stage chain, one jitted program, bit-exact vs the
+    oracle chain.  CLAHE (the one CPU-backend-±1 stage, docs/PARITY.md)
+    may only appear LAST: a ±1 budget is not closed under composition —
+    a boundary pixel feeding a later threshold stage would amplify to a
+    full maxval flip — so mid-chain CLAHE cannot carry a sound budget."""
     chain_rng = np.random.default_rng(1000 + seed)
     n = int(chain_rng.integers(3, 6))
-    picks = [CHAIN_POOL[i] for i in chain_rng.choice(len(CHAIN_POOL), n)]
+    picks = [NONCLAHE_POOL[i] for i in chain_rng.choice(len(NONCLAHE_POOL), n)]
+    with_clahe = bool(chain_rng.integers(0, 2))
+    if with_clahe:
+        picks.append(CLAHE_STAGE)
     pipe = make_pipeline([(name, kw) for name, kw, _ in picks])
     batch = rng.integers(0, 256, (2, 40, 47), dtype=np.uint8)
     got = np.asarray(pipe(batch))
@@ -59,18 +67,20 @@ def test_random_chain_vs_oracle(rng, seed):
         return p
 
     want = np.stack([oracle_one(p) for p in batch])
-    budget = 1 if any(name == "clahe" for name, _, _ in picks) else 0
+    budget = 1 if with_clahe else 0
     diff = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
     assert diff <= budget, ([n for n, _, _ in picks], diff)
 
 
 def test_everything_chain_vs_oracle(rng):
-    """All pool stages once, in order — the maximal composition."""
-    pipe = make_pipeline([(name, kw) for name, kw, _ in CHAIN_POOL])
+    """All pool stages once (CLAHE last — see above) — the maximal
+    composition."""
+    order = NONCLAHE_POOL + [CLAHE_STAGE]
+    pipe = make_pipeline([(name, kw) for name, kw, _ in order])
     img = rng.integers(0, 256, (48, 53), dtype=np.uint8)
     got = np.asarray(pipe(img))
     p = img
-    for _, _, fn in CHAIN_POOL:
+    for _, _, fn in order:
         p = fn(p)
     diff = int(np.abs(got.astype(np.int64) - p.astype(np.int64)).max())
-    assert diff <= 1  # CLAHE's CPU-backend budget
+    assert diff <= 1  # CLAHE's CPU-backend budget, last stage only

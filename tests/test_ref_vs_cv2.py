@@ -321,8 +321,9 @@ def test_bilateral_gray_exact_vs_plain_cv2(rng, d, sc, ss):
         # cv2 can LATCH its optimized dispatch in long-running processes,
         # silently ignoring setUseOptimized(False) (seen in full-suite
         # runs): `want` is then the IPP path, which differs from the
-        # pinned reference path by ±1 (docs/PARITY.md)
+        # pinned reference path by ±1 on a bounded fraction of pixels
         assert maxdiff(got, want) <= 1, (d, sc, ss)
+        assert (got != want).mean() < 0.35, (d, sc, ss)
 
 
 def test_bilateral_color_joint_vs_plain_cv2(rng):
@@ -337,6 +338,7 @@ def test_bilateral_color_joint_vs_plain_cv2(rng):
     # color: cv2's SIMD accumulation order leaves ±1 on ~1e-5 of pixels
     # (or on ~20 % if cv2 latched its IPP dispatch — see the gray test)
     assert maxdiff(got, want) <= 1
+    assert (got != want).mean() < 0.35
 
 
 def test_bilateral_vs_default_cv2_within_1(rng):
