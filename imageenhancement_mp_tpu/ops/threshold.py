@@ -59,9 +59,14 @@ def threshold_planes(planes: jnp.ndarray, thresh=0.0, maxval: float = 255.0,
     elif type == "binary_inv":
         out = jnp.where(x > t, zero, mv)
     elif type == "trunc":
-        out = jnp.minimum(x, t)
-        if planes.dtype != jnp.float32:
-            out = jnp.clip(out, minv, maxv_d)
+        if (planes.dtype != jnp.float32 and np.isscalar(thresh)
+                and np.floor(float(thresh)) < minv):
+            # cv2's pinned special case: below-range thresh → TRUNC zeros
+            out = jnp.zeros_like(x)
+        else:
+            out = jnp.minimum(x, t)
+            if planes.dtype != jnp.float32:
+                out = jnp.clip(out, minv, maxv_d)
     elif type == "tozero":
         out = jnp.where(x > t, x, zero)
     else:  # tozero_inv

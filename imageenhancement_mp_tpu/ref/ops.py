@@ -764,8 +764,13 @@ def threshold(
     elif type == "trunc":
         if kind == "f32":
             dst = np.minimum(img, t)
+        elif t < _int_minval(kind):
+            # cv2's out-of-range special case: a below-range thresh makes
+            # TRUNC output ZEROS (probed: i16 t=-32869 → all 0, NOT
+            # dtype-min saturation)
+            dst = np.zeros_like(img)
         else:
-            # int64 then clip: an out-of-range thresh must saturate, and
+            # int64 then clip: an above-range thresh must saturate, and
             # NumPy 2 rejects out-of-range Python ints in same-dtype ufuncs
             dst = np.clip(
                 np.minimum(img.astype(np.int64), t),

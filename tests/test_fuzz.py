@@ -130,3 +130,93 @@ def test_fuzz_round2_exactness_paths(rng):
         amt = float(rng.uniform(0.05, 3.0))
         assert maxdiff(ie.unsharp_mask(img, amt), ref.unsharp_mask(img, amt)) == 0
         assert maxdiff(ie.unsharp_mask(img16, amt), ref.unsharp_mask(img16, amt)) == 0
+
+
+# ---------------------------------------------------- round-2 surface fuzz
+
+
+def test_fuzz_sobel_grid_u8(rng):
+    """Sobel over the (dx, dy, k) grid × random shapes, u8 CV_16S bitwise."""
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    from imageenhancement_mp_tpu import ref
+
+    for trial in range(40):
+        dx, dy = [(1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1)][trial % 6]
+        k = int(rng.choice([1, 3, 5, 7, 9]))
+        if k == 1 and max(dx, dy) > 2:
+            k = 3
+        if max(dx, dy) >= k and k != 1:
+            continue
+        img = rng.integers(0, 256, (int(rng.integers(k + 2, 50)),
+                                    int(rng.integers(k + 2, 50)))).astype(np.uint8)
+        want = cv2.Sobel(img, cv2.CV_16S, dx, dy, ksize=k)
+        got = ref.sobel(img, dx, dy, k)
+        assert np.array_equal(got, want), (dx, dy, k)
+
+
+def test_fuzz_threshold_types_i16(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    from imageenhancement_mp_tpu import ref
+
+    flags = {"binary": cv2.THRESH_BINARY, "binary_inv": cv2.THRESH_BINARY_INV,
+             "trunc": cv2.THRESH_TRUNC, "tozero": cv2.THRESH_TOZERO,
+             "tozero_inv": cv2.THRESH_TOZERO_INV}
+    for trial in range(40):
+        typ = list(flags)[trial % 5]
+        img = rng.integers(-32768, 32768, (20, 23)).astype(np.int16)
+        t = float(rng.uniform(-40000, 40000))
+        mv = float(rng.uniform(-40000, 40000))
+        want_ret, want = cv2.threshold(img, t, mv, flags[typ])
+        got_ret, got = ref.threshold(img, t, mv, typ)
+        assert got_ret == want_ret and np.array_equal(got, want), (typ, t, mv)
+
+
+def test_fuzz_ycrcb_boundary_values():
+    """Saturating corners of the YCrCb fixed point (u8 + u16)."""
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    from imageenhancement_mp_tpu import ref
+
+    for dt, hi in ((np.uint8, 255), (np.uint16, 65535)):
+        vals = np.array([0, 1, hi // 2, hi - 1, hi], dtype=dt)
+        r, g, b = np.meshgrid(vals, vals, vals, indexing="ij")
+        img = np.stack([r, g, b], axis=-1).reshape(25, 5, 3).astype(dt)
+        assert np.array_equal(ref.rgb_to_ycrcb(img), cv2.cvtColor(img, cv2.COLOR_RGB2YCrCb))
+        assert np.array_equal(ref.ycrcb_to_rgb(img), cv2.cvtColor(img, cv2.COLOR_YCrCb2RGB))
+
+
+def test_fuzz_hsv_forward_boundaries():
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    from imageenhancement_mp_tpu import ref
+
+    vals = np.array([0, 1, 127, 128, 254, 255], np.uint8)
+    r, g, b = np.meshgrid(vals, vals, vals, indexing="ij")
+    img = np.stack([r, g, b], axis=-1).reshape(36, 6, 3)
+    got = ref.rgb_to_hsv(img)
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    if not np.array_equal(got, want):  # latched-IPP tolerance (see bilateral)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_fuzz_morphology_rect_grid(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    from imageenhancement_mp_tpu import ref
+
+    ops = [("open", cv2.MORPH_OPEN), ("close", cv2.MORPH_CLOSE),
+           ("gradient", cv2.MORPH_GRADIENT), ("tophat", cv2.MORPH_TOPHAT),
+           ("blackhat", cv2.MORPH_BLACKHAT)]
+    for trial in range(30):
+        op, flag = ops[trial % 5]
+        kh, kw = int(rng.integers(1, 8)), int(rng.integers(1, 8))
+        if kh == kw == 1:
+            kw = 2
+        it = int(rng.integers(1, 4))
+        img = rng.integers(0, 256, (int(rng.integers(10, 40)),
+                                    int(rng.integers(10, 40)))).astype(np.uint8)
+        want = cv2.morphologyEx(img, flag, np.ones((kh, kw), np.uint8), iterations=it)
+        got = ref.morphology(img, op, (kh, kw), it)
+        assert np.array_equal(got, want), (op, kh, kw, it)
