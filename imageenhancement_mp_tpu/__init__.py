@@ -21,6 +21,8 @@ from imageenhancement_mp_tpu.api import (
     equalize_luma,
     erode,
     morphology_ex,
+    pyr_down,
+    pyr_up,
     histogram,
     clahe,
     contrast_stretch,
@@ -52,6 +54,8 @@ __all__ = [
     "equalize_luma",
     "erode",
     "morphology_ex",
+    "pyr_down",
+    "pyr_up",
     "histogram",
     "clahe",
     "contrast_stretch",

@@ -39,6 +39,8 @@ __all__ = [
     "equalize_luma",
     "erode",
     "morphology_ex",
+    "pyr_down",
+    "pyr_up",
     "histogram",
     "gamma",
     "log_transform",
@@ -95,6 +97,8 @@ _I16_OK = {
     "dilate",
     "morphology",
     "sobel",
+    "pyr_down",
+    "pyr_up",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -437,6 +441,20 @@ def scharr(img, dx: int = 1, dy: int = 0, scale: float = 1.0,
            delta: float = 0.0, channels_last: bool = True):
     """``cv2.Scharr`` — the 3×3 [3,10,3] derivative (see ``sobel``)."""
     return sobel(img, dx, dy, -1, scale, delta, channels_last)
+
+
+def pyr_down(img, channels_last: bool = True):
+    """``cv2.pyrDown``: REFLECT_101 [1,4,6,4,1] blur + 2× decimation →
+    ``ceil(H/2) × ceil(W/2)`` (exact u8/u16/i16; f32 at float tol)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("pyr_down", img, channels_last)
+
+
+def pyr_up(img, channels_last: bool = True):
+    """``cv2.pyrUp``: 2× zero-stuff + [1,4,6,4,1] blur → ``2H × 2W``
+    (exact u8/u16/i16; f32 at float tol)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("pyr_up", img, channels_last)
 
 
 def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):

@@ -108,6 +108,10 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                 float(ps[1]) if len(ps) > 1 else 255.0,
                 ps[2] if len(ps) > 2 else "binary",
             )
+        elif name == "pyrdown":
+            out = ie.pyr_down(out)
+        elif name == "pyrup":
+            out = ie.pyr_up(out)
         elif name == "sobel":
             # classic displayable gradient: |Sobel| scaled back to u8
             g = ie.sobel(out, int(ps[0]) if ps else 1,
@@ -249,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
         "otsu[:mv[:type]] | triangle[:mv[:type]] | "
         "athresh[:method[:type[:bs[:C]]]] | "
         "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
-        "sobel[:dx[:dy[:k]]])",
+        "sobel[:dx[:dy[:k]]] | pyrdown | pyrup)",
     )
     args = p.parse_args(argv)
 

@@ -22,6 +22,7 @@ from imageenhancement_mp_tpu.ops.morphology import (
     morphology_planes,
 )
 from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes, threshold_planes
+from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -48,6 +49,8 @@ OP_REGISTRY = {
     "dilate": dilate_planes,
     "morphology": morphology_planes,
     "sobel": sobel_planes,
+    "pyr_down": pyr_down_planes,
+    "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
@@ -76,6 +79,8 @@ __all__ = [
     "dilate_planes",
     "morphology_planes",
     "sobel_planes",
+    "pyr_down_planes",
+    "pyr_up_planes",
     "threshold_planes",
     "adaptive_threshold_planes",
     "unsharp_mask_planes",

@@ -77,6 +77,8 @@ __all__ = [
     "sobel",
     "rgb_to_hsv",
     "hsv_to_rgb",
+    "pyr_down",
+    "pyr_up",
 ]
 
 
@@ -1295,3 +1297,54 @@ def hsv_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
     if order == "bgr":
         out = out[::-1]
     return np.stack(out, axis=-1).astype(np.uint8)
+
+
+_PYR_K = (1, 4, 6, 4, 1)
+
+
+def pyr_down(img: np.ndarray) -> np.ndarray:
+    """``cv2.pyrDown`` — exact for integer dtypes (u8/u16/i16).
+
+    Pinned (probes, 0 mismatches over 60 fuzz configs incl. odd sizes):
+    REFLECT_101 pad-2, separable [1,4,6,4,1] integer conv, DESCALE
+    ``(acc + 128) >> 8``, then take the even rows/columns (output
+    ``ceil(H/2) × ceil(W/2)``).  float32 uses the same conv in float
+    (f64 oracle; cv2's f32 accumulation is within ULP tolerance).
+    """
+    kind = _img_kind(img, allow_i16=True)
+    H, W = img.shape
+    k = _PYR_K
+    if kind == "f32":
+        p = np.pad(img.astype(np.float64), 2, mode="reflect")
+        v = sum(float(k[i]) * p[i : i + H, :] for i in range(5))
+        a = sum(float(k[i]) * v[:, i : i + W] for i in range(5))
+        return (a[::2, ::2] / 256.0).astype(np.float32)
+    p = np.pad(img.astype(np.int64), 2, mode="reflect")
+    v = sum(k[i] * p[i : i + H, :] for i in range(5))
+    a = sum(k[i] * v[:, i : i + W] for i in range(5))
+    return (((a + 128) >> 8)[::2, ::2]).astype(img.dtype)
+
+
+def pyr_up(img: np.ndarray) -> np.ndarray:
+    """``cv2.pyrUp`` — exact for integer dtypes (u8/u16/i16).
+
+    Pinned: zero-stuff to ``2H × 2W`` at even indices, REFLECT_101 pad-2
+    of the STUFFED image, separable [1,4,6,4,1] conv, DESCALE
+    ``(acc + 32) >> 6`` (each axis's live taps sum to 8).
+    """
+    kind = _img_kind(img, allow_i16=True)
+    H, W = img.shape
+    k = _PYR_K
+    if kind == "f32":
+        up = np.zeros((2 * H, 2 * W))
+        up[::2, ::2] = img
+        p = np.pad(up, 2, mode="reflect")
+        v = sum(float(k[i]) * p[i : i + 2 * H, :] for i in range(5))
+        a = sum(float(k[i]) * v[:, i : i + 2 * W] for i in range(5))
+        return (a / 64.0).astype(np.float32)
+    up = np.zeros((2 * H, 2 * W), np.int64)
+    up[::2, ::2] = img
+    p = np.pad(up, 2, mode="reflect")
+    v = sum(k[i] * p[i : i + 2 * H, :] for i in range(5))
+    a = sum(k[i] * v[:, i : i + 2 * W] for i in range(5))
+    return ((a + 32) >> 6).astype(img.dtype)

@@ -721,3 +721,29 @@ def test_sobel_scale_path_device_vs_ref(rng):
     want = ref.sobel(img, 1, 0, 3, 0.37, 11.7)
     # device folds in f32 where the oracle uses f64 — ±1 at u8 magnitudes
     assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.int16, np.float32])
+def test_pyramids_device_vs_ref(rng, dt):
+    for shape in [(33, 47), (2, 24, 25, 3)]:
+        if dt is np.float32:
+            img = (rng.random(shape) * 500 - 100).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (-32768, 32768)
+            img = rng.integers(lo, hi, shape).astype(dt)
+        gd = np.asarray(ie.pyr_down(img))
+        gu = np.asarray(ie.pyr_up(img))
+        wd = per_plane_ref(ref.pyr_down, img)
+        wu = per_plane_ref(ref.pyr_up, img)
+        if dt is np.float32:
+            assert np.abs(gd - wd).max() < 1e-3 and np.abs(gu - wu).max() < 1e-3
+        else:
+            assert np.array_equal(gd, wd) and np.array_equal(gu, wu)
+
+
+def test_pyramid_roundtrip_shapes(rng):
+    img = _rand(rng, (33, 47))
+    down = ie.pyr_down(img)
+    assert np.asarray(down).shape == (17, 24)
+    up = ie.pyr_up(np.asarray(down))
+    assert np.asarray(up).shape == (34, 48)

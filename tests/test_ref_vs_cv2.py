@@ -577,3 +577,23 @@ def test_hsv_roundtrip_matches_cv2_roundtrip(rng):
     ours = ref.hsv_to_rgb(ref.rgb_to_hsv(img))
     cv2s = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2HSV), cv2.COLOR_HSV2RGB)
     assert maxdiff(ours, cv2s) <= 1
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_pyramids_vs_cv2(rng, dt):
+    for _ in range(8):
+        H, W = int(rng.integers(8, 80)), int(rng.integers(8, 80))
+        if dt is np.float32:
+            img = (rng.random((H, W)) * 500 - 100).astype(np.float32)
+        else:
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
+            img = rng.integers(lo, hi, (H, W)).astype(dt)
+        wd, wu = cv2.pyrDown(img), cv2.pyrUp(img)
+        gd, gu = ref.pyr_down(img), ref.pyr_up(img)
+        assert gd.shape == wd.shape and gu.shape == wu.shape
+        if dt is np.float32:
+            assert np.abs(gd.astype(np.float64) - wd).max() < 1e-3
+            assert np.abs(gu.astype(np.float64) - wu).max() < 1e-3
+        else:
+            assert np.array_equal(gd, wd) and np.array_equal(gu, wu)
