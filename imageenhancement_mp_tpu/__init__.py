@@ -20,6 +20,7 @@ from imageenhancement_mp_tpu.api import (
     dilate,
     equalize_luma,
     erode,
+    filter2d,
     morphology_ex,
     pyr_down,
     pyr_up,
@@ -53,6 +54,7 @@ __all__ = [
     "dilate",
     "equalize_luma",
     "erode",
+    "filter2d",
     "morphology_ex",
     "pyr_down",
     "pyr_up",

@@ -38,6 +38,7 @@ __all__ = [
     "dilate",
     "equalize_luma",
     "erode",
+    "filter2d",
     "morphology_ex",
     "pyr_down",
     "pyr_up",
@@ -97,6 +98,7 @@ _I16_OK = {
     "dilate",
     "morphology",
     "sobel",
+    "filter2d",
     "pyr_down",
     "pyr_up",
     "laplacian_sharpen",
@@ -441,6 +443,20 @@ def scharr(img, dx: int = 1, dy: int = 0, scale: float = 1.0,
            delta: float = 0.0, channels_last: bool = True):
     """``cv2.Scharr`` — the 3×3 [3,10,3] derivative (see ``sobel``)."""
     return sobel(img, dx, dy, -1, scale, delta, channels_last)
+
+
+def filter2d(img, kernel, delta: float = 0.0, channels_last: bool = True):
+    """``cv2.filter2D(img, -1, kernel, delta=δ)`` — custom-kernel
+    correlation (anchor kh//2, REFLECT_101).  Integer-valued kernels are
+    exact on every dtype; float kernels exact on u8 (cv2's f64-equivalent
+    path, via double-float device emulation) and ±1 on u16/i16 (cv2's own
+    f32 accumulation); f32 at float tolerance.  Kernels ≤ 15×15."""
+    _check_image_dtype(img, allow_i16=True)
+    k = np.asarray(kernel, np.float64)
+    if k.ndim != 2:
+        raise ValueError(f"kernel must be 2-D, got shape {k.shape}")
+    key = tuple(tuple(float(v) for v in row) for row in k)
+    return _apply("filter2d", img, channels_last, kernel=key, delta=float(delta))
 
 
 def pyr_down(img, channels_last: bool = True):

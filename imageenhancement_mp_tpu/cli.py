@@ -108,6 +108,9 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                 float(ps[1]) if len(ps) > 1 else 255.0,
                 ps[2] if len(ps) > 2 else "binary",
             )
+        elif name == "sharpen2d":
+            # the classic 5-point sharpening mask via the generic filter2d
+            out = ie.filter2d(out, ((0, -1, 0), (-1, 5, -1), (0, -1, 0)))
         elif name == "pyrdown":
             out = ie.pyr_down(out)
         elif name == "pyrup":
@@ -253,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         "otsu[:mv[:type]] | triangle[:mv[:type]] | "
         "athresh[:method[:type[:bs[:C]]]] | "
         "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
-        "sobel[:dx[:dy[:k]]] | pyrdown | pyrup)",
+        "sobel[:dx[:dy[:k]]] | pyrdown | pyrup | sharpen2d)",
     )
     args = p.parse_args(argv)
 

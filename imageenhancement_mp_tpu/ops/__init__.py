@@ -22,6 +22,7 @@ from imageenhancement_mp_tpu.ops.morphology import (
     morphology_planes,
 )
 from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes, threshold_planes
+from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
 from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
@@ -50,6 +51,7 @@ OP_REGISTRY = {
     "morphology": morphology_planes,
     "sobel": sobel_planes,
     "pyr_down": pyr_down_planes,
+    "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
@@ -80,6 +82,7 @@ __all__ = [
     "morphology_planes",
     "sobel_planes",
     "pyr_down_planes",
+    "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",
     "adaptive_threshold_planes",

@@ -79,6 +79,7 @@ __all__ = [
     "hsv_to_rgb",
     "pyr_down",
     "pyr_up",
+    "filter2d",
 ]
 
 
@@ -1348,3 +1349,35 @@ def pyr_up(img: np.ndarray) -> np.ndarray:
     v = sum(k[i] * p[i : i + 2 * H, :] for i in range(5))
     a = sum(k[i] * v[:, i : i + 2 * W] for i in range(5))
     return ((a + 32) >> 6).astype(img.dtype)
+
+
+def filter2d(img: np.ndarray, kernel: np.ndarray, delta: float = 0.0) -> np.ndarray:
+    """``cv2.filter2D(img, -1, kernel, delta=δ)`` — custom-kernel
+    correlation (no flip), anchor ``(kh//2, kw//2)``, REFLECT_101.
+
+    Pinned (probes/fuzz): f64 accumulation + ``cvRound(acc + δ)`` +
+    saturate.  Integer-valued kernels are exact on every dtype (0/40
+    fuzz per dtype); float kernels are exact on u8 and within ±1 on
+    u16/i16 (cv2 accumulates those in f32 — scattered boundary flips);
+    float32 images follow cv2's float path at ULP tolerance.
+    """
+    kind = _img_kind(img, allow_i16=True)
+    kernel = np.asarray(kernel, np.float64)
+    if kernel.ndim != 2:
+        raise ValueError(f"kernel must be 2-D, got shape {kernel.shape}")
+    kh, kw = kernel.shape
+    H, W = img.shape
+    p = np.pad(img.astype(np.float64),
+               ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+               mode="reflect")
+    acc = np.zeros((H, W))
+    for dy in range(kh):
+        for dx in range(kw):
+            t = kernel[dy, dx]
+            if t != 0.0:
+                acc += t * p[dy : dy + H, dx : dx + W]
+    if kind == "f32":
+        return (acc + float(delta)).astype(np.float32)
+    return np.clip(
+        np.round(acc + float(delta)), _int_minval(kind), _int_maxval(kind)
+    ).astype(img.dtype)

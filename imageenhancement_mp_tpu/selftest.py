@@ -94,6 +94,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.hsv_to_rgb(ref.rgb_to_hsv(rgb)), 1),
         ("pyr_down", lambda: ie.pyr_down(img), lambda: ref.pyr_down(img), 0),
         ("pyr_up", lambda: ie.pyr_up(img), lambda: ref.pyr_up(img), 0),
+        ("filter2d", lambda: ie.filter2d(img, ((0, -1, 0), (-1, 5, -1), (0, -1, 0))),
+         lambda: ref.filter2d(img, np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]])), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

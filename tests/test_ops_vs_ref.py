@@ -747,3 +747,34 @@ def test_pyramid_roundtrip_shapes(rng):
     assert np.asarray(down).shape == (17, 24)
     up = ie.pyr_up(np.asarray(down))
     assert np.asarray(up).shape == (34, 48)
+
+
+def test_filter2d_device_vs_ref(rng):
+    for dt in (np.uint8, np.uint16, np.int16, np.float32):
+        for shape in [(30, 33), (2, 20, 21, 3)]:
+            if dt is np.float32:
+                img = (rng.random(shape) * 500 - 100).astype(np.float32)
+            else:
+                lo, hi = (0, 255) if dt is np.uint8 else (
+                    (0, 65535) if dt is np.uint16 else (-32768, 32767))
+                img = rng.integers(lo, hi + 1, shape).astype(dt)
+            for k in (np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32),
+                      (rng.random((3, 5)) * 0.4).astype(np.float32)):
+                got = np.asarray(ie.filter2d(img, k, 3.3))
+                want = per_plane_ref(lambda p: ref.filter2d(p, k, 3.3), img)
+                if dt is np.float32:
+                    assert np.abs(got - want).max() < 1e-2
+                else:
+                    # double-float device == f64 oracle (CPU backend may
+                    # FMA-contract the error terms on rare boundary px)
+                    assert maxdiff(got, want) <= 1
+
+
+def test_filter2d_sharpen_kernel_exact_vs_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = _rand(rng, (40, 43))
+    k = np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32)
+    want = cv2.filter2D(img, -1, k)
+    got = np.asarray(ie.filter2d(img, k))
+    assert np.array_equal(got, want)

@@ -597,3 +597,23 @@ def test_pyramids_vs_cv2(rng, dt):
             assert np.abs(gu.astype(np.float64) - wu).max() < 1e-3
         else:
             assert np.array_equal(gd, wd) and np.array_equal(gu, wu)
+
+
+def test_filter2d_vs_cv2(rng):
+    """Custom-kernel correlation: integer kernels exact on every dtype;
+    float kernels exact on u8, ±1 on 16-bit (cv2's f32 accumulation)."""
+    for trial in range(32):
+        dt = [np.uint8, np.uint16, np.int16][trial % 3]
+        kh, kw = int(rng.integers(1, 8)), int(rng.integers(1, 8))
+        integral = trial % 2 == 0
+        k = (rng.integers(-3, 4, (kh, kw)).astype(np.float32) if integral
+             else (rng.random((kh, kw)) * 2 - 0.6).astype(np.float32))
+        delta = float(rng.uniform(-30, 30))
+        lo, hi = (0, 255) if dt is np.uint8 else (
+            (0, 65535) if dt is np.uint16 else (-32768, 32767))
+        img = rng.integers(lo, hi + 1, (30, 33)).astype(dt)
+        want = cv2.filter2D(img, -1, k, delta=delta)
+        got = ref.filter2d(img, k, delta)
+        d = maxdiff(got, want)
+        lim = 0 if (dt is np.uint8 or integral) else 1
+        assert d <= lim, (trial, dt, integral, d)
