@@ -243,19 +243,21 @@ def gaussian_blur(img, ksize=5, sigma: float = 0.0, sigma_y: float = 0.0, channe
 
 
 @lru_cache(maxsize=None)
-def _lap_jit(channels_last: bool):
+def _lap_jit(channels_last: bool, ksize: int = 1, delta: float = 0.0):
     @jax.jit
     def run(img):
         planes, restore = as_planes(img, channels_last=channels_last)
-        return restore(laplacian_planes(planes))
+        return restore(laplacian_planes(planes, ksize, delta))
 
     return run
 
 
-def laplacian(img, channels_last: bool = True):
-    """``cv2.Laplacian(ksize=1)`` (exact; u8→int16, u16/i16→int32, f32→f32)."""
+def laplacian(img, ksize: int = 1, delta: float = 0.0, channels_last: bool = True):
+    """``cv2.Laplacian`` (exact; u8→int16, u16/i16→int32, f32→f32).
+    ``ksize=1``: the 4-neighbor stencil; ``ksize≥3``: the Sobel-based
+    form with raw-sum single saturation (pinned — docs/PARITY.md)."""
     _check_image_dtype(img, allow_i16=True)
-    return _lap_jit(bool(channels_last))(img)
+    return _lap_jit(bool(channels_last), int(ksize), float(delta))(img)
 
 
 def laplacian_sharpen(img, channels_last: bool = True):

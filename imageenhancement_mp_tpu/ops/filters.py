@@ -179,9 +179,48 @@ def _gauss_u16_q16(
     return jnp.clip(out, 0, 65535).astype(jnp.uint16)
 
 
-def laplacian_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil.
+def laplacian_planes(planes: jnp.ndarray, ksize: int = 1, delta: float = 0.0) -> jnp.ndarray:
+    """``cv2.Laplacian`` — exact.  ``ksize=1``: the 4-neighbor stencil;
+    ``ksize≥3``: Sobel-based ``d²x + d²y`` with raw integer sums and ONE
+    final saturation (per-term saturation diverges at k=7 — pinned).
     uint8 → int16; uint16/int16 → int32; float32 → float32."""
+    import numpy as np
+
+    if ksize != 1:
+        from imageenhancement_mp_tpu.ref.ops import deriv_kernels
+
+        kx2, ky2 = deriv_kernels(2, 0, ksize)
+        H, W = planes.shape[-2], planes.shape[-1]
+
+        if planes.dtype != jnp.float32:
+            maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
+                      jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
+            if 2 * int(np.abs(ky2).sum()) * int(np.abs(kx2).sum()) * maxval >= 2**31:
+                raise ValueError(
+                    f"laplacian ksize {ksize} exceeds the exact int32 range "
+                    f"for {planes.dtype}; convert to float32"
+                )
+
+        def raw(kx, ky, x):
+            ph, pw = len(ky) // 2, len(kx) // 2
+            pd = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw)), mode="reflect")
+            v = sum(int(t) * pd[:, i : i + H, :] if x.dtype == jnp.int32
+                    else jnp.float32(float(t)) * pd[:, i : i + H, :]
+                    for i, t in enumerate(ky) if float(t) != 0.0)
+            return sum(int(t) * v[:, :, i : i + W] if x.dtype == jnp.int32
+                       else jnp.float32(float(t)) * v[:, :, i : i + W]
+                       for i, t in enumerate(kx) if float(t) != 0.0)
+
+        if planes.dtype == jnp.float32:
+            acc = raw(kx2, ky2, planes) + raw(ky2, kx2, planes)
+            return (acc + jnp.float32(delta)).astype(jnp.float32)
+        x = planes.astype(jnp.int32)
+        acc = raw(kx2, ky2, x) + raw(ky2, kx2, x) + int(np.round(float(delta)))
+        if planes.dtype == jnp.uint8:
+            return jnp.clip(acc, -32768, 32767).astype(jnp.int16)
+        return acc.astype(jnp.int32)
+    if delta:
+        raise ValueError("delta is only supported for ksize >= 3 (cv2 parity scope)")
     acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
     p = jnp.pad(planes, ((0, 0), (1, 1), (1, 1)), mode="reflect").astype(acc)
     lap = (

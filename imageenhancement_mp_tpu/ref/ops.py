@@ -550,11 +550,41 @@ def gaussian_blur(
     return np.clip((h + (1 << (shift - 1))) >> shift, 0, maxv).astype(img.dtype)
 
 
-def laplacian(img: np.ndarray) -> np.ndarray:
-    """``cv2.Laplacian(ksize=1)`` — exact 4-neighbor stencil
-    ``[[0,1,0],[1,−4,1],[0,1,0]]`` with REFLECT_101 border (SURVEY.md §8.2).
-    uint8 → int16 (CV_16S); uint16/int16 → int32; float32 → float32 (CV_32F)."""
+def laplacian(img: np.ndarray, ksize: int = 1, delta: float = 0.0) -> np.ndarray:
+    """``cv2.Laplacian`` — exact.  ``ksize=1``: the 4-neighbor stencil
+    ``[[0,1,0],[1,−4,1],[0,1,0]]``; ``ksize≥3``: the Sobel-based
+    ``d²/dx² + d²/dy²`` with RAW integer sums and ONE final saturation
+    (pinned: per-term saturation diverges at k=7).  REFLECT_101 border.
+    uint8 → int16 (CV_16S); uint16/int16 → int32; float32 → float32."""
     kind = _img_kind(img, allow_i16=True)
+    if ksize != 1:
+        kx2, ky2 = deriv_kernels(2, 0, ksize)
+        H, W = img.shape
+
+        def raw(kx, ky):
+            ph, pw = len(ky) // 2, len(kx) // 2
+            pd = np.pad(
+                img.astype(np.float64 if kind == "f32" else np.int64),
+                ((ph, ph), (pw, pw)), mode="reflect",
+            )
+            acc_dt = np.float64 if kind == "f32" else np.int64
+            v = np.zeros((H, pd.shape[1]), acc_dt)
+            for i, t in enumerate(ky):
+                v += (float(t) if kind == "f32" else int(t)) * pd[i : i + H, :]
+            o = np.zeros((H, W), acc_dt)
+            for i, t in enumerate(kx):
+                o += (float(t) if kind == "f32" else int(t)) * v[:, i : i + W]
+            return o
+
+        acc = raw(kx2, ky2) + raw(ky2, kx2)  # d²x + d²y (kernels swap axes)
+        if kind == "f32":
+            return (acc + float(delta)).astype(np.float32)
+        acc = acc + int(np.round(float(delta)))
+        if kind == "u8":
+            return np.clip(acc, -32768, 32767).astype(np.int16)
+        return np.clip(acc, -(2**31), 2**31 - 1).astype(np.int32)
+    if delta:
+        raise ValueError("delta is only supported for ksize >= 3 (cv2 parity scope)")
     if kind == "f32":
         p = _reflect_pad(img.astype(np.float64), 1)
         lap = (

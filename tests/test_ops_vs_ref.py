@@ -778,3 +778,16 @@ def test_filter2d_sharpen_kernel_exact_vs_cv2(rng):
     want = cv2.filter2D(img, -1, k)
     got = np.asarray(ie.filter2d(img, k))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_laplacian_ksize_device_vs_ref(rng, k):
+    for dt in (np.uint8, np.uint16, np.int16):
+        lo, hi = (0, 256) if dt is np.uint8 else (
+            (0, 65536) if dt is np.uint16 else (-32768, 32768))
+        for shape in [(30, 33), (2, 20, 21, 3)]:
+            img = rng.integers(lo, hi, shape).astype(dt)
+            got = np.asarray(ie.laplacian(img, k, 4.0))
+            want = per_plane_ref(lambda p: ref.laplacian(p, k, 4.0), img)
+            assert got.dtype == want.dtype
+            assert np.array_equal(got, want), (dt, k, shape)

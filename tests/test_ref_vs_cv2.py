@@ -617,3 +617,20 @@ def test_filter2d_vs_cv2(rng):
         d = maxdiff(got, want)
         lim = 0 if (dt is np.uint8 or integral) else 1
         assert d <= lim, (trial, dt, integral, d)
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_laplacian_ksize_exact(rng, k):
+    """Laplacian ksize≥3 = Sobel-based d²x+d²y with RAW integer sums and
+    a single final saturation (per-term saturation diverges at k=7)."""
+    img = _rand(rng, (40, 43))
+    for de in (0.0, 11.7):
+        want = cv2.Laplacian(img, cv2.CV_16S, ksize=k, delta=de)
+        got = ref.laplacian(img, k, de)
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want), (k, de)
+    img16 = rng.integers(0, 65536, (30, 31), dtype=np.uint16)
+    want = cv2.Laplacian(img16, cv2.CV_32F, ksize=k).astype(np.float64)
+    got = ref.laplacian(img16, k).astype(np.float64)
+    ulp = np.spacing(np.abs(want).astype(np.float32)).astype(np.float64)
+    assert (np.abs(got - want) <= np.maximum(ulp, 2.0)).all()
