@@ -25,7 +25,7 @@ from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
 __all__ = ["filter2d_planes"]
 
-_MAX_TAPS = 225  # 15×15: unroll bound
+_MAX_K = 15  # per-axis kernel bound (unroll limit)
 
 
 def filter2d_planes(planes: jnp.ndarray, kernel, delta: float = 0.0) -> jnp.ndarray:
@@ -36,8 +36,8 @@ def filter2d_planes(planes: jnp.ndarray, kernel, delta: float = 0.0) -> jnp.ndar
     if k.ndim != 2:
         raise ValueError(f"kernel must be 2-D, got shape {k.shape}")
     kh, kw = k.shape
-    if kh * kw > _MAX_TAPS:
-        raise ValueError(f"kernel {kh}x{kw} exceeds the {_MAX_TAPS}-tap unroll bound")
+    if kh > _MAX_K or kw > _MAX_K:
+        raise ValueError(f"kernel {kh}x{kw} exceeds the {_MAX_K}x{_MAX_K} unroll bound")
     H, W = planes.shape[-2], planes.shape[-1]
     pad = ((0, 0), (kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2))
     taps = [(dy, dx, float(k[dy, dx]))
@@ -55,15 +55,32 @@ def filter2d_planes(planes: jnp.ndarray, kernel, delta: float = 0.0) -> jnp.ndar
         return (acc + jnp.float32(delta)).astype(jnp.float32)
     minv, maxv = int_bounds(planes.dtype)
     integral = all(t == int(t) for _, _, t in taps)
-    bound = sum(abs(int(t)) for _, _, t in taps) * max(abs(minv), maxv)
+    bound = sum(abs(int(t)) if integral else 0 for _, _, t in taps) * max(abs(minv), maxv)
     if integral and bound < 2**30:
         p = jnp.pad(planes.astype(jnp.int32), pad, mode="reflect")
         acc = sum(int(t) * p[:, dy : dy + H, dx : dx + W] for dy, dx, t in taps)
-        idelta = int(np.clip(np.round(float(delta)), -(2**30), 2**30))
-        out = acc + idelta
+        # round(acc + δ) JOINTLY, half-to-even (pre-rounding δ is wrong:
+        # round(x + 0.5) depends on x's parity) — acc is integral, so the
+        # rounded result is acc + floor(δ) + carry, where the δ=.5 tie
+        # resolves by the parity of acc + floor(δ)
+        dint = int(np.floor(float(delta)))
+        dfrac = float(delta) - dint
+        if abs(dint) >= 2**30:
+            # |δ| dwarfs |acc| (< 2³⁰): every pixel saturates the same way
+            return jnp.full(planes.shape, minv if dint < 0 else maxv, planes.dtype)
+        if dfrac > 0.5:
+            carry = jnp.int32(1)
+        elif dfrac < 0.5:
+            carry = jnp.int32(0)
+        else:
+            carry = ((acc + dint) & 1).astype(jnp.int32)  # half-even tie
+        out = acc + dint + carry  # |acc|<2³⁰, |dint|<2³⁰: no wrap
         return jnp.clip(out, minv, maxv).astype(planes.dtype)
     # double-float accumulation: exact f64 emulation for cv2's u8 float
-    # path; within the documented ±1 of cv2's own f32 path for 16-bit
+    # path; within the documented ±1 of cv2's own f32 path for 16-bit.
+    # Integral kernels whose int32 bound overflows also land here and
+    # REMAIN exact: the double-float residual is ~2⁻⁴⁰·|acc|, far below
+    # the 0.5 rounding threshold even at 2³¹ magnitudes
     p = jnp.pad(planes, pad, mode="reflect").astype(jnp.float32)
     s = e = None
     for dy, dx, t in taps:

@@ -192,33 +192,30 @@ def laplacian_planes(planes: jnp.ndarray, ksize: int = 1, delta: float = 0.0) ->
         kx2, ky2 = deriv_kernels(2, 0, ksize)
         H, W = planes.shape[-2], planes.shape[-1]
 
-        if planes.dtype != jnp.float32:
-            maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
-                      jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
-            if 2 * int(np.abs(ky2).sum()) * int(np.abs(kx2).sum()) * maxval >= 2**31:
-                raise ValueError(
-                    f"laplacian ksize {ksize} exceeds the exact int32 range "
-                    f"for {planes.dtype}; convert to float32"
-                )
-
-        def raw(kx, ky, x):
-            ph, pw = len(ky) // 2, len(kx) // 2
-            pd = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw)), mode="reflect")
-            v = sum(int(t) * pd[:, i : i + H, :] if x.dtype == jnp.int32
-                    else jnp.float32(float(t)) * pd[:, i : i + H, :]
-                    for i, t in enumerate(ky) if float(t) != 0.0)
-            return sum(int(t) * v[:, :, i : i + W] if x.dtype == jnp.int32
-                       else jnp.float32(float(t)) * v[:, :, i : i + W]
-                       for i, t in enumerate(kx) if float(t) != 0.0)
-
         if planes.dtype == jnp.float32:
-            acc = raw(kx2, ky2, planes) + raw(ky2, kx2, planes)
+            def rawf(kx, ky):
+                ph, pw = len(ky) // 2, len(kx) // 2
+                pd = jnp.pad(planes, ((0, 0), (ph, ph), (pw, pw)), mode="reflect")
+                v = sum(jnp.float32(float(t)) * pd[:, i : i + H, :]
+                        for i, t in enumerate(ky) if float(t) != 0.0)
+                return sum(jnp.float32(float(t)) * v[:, :, i : i + W]
+                           for i, t in enumerate(kx) if float(t) != 0.0)
+
+            acc = rawf(kx2, ky2) + rawf(ky2, kx2)
             return (acc + jnp.float32(delta)).astype(jnp.float32)
+        maxval = _max_abs_val(planes.dtype)
+        B = 2 * int(np.abs(ky2).sum()) * int(np.abs(kx2).sum()) * maxval
+        if B >= 2**31:
+            raise ValueError(
+                f"laplacian ksize {ksize} exceeds the exact int32 range "
+                f"for {planes.dtype}; convert to float32"
+            )
         x = planes.astype(jnp.int32)
-        acc = raw(kx2, ky2, x) + raw(ky2, kx2, x) + int(np.round(float(delta)))
+        acc = _raw_sep_conv_int(x, kx2, ky2, H, W) + _raw_sep_conv_int(x, ky2, kx2, H, W)
+        out = _combine_delta_int32(acc, B, int(np.round(float(delta))))
         if planes.dtype == jnp.uint8:
-            return jnp.clip(acc, -32768, 32767).astype(jnp.int16)
-        return acc.astype(jnp.int32)
+            return jnp.clip(out, -32768, 32767).astype(jnp.int16)
+        return out.astype(jnp.int32)
     if delta:
         raise ValueError("delta is only supported for ksize >= 3 (cv2 parity scope)")
     acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
@@ -357,6 +354,36 @@ def unsharp_mask_planes(
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def _max_abs_val(dtype) -> int:
+    """Largest |value| of an integer image dtype (int16 → 32768)."""
+    minv, maxv = _int_bounds(dtype)
+    return max(abs(minv), maxv)
+
+
+def _raw_sep_conv_int(planes_i32, kx, ky, H, W):
+    """Raw int32 separable correlation (REFLECT_101), zero taps skipped."""
+    ph, pw = len(ky) // 2, len(kx) // 2
+    p = jnp.pad(planes_i32, ((0, 0), (ph, ph), (pw, pw)), mode="reflect")
+    v = sum(int(t) * p[:, i : i + H, :] for i, t in enumerate(ky) if int(t) != 0)
+    return sum(int(t) * v[:, :, i : i + W] for i, t in enumerate(kx) if int(t) != 0)
+
+
+def _combine_delta_int32(acc, B: int, idelta: int):
+    """``clip(acc + idelta, INT32_MIN, INT32_MAX)`` without int32 wrap.
+
+    ``|acc| ≤ B < 2³¹``: pre-clip acc into ``[INT32_MIN−δ, INT32_MAX−δ]``
+    (bounds narrowed to ±B so they are representable), THEN add."""
+    import numpy as np
+
+    idelta = int(np.clip(idelta, -(2**31), 2**31 - 1))
+    lo_eff = max(-(2**31) - idelta, -B)
+    hi_eff = min(2**31 - 1 - idelta, B)
+    if lo_eff > hi_eff:  # |δ| so large every pixel saturates the same way
+        const = -(2**31) if idelta < 0 else 2**31 - 1
+        return jnp.full(acc.shape, const, jnp.int32)
+    return jnp.clip(acc, lo_eff, hi_eff) + idelta
+
+
 def sobel_planes(
     planes: jnp.ndarray, dx: int = 1, dy: int = 0, ksize: int = 3,
     scale: float = 1.0, delta: float = 0.0,
@@ -383,8 +410,7 @@ def sobel_planes(
     H, W = planes.shape[-2], planes.shape[-1]
     ph, pw = len(ky) // 2, len(kx) // 2
     if planes.dtype != jnp.float32:
-        maxval = {jnp.dtype(jnp.uint8): 255, jnp.dtype(jnp.uint16): 65535,
-                  jnp.dtype(jnp.int16): 32768}[jnp.dtype(planes.dtype)]
+        maxval = _max_abs_val(planes.dtype)
         if int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval >= 2**31:
             # beyond exact-int32 range the f32 device path would be off by
             # HUNDREDS at these magnitudes (f32 ulp ≈ 512 at 4e9), and cv2's
@@ -407,22 +433,9 @@ def sobel_planes(
         if planes.dtype == jnp.uint8:
             return jnp.clip(out, -32768, 32767).astype(jnp.int16)
         return jnp.clip(out, -(2.0**31), 2.0**31 - 1).astype(jnp.int32)
-    p = jnp.pad(planes.astype(jnp.int32), ((0, 0), (ph, ph), (pw, pw)),
-                mode="reflect")
-    v = sum(int(t) * p[:, i : i + H, :] for i, t in enumerate(ky) if int(t) != 0)
-    acc = sum(int(t) * v[:, :, i : i + W] for i, t in enumerate(kx) if int(t) != 0)
-    # delta combine without int32 wrap: |acc| ≤ B (< 2³¹ by the int_fits
-    # gate above); pre-clip acc into [INT32_MIN−δ, INT32_MAX−δ] (bounds
-    # narrowed to ±(B+1), so they are themselves representable), THEN add
+    acc = _raw_sep_conv_int(planes.astype(jnp.int32), kx, ky, H, W)
     B = int(np.abs(ky).sum()) * int(np.abs(kx).sum()) * maxval
-    idelta = int(np.clip(np.round(float(delta)), -(2**31), 2**31 - 1))
-    lo_eff = max(-(2**31) - idelta, -B)
-    hi_eff = min(2**31 - 1 - idelta, B)
-    if lo_eff > hi_eff:  # |δ| so large every pixel saturates the same way
-        const = -(2**31) if idelta < 0 else 2**31 - 1
-        out = jnp.full(acc.shape, const, jnp.int32)
-    else:
-        out = jnp.clip(acc, lo_eff, hi_eff) + idelta
+    out = _combine_delta_int32(acc, B, int(np.round(float(delta))))
     if planes.dtype == jnp.uint8:
         return jnp.clip(out, -32768, 32767).astype(jnp.int16)
     return out.astype(jnp.int32)

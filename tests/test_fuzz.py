@@ -144,8 +144,6 @@ def test_fuzz_sobel_grid_u8(rng):
     for trial in range(40):
         dx, dy = [(1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1)][trial % 6]
         k = int(rng.choice([1, 3, 5, 7, 9]))
-        if k == 1 and max(dx, dy) > 2:
-            k = 3
         if max(dx, dy) >= k and k != 1:
             continue
         img = rng.integers(0, 256, (int(rng.integers(k + 2, 50)),

@@ -723,13 +723,14 @@ def test_sobel_scale_path_device_vs_ref(rng):
     assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
 
 
-@pytest.mark.parametrize("dt", [np.uint8, np.int16, np.float32])
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_pyramids_device_vs_ref(rng, dt):
     for shape in [(33, 47), (2, 24, 25, 3)]:
         if dt is np.float32:
             img = (rng.random(shape) * 500 - 100).astype(np.float32)
         else:
-            lo, hi = (0, 256) if dt is np.uint8 else (-32768, 32768)
+            lo, hi = (0, 256) if dt is np.uint8 else (
+                (0, 65536) if dt is np.uint16 else (-32768, 32768))
             img = rng.integers(lo, hi, shape).astype(dt)
         gd = np.asarray(ie.pyr_down(img))
         gu = np.asarray(ie.pyr_up(img))
@@ -791,3 +792,44 @@ def test_laplacian_ksize_device_vs_ref(rng, k):
             want = per_plane_ref(lambda p: ref.laplacian(p, k, 4.0), img)
             assert got.dtype == want.dtype
             assert np.array_equal(got, want), (dt, k, shape)
+
+
+def test_filter2d_delta_half_even_ties(rng):
+    """round(acc + δ) must resolve δ=.5 ties by parity JOINTLY (a
+    pre-rounded δ flips every odd pixel)."""
+    cv2 = pytest.importorskip("cv2")
+    cv2.setNumThreads(1)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    k1 = np.ones((1, 1), np.float32)
+    for de in (0.5, 1.5, -0.5, 11.5, 0.25):
+        got = np.asarray(ie.filter2d(img, k1, de))
+        want = cv2.filter2D(img, -1, k1, delta=de)
+        assert np.array_equal(got, want), de
+    # huge magnitudes saturate like cv2, never wrap
+    k = np.full((1, 1), -4210752.0, np.float32)
+    im = np.full((4, 4), 255, np.uint8)
+    assert np.array_equal(np.asarray(ie.filter2d(im, k, 3e9)),
+                          cv2.filter2D(im, -1, k, delta=3e9))
+
+
+def test_filter2d_big_integral_kernel_fallback_exact(rng):
+    """Integral kernels past the int32 bound route through double-float
+    and REMAIN exact vs the f64 oracle."""
+    kb = rng.integers(-80, 81, (7, 7)).astype(np.float32)
+    img = rng.integers(0, 65536, (20, 21)).astype(np.uint16)
+    assert np.array_equal(np.asarray(ie.filter2d(img, kb, 5.0)),
+                          ref.filter2d(img, kb, 5.0))
+
+
+def test_laplacian_huge_delta_saturates(rng):
+    """ksize≥3 delta combine must saturate like the oracle (pre-fix it
+    wrapped int32 to the wrong extreme)."""
+    img = np.zeros((16, 16), np.uint8)
+    img[::2] = 255
+    for de in (2134900927.0, -3e9, 2.5e9):
+        got = np.asarray(ie.laplacian(img, 7, de))
+        want = ref.laplacian(img, 7, de)
+        assert np.array_equal(got, want), de
+    u16 = rng.integers(0, 65536, (12, 13)).astype(np.uint16)
+    got = np.asarray(ie.laplacian(u16, 7, 2.1e9))
+    assert np.array_equal(got, ref.laplacian(u16, 7, 2.1e9))
