@@ -40,7 +40,7 @@ from imageenhancement_mp_tpu.api import (
     unsharp_mask,
 )
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 __all__ = [
     "adaptive_threshold",

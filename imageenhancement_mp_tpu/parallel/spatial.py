@@ -55,6 +55,7 @@ __all__ = [
     "dilate_spatial",
     "morphology_spatial",
     "sobel_spatial",
+    "filter2d_spatial",
     "unsharp_mask_spatial",
     "median_blur_spatial",
     "laplacian_sharpen_spatial",
@@ -307,6 +308,19 @@ def sobel_spatial(
     return _stencil_spatial(local, op, len(ky) // 2, "reflect", axis_name)
 
 
+def filter2d_spatial(
+    local: jnp.ndarray, kernel, delta: float = 0.0, axis_name: str = "y"
+) -> jnp.ndarray:
+    """``cv2.filter2D`` on row-sharded planes (halo = kh//2 rows)."""
+    import numpy as np
+
+    from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
+
+    kh = int(np.asarray(kernel).shape[0])
+    op = partial(filter2d_planes, kernel=kernel, delta=delta)
+    return _stencil_spatial(local, op, kh // 2, "reflect", axis_name)
+
+
 def adaptive_threshold_spatial(
     local: jnp.ndarray, maxval: float = 255.0, method: str = "mean",
     type: str = "binary", block_size: int = 3, C: float = 0.0,
@@ -514,6 +528,7 @@ def _spatial_registry():
         "dilate": dilate_spatial,
         "morphology": morphology_spatial,
         "sobel": sobel_spatial,
+        "filter2d": filter2d_spatial,
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,

@@ -331,3 +331,13 @@ def test_sobel_spatial_bitexact(rng):
     got = run_spatial(lambda p: sp.sobel_spatial(p, 1, 1, 5, axis_name="y"), planes)
     want = np.asarray(sobel_planes(jnp.asarray(planes), 1, 1, 5))
     assert maxdiff(got, want) == 0
+
+
+def test_filter2d_spatial_bitexact(rng):
+    planes = rng.integers(0, 256, (2, 64, 36), dtype=np.uint8)
+    from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
+
+    k = ((0, -1, 0), (-1, 5, -1), (0, -1, 0))
+    got = run_spatial(lambda p: sp.filter2d_spatial(p, k, 2.5, axis_name="y"), planes)
+    want = np.asarray(filter2d_planes(jnp.asarray(planes), k, 2.5))
+    assert maxdiff(got, want) == 0
