@@ -555,7 +555,10 @@ def laplacian(img: np.ndarray, ksize: int = 1, delta: float = 0.0) -> np.ndarray
     ``[[0,1,0],[1,−4,1],[0,1,0]]``; ``ksize≥3``: the Sobel-based
     ``d²/dx² + d²/dy²`` with RAW integer sums and ONE final saturation
     (pinned: per-term saturation diverges at k=7).  REFLECT_101 border.
-    uint8 → int16 (CV_16S); uint16/int16 → int32; float32 → float32."""
+    uint8 → int16 (CV_16S); uint16/int16 → int32; float32 → float32.
+    Fractional deltas: cv2 computes the k≥3 path in f32, so totals
+    within f32 noise of a .5 boundary flip ±1 vs these correctly-rounded
+    integers (docs/PARITY.md); integral deltas are bitwise."""
     kind = _img_kind(img, allow_i16=True)
     if ksize != 1:
         kx2, ky2 = deriv_kernels(2, 0, ksize)

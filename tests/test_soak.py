@@ -1,0 +1,145 @@
+"""Opt-in soak fuzz: thousands of random (op, params, shape, dtype)
+configs, oracle vs cv2 directly.  Run with ``IE_RUN_SOAK=1`` (minutes).
+
+The per-op budgets mirror docs/PARITY.md; any violation prints the full
+config for reproduction.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+from imageenhancement_mp_tpu import ref
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("IE_RUN_SOAK"), reason="set IE_RUN_SOAK=1 for the soak tier"
+)
+
+
+def _img(rng, dt, shape):
+    if dt is np.float32:
+        return (rng.random(shape) * 600 - 150).astype(np.float32)
+    lo, hi = (0, 256) if dt is np.uint8 else (
+        (0, 65536) if dt is np.uint16 else (-32768, 32768))
+    return rng.integers(lo, hi, shape).astype(dt)
+
+
+def test_soak_oracle_vs_cv2():
+    rng = np.random.default_rng(20260817)
+    fails = []
+    N = int(os.environ.get("IE_SOAK_N", "1500"))
+    for trial in range(N):
+        H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
+        op = trial % 13
+        try:
+            if op == 0:  # gaussian, any k/sigma, u8/u16
+                dt = np.uint8 if trial % 2 else np.uint16
+                img = _img(rng, dt, (H, W))
+                k = int(rng.choice([3, 5, 7, 9, 13, 21]))
+                sg = float(rng.choice([0.0, 0.6, 1.5, 3.3, 7.9]))
+                d = int(np.abs(ref.gaussian_blur(img, k, sg).astype(np.int64)
+                               - cv2.GaussianBlur(img, (k, k), sg).astype(np.int64)).max())
+                ok = d == 0
+            elif op == 1:  # clahe u8/u16
+                dt = np.uint8 if trial % 2 else np.uint16
+                img = _img(rng, dt, (H, W))
+                clip = float(rng.choice([1.0, 2.0, 4.0, 40.0]))
+                g = int(rng.choice([2, 4, 8]))
+                want = cv2.createCLAHE(clip, (g, g)).apply(img)
+                d = int(np.abs(ref.clahe(img, clip, (g, g)).astype(np.int64)
+                               - want.astype(np.int64)).max())
+                ok = d <= 1
+            elif op == 2:  # equalize
+                img = _img(rng, np.uint8, (H, W))
+                ok = np.array_equal(ref.equalize_hist(img), cv2.equalizeHist(img))
+            elif op == 3:  # normalize any range
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                a, b = sorted(rng.uniform(-40000, 70000, 2))
+                want = cv2.normalize(img, None, a, b, cv2.NORM_MINMAX)
+                ok = np.array_equal(ref.contrast_stretch(img, (a, b)), want)
+            elif op == 4:  # addWeighted
+                dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
+                x, y = _img(rng, dt, (H, W)), _img(rng, dt, (H, W))
+                al, be, ga = rng.uniform(-4, 4), rng.uniform(-4, 4), rng.uniform(-900, 900)
+                ok = np.array_equal(ref.add_weighted(x, al, y, be, ga),
+                                    cv2.addWeighted(x, al, y, be, ga))
+            elif op == 5:  # median
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                k = int(rng.choice([3, 5]))
+                ok = np.array_equal(ref.median_blur(img, k), cv2.medianBlur(img, k))
+            elif op == 6:  # box
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                kh, kw = int(rng.choice([1, 3, 5, 9])), int(rng.choice([1, 3, 5, 9]))
+                want = cv2.blur(img, (kw, kh))
+                got = ref.box_blur(img, (kh, kw))
+                diff = got.astype(np.int64) != want.astype(np.int64)
+                ok = (not diff.any()) or (
+                    int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+                    and all(x >= W - 16 for x in np.argwhere(diff)[:, 1]))
+            elif op == 7:  # threshold
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                typ, flag = [("binary", cv2.THRESH_BINARY), ("trunc", cv2.THRESH_TRUNC),
+                             ("tozero_inv", cv2.THRESH_TOZERO_INV)][trial % 3]
+                t, mv = rng.uniform(-70000, 70000), rng.uniform(-70000, 70000)
+                wr, wd = cv2.threshold(img, t, mv, flag)
+                gr, gd = ref.threshold(img, t, mv, typ)
+                ok = gr == wr and np.array_equal(gd, wd)
+            elif op == 8:  # morphology
+                dt = [np.uint8, np.int16][trial % 2]
+                img = _img(rng, dt, (H, W))
+                mop, flag = [("open", cv2.MORPH_OPEN), ("gradient", cv2.MORPH_GRADIENT),
+                             ("blackhat", cv2.MORPH_BLACKHAT)][trial % 3]
+                kh, kw = int(rng.integers(1, 6)), int(rng.integers(2, 6))
+                want = cv2.morphologyEx(img, flag, np.ones((kh, kw), np.uint8))
+                ok = np.array_equal(ref.morphology(img, mop, (kh, kw)), want)
+            elif op == 9:  # sobel u8
+                img = _img(rng, np.uint8, (H, W))
+                dx, dy = [(1, 0), (0, 1), (1, 1), (2, 0)][trial % 4]
+                k = int(rng.choice([1, 3, 5, 7, -1]))
+                if k == -1 and dx + dy != 1:
+                    k = 3
+                de = float(rng.uniform(-30, 30))
+                want = (cv2.Scharr(img, cv2.CV_16S, dx, dy, delta=de) if k == -1
+                        else cv2.Sobel(img, cv2.CV_16S, dx, dy, ksize=k, delta=de))
+                ok = np.array_equal(ref.sobel(img, dx, dy, k, 1.0, de), want)
+            elif op == 10:  # color conversions u8/u16
+                dt = np.uint8 if trial % 2 else np.uint16
+                img = _img(rng, dt, (H, W, 3))
+                which = trial % 3
+                if which == 0:
+                    ok = np.array_equal(ref.cvt_gray(img), cv2.cvtColor(img, cv2.COLOR_RGB2GRAY))
+                elif which == 1:
+                    ok = np.array_equal(ref.rgb_to_ycrcb(img),
+                                        cv2.cvtColor(img, cv2.COLOR_RGB2YCrCb))
+                else:
+                    ok = np.array_equal(ref.ycrcb_to_rgb(img),
+                                        cv2.cvtColor(img, cv2.COLOR_YCrCb2RGB))
+            elif op == 11:  # pyramids
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                ok = (np.array_equal(ref.pyr_down(img), cv2.pyrDown(img))
+                      and np.array_equal(ref.pyr_up(img), cv2.pyrUp(img)))
+            else:  # laplacian ksize grid u8
+                img = _img(rng, np.uint8, (H, W))
+                k = int(rng.choice([1, 3, 5, 7]))
+                de = float(rng.uniform(-20, 20)) if k > 1 else 0.0
+                want = cv2.Laplacian(img, cv2.CV_16S, ksize=k, delta=de)
+                got = ref.laplacian(img, k, de)
+                d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+                # fractional deltas: cv2's f32 path can flip .5-razor
+                # boundaries ±1 vs our correctly-rounded integers
+                ok = d == 0 or (d <= 1 and de != np.round(de))
+        except Exception as e:  # pragma: no cover - soak diagnostics
+            fails.append((trial, op, f"EXC {e}"))
+            continue
+        if not ok:
+            fails.append((trial, op, (H, W)))
+    assert not fails, fails[:20]
