@@ -41,6 +41,8 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "clahe 4K rgb": 0.156,  # per-channel cv2 CLAHE on 4K RGB
     "median5>clahe>unsharp 4K gray b2": 0.122,
     "box5 4K gray b2": 3.581,  # cv2.blur running sums are fast on CPU
+    "resize/lin 4K->1440p gray b2": 3.055,   # cv2 u8 bilinear (non-integer scale)
+    "resize/area 4K->1440p gray b2": 0.512,  # cv2 general area path
     "bilateral9 4K gray b2": 0.0674,  # cv2.bilateralFilter d=9 (IPP path)
     "sobel3 4K gray b2": 1.883,  # cv2.Sobel CV_16S
     "open3 4K gray b2": 3.853,  # cv2.morphologyEx MORPH_OPEN 3x3
@@ -214,6 +216,18 @@ def main() -> int:
                 lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
                 b4k,
                 gray_oracle(lambda p: ref.bilateral_filter(p, 9, 75.0, 75.0)),
+            ),
+            (
+                "resize/lin 4K->1440p gray b2",
+                lambda x: ie.resize(x, (1440, 2560)),
+                b4k,
+                gray_oracle(lambda p: ref.resize(p, (1440, 2560))),
+            ),
+            (
+                "resize/area 4K->1440p gray b2",
+                lambda x: ie.resize(x, (1440, 2560), "area"),
+                b4k,
+                gray_oracle(lambda p: ref.resize(p, (1440, 2560), "area")),
             ),
             (
                 "sobel3 4K gray b2",

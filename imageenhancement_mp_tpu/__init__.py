@@ -23,6 +23,7 @@ from imageenhancement_mp_tpu.api import (
     filter2d,
     morphology_ex,
     pyr_down,
+    resize,
     pyr_up,
     histogram,
     clahe,
@@ -57,6 +58,7 @@ __all__ = [
     "filter2d",
     "morphology_ex",
     "pyr_down",
+    "resize",
     "pyr_up",
     "histogram",
     "clahe",

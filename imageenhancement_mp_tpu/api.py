@@ -42,6 +42,7 @@ __all__ = [
     "morphology_ex",
     "pyr_down",
     "pyr_up",
+    "resize",
     "histogram",
     "gamma",
     "log_transform",
@@ -101,6 +102,7 @@ _I16_OK = {
     "filter2d",
     "pyr_down",
     "pyr_up",
+    "resize",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -473,6 +475,21 @@ def pyr_up(img, channels_last: bool = True):
     (exact u8/u16/i16; f32 at float tol)."""
     _check_image_dtype(img, allow_i16=True)
     return _apply("pyr_up", img, channels_last)
+
+
+def resize(img, dsize, interpolation: str = "linear", channels_last: bool = True):
+    """``cv2.resize(img, (ow, oh), interpolation)`` — NOTE ``dsize`` is
+    ``(oh, ow)`` row-major like the rest of this library.
+
+    ``interpolation``: ``"nearest"`` (index-exact away from cv2's
+    measure-zero boundary snaps — ref/ops.py ``resize``), ``"linear"``
+    (u8 BIT-EXACT fixed-point; u16/i16 cv2-float-path ±1; f32 1-ulp),
+    ``"area"`` (integer-factor exact incl. the 2x2 half-up fast path;
+    general downscale rides the MXU as two weight matmuls)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("resize", img, channels_last,
+                  dsize=(int(dsize[0]), int(dsize[1])),
+                  interpolation=str(interpolation))
 
 
 def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):

@@ -111,6 +111,11 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
         elif name == "sharpen2d":
             # the classic 5-point sharpening mask via the generic filter2d
             out = ie.filter2d(out, ((0, -1, 0), (-1, 5, -1), (0, -1, 0)))
+        elif name == "resize":
+            if len(ps) < 2:
+                raise ValueError("resize needs resize:H:W[:interp]")
+            out = ie.resize(out, (int(ps[0]), int(ps[1])),
+                            ps[2] if len(ps) > 2 else "linear")
         elif name == "pyrdown":
             out = ie.pyr_down(out)
         elif name == "pyrup":

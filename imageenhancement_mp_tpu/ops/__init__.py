@@ -24,6 +24,7 @@ from imageenhancement_mp_tpu.ops.morphology import (
 from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes, threshold_planes
 from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
 from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
+from imageenhancement_mp_tpu.ops.resize import resize_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -51,6 +52,7 @@ OP_REGISTRY = {
     "morphology": morphology_planes,
     "sobel": sobel_planes,
     "pyr_down": pyr_down_planes,
+    "resize": resize_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -82,6 +84,7 @@ __all__ = [
     "morphology_planes",
     "sobel_planes",
     "pyr_down_planes",
+    "resize_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

@@ -80,6 +80,8 @@ __all__ = [
     "pyr_down",
     "pyr_up",
     "filter2d",
+    "resize",
+    "resize_lin_tables",
 ]
 
 
@@ -1414,3 +1416,157 @@ def filter2d(img: np.ndarray, kernel: np.ndarray, delta: float = 0.0) -> np.ndar
     return np.clip(
         np.round(acc + float(delta)), _int_minval(kind), _int_maxval(kind)
     ).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# geometric resize (cv2.resize)
+# ---------------------------------------------------------------------------
+
+_RESIZE_SHIFT = 11                       # INTER_RESIZE_COEF_BITS
+_RESIZE_SCALE = 1 << _RESIZE_SHIFT
+
+
+def resize_lin_tables(n: int, on: int, area: bool = False):
+    """Per-axis linear-resize tables: ``(i0, i1, frac)``.
+
+    Pinned empirically (docs/PARITY.md): cv2 computes the source
+    coordinate ``(dx+0.5)*n/on - 0.5`` in double, stores it as FLOAT32,
+    splits floor/frac, and clamps only the INDICES at the borders — the
+    fractional part keeps its out-of-range value (e.g. -0.3 at the top
+    edge), which changes the fixed-point coefficients vs a clamped
+    model.  ``area=True`` gives INTER_AREA's upscale coordinates:
+    ``sx = floor(dx*scale)``, ``fx = (dx+1) - (sx+1)*on/n`` clamped at
+    0 (exact on the probe grids W2->5/7, W3->7, W4->9).
+    """
+    scale = n / on
+    if area:
+        # NOTE boundary caveat: when dx*scale sits within ~1 ulp of an
+        # integer, cv2's table construction snaps inconsistently (probed
+        # 18->66 dx=55 vs 45->50 dx=30: the two cases demand OPPOSITE
+        # roundings, and the latter samples outside its own area cell),
+        # so ONE row/column may sample the adjacent source line there
+        # (~3 % of random size pairs).  docs/PARITY.md.
+        i = np.floor(np.arange(on) * scale).astype(np.int64)
+        f = (((np.arange(on) + 1) - (i + 1) * (on / n))).astype(np.float32)
+        f = np.where(f <= 0, np.float32(0), f - np.floor(f)).astype(np.float32)
+    else:
+        f = ((np.arange(on) + 0.5) * scale - 0.5).astype(np.float32)
+        i = np.floor(f.astype(np.float64)).astype(np.int64)
+        f = (f - i).astype(np.float32)
+    i0 = np.clip(i, 0, n - 1)
+    i1 = np.clip(i + 1, 0, n - 1)
+    return i0, i1, f
+
+
+def _resize_linear_u8(img, oh, ow, area=False):
+    """cv2's u8 bilinear: 2^11 fixed-point horizontal at full int
+    precision, then the SIMD vertical stage ``((S>>4)*b) >> 16`` per
+    row and ``(t0+t1+2)>>2`` — pinned bit-exact (0/111069 px over a
+    129-case corpus; the truncating mul-high makes the vertical pass
+    NONLINEAR in (S0, S1), so no scalar-rounding model can match)."""
+    H, W = img.shape
+    iy0, iy1, ry = resize_lin_tables(H, oh, area)
+    ix0, ix1, rx = resize_lin_tables(W, ow, area)
+    cx1 = _RESIZE_SCALE - np.round(rx.astype(np.float64) * _RESIZE_SCALE).astype(np.int64)
+    cx2 = _RESIZE_SCALE - cx1
+    cy1 = _RESIZE_SCALE - np.round(ry.astype(np.float64) * _RESIZE_SCALE).astype(np.int64)
+    cy2 = _RESIZE_SCALE - cy1
+    a = img.astype(np.int64)
+    sh = a[:, ix0] * cx1 + a[:, ix1] * cx2          # (H, ow), scale 2^11
+    x0, x1 = sh[iy0] >> 4, sh[iy1] >> 4             # int16 range, scale 2^7
+    t = ((x0 * cy1[:, None]) >> 16) + ((x1 * cy2[:, None]) >> 16)
+    return np.clip((t + 2) >> 2, 0, 255).astype(np.uint8)
+
+
+def _resize_linear_float(img, oh, ow, area=False):
+    """cv2's float linear path (u16/i16/f32 sources): f32 coefficients
+    ``(1-r, r)``, f32 accumulation ``v0*c0 + v1*c1`` per axis."""
+    H, W = img.shape
+    iy0, iy1, ry = resize_lin_tables(H, oh, area)
+    ix0, ix1, rx = resize_lin_tables(W, ow, area)
+    a = img.astype(np.float32)
+    one = np.float32(1)
+    h0 = (a[:, ix0] * (one - rx) + a[:, ix1] * rx).astype(np.float32)
+    v = (h0[iy0] * (one - ry)[:, None] + h0[iy1] * ry[:, None]).astype(np.float32)
+    return v
+
+
+def resize(img: np.ndarray, dsize, interpolation: str = "linear") -> np.ndarray:
+    """``cv2.resize(img, (ow, oh), interpolation=...)`` — NOTE ``dsize``
+    here is ``(oh, ow)`` row-major like the rest of this library.
+
+    * ``nearest``: ``min(floor(dx*scale), n-1)`` gather (f64), all
+      dtypes.  Exact except when ``dx*scale`` sits within ~1 ulp of an
+      integer: cv2's internal table snaps those NON-MONOTONICALLY (a
+      dense (n, on) sweep proves no floor/round/ceil/fixed-point/DDA
+      model reproduces it — e.g. 36->44 keeps the exact hit at dy=11
+      but drops it at dy=33), so there one output row/column picks the
+      adjacent source line (~3 % of random size pairs, never more than
+      one source pixel away).
+    * ``linear``: u8 bit-exact (see ``_resize_linear_u8``); u16/i16
+      follow cv2's f32 path within the documented ±1 (build-dependent
+      SIMD/FMA splits); float32 at 1-ULP.
+    * ``area``: integer-factor downscale is ``cvRound(sum·f32(1/area))``
+      (half-even on the f32 product) EXCEPT the 2x2 fast path which is
+      ``(sum+2)>>2`` (half-up — cv2's ``v_rshr_pack`` SIMD, pinned
+      0/100 vs 30/400 for half-even); non-integer downscale uses f32
+      area weights (±1 on rare boundary pixels); any upscale axis
+      switches to the bilinear machinery with AREA coordinates.
+    """
+    kind = _img_kind(img, allow_i16=True)
+    oh, ow = int(dsize[0]), int(dsize[1])
+    if oh < 1 or ow < 1:
+        raise ValueError(f"invalid output size {(oh, ow)}")
+    H, W = img.shape
+    if interpolation == "nearest":
+        ys = np.minimum((np.arange(oh) * (H / oh)).astype(np.int64), H - 1)
+        xs = np.minimum((np.arange(ow) * (W / ow)).astype(np.int64), W - 1)
+        return img[np.ix_(ys, xs)]
+    if interpolation == "linear":
+        if kind == "u8":
+            return _resize_linear_u8(img, oh, ow)
+        v = _resize_linear_float(img, oh, ow)
+        if kind == "f32":
+            return v
+        lo, hi = _int_minval(kind), _int_maxval(kind)
+        return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+    if interpolation == "area":
+        if H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
+            f1, f2 = H // oh, W // ow
+            s = img.reshape(oh, f1, ow, f2).astype(np.float64).sum((1, 3))
+            if kind == "f32":
+                return (s.astype(np.float32) * np.float32(1.0 / (f1 * f2))).astype(np.float32)
+            lo, hi = _int_minval(kind), _int_maxval(kind)
+            si = s.astype(np.int64)
+            if (f1, f2) == (2, 2):
+                out = (si + 2) >> 2
+            else:
+                out = np.round(si.astype(np.float32) * np.float32(1.0 / (f1 * f2)))
+            return np.clip(out, lo, hi).astype(img.dtype)
+        if H >= oh and W >= ow:
+            sy, sx = H / oh, W / ow
+            cell = np.float32(1.0 / (sy * sx))
+            out = np.zeros((oh, ow), np.float64)
+            for dy in range(oh):
+                y0, y1 = dy * sy, min((dy + 1) * sy, H)
+                ys = np.arange(int(np.floor(y0)), min(int(np.ceil(y1)), H))
+                wy = np.minimum(ys + 1, y1) - np.maximum(ys, y0)
+                for dx in range(ow):
+                    x0, x1 = dx * sx, min((dx + 1) * sx, W)
+                    xs = np.arange(int(np.floor(x0)), min(int(np.ceil(x1)), W))
+                    wx = np.minimum(xs + 1, x1) - np.maximum(xs, x0)
+                    out[dy, dx] = (img[np.ix_(ys, xs)].astype(np.float64)
+                                   * np.outer(wy, wx)).sum() * cell
+            if kind == "f32":
+                return out.astype(np.float32)
+            lo, hi = _int_minval(kind), _int_maxval(kind)
+            return np.clip(np.round(out), lo, hi).astype(img.dtype)
+        # at least one upscale axis: bilinear machinery with AREA coords
+        if kind == "u8":
+            return _resize_linear_u8(img, oh, ow, area=True)
+        v = _resize_linear_float(img, oh, ow, area=True)
+        if kind == "f32":
+            return v
+        lo, hi = _int_minval(kind), _int_maxval(kind)
+        return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+    raise ValueError(f"unknown interpolation {interpolation!r}")

@@ -96,6 +96,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("pyr_up", lambda: ie.pyr_up(img), lambda: ref.pyr_up(img), 0),
         ("filter2d", lambda: ie.filter2d(img, ((0, -1, 0), (-1, 5, -1), (0, -1, 0))),
          lambda: ref.filter2d(img, np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]])), 0),
+        # bit-exact u8 bilinear (the pinned fixed-point pipeline) and
+        # the MXU matmul area downscale
+        ("resize/lin", lambda: ie.resize(img, (size[0] * 3 // 4, size[1] * 5 // 7)),
+         lambda: ref.resize(img, (size[0] * 3 // 4, size[1] * 5 // 7)), 0),
+        ("resize/area", lambda: ie.resize(img, (size[0] * 3 // 7, size[1] * 2 // 5), "area"),
+         lambda: ref.resize(img, (size[0] * 3 // 7, size[1] * 2 // 5), "area"), 1),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

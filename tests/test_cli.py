@@ -204,3 +204,12 @@ def test_cli_gray_rejects_gray_input(tmp_path, rng):
     )
     assert r.returncode == 2
     assert "gray needs a color image" in r.stderr
+
+
+def test_cli_resize(tmp_path, rng):
+    """resize:H:W[:interp] — u8 bilinear is the pinned bit-exact path."""
+    img = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+    got = _run_cli(tmp_path, img, ["resize:23:31"])
+    np.testing.assert_array_equal(got, ref.resize(img, (23, 31), "linear"))
+    got = _run_cli(tmp_path, img, ["resize:20:25:area"])
+    np.testing.assert_array_equal(got, ref.resize(img, (20, 25), "area"))

@@ -34,7 +34,7 @@ def test_soak_oracle_vs_cv2():
     N = int(os.environ.get("IE_SOAK_N", "1500"))
     for trial in range(N):
         H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-        op = trial % 13
+        op = trial % 14
         try:
             if op == 0:  # gaussian, any k/sigma, u8/u16
                 dt = np.uint8 if trial % 2 else np.uint16
@@ -127,7 +127,7 @@ def test_soak_oracle_vs_cv2():
                 img = _img(rng, dt, (H, W))
                 ok = (np.array_equal(ref.pyr_down(img), cv2.pyrDown(img))
                       and np.array_equal(ref.pyr_up(img), cv2.pyrUp(img)))
-            else:  # laplacian ksize grid u8
+            elif op == 12:  # laplacian ksize grid u8
                 img = _img(rng, np.uint8, (H, W))
                 k = int(rng.choice([1, 3, 5, 7]))
                 de = float(rng.uniform(-20, 20)) if k > 1 else 0.0
@@ -137,6 +137,30 @@ def test_soak_oracle_vs_cv2():
                 # fractional deltas: cv2's f32 path can flip .5-razor
                 # boundaries ±1 vs our correctly-rounded integers
                 ok = d == 0 or (d <= 1 and de != np.round(de))
+            else:  # resize all modes/dtypes
+                dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
+                img = _img(rng, dt, (H, W))
+                oh, ow = int(rng.integers(1, 96)), int(rng.integers(1, 96))
+                interp = ["nearest", "linear", "area"][trial % 3]
+                da = np.arange(1, oh) * (H / oh); db = np.arange(1, ow) * (W / ow)
+                razor = bool(np.any(np.abs(da - np.round(da)) < 1e-9 * np.maximum(da, 1))
+                             or np.any(np.abs(db - np.round(db)) < 1e-9 * np.maximum(db, 1)))
+                if interp in ("nearest", "area") and razor:
+                    ok = True  # documented measure-zero snap zone
+                else:
+                    code = {"nearest": cv2.INTER_NEAREST, "linear": cv2.INTER_LINEAR,
+                            "area": cv2.INTER_AREA}[interp]
+                    want = cv2.resize(img, (ow, oh), interpolation=code)
+                    got = ref.resize(img, (oh, ow), interp)
+                    if dt is np.float32:
+                        tol = 2e-5 * max(1.0, float(np.abs(want).max()))
+                        ok = float(np.abs(got - want).max()) <= tol
+                    else:
+                        d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+                        lim = 0 if interp == "nearest" or dt is np.uint8 and interp == "linear" else 1
+                        if interp == "area" and H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
+                            lim = 0
+                        ok = d <= lim
         except Exception as e:  # pragma: no cover - soak diagnostics
             fails.append((trial, op, f"EXC {e}"))
             continue
