@@ -24,6 +24,9 @@ from imageenhancement_mp_tpu.api import (
     morphology_ex,
     pyr_down,
     resize,
+    flip,
+    rotate,
+    transpose,
     pyr_up,
     histogram,
     clahe,
@@ -59,6 +62,9 @@ __all__ = [
     "morphology_ex",
     "pyr_down",
     "resize",
+    "flip",
+    "rotate",
+    "transpose",
     "pyr_up",
     "histogram",
     "clahe",

@@ -43,6 +43,9 @@ __all__ = [
     "pyr_down",
     "pyr_up",
     "resize",
+    "flip",
+    "rotate",
+    "transpose",
     "histogram",
     "gamma",
     "log_transform",
@@ -103,6 +106,9 @@ _I16_OK = {
     "pyr_down",
     "pyr_up",
     "resize",
+    "flip",
+    "rotate",
+    "transpose",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -490,6 +496,25 @@ def resize(img, dsize, interpolation: str = "linear", channels_last: bool = True
     return _apply("resize", img, channels_last,
                   dsize=(int(dsize[0]), int(dsize[1])),
                   interpolation=str(interpolation))
+
+
+def flip(img, code: int = 0, channels_last: bool = True):
+    """``cv2.flip``: 0 = vertical (rows), positive = horizontal (cols),
+    negative = both — exact, any dtype."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("flip", img, channels_last, code=int(code))
+
+
+def rotate(img, code: str = "90cw", channels_last: bool = True):
+    """``cv2.rotate``: ``90cw`` | ``180`` | ``90ccw`` — exact."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("rotate", img, channels_last, code=str(code))
+
+
+def transpose(img, channels_last: bool = True):
+    """``cv2.transpose`` — exact."""
+    _check_image_dtype(img, allow_i16=True)
+    return _apply("transpose", img, channels_last)
 
 
 def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):

@@ -111,6 +111,10 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
         elif name == "sharpen2d":
             # the classic 5-point sharpening mask via the generic filter2d
             out = ie.filter2d(out, ((0, -1, 0), (-1, 5, -1), (0, -1, 0)))
+        elif name == "flip":
+            out = ie.flip(out, int(ps[0]) if ps else 1)
+        elif name == "rotate":
+            out = ie.rotate(out, ps[0] if ps else "90cw")
         elif name == "resize":
             if len(ps) < 2:
                 raise ValueError("resize needs resize:H:W[:interp]")

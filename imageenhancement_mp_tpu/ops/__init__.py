@@ -24,7 +24,8 @@ from imageenhancement_mp_tpu.ops.morphology import (
 from imageenhancement_mp_tpu.ops.threshold import adaptive_threshold_planes, threshold_planes
 from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
 from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
-from imageenhancement_mp_tpu.ops.resize import resize_planes
+from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
+                                                rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -53,6 +54,9 @@ OP_REGISTRY = {
     "sobel": sobel_planes,
     "pyr_down": pyr_down_planes,
     "resize": resize_planes,
+    "flip": flip_planes,
+    "rotate": rotate_planes,
+    "transpose": transpose_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -85,6 +89,9 @@ __all__ = [
     "sobel_planes",
     "pyr_down_planes",
     "resize_planes",
+    "flip_planes",
+    "rotate_planes",
+    "transpose_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

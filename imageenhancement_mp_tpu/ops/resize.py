@@ -25,10 +25,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.ref.ops import resize_lin_tables
+from imageenhancement_mp_tpu.ref.ops import (cubic_weights, resize_cubic_tables,
+                                             resize_lin_tables)
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
-__all__ = ["resize_planes"]
+__all__ = ["resize_planes", "flip_planes", "rotate_planes", "transpose_planes"]
 
 _RESIZE_SCALE = 1 << 11
 
@@ -64,6 +65,46 @@ def _linear_float(planes, oh, ow, area):
     v = (jnp.take(h, iy0, axis=-2) * (one - ry)[None, :, None]
          + jnp.take(h, iy1, axis=-2) * ry[None, :, None]).astype(jnp.float32)
     return v
+
+
+def _cubic_tables(n, on, fixed):
+    idx, r = resize_cubic_tables(n, on)
+    if fixed:
+        c = np.stack([np.round(cubic_weights(float(t)) * 2048).astype(np.int32)
+                      for t in r])
+    else:
+        c = np.stack([cubic_weights(float(t)) for t in r]).astype(np.float32)
+    return idx, c
+
+
+def _cubic(planes, oh, ow):
+    """Bicubic: u8 keeps the oracle's integer horizontal pass (scale
+    2^11, |S| < 2^20 — exact in int32 AND in f32's 24-bit mantissa);
+    the vertical accumulation runs in f32 because the full 2^22-scale
+    integer sum can exceed int32 (budget 1 LSB vs the int64 oracle on
+    razor ties; cv2's own u8 vertical is f32 too).  Other dtypes: the
+    oracle's f32 path verbatim."""
+    H, W = planes.shape[-2], planes.shape[-1]
+    if planes.dtype == jnp.uint8:
+        xi, xc = _cubic_tables(W, ow, fixed=True)
+        yi, yc = _cubic_tables(H, oh, fixed=True)
+        a = planes.astype(jnp.int32)
+        S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
+                for k in range(4))
+        Sf = S.astype(jnp.float32)
+        v = sum(jnp.take(Sf, yi[:, k], axis=-2)
+                * yc[:, k].astype(np.float32)[None, :, None]
+                for k in range(4))
+        out = jnp.round(v * jnp.float32(1.0 / (1 << 22)))
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+    xi, xc = _cubic_tables(W, ow, fixed=False)
+    yi, yc = _cubic_tables(H, oh, fixed=False)
+    a = planes.astype(jnp.float32)
+    S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
+            for k in range(4)).astype(jnp.float32)
+    v = sum(jnp.take(S, yi[:, k], axis=-2) * yc[:, k][None, :, None]
+            for k in range(4)).astype(jnp.float32)
+    return _round_cast(v, planes.dtype)
 
 
 def _round_cast(v, dtype):
@@ -103,6 +144,8 @@ def resize_planes(planes: jnp.ndarray, dsize, interpolation: str = "linear") -> 
         if planes.dtype == jnp.uint8:
             return _linear_u8(planes, oh, ow, area=False)
         return _round_cast(_linear_float(planes, oh, ow, area=False), planes.dtype)
+    if interpolation == "cubic":
+        return _cubic(planes, oh, ow)
     if interpolation == "area":
         if H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
             f1, f2 = H // oh, W // ow
@@ -133,3 +176,28 @@ def resize_planes(planes: jnp.ndarray, dsize, interpolation: str = "linear") -> 
             return _linear_u8(planes, oh, ow, area=True)
         return _round_cast(_linear_float(planes, oh, ow, area=True), planes.dtype)
     raise ValueError(f"unknown interpolation {interpolation!r}")
+
+
+def flip_planes(planes: jnp.ndarray, code: int = 0) -> jnp.ndarray:
+    """``cv2.flip`` per plane: 0 rows, >0 cols, <0 both — exact."""
+    if code == 0:
+        return planes[:, ::-1, :]
+    if code > 0:
+        return planes[:, :, ::-1]
+    return planes[:, ::-1, ::-1]
+
+
+def transpose_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """``cv2.transpose`` per plane — exact."""
+    return jnp.swapaxes(planes, -1, -2)
+
+
+def rotate_planes(planes: jnp.ndarray, code: str = "90cw") -> jnp.ndarray:
+    """``cv2.rotate`` per plane (90cw | 180 | 90ccw) — exact."""
+    if code == "90cw":
+        return jnp.swapaxes(planes, -1, -2)[:, :, ::-1]
+    if code == "180":
+        return planes[:, ::-1, ::-1]
+    if code == "90ccw":
+        return jnp.swapaxes(planes, -1, -2)[:, ::-1, :]
+    raise ValueError(f"unknown rotation {code!r} (90cw|180|90ccw)")

@@ -102,6 +102,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.resize(img, (size[0] * 3 // 4, size[1] * 5 // 7)), 0),
         ("resize/area", lambda: ie.resize(img, (size[0] * 3 // 7, size[1] * 2 // 5), "area"),
          lambda: ref.resize(img, (size[0] * 3 // 7, size[1] * 2 // 5), "area"), 1),
+        # budget 1: device f32 vertical vs the int64 oracle (razor ties)
+        ("resize/cubic", lambda: ie.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "cubic"),
+         lambda: ref.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "cubic"), 1),
+        ("rotate90", lambda: ie.rotate(img, "90cw"), lambda: ref.rotate(img, "90cw"), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -123,4 +123,64 @@ def test_api_rejects():
     with pytest.raises(ValueError):
         ie.resize(jnp.zeros((4, 4), jnp.uint8), (0, 3))
     with pytest.raises(ValueError):
-        ie.resize(jnp.zeros((4, 4), jnp.uint8), (3, 3), "cubic")
+        ie.resize(jnp.zeros((4, 4), jnp.uint8), (3, 3), "lanczos")
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_cubic_ref_vs_cv2(dt):
+    rng = np.random.default_rng(hash(("cubic", dt.__name__)) % 2**31)
+    for t in range(60):
+        H, W = int(rng.integers(2, 45)), int(rng.integers(2, 45))
+        oh, ow = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+        img = _img(rng, dt, (H, W))
+        want = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_CUBIC)
+        got = ref.resize(img, (oh, ow), "cubic")
+        if dt is np.float32:
+            tol = 3e-5 * max(1.0, float(np.abs(want).max()))
+            assert float(np.abs(got - want).max()) <= tol, (H, W, oh, ow)
+        else:
+            # ±1: cv2's u8 vertical runs in f32 with build-dependent
+            # lane order (docs/PARITY.md)
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+def test_cubic_device_vs_oracle():
+    rng = np.random.default_rng(77)
+    for dt in [np.uint8, np.uint16, np.float32]:
+        img = _img(rng, dt, (33, 27))
+        want = ref.resize(img, (21, 40), "cubic")
+        got = np.asarray(resize_planes(jnp.asarray(img)[None], (21, 40), "cubic"))[0]
+        if dt is np.float32:
+            assert float(np.abs(got - want).max()) <= 2e-3 * max(
+                1.0, float(np.abs(want).max()))
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1  # f32 vertical vs int64 oracle on razor ties
+
+
+def test_geometry_exact():
+    rng = np.random.default_rng(13)
+    for dt in [np.uint8, np.uint16, np.int16, np.float32]:
+        img = _img(rng, dt, (13, 17))
+        assert np.array_equal(ref.flip(img, 0), cv2.flip(img, 0))
+        assert np.array_equal(ref.flip(img, 1), cv2.flip(img, 1))
+        assert np.array_equal(ref.flip(img, -1), cv2.flip(img, -1))
+        assert np.array_equal(ref.transpose(img), cv2.transpose(img))
+        assert np.array_equal(ref.rotate(img, "90cw"),
+                              cv2.rotate(img, cv2.ROTATE_90_CLOCKWISE))
+        assert np.array_equal(ref.rotate(img, "180"), cv2.rotate(img, cv2.ROTATE_180))
+        assert np.array_equal(ref.rotate(img, "90ccw"),
+                              cv2.rotate(img, cv2.ROTATE_90_COUNTERCLOCKWISE))
+        # device
+        got = np.asarray(ie.flip(jnp.asarray(img), -1))
+        assert np.array_equal(got, ref.flip(img, -1))
+        got = np.asarray(ie.rotate(jnp.asarray(img), "90ccw"))
+        assert np.array_equal(got, ref.rotate(img, "90ccw"))
+        got = np.asarray(ie.transpose(jnp.asarray(img)))
+        assert np.array_equal(got, ref.transpose(img))
+
+
+def test_rotate_rejects_bad_code():
+    with pytest.raises(ValueError):
+        ref.rotate(np.zeros((4, 4), np.uint8), "45")

@@ -141,11 +141,21 @@ def test_soak_oracle_vs_cv2():
                 dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
                 img = _img(rng, dt, (H, W))
                 oh, ow = int(rng.integers(1, 96)), int(rng.integers(1, 96))
-                interp = ["nearest", "linear", "area"][trial % 3]
+                interp = ["nearest", "linear", "area", "cubic"][trial % 4]
                 da = np.arange(1, oh) * (H / oh); db = np.arange(1, ow) * (W / ow)
                 razor = bool(np.any(np.abs(da - np.round(da)) < 1e-9 * np.maximum(da, 1))
                              or np.any(np.abs(db - np.round(db)) < 1e-9 * np.maximum(db, 1)))
-                if interp in ("nearest", "area") and razor:
+                if interp == "cubic":
+                    code = cv2.INTER_CUBIC
+                    want = cv2.resize(img, (ow, oh), interpolation=code)
+                    got = ref.resize(img, (oh, ow), "cubic")
+                    if dt is np.float32:
+                        tol = 3e-5 * max(1.0, float(np.abs(want).max()))
+                        ok = float(np.abs(got - want).max()) <= tol
+                    else:
+                        ok = int(np.abs(got.astype(np.int64)
+                                        - want.astype(np.int64)).max()) <= 1
+                elif interp in ("nearest", "area") and razor:
                     ok = True  # documented measure-zero snap zone
                 else:
                     code = {"nearest": cv2.INTER_NEAREST, "linear": cv2.INTER_LINEAR,
