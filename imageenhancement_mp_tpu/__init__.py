@@ -27,6 +27,8 @@ from imageenhancement_mp_tpu.api import (
     flip,
     rotate,
     transpose,
+    warp_affine,
+    get_rotation_matrix_2d,
     pyr_up,
     histogram,
     clahe,
@@ -65,6 +67,8 @@ __all__ = [
     "flip",
     "rotate",
     "transpose",
+    "warp_affine",
+    "get_rotation_matrix_2d",
     "pyr_up",
     "histogram",
     "clahe",

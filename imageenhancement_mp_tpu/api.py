@@ -46,6 +46,8 @@ __all__ = [
     "flip",
     "rotate",
     "transpose",
+    "warp_affine",
+    "get_rotation_matrix_2d",
     "histogram",
     "gamma",
     "log_transform",
@@ -109,6 +111,7 @@ _I16_OK = {
     "flip",
     "rotate",
     "transpose",
+    "warp_affine",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -515,6 +518,34 @@ def transpose(img, channels_last: bool = True):
     """``cv2.transpose`` — exact."""
     _check_image_dtype(img, allow_i16=True)
     return _apply("transpose", img, channels_last)
+
+
+def warp_affine(img, M, dsize, interpolation: str = "linear",
+                border: str = "constant", border_value: float = 0.0,
+                inverse_map: bool = False, channels_last: bool = True):
+    """``cv2.warpAffine(img, M, (ow, oh), ...)`` — ``dsize`` is (oh, ow)
+    row-major.  ``M`` is a static 2x3 matrix (recompiles per matrix).
+
+    u8/u16/f32 follow cv2 5.0's full-precision float path (u8 exact off
+    razor ties, u16 ±1, f32 1-ulp); int16 is bit-matched to cv2's
+    fixed-point path.  ``border``: constant (with ``border_value``,
+    saturated like cv2) or replicate.  ``inverse_map`` = cv2's
+    WARP_INVERSE_MAP."""
+    _check_image_dtype(img, allow_i16=True)
+    Mt = tuple(tuple(float(v) for v in row)
+               for row in np.asarray(M, np.float64).reshape(2, 3))
+    return _apply("warp_affine", img, channels_last, M=Mt,
+                  dsize=(int(dsize[0]), int(dsize[1])),
+                  interpolation=str(interpolation), border=str(border),
+                  border_value=float(border_value),
+                  inverse_map=bool(inverse_map))
+
+
+def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
+    """``cv2.getRotationMatrix2D`` (host-side f64 helper)."""
+    from imageenhancement_mp_tpu.ref.ops import get_rotation_matrix_2d as _rot
+
+    return _rot(center, angle_deg, scale)
 
 
 def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):

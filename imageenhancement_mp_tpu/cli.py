@@ -115,6 +115,14 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.flip(out, int(ps[0]) if ps else 1)
         elif name == "rotate":
             out = ie.rotate(out, ps[0] if ps else "90cw")
+        elif name == "warprot":
+            # warprot:angle[:scale] — rotate about the center via warpAffine
+            import numpy as _np
+            ang = float(ps[0]) if ps else 15.0
+            sc = float(ps[1]) if len(ps) > 1 else 1.0
+            h, w = out.shape[0], out.shape[1]
+            M = ie.get_rotation_matrix_2d((w / 2, h / 2), ang, sc)
+            out = ie.warp_affine(out, M, (h, w))
         elif name == "resize":
             if len(ps) < 2:
                 raise ValueError("resize needs resize:H:W[:interp]")

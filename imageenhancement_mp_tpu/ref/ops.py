@@ -88,6 +88,12 @@ __all__ = [
     "flip",
     "transpose",
     "rotate",
+    "warp_affine",
+    "warp_affine_coords_int",
+    "warp_affine_nn_coords_int",
+    "warp_tab_int",
+    "invert_affine",
+    "get_rotation_matrix_2d",
 ]
 
 
@@ -1676,3 +1682,169 @@ def rotate(img: np.ndarray, code: str = "90cw") -> np.ndarray:
     if code == "90ccw":
         return img.T[::-1].copy()
     raise ValueError(f"unknown rotation {code!r} (90cw|180|90ccw)")
+
+
+# ---------------------------------------------------------------------------
+# affine warps (cv2.warpAffine + helpers)
+# ---------------------------------------------------------------------------
+
+_WARP_AB_BITS = 10          # cv2 AB_BITS (coordinate fixed point, i16 path)
+_WARP_INTER_BITS = 5        # cv2 INTER_BITS (32 subpixel positions)
+_WARP_REMAP_BITS = 15       # cv2 INTER_REMAP_COEF_BITS (tab scale)
+
+
+def invert_affine(M: np.ndarray) -> np.ndarray:
+    """``cv2.invertAffineTransform`` (f64, exact formula)."""
+    M = np.asarray(M, np.float64).reshape(2, 3)
+    d = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    d = 1.0 / d if d != 0 else 0.0
+    out = np.empty((2, 3))
+    out[0, 0] = M[1, 1] * d
+    out[0, 1] = -M[0, 1] * d
+    out[1, 0] = -M[1, 0] * d
+    out[1, 1] = M[0, 0] * d
+    out[0, 2] = -out[0, 0] * M[0, 2] - out[0, 1] * M[1, 2]
+    out[1, 2] = -out[1, 0] * M[0, 2] - out[1, 1] * M[1, 2]
+    return out
+
+
+def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0) -> np.ndarray:
+    """``cv2.getRotationMatrix2D`` (f64; center is (cx, cy) like cv2)."""
+    a = np.deg2rad(angle_deg)
+    al, be = scale * np.cos(a), scale * np.sin(a)
+    cx, cy = float(center[0]), float(center[1])
+    return np.array([[al, be, (1 - al) * cx - be * cy],
+                     [-be, al, be * cx + (1 - al) * cy]])
+
+
+_WARP_TAB_CACHE = None
+
+
+def warp_tab_int() -> np.ndarray:
+    """cv2's 32x32 bilinear remap tab at 2^15 (initInterTab2D): weights
+    rounded independently, then the sum fixed to exactly 2^15 by
+    adjusting the max element (deficit) or min element (excess).
+    Memoized — the Python build loop is 1024 iterations."""
+    global _WARP_TAB_CACHE
+    if _WARP_TAB_CACHE is not None:
+        return _WARP_TAB_CACHE
+    S = 1 << _WARP_REMAP_BITS
+    T = 1 << _WARP_INTER_BITS
+    tab = np.zeros((T, T, 2, 2), np.int64)
+    for ty in range(T):
+        for tx in range(T):
+            vy, vx = ty / T, tx / T
+            w = np.array([[(1 - vy) * (1 - vx), (1 - vy) * vx],
+                          [vy * (1 - vx), vy * vx]])
+            iw = np.round(w * S).astype(np.int64)
+            diff = int(iw.sum() - S)
+            if diff:
+                mx = np.unravel_index(w.argmax(), (2, 2))
+                mn = np.unravel_index(w.argmin(), (2, 2))
+                iw[mx if diff < 0 else mn] -= diff
+            tab[ty, tx] = iw
+    _WARP_TAB_CACHE = tab
+    return tab
+
+
+def warp_affine_coords_int(Mi: np.ndarray, oh: int, ow: int):
+    """cv2's fixed-point dst→src coordinate tables for the i16 path:
+    ``X = (round(Mi01·y + Mi02)·2^10 + 2^4 + round(Mi00·x·2^10)) >> 5``
+    at scale 2^5 (adelta per column, X0 per row)."""
+    AB = 1 << _WARP_AB_BITS
+    RD = 1 << (_WARP_AB_BITS - _WARP_INTER_BITS - 1)
+    adelta = np.round(Mi[0, 0] * np.arange(ow) * AB).astype(np.int64)
+    bdelta = np.round(Mi[1, 0] * np.arange(ow) * AB).astype(np.int64)
+    X0 = (np.round((Mi[0, 1] * np.arange(oh) + Mi[0, 2]) * AB).astype(np.int64) + RD)
+    Y0 = (np.round((Mi[1, 1] * np.arange(oh) + Mi[1, 2]) * AB).astype(np.int64) + RD)
+    X = (X0[:, None] + adelta[None, :]) >> (_WARP_AB_BITS - _WARP_INTER_BITS)
+    Y = (Y0[:, None] + bdelta[None, :]) >> (_WARP_AB_BITS - _WARP_INTER_BITS)
+    return X, Y
+
+
+def warp_affine_nn_coords_int(Mi: np.ndarray, oh: int, ow: int):
+    """cv2's i16 NEAREST coordinate maps: AB fixed point rounded at
+    scale 2^10 (shared by the oracle and the device op)."""
+    AB = 1 << _WARP_AB_BITS
+    ad = np.round(Mi[0, 0] * np.arange(ow) * AB).astype(np.int64)
+    bd = np.round(Mi[1, 0] * np.arange(ow) * AB).astype(np.int64)
+    X0 = np.round((Mi[0, 1] * np.arange(oh) + Mi[0, 2]) * AB).astype(np.int64)
+    Y0 = np.round((Mi[1, 1] * np.arange(oh) + Mi[1, 2]) * AB).astype(np.int64)
+    ix = (X0[:, None] + ad[None, :] + (AB >> 1)) >> _WARP_AB_BITS
+    iy = (Y0[:, None] + bd[None, :] + (AB >> 1)) >> _WARP_AB_BITS
+    return iy, ix
+
+
+def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
+                border: str = "constant", border_value: float = 0.0,
+                inverse_map: bool = False) -> np.ndarray:
+    """``cv2.warpAffine(img, M, (ow, oh), ...)`` — ``dsize`` is (oh, ow).
+
+    Pinned (80-config fuzz per dtype): cv2 5.0 computes u8/u16/f32
+    LINEAR warps in FLOAT at full precision (u8 exact vs the f64 model
+    off one razor tie in 80, u16 ±1 from cv2's f32 accumulation, f32
+    1-ulp) — NOT the classic 5-bit-quantized path; int16 still uses the
+    fixed-point path (AB_BITS=10 coords, 32x32 tab at 2^15, ±1 from
+    cv2's f32 tab build).  NEAREST = ``round(src_coord)`` (0/60 fuzz).
+    ``border``: ``constant`` (with ``border_value``) or ``replicate``.
+    """
+    kind = _img_kind(img, allow_i16=True)
+    oh, ow = int(dsize[0]), int(dsize[1])
+    if oh < 1 or ow < 1:
+        raise ValueError(f"invalid output size {(oh, ow)}")
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    H, W = img.shape
+    Mi = np.asarray(M, np.float64).reshape(2, 3) if inverse_map else invert_affine(M)
+    lo, hi = (None, None) if kind == "f32" else (_int_minval(kind), _int_maxval(kind))
+    # cv2 saturates borderValue into the image dtype BEFORE blending
+    # (the constant-border buffer is stored at the work type)
+    fill = (float(border_value) if kind == "f32"
+            else float(np.clip(np.round(float(border_value)), lo, hi)))
+
+    def sample(iy, ix):
+        inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float64)
+        if border == "constant":
+            v = np.where(inside, v, fill)
+        return v
+
+    ys, xs = np.mgrid[0:oh, 0:ow]
+    if interpolation == "nearest":
+        if kind == "i16":
+            # i16 keeps cv2's AB fixed-point maps: round at scale 2^10
+            # (40/40 fuzz; the f64-round model fails 8/60)
+            iy, ix = warp_affine_nn_coords_int(Mi, oh, ow)
+            v = sample(iy, ix)
+            return np.clip(np.round(v), lo, hi).astype(img.dtype)
+        sx = Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]
+        sy = Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]
+        v = sample(np.round(sy).astype(np.int64), np.round(sx).astype(np.int64))
+        if kind == "f32":
+            return v.astype(np.float32)
+        return np.clip(np.round(v), lo, hi).astype(img.dtype)
+    if interpolation != "linear":
+        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if kind == "i16":
+        X, Y = warp_affine_coords_int(Mi, oh, ow)
+        T = (1 << _WARP_INTER_BITS) - 1
+        ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
+        tab = warp_tab_int()[Y & T, X & T]            # (oh, ow, 2, 2)
+        acc = np.zeros((oh, ow), np.int64)
+        for dy in range(2):
+            for dx in range(2):
+                acc += sample(iy + dy, ix + dx).astype(np.int64) * tab[:, :, dy, dx]
+        out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
+        return np.clip(out, lo, hi).astype(img.dtype)
+    sx = Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]
+    sy = Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]
+    ix, iy = np.floor(sx).astype(np.int64), np.floor(sy).astype(np.int64)
+    tx, ty = sx - ix, sy - iy
+    acc = np.zeros((oh, ow))
+    for dy in range(2):
+        for dx in range(2):
+            acc += (sample(iy + dy, ix + dx)
+                    * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
+    if kind == "f32":
+        return acc.astype(np.float32)
+    return np.clip(np.round(acc), lo, hi).astype(img.dtype)

@@ -34,7 +34,7 @@ def test_soak_oracle_vs_cv2():
     N = int(os.environ.get("IE_SOAK_N", "1500"))
     for trial in range(N):
         H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-        op = trial % 14
+        op = trial % 15
         try:
             if op == 0:  # gaussian, any k/sigma, u8/u16
                 dt = np.uint8 if trial % 2 else np.uint16
@@ -137,7 +137,7 @@ def test_soak_oracle_vs_cv2():
                 # fractional deltas: cv2's f32 path can flip .5-razor
                 # boundaries ±1 vs our correctly-rounded integers
                 ok = d == 0 or (d <= 1 and de != np.round(de))
-            else:  # resize all modes/dtypes
+            elif op == 13:  # resize all modes/dtypes
                 dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
                 img = _img(rng, dt, (H, W))
                 oh, ow = int(rng.integers(1, 96)), int(rng.integers(1, 96))
@@ -171,6 +171,26 @@ def test_soak_oracle_vs_cv2():
                         if interp == "area" and H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
                             lim = 0
                         ok = d <= lim
+            else:  # warpAffine
+                dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
+                img = _img(rng, dt, (H, W))
+                oh, ow = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+                interp, cvf = [("linear", cv2.INTER_LINEAR),
+                               ("nearest", cv2.INTER_NEAREST)][trial % 2]
+                bmode, cvb = [("constant", cv2.BORDER_CONSTANT),
+                              ("replicate", cv2.BORDER_REPLICATE)][(trial // 2) % 2]
+                bv = float(rng.integers(0, 120))
+                M = np.array([[rng.uniform(0.3, 2), rng.uniform(-0.5, 0.5), rng.uniform(-8, 8)],
+                              [rng.uniform(-0.5, 0.5), rng.uniform(0.3, 2), rng.uniform(-8, 8)]])
+                want = cv2.warpAffine(img, M, (ow, oh), flags=cvf,
+                                      borderMode=cvb, borderValue=bv)
+                got = ref.warp_affine(img, M, (oh, ow), interp, bmode, bv)
+                if dt is np.float32:
+                    tol = 1e-5 * max(1.0, float(np.abs(want).max()))
+                    ok = float(np.abs(got - want).max()) <= tol
+                else:
+                    ok = int(np.abs(got.astype(np.int64)
+                                    - want.astype(np.int64)).max()) <= 1
         except Exception as e:  # pragma: no cover - soak diagnostics
             fails.append((trial, op, f"EXC {e}"))
             continue

@@ -1,0 +1,125 @@
+"""cv2.warpAffine parity: oracle vs cv2, device vs oracle, API.
+
+Budgets (docs/PARITY.md): u8 linear exact off razor ties (tested ±1),
+u16 ±1 (cv2's f32 accumulation), i16 bit-matched fixed-point path,
+f32 1-ulp; NEAREST exact (i16 via the AB fixed-point map).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+from imageenhancement_mp_tpu.ops.warp import warp_affine_planes
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+_B = {"constant": cv2.BORDER_CONSTANT, "replicate": cv2.BORDER_REPLICATE}
+_I = {"linear": cv2.INTER_LINEAR, "nearest": cv2.INTER_NEAREST}
+
+
+def _img(rng, dt, shape):
+    if dt is np.float32:
+        return (rng.random(shape) * 500 - 100).astype(np.float32)
+    lo, hi = (0, 256) if dt is np.uint8 else (
+        (0, 65536) if dt is np.uint16 else (-32768, 32768))
+    return rng.integers(lo, hi, shape).astype(dt)
+
+
+def _mat(rng):
+    return np.array([[rng.uniform(0.3, 2), rng.uniform(-0.5, 0.5), rng.uniform(-8, 8)],
+                     [rng.uniform(-0.5, 0.5), rng.uniform(0.3, 2), rng.uniform(-8, 8)]])
+
+
+@pytest.mark.parametrize("interp", ["linear", "nearest"])
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_vs_cv2(interp, dt):
+    rng = np.random.default_rng(hash(("warp", interp, dt.__name__)) % 2**31)
+    for t in range(40):
+        H, W = int(rng.integers(4, 45)), int(rng.integers(4, 45))
+        oh, ow = int(rng.integers(4, 45)), int(rng.integers(4, 45))
+        img = _img(rng, dt, (H, W))
+        M = _mat(rng)
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 100))
+        want = cv2.warpAffine(img, M, (ow, oh), flags=_I[interp],
+                              borderMode=_B[bmode], borderValue=bval)
+        got = ref.warp_affine(img, M, (oh, ow), interp, bmode, bval)
+        if dt is np.float32:
+            tol = 1e-5 * max(1.0, float(np.abs(want).max()))
+            assert float(np.abs(got - want).max()) <= tol, (H, W, oh, ow)
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+def test_border_value_saturates():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 9), np.uint8)
+    M = np.float64([[1, 0, -3.5], [0, 1, 2.25]])
+    want = cv2.warpAffine(img, M, (9, 8), borderValue=300.7)
+    got = ref.warp_affine(img, M, (8, 9), "linear", "constant", 300.7)
+    assert np.array_equal(got, want)
+
+
+def test_inverse_map_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (20, 25), np.uint8)
+    M = _mat(rng)
+    a = ref.warp_affine(img, M, (18, 22))
+    b = ref.warp_affine(img, ref.invert_affine(M), (18, 22), inverse_map=True)
+    assert np.array_equal(a, b)
+    want = cv2.warpAffine(img, M, (22, 18),
+                          flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+    got = ref.warp_affine(img, M, (18, 22), inverse_map=True)
+    d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+    assert d <= 1
+
+
+def test_rotation_matrix_matches_cv2():
+    for center, ang, sc in [((10.5, 7.25), 33.0, 1.0), ((0, 0), -120.0, 0.7)]:
+        a = ref.get_rotation_matrix_2d(center, ang, sc)
+        b = cv2.getRotationMatrix2D(center, ang, sc)
+        assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("interp", ["linear", "nearest"])
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_device_vs_oracle(interp, dt):
+    rng = np.random.default_rng(hash(("warpdev", interp, dt.__name__)) % 2**31)
+    img = _img(rng, dt, (29, 34))
+    M = _mat(rng)
+    want = ref.warp_affine(img, M, (25, 31), interp, "constant", 7.0)
+    got = np.asarray(warp_affine_planes(
+        jnp.asarray(img)[None], M, (25, 31), interp, "constant", 7.0))[0]
+    if dt is np.float32:
+        assert float(np.abs(got - want).max()) <= 1e-2
+    else:
+        lim = 0 if dt is np.int16 else 1  # i16 shares the oracle's integers
+        d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+        assert d <= lim, d
+
+
+def test_api_batch_rgb_rotation():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (2, 24, 30, 3), np.uint8)
+    M = ref.get_rotation_matrix_2d((15.0, 12.0), 30.0, 0.9)
+    out = np.asarray(ie.warp_affine(jnp.asarray(img), M, (24, 30)))
+    assert out.shape == (2, 24, 30, 3)
+    want = cv2.warpAffine(img[0], M, (30, 24))
+    d = int(np.abs(out[0].astype(np.int64) - want.astype(np.int64)).max())
+    assert d <= 1
+
+
+def test_rejects():
+    img = jnp.zeros((4, 4), jnp.uint8)
+    M = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    with pytest.raises(ValueError):
+        ie.warp_affine(img, M, (0, 3))
+    with pytest.raises(ValueError):
+        ie.warp_affine(img, M, (3, 3), "cubic")
+    with pytest.raises(ValueError):
+        ie.warp_affine(img, M, (3, 3), "linear", "reflect")
