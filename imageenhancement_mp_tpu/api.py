@@ -47,6 +47,7 @@ __all__ = [
     "rotate",
     "transpose",
     "warp_affine",
+    "canny",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -539,6 +540,20 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
                   interpolation=str(interpolation), border=str(border),
                   border_value=float(border_value),
                   inverse_map=bool(inverse_map))
+
+
+def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,
+          l2_gradient: bool = False, channels_last: bool = True):
+    """``cv2.Canny`` — bit-exact (0/180 fuzz: L1/L2 × aperture 3/5/7).
+
+    uint8 input only, like cv2; returns 0/255 uint8 edges.  Replicate-
+    border Sobel, cv2's fixed-point NMS, 8-connected hysteresis (a
+    ``lax.while_loop`` fixpoint on device)."""
+    _check_u8(img)
+    return _apply("canny", img, channels_last,
+                  threshold1=float(threshold1), threshold2=float(threshold2),
+                  aperture_size=int(aperture_size),
+                  l2_gradient=bool(l2_gradient))
 
 
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):

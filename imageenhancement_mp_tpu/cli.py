@@ -115,6 +115,9 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.flip(out, int(ps[0]) if ps else 1)
         elif name == "rotate":
             out = ie.rotate(out, ps[0] if ps else "90cw")
+        elif name == "canny":
+            out = ie.canny(out, float(ps[0]) if ps else 50.0,
+                           float(ps[1]) if len(ps) > 1 else 150.0)
         elif name == "warprot":
             # warprot:angle[:scale] — rotate about the center via warpAffine
             import numpy as _np

@@ -27,6 +27,7 @@ from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.warp import warp_affine_planes
+from imageenhancement_mp_tpu.ops.canny import canny_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -59,6 +60,7 @@ OP_REGISTRY = {
     "rotate": rotate_planes,
     "transpose": transpose_planes,
     "warp_affine": warp_affine_planes,
+    "canny": canny_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -95,6 +97,7 @@ __all__ = [
     "rotate_planes",
     "transpose_planes",
     "warp_affine_planes",
+    "canny_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

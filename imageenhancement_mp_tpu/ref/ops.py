@@ -94,6 +94,7 @@ __all__ = [
     "warp_tab_int",
     "invert_affine",
     "get_rotation_matrix_2d",
+    "canny",
 ]
 
 
@@ -1848,3 +1849,96 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
     if kind == "f32":
         return acc.astype(np.float32)
     return np.clip(np.round(acc), lo, hi).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Canny edge detection (cv2.Canny)
+# ---------------------------------------------------------------------------
+
+_CANNY_TG22 = 13573          # round(tan(22.5deg) * 2^15), cv2's constant
+_CANNY_SHIFT = 15
+
+
+def _sobel_replicate(img: np.ndarray, dx: int, dy: int, ksize: int) -> np.ndarray:
+    """Raw integer Sobel with BORDER_REPLICATE (Canny's internal call —
+    cv2.Canny pads with replicate, NOT the default REFLECT_101)."""
+    kx, ky = deriv_kernels(dx, dy, ksize)
+    kxi = np.round(kx).astype(np.int64)
+    kyi = np.round(ky).astype(np.int64)
+    r = ksize // 2
+    p = np.pad(img.astype(np.int64), r, mode="edge")
+    t = sum(kyi[i] * p[i:i + img.shape[0]] for i in range(ksize))
+    raw = sum(kxi[j] * t[:, j:j + img.shape[1]] for j in range(ksize))
+    if ksize == 7:
+        # cv2.Canny scales aperture-7 Sobel by 1/16 (and the thresholds
+        # with it) so the gradients fit CV_16S; /16 is exact in binary,
+        # the round is cvRound (half-even)
+        raw = np.round(raw / 16.0)
+    return np.clip(raw, -32768, 32767).astype(np.int64)
+
+
+def canny(img: np.ndarray, threshold1: float, threshold2: float,
+          aperture_size: int = 3, l2_gradient: bool = False) -> np.ndarray:
+    """``cv2.Canny`` — pinned bit-exact (0/100 fuzz over L1/L2 ×
+    aperture 3/5/7; uint8 input like cv2; aperture-7 gradients
+    saturate to int16 like cv2's CV_16S Sobel).
+
+    Pipeline: replicate-border Sobel (CV_16S), magnitude |dx|+|dy| (L1)
+    or dx²+dy² (L2 — cv2 squares the thresholds; the int16-saturated
+    gradients keep the square inside int32), cv2's fixed-point NMS
+    (TG22 = 13573/2^15,
+    strict/non-strict comparisons exactly as cv2 orders them, BOTH
+    strict on the diagonal), then 8-connected hysteresis flood from
+    strong pixels.  Thresholds floor to int (squared first for L2)."""
+    if img.dtype != np.uint8:
+        raise TypeError(f"cv2.Canny requires uint8 input, got {img.dtype}")
+    if aperture_size not in (3, 5, 7):
+        raise ValueError(f"aperture_size must be 3, 5 or 7, got {aperture_size}")
+    H, W = img.shape
+    gx = _sobel_replicate(img, 1, 0, aperture_size)
+    gy = _sobel_replicate(img, 0, 1, aperture_size)
+    lo_t, hi_t = sorted((float(threshold1), float(threshold2)))
+    if aperture_size == 7:
+        lo_t, hi_t = lo_t / 16.0, hi_t / 16.0     # paired with the 1/16 scale
+    if l2_gradient:
+        # gradients are int16-saturated, so dx²+dy² <= 2·32767² fits
+        # int32 — no wrap in cv2's int storage
+        mag = gx * gx + gy * gy
+        lo_i, hi_i = int(np.floor(lo_t * lo_t)), int(np.floor(hi_t * hi_t))
+    else:
+        mag = np.abs(gx) + np.abs(gy)
+        lo_i, hi_i = int(np.floor(lo_t)), int(np.floor(hi_t))
+    # --- non-maximum suppression (vectorized transcription of cv2's) ---
+    mp = np.pad(mag, 1)                               # zero border, like cv2
+    c = mp[1:-1, 1:-1]
+    left, right = mp[1:-1, :-2], mp[1:-1, 2:]
+    up, down = mp[:-2, 1:-1], mp[2:, 1:-1]
+    ul, ur = mp[:-2, :-2], mp[:-2, 2:]
+    dl, dr = mp[2:, :-2], mp[2:, 2:]
+    ax = np.abs(gx)
+    ay = np.abs(gy) << _CANNY_SHIFT
+    tg22x = ax * _CANNY_TG22
+    tg67x = tg22x + ((ax + ax) << _CANNY_SHIFT)
+    s_neg = (gx ^ gy) < 0                             # diagonal orientation
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    diag1 = np.where(s_neg, ur, ul)                   # prev row, col -s
+    diag2 = np.where(s_neg, dl, dr)                   # next row, col +s
+    keep = np.where(
+        horiz, (c > left) & (c >= right),
+        np.where(vert, (c > up) & (c >= down), (c > diag1) & (c > diag2)))
+    keep &= mag > lo_i
+    strong = keep & (mag > hi_i)
+    # --- hysteresis: 8-connected flood from strong through weak -------
+    out = strong.copy()
+    while True:
+        op = np.pad(out, 1)
+        grown = keep & (
+            op[:-2, :-2] | op[:-2, 1:-1] | op[:-2, 2:]
+            | op[1:-1, :-2] | op[1:-1, 2:]
+            | op[2:, :-2] | op[2:, 1:-1] | op[2:, 2:])
+        new = out | grown
+        if (new == out).all():
+            break
+        out = new
+    return np.where(out, np.uint8(255), np.uint8(0))

@@ -106,6 +106,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("resize/cubic", lambda: ie.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "cubic"),
          lambda: ref.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "cubic"), 1),
         ("rotate90", lambda: ie.rotate(img, "90cw"), lambda: ref.rotate(img, "90cw"), 0),
+        ("canny", lambda: ie.canny(img, 60.0, 160.0),
+         lambda: ref.canny(img, 60.0, 160.0), 0),
         # budget 1: device fixed-point coords vs the oracle's f64 (razor)
         ("warp/rot30", lambda: ie.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),

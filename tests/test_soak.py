@@ -34,7 +34,7 @@ def test_soak_oracle_vs_cv2():
     N = int(os.environ.get("IE_SOAK_N", "1500"))
     for trial in range(N):
         H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-        op = trial % 15
+        op = trial % 16
         try:
             if op == 0:  # gaussian, any k/sigma, u8/u16
                 dt = np.uint8 if trial % 2 else np.uint16
@@ -171,7 +171,7 @@ def test_soak_oracle_vs_cv2():
                         if interp == "area" and H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
                             lim = 0
                         ok = d <= lim
-            else:  # warpAffine
+            elif op == 14:  # warpAffine
                 dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
                 img = _img(rng, dt, (H, W))
                 oh, ow = int(rng.integers(4, 64)), int(rng.integers(4, 64))
@@ -191,6 +191,13 @@ def test_soak_oracle_vs_cv2():
                 else:
                     ok = int(np.abs(got.astype(np.int64)
                                     - want.astype(np.int64)).max()) <= 1
+            else:  # canny
+                img = _img(rng, np.uint8, (H, W))
+                t1, t2 = sorted(rng.uniform(5, 300, 2))
+                ap = [3, 5, 7][trial % 3]
+                L2 = bool((trial // 3) % 2)
+                want = cv2.Canny(img, t1, t2, apertureSize=ap, L2gradient=L2)
+                ok = np.array_equal(ref.canny(img, t1, t2, ap, L2), want)
         except Exception as e:  # pragma: no cover - soak diagnostics
             fails.append((trial, op, f"EXC {e}"))
             continue
