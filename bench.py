@@ -43,6 +43,8 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "box5 4K gray b2": 3.581,  # cv2.blur running sums are fast on CPU
     "resize/lin 4K->1440p gray b2": 3.055,   # cv2 u8 bilinear (non-integer scale)
     "resize/area 4K->1440p gray b2": 0.512,  # cv2 general area path
+    "canny 4K gray b2": 0.0413,              # cv2.Canny 60/160 single-thread
+    "warp/rot15 4K gray b2": 0.264,          # cv2.warpAffine rotation
     "bilateral9 4K gray b2": 0.0674,  # cv2.bilateralFilter d=9 (IPP path)
     "sobel3 4K gray b2": 1.883,  # cv2.Sobel CV_16S
     "open3 4K gray b2": 3.853,  # cv2.morphologyEx MORPH_OPEN 3x3
@@ -228,6 +230,22 @@ def main() -> int:
                 lambda x: ie.resize(x, (1440, 2560), "area"),
                 b4k,
                 gray_oracle(lambda p: ref.resize(p, (1440, 2560), "area")),
+            ),
+            (
+                "canny 4K gray b2",
+                lambda x: ie.canny(x, 60.0, 160.0),
+                b4k,
+                gray_oracle(lambda p: ref.canny(p, 60.0, 160.0)),
+            ),
+            (
+                "warp/rot15 4K gray b2",
+                lambda x: ie.warp_affine(
+                    x, ref.get_rotation_matrix_2d((1920.0, 1080.0), 15.0, 1.0),
+                    (2160, 3840)),
+                b4k,
+                gray_oracle(lambda p: ref.warp_affine(
+                    p, ref.get_rotation_matrix_2d((1920.0, 1080.0), 15.0, 1.0),
+                    (2160, 3840))),
             ),
             (
                 "sobel3 4K gray b2",
