@@ -47,6 +47,7 @@ __all__ = [
     "rotate",
     "transpose",
     "warp_affine",
+    "remap",
     "canny",
     "get_rotation_matrix_2d",
     "histogram",
@@ -540,6 +541,35 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
                   interpolation=str(interpolation), border=str(border),
                   border_value=float(border_value),
                   inverse_map=bool(inverse_map))
+
+
+@lru_cache(maxsize=None)
+def _remap_jit(interpolation: str, border: str, border_value: float,
+               channels_last: bool):
+    from imageenhancement_mp_tpu.ops import remap_planes
+
+    @jax.jit
+    def run(img, mx, my):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(remap_planes(planes, mx, my, interpolation, border,
+                                    border_value))
+
+    return run
+
+
+def remap(img, map_x, map_y, interpolation: str = "linear",
+          border: str = "constant", border_value: float = 0.0,
+          channels_last: bool = True):
+    """``cv2.remap`` with float32 coordinate maps (runtime arrays — one
+    compile per (interpolation, border) combination, any maps).
+
+    Same budgets as ``warp_affine``: u8/f32 exact (razor ±1), u16/i16
+    ±1, NEAREST exact.  The maps are shared across every plane of a
+    batch (cv2 semantics for multi-channel images)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _remap_jit(str(interpolation), str(border), float(border_value),
+                      bool(channels_last))(
+        img, jnp.asarray(map_x, jnp.float32), jnp.asarray(map_y, jnp.float32))
 
 
 def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,

@@ -26,7 +26,7 @@ from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
 from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
-from imageenhancement_mp_tpu.ops.warp import warp_affine_planes
+from imageenhancement_mp_tpu.ops.warp import remap_planes, warp_affine_planes
 from imageenhancement_mp_tpu.ops.canny import canny_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
@@ -61,6 +61,7 @@ OP_REGISTRY = {
     "transpose": transpose_planes,
     "warp_affine": warp_affine_planes,
     "canny": canny_planes,
+    "remap": remap_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -98,6 +99,7 @@ __all__ = [
     "transpose_planes",
     "warp_affine_planes",
     "canny_planes",
+    "remap_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

@@ -27,7 +27,7 @@ from imageenhancement_mp_tpu.ref.ops import (invert_affine, warp_affine_coords_i
                                              warp_affine_nn_coords_int, warp_tab_int)
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
-__all__ = ["warp_affine_planes"]
+__all__ = ["warp_affine_planes", "remap_planes"]
 
 _BITS = 18  # device coordinate fixed point (float path)
 
@@ -131,6 +131,68 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
     inv = jnp.float32(1.0 / (1 << bits))
     tx = (X & ((1 << bits) - 1)).astype(jnp.float32) * inv
     ty = (Y & ((1 << bits) - 1)).astype(jnp.float32) * inv
+    one = jnp.float32(1)
+    acc = None
+    for dy in range(2):
+        wy = ty if dy else one - ty
+        for dx in range(2):
+            wx = tx if dx else one - tx
+            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                        border, border_value, minv, maxv).astype(jnp.float32)
+            term = v * (wy * wx)[None]
+            acc = term if acc is None else acc + term
+    if is_f32:
+        return acc
+    return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+
+
+def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
+                 interpolation: str = "linear", border: str = "constant",
+                 border_value: float = 0.0) -> jnp.ndarray:
+    """``cv2.remap`` per plane on ``(N, H, W)`` with RUNTIME float32
+    maps (traced inputs — unlike ``warp_affine_planes`` the coordinates
+    are data, so nothing is baked at trace time).
+
+    Same contracts as the oracle (ref/ops.py ``remap``): the maps ARE
+    f32, so the device float path loses nothing vs the f64 oracle
+    except razor blend ties (u8/u16 ±1); i16 reproduces the oracle's
+    fixed-point tab integers bit-exactly; NEAREST rounds the map."""
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    if interpolation not in ("nearest", "linear"):
+        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    H, W = planes.shape[-2], planes.shape[-1]
+    mx = map_x.astype(jnp.float32)
+    my = map_y.astype(jnp.float32)
+    is_f32 = planes.dtype == jnp.float32
+    minv, maxv = (0, 0) if is_f32 else int_bounds(planes.dtype)
+    if not is_f32:
+        border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
+    if interpolation == "nearest":
+        iy = jnp.round(my).astype(jnp.int32)
+        ix = jnp.round(mx).astype(jnp.int32)
+        v = _gather(planes, iy, ix, H, W, border, border_value, minv, maxv)
+        return v if is_f32 else v.astype(planes.dtype)
+    if planes.dtype == jnp.int16:
+        X = jnp.round(mx * jnp.float32(32)).astype(jnp.int32)
+        Y = jnp.round(my * jnp.float32(32)).astype(jnp.int32)
+        ix0, iy0 = X >> 5, Y >> 5
+        tab = jnp.asarray(warp_tab_int().astype(np.int32).reshape(32 * 32, 4))
+        w = jnp.take(tab, (Y & 31) * 32 + (X & 31), axis=0)   # (oh, ow, 4)
+        acc = None
+        for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                        border, border_value, minv, maxv).astype(jnp.int32)
+            term = v * w[..., k][None]
+            acc = term if acc is None else acc + term
+        out = (acc + (1 << 14)) >> 15
+        return jnp.clip(out, minv, maxv).astype(planes.dtype)
+    ix0 = jnp.floor(mx).astype(jnp.int32)
+    iy0 = jnp.floor(my).astype(jnp.int32)
+    tx = mx - ix0.astype(jnp.float32)
+    ty = my - iy0.astype(jnp.float32)
     one = jnp.float32(1)
     acc = None
     for dy in range(2):

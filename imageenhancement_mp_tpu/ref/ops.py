@@ -95,6 +95,7 @@ __all__ = [
     "invert_affine",
     "get_rotation_matrix_2d",
     "canny",
+    "remap",
 ]
 
 
@@ -1942,3 +1943,66 @@ def canny(img: np.ndarray, threshold1: float, threshold2: float,
             break
         out = new
     return np.where(out, np.uint8(255), np.uint8(0))
+
+
+def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
+          interpolation: str = "linear", border: str = "constant",
+          border_value: float = 0.0) -> np.ndarray:
+    """``cv2.remap(img, map_x, map_y, ...)`` with float32 maps.
+
+    Pinned (40-config fuzz per dtype): same dtype split as
+    ``warp_affine`` — u8/u16/f32 LINEAR run in full-precision float
+    (u8/f32 exact, u16 ±1), int16 uses the fixed-point path
+    (``cvRound(map·32)`` subpixel coords into the 32x32 tab at 2^15,
+    ±1); NEAREST = ``round(map)`` (0/30).  borderValue saturates into
+    the dtype before blending, like cv2."""
+    kind = _img_kind(img, allow_i16=True)
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    map_x = np.asarray(map_x, np.float32)
+    map_y = np.asarray(map_y, np.float32)
+    if map_x.shape != map_y.shape or map_x.ndim != 2:
+        raise ValueError("map_x/map_y must be equal-shape 2-D float maps")
+    H, W = img.shape
+    lo, hi = (None, None) if kind == "f32" else (_int_minval(kind), _int_maxval(kind))
+    fill = (float(border_value) if kind == "f32"
+            else float(np.clip(np.round(float(border_value)), lo, hi)))
+
+    def sample(iy, ix):
+        inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float64)
+        if border == "constant":
+            v = np.where(inside, v, fill)
+        return v
+
+    if interpolation == "nearest":
+        v = sample(np.round(map_y.astype(np.float64)).astype(np.int64),
+                   np.round(map_x.astype(np.float64)).astype(np.int64))
+        if kind == "f32":
+            return v.astype(np.float32)
+        return np.clip(np.round(v), lo, hi).astype(img.dtype)
+    if interpolation != "linear":
+        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if kind == "i16":
+        X = np.round(map_x.astype(np.float64) * 32).astype(np.int64)
+        Y = np.round(map_y.astype(np.float64) * 32).astype(np.int64)
+        ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
+        T = (1 << _WARP_INTER_BITS) - 1
+        w = warp_tab_int()[Y & T, X & T]
+        acc = np.zeros(map_x.shape, np.int64)
+        for dy in range(2):
+            for dx in range(2):
+                acc += sample(iy + dy, ix + dx).astype(np.int64) * w[:, :, dy, dx]
+        out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
+        return np.clip(out, lo, hi).astype(img.dtype)
+    sx, sy = map_x.astype(np.float64), map_y.astype(np.float64)
+    ix, iy = np.floor(sx).astype(np.int64), np.floor(sy).astype(np.int64)
+    tx, ty = sx - ix, sy - iy
+    acc = np.zeros(map_x.shape)
+    for dy in range(2):
+        for dx in range(2):
+            acc += (sample(iy + dy, ix + dx)
+                    * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
+    if kind == "f32":
+        return acc.astype(np.float32)
+    return np.clip(np.round(acc), lo, hi).astype(img.dtype)

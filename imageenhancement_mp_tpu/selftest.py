@@ -73,6 +73,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.threshold(img, method="otsu")[1], 0),
     ]
 
+    def _swirl_maps(size):
+        h, w = size
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        mx = (xx + 3.0 * np.sin(yy / 7.0)).astype(np.float32)
+        my = (yy + 2.0 * np.cos(xx / 9.0)).astype(np.float32)
+        return mx, my
+
     def _luma_oracle():
         ycc = ref.rgb_to_ycrcb(rgb)
         y = ref.equalize_hist(ycc[..., 0])
@@ -108,6 +115,9 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("rotate90", lambda: ie.rotate(img, "90cw"), lambda: ref.rotate(img, "90cw"), 0),
         ("canny", lambda: ie.canny(img, 60.0, 160.0),
          lambda: ref.canny(img, 60.0, 160.0), 0),
+        # runtime-map warp; budget 1: device f32 blend vs f64 oracle
+        ("remap", lambda: ie.remap(img, *_swirl_maps(size)),
+         lambda: ref.remap(img, *_swirl_maps(size)), 1),
         # budget 1: device fixed-point coords vs the oracle's f64 (razor)
         ("warp/rot30", lambda: ie.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
