@@ -48,6 +48,8 @@ __all__ = [
     "transpose",
     "warp_affine",
     "remap",
+    "match_template",
+    "min_max_loc",
     "canny",
     "get_rotation_matrix_2d",
     "histogram",
@@ -114,6 +116,7 @@ _I16_OK = {
     "rotate",
     "transpose",
     "warp_affine",
+    "match_template",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -570,6 +573,28 @@ def remap(img, map_x, map_y, interpolation: str = "linear",
     return _remap_jit(str(interpolation), str(border), float(border_value),
                       bool(channels_last))(
         img, jnp.asarray(map_x, jnp.float32), jnp.asarray(map_y, jnp.float32))
+
+
+def match_template(img, templ, method: str = "ccoeff_normed",
+                   channels_last: bool = True):
+    """``cv2.matchTemplate`` — f32 result ``(H-th+1, W-tw+1)`` per
+    plane; the template is static (baked as the MXU conv kernel).
+
+    Float-tolerance parity (worst 3e-6 relative vs cv2 incl. the
+    SQDIFF_NORMED [0,1] clamp — docs/PARITY.md)."""
+    _check_image_dtype(img, allow_i16=True)
+    t = np.asarray(templ)
+    tt = tuple(tuple(float(v) for v in row) for row in t)
+    return _apply("match_template", img, channels_last, templ=tt,
+                  method=str(method))
+
+
+def min_max_loc(arr):
+    """``cv2.minMaxLoc`` on a 2-D response map (host helper; returns
+    ``(min_val, max_val, (min_x, min_y), (max_x, max_y))``)."""
+    from imageenhancement_mp_tpu.ref.ops import min_max_loc as _mml
+
+    return _mml(np.asarray(arr))
 
 
 def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,

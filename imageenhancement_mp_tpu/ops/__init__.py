@@ -28,6 +28,7 @@ from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.warp import remap_planes, warp_affine_planes
 from imageenhancement_mp_tpu.ops.canny import canny_planes
+from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -62,6 +63,7 @@ OP_REGISTRY = {
     "warp_affine": warp_affine_planes,
     "canny": canny_planes,
     "remap": remap_planes,
+    "match_template": match_template_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -100,6 +102,7 @@ __all__ = [
     "warp_affine_planes",
     "canny_planes",
     "remap_planes",
+    "match_template_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

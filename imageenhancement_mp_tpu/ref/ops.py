@@ -96,6 +96,8 @@ __all__ = [
     "get_rotation_matrix_2d",
     "canny",
     "remap",
+    "match_template",
+    "min_max_loc",
 ]
 
 
@@ -2006,3 +2008,66 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
     if kind == "f32":
         return acc.astype(np.float32)
     return np.clip(np.round(acc), lo, hi).astype(img.dtype)
+
+
+_MT_METHODS = ("sqdiff", "sqdiff_normed", "ccorr", "ccorr_normed",
+               "ccoeff", "ccoeff_normed")
+
+
+def match_template(img: np.ndarray, templ: np.ndarray, method: str = "ccoeff_normed") -> np.ndarray:
+    """``cv2.matchTemplate`` — float32 result ``(H-th+1, W-tw+1)``.
+
+    Pinned (20-config fuzz per method): cv2's six methods reproduce at
+    float tolerance (cv2 mixes FFT and direct paths; worst observed
+    2e-6 relative).  Quirk: SQDIFF_NORMED is CLAMPED to [0, 1] — cv2
+    returns exactly 1.0 wherever the ratio exceeds it (mismatch
+    windows), 0.29 relative off an unclamped model."""
+    kind = _img_kind(img, allow_i16=True)
+    if _img_kind(templ, allow_i16=True) != kind:
+        raise TypeError("image and template dtypes must match")
+    if method not in _MT_METHODS:
+        raise ValueError(f"unknown method {method!r}; one of {_MT_METHODS}")
+    th, tw = templ.shape
+    H, W = img.shape
+    if th > H or tw > W:
+        raise ValueError("template larger than image")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    I = img.astype(np.float64)
+    T = templ.astype(np.float64)
+    win = sliding_window_view(I, (th, tw))
+    ccorr = np.einsum("ijkl,kl->ij", win, T)
+    n = th * tw
+    sT, sT2 = T.sum(), (T * T).sum()
+    if method == "ccorr":
+        return ccorr.astype(np.float32)
+    sI = win.sum((2, 3))
+    sI2 = (win * win).sum((2, 3))
+    if method == "sqdiff":
+        return (sT2 - 2 * ccorr + sI2).astype(np.float32)
+    if method == "sqdiff_normed":
+        den = np.sqrt(sT2 * sI2)
+        r = np.divide(sT2 - 2 * ccorr + sI2, den,
+                      out=np.ones_like(ccorr), where=den > 0)
+        return np.clip(r, 0.0, 1.0).astype(np.float32)
+    if method == "ccorr_normed":
+        den = np.sqrt(sT2 * sI2)
+        return np.divide(ccorr, den, out=np.ones_like(ccorr),
+                         where=den > 0).astype(np.float32)
+    num = ccorr - sI * (sT / n)
+    if method == "ccoeff":
+        return num.astype(np.float32)
+    den = np.sqrt(np.maximum(sT2 - sT * sT / n, 0.0)
+                  * np.maximum(sI2 - sI * sI / n, 0.0))
+    return np.where(den > 0, np.divide(num, np.maximum(den, 1e-300)),
+                    0.0).astype(np.float32)
+
+
+def min_max_loc(arr: np.ndarray):
+    """``cv2.minMaxLoc``: (min_val, max_val, (min_x, min_y), (max_x, max_y))
+    — note cv2 returns (x, y) point order."""
+    a = np.asarray(arr)
+    mn, mx = int(a.argmin()), int(a.argmax())
+    miy, mix = divmod(mn, a.shape[1])
+    may, max_ = divmod(mx, a.shape[1])
+    return (float(a.flat[mn]), float(a.flat[mx]), (mix, miy), (max_, may))

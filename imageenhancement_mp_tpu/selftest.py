@@ -73,6 +73,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.threshold(img, method="otsu")[1], 0),
     ]
 
+    def _quant_mt(r):
+        # quantize the f32 response to 1e-3 so the LSB check applies
+        return np.round(np.asarray(r) * 1000).astype(np.int32)
+
     def _swirl_maps(size):
         h, w = size
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -118,6 +122,9 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # runtime-map warp; budget 1: device f32 blend vs f64 oracle
         ("remap", lambda: ie.remap(img, *_swirl_maps(size)),
          lambda: ref.remap(img, *_swirl_maps(size)), 1),
+        # float-result op: compare at tolerance via the quantized trick
+        ("match_tpl", lambda: _quant_mt(ie.match_template(img, img2[:7, :9], "ccoeff_normed")),
+         lambda: _quant_mt(ref.match_template(img, img2[:7, :9], "ccoeff_normed")), 1),
         # budget 1: device fixed-point coords vs the oracle's f64 (razor)
         ("warp/rot30", lambda: ie.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
