@@ -50,6 +50,18 @@ __all__ = [
     "remap",
     "match_template",
     "min_max_loc",
+    "add",
+    "subtract",
+    "absdiff",
+    "multiply",
+    "divide",
+    "bitwise_and",
+    "bitwise_or",
+    "bitwise_xor",
+    "bitwise_not",
+    "minimum",
+    "maximum",
+    "compare",
     "canny",
     "get_rotation_matrix_2d",
     "histogram",
@@ -573,6 +585,93 @@ def remap(img, map_x, map_y, interpolation: str = "linear",
     return _remap_jit(str(interpolation), str(border), float(border_value),
                       bool(channels_last))(
         img, jnp.asarray(map_x, jnp.float32), jnp.asarray(map_y, jnp.float32))
+
+
+@lru_cache(maxsize=None)
+def _arith_jit(op: str, scale: float, two_args: bool):
+    from imageenhancement_mp_tpu.ops import arith_arrays
+
+    if two_args:
+        @jax.jit
+        def run(a, b):
+            return arith_arrays(op, a, b, scale)
+    else:
+        @jax.jit
+        def run(a):
+            return arith_arrays(op, a)
+    return run
+
+
+def _arith(op, a, b=None, scale=1.0):
+    _check_image_dtype(a, allow_i16=True)
+    if b is None:
+        return _arith_jit(op, float(scale), False)(a)
+    return _arith_jit(op, float(scale), True)(a, b)
+
+
+def add(a, b):
+    """``cv2.add`` — saturating elementwise sum (exact)."""
+    return _arith("add", a, b)
+
+
+def subtract(a, b):
+    """``cv2.subtract`` — saturating difference (exact)."""
+    return _arith("subtract", a, b)
+
+
+def absdiff(a, b):
+    """``cv2.absdiff`` — |a−b| saturated (exact)."""
+    return _arith("absdiff", a, b)
+
+
+def multiply(a, b, scale: float = 1.0):
+    """``cv2.multiply(a, b, scale)`` — exact incl. cv2's INT_MIN
+    overflow quirk (huge products saturate to the dtype MIN); f32
+    fractional scales at 1 ulp (docs/PARITY.md)."""
+    return _arith("multiply", a, b, scale)
+
+
+def divide(a, b, scale: float = 1.0):
+    """``cv2.divide(a, b, scale)`` — b==0 → 0 for integer dtypes (f32:
+    IEEE ±inf/nan); razor half-even ties ±1 on device."""
+    return _arith("divide", a, b, scale)
+
+
+def bitwise_and(a, b):
+    """``cv2.bitwise_and`` — exact (integer dtypes)."""
+    return _arith("bitwise_and", a, b)
+
+
+def bitwise_or(a, b):
+    """``cv2.bitwise_or`` — exact."""
+    return _arith("bitwise_or", a, b)
+
+
+def bitwise_xor(a, b):
+    """``cv2.bitwise_xor`` — exact."""
+    return _arith("bitwise_xor", a, b)
+
+
+def bitwise_not(a):
+    """``cv2.bitwise_not`` — exact."""
+    return _arith("bitwise_not", a)
+
+
+def minimum(a, b):
+    """``cv2.min`` — exact."""
+    return _arith("minimum", a, b)
+
+
+def maximum(a, b):
+    """``cv2.max`` — exact."""
+    return _arith("maximum", a, b)
+
+
+def compare(a, b, op: str = "gt"):
+    """``cv2.compare`` — uint8 0/255 mask; op: eq/gt/ge/lt/le/ne."""
+    if op not in ("eq", "gt", "ge", "lt", "le", "ne"):
+        raise ValueError(f"unknown compare op {op!r}")
+    return _arith(op, a, b)
 
 
 def match_template(img, templ, method: str = "ccoeff_normed",

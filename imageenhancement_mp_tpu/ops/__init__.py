@@ -29,6 +29,7 @@ from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
 from imageenhancement_mp_tpu.ops.warp import remap_planes, warp_affine_planes
 from imageenhancement_mp_tpu.ops.canny import canny_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
+from imageenhancement_mp_tpu.ops.arith import arith_arrays
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_lut_planes,
@@ -103,6 +104,7 @@ __all__ = [
     "canny_planes",
     "remap_planes",
     "match_template_planes",
+    "arith_arrays",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

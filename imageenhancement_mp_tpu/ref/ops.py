@@ -97,6 +97,18 @@ __all__ = [
     "canny",
     "remap",
     "match_template",
+    "add",
+    "subtract",
+    "absdiff",
+    "multiply",
+    "divide",
+    "bitwise_and",
+    "bitwise_or",
+    "bitwise_xor",
+    "bitwise_not",
+    "minimum",
+    "maximum",
+    "compare",
     "min_max_loc",
 ]
 
@@ -2071,3 +2083,130 @@ def min_max_loc(arr: np.ndarray):
     miy, mix = divmod(mn, a.shape[1])
     may, max_ = divmod(mx, a.shape[1])
     return (float(a.flat[mn]), float(a.flat[mx]), (mix, miy), (max_, may))
+
+
+# ---------------------------------------------------------------------------
+# core per-element arithmetic (cv2.add / subtract / multiply / divide /
+# absdiff / bitwise / min / max / compare)
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = ("eq", "gt", "ge", "lt", "le", "ne")
+
+
+def _sat_cast(v: np.ndarray, dtype) -> np.ndarray:
+    """saturate_cast<T>(double): cvRound half-even, then the x86
+    cvtsd2si overflow quirk (values beyond int32 become INT_MIN before
+    the clamp — pinned on cv2.multiply u16: 60000·60000 → 0, NOT
+    65535), then clamp to the dtype."""
+    if dtype == np.float32:
+        return v.astype(np.float32)
+    info = np.iinfo(dtype)
+    r = np.round(v)
+    r = np.where((v >= 2.0 ** 31) | (v < -(2.0 ** 31)), -(2.0 ** 31), r)
+    return np.clip(r, info.min, info.max).astype(dtype)
+
+
+def _arith_pair(a, b):
+    ka = _img_kind(a, allow_i16=True)
+    if _img_kind(b, allow_i16=True) != ka or a.shape != b.shape:
+        raise ValueError("inputs must share dtype and shape")
+    return ka
+
+
+def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``cv2.add`` — saturating elementwise sum (exact, 0/120 fuzz
+    per dtype; f32 plain IEEE)."""
+    _arith_pair(a, b)
+    return _sat_cast(a.astype(np.float64) + b.astype(np.float64), a.dtype.type)
+
+
+def subtract(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``cv2.subtract`` — saturating elementwise difference (exact)."""
+    _arith_pair(a, b)
+    return _sat_cast(a.astype(np.float64) - b.astype(np.float64), a.dtype.type)
+
+
+def absdiff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``cv2.absdiff`` — |a−b| saturated (exact)."""
+    _arith_pair(a, b)
+    return _sat_cast(np.abs(a.astype(np.float64) - b.astype(np.float64)), a.dtype.type)
+
+
+def multiply(a: np.ndarray, b: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """``cv2.multiply(a, b, scale)`` — pinned (0/300 fuzz per dtype):
+    ``saturate_cast(cvRound(a·b·scale))`` in f64, where the cvRound of
+    an out-of-int32 value yields INT_MIN (x86 cvtsd2si) so huge
+    positive products saturate to ZERO, not the dtype max.  f32 is
+    ``(a*b)*scale`` in f32 — cv2 mixes SIMD/scalar lane orderings for
+    fractional scales ((a*scale)*b on some lanes), so f32 carries a
+    1-ulp budget; scale=1 is bitwise."""
+    _arith_pair(a, b)
+    if a.dtype == np.float32:
+        return ((a * b) * np.float32(scale)).astype(np.float32)
+    return _sat_cast(a.astype(np.float64) * b.astype(np.float64) * float(scale),
+                     a.dtype.type)
+
+
+def divide(a: np.ndarray, b: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """``cv2.divide(a, b, scale)`` — integer dtypes round half-even on
+    ``a·scale/b`` with b==0 → 0 (0/120 fuzz per dtype); f32 is cv2's
+    ``(a*scale)/b`` in f32, true IEEE ±inf/nan on zero denominators."""
+    _arith_pair(a, b)
+    if a.dtype == np.float32:
+        return ((a * np.float32(scale)) / b).astype(np.float32)
+    b64 = b.astype(np.float64)
+    v = np.where(b64 != 0,
+                 a.astype(np.float64) * float(scale) / np.where(b64 == 0, 1, b64),
+                 0.0)
+    return _sat_cast(v, a.dtype.type)
+
+
+def bitwise_and(a, b):
+    """``cv2.bitwise_and`` (integer dtypes) — exact."""
+    if _arith_pair(a, b) == "f32":
+        raise TypeError("bitwise ops support integer dtypes")
+    return a & b
+
+
+def bitwise_or(a, b):
+    """``cv2.bitwise_or`` — exact."""
+    if _arith_pair(a, b) == "f32":
+        raise TypeError("bitwise ops support integer dtypes")
+    return a | b
+
+
+def bitwise_xor(a, b):
+    """``cv2.bitwise_xor`` — exact."""
+    if _arith_pair(a, b) == "f32":
+        raise TypeError("bitwise ops support integer dtypes")
+    return a ^ b
+
+
+def bitwise_not(a):
+    """``cv2.bitwise_not`` — exact."""
+    if _img_kind(a, allow_i16=True) == "f32":
+        raise TypeError("bitwise ops support integer dtypes")
+    return ~a
+
+
+def minimum(a, b):
+    """``cv2.min`` — exact."""
+    _arith_pair(a, b)
+    return np.minimum(a, b)
+
+
+def maximum(a, b):
+    """``cv2.max`` — exact."""
+    _arith_pair(a, b)
+    return np.maximum(a, b)
+
+
+def compare(a: np.ndarray, b: np.ndarray, op: str = "gt") -> np.ndarray:
+    """``cv2.compare`` — uint8 0/255 mask (exact; ``op`` one of
+    eq/gt/ge/lt/le/ne)."""
+    _arith_pair(a, b)
+    if op not in _CMP_OPS:
+        raise ValueError(f"unknown compare op {op!r}; one of {_CMP_OPS}")
+    f = {"eq": np.equal, "gt": np.greater, "ge": np.greater_equal,
+         "lt": np.less, "le": np.less_equal, "ne": np.not_equal}[op]
+    return np.where(f(a, b), np.uint8(255), np.uint8(0))
