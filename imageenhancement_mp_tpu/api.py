@@ -62,6 +62,10 @@ __all__ = [
     "minimum",
     "maximum",
     "compare",
+    "integral",
+    "apply_color_map",
+    "mean_std_dev",
+    "compare_hist",
     "canny",
     "get_rotation_matrix_2d",
     "histogram",
@@ -672,6 +676,62 @@ def compare(a, b, op: str = "gt"):
     if op not in ("eq", "gt", "ge", "lt", "le", "ne"):
         raise ValueError(f"unknown compare op {op!r}")
     return _arith(op, a, b)
+
+
+@lru_cache(maxsize=None)
+def _integral_jit(sq: bool, channels_last: bool):
+    from imageenhancement_mp_tpu.ops import integral_planes
+
+    @jax.jit
+    def run(img):
+        planes, _ = as_planes(img, channels_last=channels_last)
+        return integral_planes(planes, sq)
+
+    return run
+
+
+def integral(img, sq: bool = False, channels_last: bool = True):
+    """``cv2.integral`` / ``cv2.integral2`` per plane — (B, H+1, W+1)
+    in canonical plane order.  u8 exact int32; u16/i16/f32 f32 sums
+    (~1e-7 relative of the f64 oracle — docs/PARITY.md)."""
+    _check_image_dtype(img, allow_i16=True)
+    return _integral_jit(bool(sq), bool(channels_last))(img)
+
+
+@lru_cache(maxsize=None)
+def _colormap_jit(colormap: str, channels_last: bool):
+    from imageenhancement_mp_tpu.ops import apply_color_map_planes
+
+    @jax.jit
+    def run(img):
+        planes, _ = as_planes(img, channels_last=channels_last)
+        return apply_color_map_planes(planes, colormap)
+
+    return run
+
+
+def apply_color_map(img, colormap: str = "jet", channels_last: bool = True):
+    """``cv2.applyColorMap`` — u8 gray → RGB via cv2's tables
+    (extracted bitwise from cv2 5.0; ref/colormaps.py lists the 22
+    names).  Returns RGB (cv2 returns BGR)."""
+    _check_u8(img)
+    return _colormap_jit(str(colormap), bool(channels_last))(img)
+
+
+def mean_std_dev(img):
+    """``cv2.meanStdDev`` (host helper, f64 exact): (mean, population
+    std) over the array."""
+    from imageenhancement_mp_tpu.ref.ops import mean_std_dev as _msd
+
+    return _msd(np.asarray(img))
+
+
+def compare_hist(h1, h2, method: str = "correl"):
+    """``cv2.compareHist`` (host helper, f64): correl | chisqr |
+    intersect | bhattacharyya."""
+    from imageenhancement_mp_tpu.ref.ops import compare_hist as _ch
+
+    return _ch(np.asarray(h1), np.asarray(h2), method)
 
 
 def match_template(img, templ, method: str = "ccoeff_normed",

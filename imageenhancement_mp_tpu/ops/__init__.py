@@ -32,10 +32,12 @@ from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
+    apply_color_map_planes,
     apply_lut_planes,
     contrast_stretch_planes,
     convert_scale_abs_planes,
     gamma_planes,
+    integral_planes,
     log_planes,
 )
 
@@ -105,6 +107,8 @@ __all__ = [
     "remap_planes",
     "match_template_planes",
     "arith_arrays",
+    "integral_planes",
+    "apply_color_map_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

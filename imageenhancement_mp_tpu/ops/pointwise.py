@@ -225,3 +225,32 @@ def stretch_luts_from_minmax(
         return jnp.where(d == 0, fill, lut).astype(dtype)
 
     return jax.vmap(one)(lo, hi)
+
+
+def integral_planes(planes: jnp.ndarray, sq: bool = False):
+    """``cv2.integral``/``integral2`` per plane: (N, H+1, W+1)
+    zero-padded cumulative sums.  u8 → exact int32 (fits for any
+    practical frame); u16/i16/f32 → f32 sums (the oracle's f64 at
+    ~1e-7 relative — TPUs have no f64; docs/PARITY.md)."""
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    acc = jnp.int32 if planes.dtype == jnp.uint8 else jnp.float32
+    s = jnp.cumsum(jnp.cumsum(planes.astype(acc), axis=-2), axis=-1)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0)))
+    if not sq:
+        return s
+    p = planes.astype(jnp.float32)
+    s2 = jnp.cumsum(jnp.cumsum(p * p, axis=-2), axis=-1)
+    s2 = jnp.pad(s2, ((0, 0), (1, 0), (1, 0)))
+    return s, s2
+
+
+def apply_color_map_planes(planes: jnp.ndarray, colormap: str = "jet") -> jnp.ndarray:
+    """``cv2.applyColorMap`` per plane: (N, H, W) u8 → (N, H, W, 3) RGB
+    via the extracted 256-entry table (bitwise)."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("applyColorMap requires uint8 input")
+    from imageenhancement_mp_tpu.ref.colormaps import colormap_table
+
+    tab = jnp.asarray(colormap_table(colormap))
+    return jnp.take(tab, planes.astype(jnp.int32), axis=0)

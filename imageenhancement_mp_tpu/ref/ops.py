@@ -109,6 +109,10 @@ __all__ = [
     "minimum",
     "maximum",
     "compare",
+    "integral",
+    "mean_std_dev",
+    "compare_hist",
+    "apply_color_map",
     "min_max_loc",
 ]
 
@@ -2210,3 +2214,70 @@ def compare(a: np.ndarray, b: np.ndarray, op: str = "gt") -> np.ndarray:
     f = {"eq": np.equal, "gt": np.greater, "ge": np.greater_equal,
          "lt": np.less, "le": np.less_equal, "ne": np.not_equal}[op]
     return np.where(f(a, b), np.uint8(255), np.uint8(0))
+
+
+# ---------------------------------------------------------------------------
+# integral images, statistics, histogram comparison, colormaps
+# ---------------------------------------------------------------------------
+
+def integral(img: np.ndarray, sq: bool = False):
+    """``cv2.integral`` / ``cv2.integral2`` — (H+1, W+1) zero-padded
+    cumulative sums, exact: int32 sums for u8 (cv2's CV_32S default),
+    f64 for u16/i16/f32 (cv2's CV_64F); squared sums always f64."""
+    _img_kind(img, allow_i16=True)
+    H, W = img.shape
+    u8 = img.dtype == np.uint8
+    s = np.zeros((H + 1, W + 1), np.int32 if u8 else np.float64)
+    s[1:, 1:] = img.astype(np.int64 if u8 else np.float64).cumsum(0).cumsum(1)
+    if not sq:
+        return s
+    s2 = np.zeros((H + 1, W + 1), np.float64)
+    s2[1:, 1:] = (img.astype(np.float64) ** 2).cumsum(0).cumsum(1)
+    return s, s2
+
+
+def mean_std_dev(img: np.ndarray):
+    """``cv2.meanStdDev`` — (mean, POPULATION std) in f64, exact."""
+    _img_kind(img, allow_i16=True)
+    a = img.astype(np.float64)
+    return float(a.mean()), float(a.std())
+
+
+_HIST_CMP = ("correl", "chisqr", "intersect", "bhattacharyya")
+
+
+def compare_hist(h1: np.ndarray, h2: np.ndarray, method: str = "correl") -> float:
+    """``cv2.compareHist`` — cv2's four formulas in f64 (fuzz ≤1e-12
+    relative): correlation, chi-square, intersection, Bhattacharyya."""
+    a = np.asarray(h1, np.float64).ravel()
+    b = np.asarray(h2, np.float64).ravel()
+    if a.shape != b.shape:
+        raise ValueError("histograms must share shape")
+    if method == "correl":
+        da, db = a - a.mean(), b - b.mean()
+        den = np.sqrt((da * da).sum() * (db * db).sum())
+        return float((da * db).sum() / den) if den else 1.0
+    if method == "chisqr":
+        m = a > 0
+        return float((((a - b) ** 2)[m] / a[m]).sum())
+    if method == "intersect":
+        return float(np.minimum(a, b).sum())
+    if method == "bhattacharyya":
+        den = a.sum() * b.sum()
+        if den <= 0:
+            return 1.0
+        bc = np.sqrt(a * b).sum() / np.sqrt(den)
+        return float(np.sqrt(max(1.0 - bc, 0.0)))
+    raise ValueError(f"unknown method {method!r}; one of {_HIST_CMP}")
+
+
+def apply_color_map(img: np.ndarray, colormap: str = "jet") -> np.ndarray:
+    """``cv2.applyColorMap`` — uint8 gray → RGB via cv2's 256-entry
+    tables (extracted empirically from cv2 5.0 — ref/colormaps.py;
+    bitwise).  NOTE: returns RGB order (this library's convention);
+    cv2 returns BGR."""
+    if img.dtype != np.uint8:
+        raise TypeError("applyColorMap requires uint8 input")
+    from imageenhancement_mp_tpu.ref.colormaps import colormap_table
+
+    return colormap_table(colormap)[img]
