@@ -67,6 +67,7 @@ __all__ = [
     "mean_std_dev",
     "compare_hist",
     "canny",
+    "connected_components",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -768,6 +769,18 @@ def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,
                   threshold1=float(threshold1), threshold2=float(threshold2),
                   aperture_size=int(aperture_size),
                   l2_gradient=bool(l2_gradient))
+
+
+def connected_components(img, connectivity: int = 8, channels_last: bool = True):
+    """``cv2.connectedComponents`` — int32 labels (0 = background).
+
+    4-connectivity numbering is bit-exact vs cv2; 8-connectivity gives
+    the identical partition with deterministic first-pixel raster
+    numbering (cv2's BBDT block scan can permute IDs — docs/PARITY.md).
+    Pointer-jumping while_loop: log-diameter convergence on device."""
+    _check_u8(img)
+    return _apply("connected_components", img, channels_last,
+                  connectivity=int(connectivity))
 
 
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):

@@ -27,7 +27,7 @@ from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.warp import remap_planes, warp_affine_planes
-from imageenhancement_mp_tpu.ops.canny import canny_planes
+from imageenhancement_mp_tpu.ops.canny import canny_planes, connected_components_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
 from imageenhancement_mp_tpu.ops.pointwise import (
@@ -65,6 +65,7 @@ OP_REGISTRY = {
     "transpose": transpose_planes,
     "warp_affine": warp_affine_planes,
     "canny": canny_planes,
+    "connected_components": connected_components_planes,
     "remap": remap_planes,
     "match_template": match_template_planes,
     "filter2d": filter2d_planes,
@@ -104,6 +105,7 @@ __all__ = [
     "transpose_planes",
     "warp_affine_planes",
     "canny_planes",
+    "connected_components_planes",
     "remap_planes",
     "match_template_planes",
     "arith_arrays",
