@@ -68,6 +68,8 @@ __all__ = [
     "compare_hist",
     "canny",
     "connected_components",
+    "undistort",
+    "init_undistort_rectify_map",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -134,6 +136,7 @@ _I16_OK = {
     "transpose",
     "warp_affine",
     "match_template",
+    "undistort",
     "laplacian_sharpen",
     "unsharp_mask",
     "contrast_stretch",
@@ -781,6 +784,28 @@ def connected_components(img, connectivity: int = 8, channels_last: bool = True)
     _check_u8(img)
     return _apply("connected_components", img, channels_last,
                   connectivity=int(connectivity))
+
+
+def undistort(img, K, dist, new_K=None, channels_last: bool = True):
+    """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
+    path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static
+    (recompile per calibration, which is how cameras work)."""
+    _check_image_dtype(img, allow_i16=True)
+    Kt = tuple(tuple(float(v) for v in row)
+               for row in np.asarray(K, np.float64).reshape(3, 3))
+    dt = tuple(float(v) for v in np.asarray(dist, np.float64).ravel())
+    nk = (None if new_K is None else
+          tuple(tuple(float(v) for v in row)
+                for row in np.asarray(new_K, np.float64).reshape(3, 3)))
+    return _apply("undistort", img, channels_last, K=Kt, dist=dt, new_K=nk)
+
+
+def init_undistort_rectify_map(K, dist, size, new_K=None):
+    """``cv2.initUndistortRectifyMap`` (host helper, bit-exact f32
+    maps; ``size`` is (H, W)) — feed the result to ``ie.remap``."""
+    from imageenhancement_mp_tpu.ref.ops import init_undistort_rectify_map as _im
+
+    return _im(K, dist, size, new_K)
 
 
 def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):

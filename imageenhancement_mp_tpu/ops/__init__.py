@@ -26,7 +26,8 @@ from imageenhancement_mp_tpu.ops.filter2d import filter2d_planes
 from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
-from imageenhancement_mp_tpu.ops.warp import remap_planes, warp_affine_planes
+from imageenhancement_mp_tpu.ops.warp import (remap_planes, undistort_planes,
+                                              warp_affine_planes)
 from imageenhancement_mp_tpu.ops.canny import canny_planes, connected_components_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
@@ -68,6 +69,7 @@ OP_REGISTRY = {
     "connected_components": connected_components_planes,
     "remap": remap_planes,
     "match_template": match_template_planes,
+    "undistort": undistort_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -108,6 +110,7 @@ __all__ = [
     "connected_components_planes",
     "remap_planes",
     "match_template_planes",
+    "undistort_planes",
     "arith_arrays",
     "integral_planes",
     "apply_color_map_planes",

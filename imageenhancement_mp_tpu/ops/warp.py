@@ -27,7 +27,7 @@ from imageenhancement_mp_tpu.ref.ops import (invert_affine, warp_affine_coords_i
                                              warp_affine_nn_coords_int, warp_tab_int)
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
-__all__ = ["warp_affine_planes", "remap_planes"]
+__all__ = ["warp_affine_planes", "remap_planes", "undistort_planes"]
 
 _BITS = 18  # device coordinate fixed point (float path)
 
@@ -206,3 +206,47 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
     if is_f32:
         return acc
     return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+
+
+def undistort_planes(planes: jnp.ndarray, K, dist, new_K=None) -> jnp.ndarray:
+    """``cv2.undistort`` per plane on ``(N, H, W)`` — contract in
+    ref/ops.py ``undistort``: cv2's quantized-map path (f64 distortion
+    maps rounded to 1/32 subpixels, 32x32 tab).  K/dist are static, so
+    the quantized integer coordinate fields are baked host-side; u8 is
+    bit-exact, u16/i16 ±1, f32 float-tab."""
+    from imageenhancement_mp_tpu.ref.ops import _undistort_maps64
+
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    H, W = planes.shape[-2], planes.shape[-1]
+    mx, my = _undistort_maps64(K, dist, (H, W), new_K)
+    X = np.round(mx * 32).astype(np.int64)
+    Y = np.round(my * 32).astype(np.int64)
+    ix0 = jnp.asarray((X >> 5).astype(np.int32))
+    iy0 = jnp.asarray((Y >> 5).astype(np.int32))
+    is_f32 = planes.dtype == jnp.float32
+    minv, maxv = (0, 0) if is_f32 else int_bounds(planes.dtype)
+    if is_f32:
+        tx = jnp.asarray(((X & 31) / 32.0).astype(np.float32))
+        ty = jnp.asarray(((Y & 31) / 32.0).astype(np.float32))
+        one = jnp.float32(1)
+        acc = None
+        for dy in range(2):
+            wy = ty if dy else one - ty
+            for dx in range(2):
+                wx = tx if dx else one - tx
+                v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                            "constant", 0.0, minv, maxv).astype(jnp.float32)
+                term = v * (wy * wx)[None]
+                acc = term if acc is None else acc + term
+        return acc
+    tab = warp_tab_int()[Y & 31, X & 31].astype(np.int32)   # (H, W, 2, 2)
+    acc = None
+    for dy in range(2):
+        for dx in range(2):
+            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                        "constant", 0.0, minv, maxv).astype(jnp.int32)
+            term = v * jnp.asarray(tab[:, :, dy, dx])[None]
+            acc = term if acc is None else acc + term
+    out = (acc + (1 << 14)) >> 15
+    return jnp.clip(out, minv, maxv).astype(planes.dtype)

