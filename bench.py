@@ -44,6 +44,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "resize/lin 4K->1440p gray b2": 3.055,   # cv2 u8 bilinear (non-integer scale)
     "resize/area 4K->1440p gray b2": 0.512,  # cv2 general area path
     "canny 4K gray b2": 0.0413,              # cv2.Canny 60/160 single-thread
+    "nlmeans 1080p gray": 0.0004,            # cv2.fastNlMeansDenoising h=10 7/21
     "warp/rot15 4K gray b2": 0.264,          # cv2.warpAffine rotation
     "bilateral9 4K gray b2": 0.0674,  # cv2.bilateralFilter d=9 (IPP path)
     "sobel3 4K gray b2": 1.883,  # cv2.Sobel CV_16S
@@ -230,6 +231,13 @@ def main() -> int:
                 lambda x: ie.resize(x, (1440, 2560), "area"),
                 b4k,
                 gray_oracle(lambda p: ref.resize(p, (1440, 2560), "area")),
+            ),
+            (
+                "nlmeans 1080p gray",
+                lambda x: ie.fast_nl_means_denoising(x, 10.0),
+                rng.integers(0, 256, (1, 1080, 1920), dtype=np.uint8),
+                # oracle on a small crop only (the NumPy oracle is O(441*HW))
+                None,
             ),
             (
                 "canny 4K gray b2",

@@ -70,6 +70,7 @@ __all__ = [
     "connected_components",
     "undistort",
     "init_undistort_rectify_map",
+    "fast_nl_means_denoising",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -784,6 +785,17 @@ def connected_components(img, connectivity: int = 8, channels_last: bool = True)
     _check_u8(img)
     return _apply("connected_components", img, channels_last,
                   connectivity=int(connectivity))
+
+
+def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
+                            search_window: int = 21, channels_last: bool = True):
+    """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0/40 fuzz over h, t, s
+    on realistic noisy images; docs/PARITY.md pins the weight LUT:
+    ``round(FPM·exp(−SSD·scale/h²))``, denominator h² alone).  uint8."""
+    _check_u8(img)
+    return _apply("fast_nl_means", img, channels_last, h=float(h),
+                  template_window=int(template_window),
+                  search_window=int(search_window))
 
 
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):

@@ -31,6 +31,7 @@ from imageenhancement_mp_tpu.ops.warp import (remap_planes, undistort_planes,
 from imageenhancement_mp_tpu.ops.canny import canny_planes, connected_components_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
+from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_color_map_planes,
@@ -70,6 +71,7 @@ OP_REGISTRY = {
     "remap": remap_planes,
     "match_template": match_template_planes,
     "undistort": undistort_planes,
+    "fast_nl_means": fast_nl_means_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -111,6 +113,7 @@ __all__ = [
     "remap_planes",
     "match_template_planes",
     "undistort_planes",
+    "fast_nl_means_planes",
     "arith_arrays",
     "integral_planes",
     "apply_color_map_planes",

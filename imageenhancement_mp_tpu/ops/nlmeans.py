@@ -1,0 +1,76 @@
+"""Non-local means denoising: ``cv2.fastNlMeansDenoising`` parity on
+device (contract pinned BIT-EXACT in ref/ops.py
+``fast_nl_means_denoising``).
+
+TPU mapping: a ``lax.fori_loop`` over the s² search offsets; each step
+takes one shifted view (dynamic_slice on the padded frame), forms the
+integer squared-difference map, box-sums it over the t×t template with
+two cumulative sums, gathers the fixed-point weight from the
+host-built LUT (the live prefix after cv2's 0.001 cutoff is tiny —
+a few thousand entries), and accumulates Σw·v / Σw in int32.  All
+integer VPU work; the final division is one f32 pass replicated as
+cv2's ``(Σwv + Σw/2) // Σw`` in exact integer form.
+
+Accumulator bounds: Σw ≤ s²·FPM ≤ INT_MAX by cv2's own FPM choice,
+and Σw·v ≤ 255·Σw — the same int32 budget cv2 relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imageenhancement_mp_tpu.ref.ops import _nlm_weight_lut
+
+__all__ = ["fast_nl_means_planes"]
+
+
+def fast_nl_means_planes(planes: jnp.ndarray, h: float = 10.0,
+                         template_window: int = 7,
+                         search_window: int = 21) -> jnp.ndarray:
+    """``cv2.fastNlMeansDenoising`` per plane on ``(N, H, W)`` uint8."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("fastNlMeansDenoising requires uint8 input")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    N, H, W = planes.shape
+    th, sh = t // 2, s // 2
+    border = sh + th
+    w, bs, _ = _nlm_weight_lut(float(h), t, s)
+    cut = len(w) - 1
+    lut = jnp.asarray(w.astype(np.int32))
+    p = jnp.pad(planes.astype(jnp.int32),
+                ((0, 0), (border, border), (border, border)), mode="reflect")
+    a = p[:, border - th:border + H + th, border - th:border + W + th]
+
+    def body(k, state):
+        est, wsum = state
+        dy = k // s
+        dx = k % s
+        b = jax.lax.dynamic_slice(
+            p, (0, border - th + dy - sh, border - th + dx - sh),
+            (N, H + 2 * th, W + 2 * th))
+        d2 = (a - b) * (a - b)
+        # int32 cumsums WRAP on large frames, but the windowed
+        # difference below recovers the true t×t sum (< 2^31) exactly
+        # by modular arithmetic — the classic integral-image trick
+        c = jnp.cumsum(jnp.cumsum(d2, axis=1), axis=2)
+        c = jnp.pad(c, ((0, 0), (1, 0), (1, 0)))
+        ssd = (c[:, t:, t:] - c[:, :-t, t:] - c[:, t:, :-t] + c[:, :-t, :-t])
+        ww = jnp.take(lut, jnp.minimum(ssd >> bs, cut))
+        v = jax.lax.dynamic_slice(
+            p, (0, border + dy - sh, border + dx - sh), (N, H, W))
+        # accumulate v-128 so Σw·v never crosses int32 even at Σw max
+        return est + ww * (v - 128), wsum + ww
+
+    est0 = jnp.zeros((N, H, W), jnp.int32)
+    est, wsum = jax.lax.fori_loop(0, s * s, body, (est0, est0))
+    # exact (Σwv + Σw/2) // Σw without the marginal int32 overflow at
+    # v≈255 constants: v was biased by −128 in the loop (floor-div
+    # distributes exactly over multiples of the divisor)
+    ws = jnp.maximum(wsum, 1)
+    num = est + (wsum >> 1)
+    out = 128 + jnp.floor_divide(num, ws)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

@@ -119,6 +119,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("rotate90", lambda: ie.rotate(img, "90cw"), lambda: ref.rotate(img, "90cw"), 0),
         ("canny", lambda: ie.canny(img, 60.0, 160.0),
          lambda: ref.canny(img, 60.0, 160.0), 0),
+        ("nlmeans", lambda: ie.fast_nl_means_denoising(img, 12.0, 5, 9),
+         lambda: ref.fast_nl_means_denoising(img, 12.0, 5, 9), 0),
         # runtime-map warp; budget 1: device f32 blend vs f64 oracle
         ("remap", lambda: ie.remap(img, *_swirl_maps(size)),
          lambda: ref.remap(img, *_swirl_maps(size)), 1),
