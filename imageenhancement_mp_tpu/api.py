@@ -71,6 +71,9 @@ __all__ = [
     "undistort",
     "init_undistort_rectify_map",
     "fast_nl_means_denoising",
+    "sep_filter2d",
+    "box_filter",
+    "calc_back_project",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -129,6 +132,7 @@ _I16_OK = {
     "morphology",
     "sobel",
     "filter2d",
+    "box_filter",
     "pyr_down",
     "pyr_up",
     "resize",
@@ -785,6 +789,34 @@ def connected_components(img, connectivity: int = 8, channels_last: bool = True)
     _check_u8(img)
     return _apply("connected_components", img, channels_last,
                   connectivity=int(connectivity))
+
+
+def sep_filter2d(img, kernel_x, kernel_y, delta: float = 0.0,
+                 channels_last: bool = True):
+    """``cv2.sepFilter2D(img, -1, kx, ky, delta)`` — composed as
+    ``filter2d`` with the outer product ``ky⊗kx`` (cv2's own two-pass
+    matches up to association: ±1 int razor / one f32 ulp)."""
+    kx = np.asarray(kernel_x, np.float64).ravel()
+    ky = np.asarray(kernel_y, np.float64).ravel()
+    return filter2d(img, np.outer(ky, kx), delta, channels_last)
+
+
+def box_filter(img, ksize=3, normalize: bool = True, channels_last: bool = True):
+    """``cv2.boxFilter`` — normalized == ``box_blur``; raw window sums
+    otherwise (int32/f32, exact)."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("box_filter", img, channels_last, ksize=ks,
+                  normalize=bool(normalize))
+
+
+def calc_back_project(img, hist, scale: float = 1.0, channels_last: bool = True):
+    """``cv2.calcBackProject([img],[0],hist,[0,256],scale)`` — exact
+    folded LUT gather (u8; any bin count)."""
+    _check_u8(img)
+    ht = tuple(float(v) for v in np.asarray(hist, np.float64).ravel())
+    return _apply("calc_back_project", img, channels_last, hist=ht,
+                  scale=float(scale))
 
 
 def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,

@@ -5,6 +5,7 @@ from imageenhancement_mp_tpu.ops.clahe import clahe_planes
 from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
     box_blur_planes,
+    box_filter_planes,
     gaussian_blur_planes,
     sobel_planes,
     laplacian_planes,
@@ -35,6 +36,7 @@ from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_planes
 from imageenhancement_mp_tpu.ops.pointwise import (
     add_weighted_arrays,
     apply_color_map_planes,
+    calc_back_project_planes,
     apply_lut_planes,
     contrast_stretch_planes,
     convert_scale_abs_planes,
@@ -72,6 +74,8 @@ OP_REGISTRY = {
     "match_template": match_template_planes,
     "undistort": undistort_planes,
     "fast_nl_means": fast_nl_means_planes,
+    "box_filter": box_filter_planes,
+    "calc_back_project": calc_back_project_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
     "laplacian_sharpen": laplacian_sharpen_planes,
@@ -117,6 +121,8 @@ __all__ = [
     "arith_arrays",
     "integral_planes",
     "apply_color_map_planes",
+    "calc_back_project_planes",
+    "box_filter_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

@@ -439,3 +439,22 @@ def sobel_planes(
     if planes.dtype == jnp.uint8:
         return jnp.clip(out, -32768, 32767).astype(jnp.int16)
     return out.astype(jnp.int32)
+
+
+def box_filter_planes(planes: jnp.ndarray, ksize=3, normalize: bool = True) -> jnp.ndarray:
+    """``cv2.boxFilter``: normalized == ``box_blur_planes``; raw sums
+    otherwise (int32 for integer dtypes, f32 for float — exact,
+    REFLECT_101)."""
+    if normalize:
+        return box_blur_planes(planes, ksize)
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    kh, kw = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    acc = jnp.float32 if planes.dtype == jnp.float32 else jnp.int32
+    H, W = planes.shape[-2], planes.shape[-1]
+    p = jnp.pad(planes.astype(acc),
+                ((0, 0), (kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+                mode="reflect")
+    s = sum(p[:, i:i + H, :] for i in range(kh))
+    return sum(s[:, :, j:j + W] for j in range(kw))

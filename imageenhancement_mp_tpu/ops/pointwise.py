@@ -254,3 +254,17 @@ def apply_color_map_planes(planes: jnp.ndarray, colormap: str = "jet") -> jnp.nd
 
     tab = jnp.asarray(colormap_table(colormap))
     return jnp.take(tab, planes.astype(jnp.int32), axis=0)
+
+
+def calc_back_project_planes(planes: jnp.ndarray, hist, scale: float = 1.0) -> jnp.ndarray:
+    """``cv2.calcBackProject`` per plane (u8, [0,256) range) — exact
+    LUT gather: bin = v·bins/256, out = saturate(round(hist[bin]·scale)).
+    The table is built host-side in f64 so device rounding matches."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("calcBackProject requires uint8 input")
+    h = np.asarray(hist, np.float64).ravel()
+    bins = len(h)
+    # fold bin mapping + scale + rounding into one 256-entry u8 LUT
+    idx = (np.arange(256, dtype=np.int64) * bins) // 256
+    lut = np.clip(np.round(h[idx] * float(scale)), 0, 255).astype(np.uint8)
+    return jnp.take(jnp.asarray(lut), planes.astype(jnp.int32), axis=0)

@@ -117,6 +117,9 @@ __all__ = [
     "init_undistort_rectify_map",
     "undistort",
     "fast_nl_means_denoising",
+    "sep_filter2d",
+    "calc_back_project",
+    "box_filter",
     "min_max_loc",
 ]
 
@@ -2461,3 +2464,42 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
             wsum += ww
     out = (est + wsum // 2) // np.maximum(wsum, 1)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def sep_filter2d(img: np.ndarray, kernel_x, kernel_y, delta: float = 0.0) -> np.ndarray:
+    """``cv2.sepFilter2D(img, -1, kx, ky, delta)`` ≡ ``filter2d`` with
+    the outer product ``ky⊗kx`` (probe: 27/40 bitwise across dtypes,
+    rest within one f32 ulp / ±1 — cv2's separable two-pass rounds the
+    same way up to association)."""
+    kx = np.asarray(kernel_x, np.float64).ravel()
+    ky = np.asarray(kernel_y, np.float64).ravel()
+    return filter2d(img, np.outer(ky, kx), delta)
+
+
+def calc_back_project(img: np.ndarray, hist, scale: float = 1.0) -> np.ndarray:
+    """``cv2.calcBackProject([img],[0],hist,[0,256],scale)`` — exact:
+    bin = v·bins/256 (integer), out = saturate(round(hist[bin]·scale))."""
+    if img.dtype != np.uint8:
+        raise TypeError("calcBackProject (this port) requires uint8 input")
+    h = np.asarray(hist, np.float64).ravel()
+    bins = len(h)
+    idx = (img.astype(np.int64) * bins) // 256
+    return np.clip(np.round(h[idx] * float(scale)), 0, 255).astype(np.uint8)
+
+
+def box_filter(img: np.ndarray, ksize=3, normalize: bool = True) -> np.ndarray:
+    """``cv2.boxFilter``: ``normalize=True`` is exactly ``box_blur``;
+    ``normalize=False`` returns the RAW window sums (cv2's CV_32S for
+    integer inputs, f32 for float — exact; REFLECT_101 border)."""
+    if normalize:
+        return box_blur(img, ksize)
+    kind = _img_kind(img, allow_i16=True)
+    kh, kw = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    p = np.pad(img.astype(np.float64 if kind == "f32" else np.int64),
+               ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+               mode="reflect")
+    H, W = img.shape
+    s = sum(p[i:i + H] for i in range(kh))
+    s = sum(s[:, j:j + W] for j in range(kw))
+    return s.astype(np.float32 if kind == "f32" else np.int32)

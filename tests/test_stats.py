@@ -79,3 +79,46 @@ def test_rejects():
         ie.compare_hist(np.zeros(4), np.zeros(4), "l2")
     with pytest.raises(TypeError):
         ie.apply_color_map(jnp.zeros((4, 4), jnp.uint16))
+
+
+def test_sep_filter2d():
+    rng = np.random.default_rng(11)
+    for t in range(20):
+        dt = [np.uint8, np.uint16, np.float32][t % 3]
+        img = ((rng.random((20, 24)) * 300).astype(np.float32) if dt is np.float32
+               else rng.integers(0, 250, (20, 24)).astype(dt))
+        kx = rng.uniform(-1, 1, int(rng.choice([3, 5])))
+        ky = rng.uniform(-1, 1, int(rng.choice([3, 5])))
+        d = float(rng.uniform(-5, 5))
+        want = cv2.sepFilter2D(img, -1, kx, ky, delta=d)
+        got = ref.sep_filter2d(img, kx, ky, d)
+        if dt is np.float32:
+            assert np.abs(got - want).max() <= 1e-3 * max(1, np.abs(want).max())
+        else:
+            assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
+
+
+def test_box_filter_unnormalized():
+    rng = np.random.default_rng(12)
+    for t in range(15):
+        dt = [np.uint8, np.uint16, np.int16][t % 3]
+        img = rng.integers(0, 200, (int(rng.integers(5, 30)),
+                                    int(rng.integers(5, 30)))).astype(dt)
+        kh, kw = int(rng.choice([1, 3, 5])), int(rng.choice([1, 3, 5]))
+        want = cv2.boxFilter(img, cv2.CV_32S, (kw, kh), normalize=False)
+        assert np.array_equal(ref.box_filter(img, (kh, kw), normalize=False), want)
+    got = np.asarray(ie.box_filter(jnp.asarray(img), (kh, kw), normalize=False))
+    assert got.dtype == np.int32 and np.array_equal(got, want)
+
+
+def test_calc_back_project():
+    rng = np.random.default_rng(13)
+    for t in range(15):
+        img = rng.integers(0, 256, (12, 14), np.uint8)
+        bins = int(rng.choice([16, 32, 64, 256]))
+        hist = (rng.random(bins) * 300).astype(np.float32)
+        sc = float(rng.uniform(0.1, 2))
+        want = cv2.calcBackProject([img], [0], hist, [0, 256], scale=sc)
+        assert np.array_equal(ref.calc_back_project(img, hist, sc), want)
+        got = np.asarray(ie.calc_back_project(jnp.asarray(img), hist, sc))
+        assert np.array_equal(got, want)
