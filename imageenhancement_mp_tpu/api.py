@@ -74,6 +74,9 @@ __all__ = [
     "sep_filter2d",
     "box_filter",
     "calc_back_project",
+    "get_structuring_element",
+    "gabor_kernel",
+    "corner_harris",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -859,29 +862,65 @@ def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0):
     return _rot(center, angle_deg, scale)
 
 
-def erode(img, ksize=3, iterations: int = 1, channels_last: bool = True):
-    """``cv2.erode`` (rect kernel, anchor k//2) — exact min filter;
-    u8/u16/i16/f32, int or (rows, cols) kernels (even allowed)."""
-    _check_image_dtype(img, allow_i16=True)
-    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
-    return _apply("erode", img, channels_last, ksize=ks, iterations=int(iterations))
+def _kernel_static(kernel):
+    if kernel is None:
+        return None
+    k = np.asarray(kernel)
+    return tuple(tuple(int(bool(v)) for v in row) for row in k)
 
 
-def dilate(img, ksize=3, iterations: int = 1, channels_last: bool = True):
-    """``cv2.dilate`` (rect kernel) — exact max filter (see ``erode``)."""
+def erode(img, ksize=3, iterations: int = 1, kernel=None, channels_last: bool = True):
+    """``cv2.erode`` — exact min filter; rect ``ksize`` (int or
+    (rows, cols), even allowed) or an arbitrary 0/1 ``kernel`` mask
+    (use ``get_structuring_element`` for ellipse/cross).  u8/u16/i16/f32."""
     _check_image_dtype(img, allow_i16=True)
     ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
-    return _apply("dilate", img, channels_last, ksize=ks, iterations=int(iterations))
+    return _apply("erode", img, channels_last, ksize=ks, iterations=int(iterations),
+                  kernel=_kernel_static(kernel))
+
+
+def dilate(img, ksize=3, iterations: int = 1, kernel=None, channels_last: bool = True):
+    """``cv2.dilate`` — exact max filter (see ``erode``)."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _apply("dilate", img, channels_last, ksize=ks, iterations=int(iterations),
+                  kernel=_kernel_static(kernel))
 
 
 def morphology_ex(img, op: str = "open", ksize=3, iterations: int = 1,
-                  channels_last: bool = True):
-    """``cv2.morphologyEx`` (rect kernel) — exact: erode | dilate | open |
-    close | gradient | tophat | blackhat."""
+                  kernel=None, channels_last: bool = True):
+    """``cv2.morphologyEx`` — exact: erode | dilate | open | close |
+    gradient | tophat | blackhat; rect or arbitrary 0/1 kernels."""
     _check_image_dtype(img, allow_i16=True)
     ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
     return _apply("morphology", img, channels_last, op=str(op), ksize=ks,
-                  iterations=int(iterations))
+                  iterations=int(iterations), kernel=_kernel_static(kernel))
+
+
+def get_structuring_element(shape: str, ksize):
+    """``cv2.getStructuringElement`` (host helper, bit-exact): rect |
+    ellipse | cross; ``ksize`` = (rows, cols)."""
+    from imageenhancement_mp_tpu.ref.ops import get_structuring_element as _gse
+
+    return _gse(shape, ksize)
+
+
+def gabor_kernel(ksize, sigma: float, theta: float, lambd: float,
+                 gamma: float = 1.0, psi: float = np.pi / 2):
+    """``cv2.getGaborKernel`` (host helper, 1e-15 vs cv2); pair with
+    ``ie.filter2d`` for Gabor banks."""
+    from imageenhancement_mp_tpu.ref.ops import gabor_kernel as _gk
+
+    return _gk(ksize, sigma, theta, lambd, gamma, psi)
+
+
+def corner_harris(img, block_size: int = 2, ksize: int = 3, k: float = 0.04,
+                  channels_last: bool = True):
+    """``cv2.cornerHarris`` — f32 response at f32-ulp tolerance
+    (~8e-7 rel; docs/PARITY.md)."""
+    _check_u8(img)
+    return _apply("corner_harris", img, channels_last,
+                  block_size=int(block_size), ksize=int(ksize), k=float(k))
 
 
 def adaptive_threshold(img, maxval: float = 255.0, method: str = "mean",

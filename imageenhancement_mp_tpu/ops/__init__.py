@@ -6,6 +6,7 @@ from imageenhancement_mp_tpu.ops.color import cvt_gray_nhwc
 from imageenhancement_mp_tpu.ops.filters import (
     box_blur_planes,
     box_filter_planes,
+    corner_harris_planes,
     gaussian_blur_planes,
     sobel_planes,
     laplacian_planes,
@@ -75,6 +76,7 @@ OP_REGISTRY = {
     "undistort": undistort_planes,
     "fast_nl_means": fast_nl_means_planes,
     "box_filter": box_filter_planes,
+    "corner_harris": corner_harris_planes,
     "calc_back_project": calc_back_project_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,
@@ -123,6 +125,7 @@ __all__ = [
     "apply_color_map_planes",
     "calc_back_project_planes",
     "box_filter_planes",
+    "corner_harris_planes",
     "filter2d_planes",
     "pyr_up_planes",
     "threshold_planes",

@@ -458,3 +458,25 @@ def box_filter_planes(planes: jnp.ndarray, ksize=3, normalize: bool = True) -> j
                 mode="reflect")
     s = sum(p[:, i:i + H, :] for i in range(kh))
     return sum(s[:, :, j:j + W] for j in range(kw))
+
+
+def corner_harris_planes(planes: jnp.ndarray, block_size: int = 2,
+                         ksize: int = 3, k: float = 0.04) -> jnp.ndarray:
+    """``cv2.cornerHarris`` per plane (u8 → f32 response): f32 Sobel
+    derivatives scaled by ``1/(2^(ksize-1)·block·255)``, unnormalized
+    block sums, ``det − k·trace²`` — f32-ulp parity (ref/ops.py)."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("cornerHarris requires uint8 input")
+    from imageenhancement_mp_tpu.ops.resize import _round_cast  # noqa: F401 (doc)
+
+    f = planes.astype(jnp.float32)
+    dx = sobel_planes(f, 1, 0, ksize)
+    dy = sobel_planes(f, 0, 1, ksize)
+    sc = jnp.float32(1.0 / ((1 << (ksize - 1)) * block_size * 255))
+    dx = dx * sc
+    dy = dy * sc
+    cxx = box_filter_planes(dx * dx, block_size, normalize=False)
+    cyy = box_filter_planes(dy * dy, block_size, normalize=False)
+    cxy = box_filter_planes(dx * dy, block_size, normalize=False)
+    return (cxx * cyy - cxy * cxy - jnp.float32(k) * (cxx + cyy) ** 2
+            ).astype(jnp.float32)

@@ -60,23 +60,55 @@ def _minmax_filter(planes, kh, kw, op: str):
     return out
 
 
+def _minmax_filter_mask(planes, mask, op: str):
+    """min/max over an arbitrary 0/1 kernel mask (identity-const pad —
+    equivalent to cv2's border for extremum filters)."""
+    mask = np.asarray(mask)
+    kh, kw = mask.shape
+    H, W = planes.shape[-2], planes.shape[-1]
+    pad = _identity(planes.dtype, op)
+    p = jnp.pad(
+        planes, ((0, 0), (kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+        mode="constant", constant_values=pad,
+    )
+    f = jnp.minimum if op == "min" else jnp.maximum
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            if mask[dy, dx]:
+                v = p[:, dy:dy + H, dx:dx + W]
+                acc = v if acc is None else f(acc, v)
+    return planes if acc is None else acc
+
+
 def _check_dtype(planes):
     if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
         raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
 
 
-def erode_planes(planes: jnp.ndarray, ksize=3, iterations: int = 1) -> jnp.ndarray:
-    """``cv2.erode`` (rect kernel) per plane — exact min filter."""
+def erode_planes(planes: jnp.ndarray, ksize=3, iterations: int = 1,
+                 kernel=None) -> jnp.ndarray:
+    """``cv2.erode`` per plane — exact min filter (rect ``ksize`` or an
+    arbitrary 0/1 ``kernel`` mask)."""
     _check_dtype(planes)
+    if kernel is not None:
+        for _ in range(max(1, int(iterations))):
+            planes = _minmax_filter_mask(planes, kernel, "min")
+        return planes
     kh, kw = _ksize2(ksize)
     for _ in range(max(1, int(iterations))):
         planes = _minmax_filter(planes, kh, kw, "min")
     return planes
 
 
-def dilate_planes(planes: jnp.ndarray, ksize=3, iterations: int = 1) -> jnp.ndarray:
-    """``cv2.dilate`` (rect kernel) per plane — exact max filter."""
+def dilate_planes(planes: jnp.ndarray, ksize=3, iterations: int = 1,
+                  kernel=None) -> jnp.ndarray:
+    """``cv2.dilate`` per plane — exact max filter (see ``erode_planes``)."""
     _check_dtype(planes)
+    if kernel is not None:
+        for _ in range(max(1, int(iterations))):
+            planes = _minmax_filter_mask(planes, kernel, "max")
+        return planes
     kh, kw = _ksize2(ksize)
     for _ in range(max(1, int(iterations))):
         planes = _minmax_filter(planes, kh, kw, "max")
@@ -92,31 +124,28 @@ def _sat_sub(a, b, dtype):
 
 
 def morphology_planes(
-    planes: jnp.ndarray, op: str = "open", ksize=3, iterations: int = 1
+    planes: jnp.ndarray, op: str = "open", ksize=3, iterations: int = 1,
+    kernel=None
 ) -> jnp.ndarray:
     """``cv2.morphologyEx`` (rect kernel) per plane — exact compositions."""
     if op not in MORPH_OPS:
         raise ValueError(f"op must be one of {MORPH_OPS}, got {op!r}")
+    def E(x):
+        return erode_planes(x, ksize, iterations, kernel)
+
+    def D(x):
+        return dilate_planes(x, ksize, iterations, kernel)
+
     if op == "erode":
-        return erode_planes(planes, ksize, iterations)
+        return E(planes)
     if op == "dilate":
-        return dilate_planes(planes, ksize, iterations)
+        return D(planes)
     if op == "open":
-        return dilate_planes(erode_planes(planes, ksize, iterations), ksize, iterations)
+        return D(E(planes))
     if op == "close":
-        return erode_planes(dilate_planes(planes, ksize, iterations), ksize, iterations)
+        return E(D(planes))
     if op == "gradient":
-        return _sat_sub(
-            dilate_planes(planes, ksize, iterations),
-            erode_planes(planes, ksize, iterations), planes.dtype,
-        )
+        return _sat_sub(D(planes), E(planes), planes.dtype)
     if op == "tophat":
-        return _sat_sub(
-            planes,
-            dilate_planes(erode_planes(planes, ksize, iterations), ksize, iterations),
-            planes.dtype,
-        )
-    return _sat_sub(  # blackhat
-        erode_planes(dilate_planes(planes, ksize, iterations), ksize, iterations),
-        planes, planes.dtype,
-    )
+        return _sat_sub(planes, D(E(planes)), planes.dtype)
+    return _sat_sub(E(D(planes)), planes, planes.dtype)  # blackhat

@@ -120,6 +120,9 @@ __all__ = [
     "sep_filter2d",
     "calc_back_project",
     "box_filter",
+    "get_structuring_element",
+    "gabor_kernel",
+    "corner_harris",
     "min_max_loc",
 ]
 
@@ -1172,25 +1175,35 @@ def _morph_k2(ksize):
     return int(ksize[0]), int(ksize[1])
 
 
-def erode(img: np.ndarray, ksize=3, iterations: int = 1) -> np.ndarray:
-    """``cv2.erode`` (rect kernel, anchor k//2) — exact min filter with
-    identity (+dtype-max) border; even kernels supported (probe: even
-    anchor = k//2).  Dtypes u8/u16/i16/f32."""
+def erode(img: np.ndarray, ksize=3, iterations: int = 1, kernel=None) -> np.ndarray:
+    """``cv2.erode`` — exact min filter with identity border; rect by
+    ``ksize`` or an arbitrary 0/1 ``kernel`` (ellipse/cross/custom —
+    anchor kh//2, probe-exact vs cv2 structuring elements).  Even
+    kernels supported.  Dtypes u8/u16/i16/f32."""
+    if kernel is not None:
+        for _ in range(max(1, int(iterations))):
+            img = _minmax_filter_kernel(img, kernel, "min")
+        return img
     kh, kw = _morph_k2(ksize)
     for _ in range(max(1, int(iterations))):
         img = _minmax_filter_np(img, kh, kw, "min")
     return img
 
 
-def dilate(img: np.ndarray, ksize=3, iterations: int = 1) -> np.ndarray:
-    """``cv2.dilate`` (rect kernel) — exact max filter (see ``erode``)."""
+def dilate(img: np.ndarray, ksize=3, iterations: int = 1, kernel=None) -> np.ndarray:
+    """``cv2.dilate`` — exact max filter (see ``erode``)."""
+    if kernel is not None:
+        for _ in range(max(1, int(iterations))):
+            img = _minmax_filter_kernel(img, kernel, "max")
+        return img
     kh, kw = _morph_k2(ksize)
     for _ in range(max(1, int(iterations))):
         img = _minmax_filter_np(img, kh, kw, "max")
     return img
 
 
-def morphology(img: np.ndarray, op: str = "open", ksize=3, iterations: int = 1) -> np.ndarray:
+def morphology(img: np.ndarray, op: str = "open", ksize=3, iterations: int = 1,
+               kernel=None) -> np.ndarray:
     """``cv2.morphologyEx`` (rect kernel) — exact compositions (probes):
     open = dilateⁿ∘erodeⁿ, close = erodeⁿ∘dilateⁿ, gradient =
     sat(dilate − erode), tophat = sat(src − open), blackhat =
@@ -1205,19 +1218,25 @@ def morphology(img: np.ndarray, op: str = "open", ksize=3, iterations: int = 1) 
         return np.clip(a.astype(np.int64) - b.astype(np.int64),
                        _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 
+    def E(x):
+        return erode(x, ksize, iterations, kernel)
+
+    def D(x):
+        return dilate(x, ksize, iterations, kernel)
+
     if op == "erode":
-        return erode(img, ksize, iterations)
+        return E(img)
     if op == "dilate":
-        return dilate(img, ksize, iterations)
+        return D(img)
     if op == "open":
-        return dilate(erode(img, ksize, iterations), ksize, iterations)
+        return D(E(img))
     if op == "close":
-        return erode(dilate(img, ksize, iterations), ksize, iterations)
+        return E(D(img))
     if op == "gradient":
-        return sat_sub(dilate(img, ksize, iterations), erode(img, ksize, iterations))
+        return sat_sub(D(img), E(img))
     if op == "tophat":
-        return sat_sub(img, dilate(erode(img, ksize, iterations), ksize, iterations))
-    return sat_sub(erode(dilate(img, ksize, iterations), ksize, iterations), img)
+        return sat_sub(img, D(E(img)))
+    return sat_sub(E(D(img)), img)
 
 
 def deriv_kernels(dx: int, dy: int, ksize: int = 3):
@@ -2503,3 +2522,85 @@ def box_filter(img: np.ndarray, ksize=3, normalize: bool = True) -> np.ndarray:
     s = sum(p[i:i + H] for i in range(kh))
     s = sum(s[:, j:j + W] for j in range(kw))
     return s.astype(np.float32 if kind == "f32" else np.int32)
+
+
+def get_structuring_element(shape: str, ksize) -> np.ndarray:
+    """``cv2.getStructuringElement`` — bit-exact over a 15x15 size
+    sweep.  ``shape``: rect | ellipse | cross; ``ksize`` = (rows, cols)
+    row-major; default anchor (rows//2, cols//2).  Degenerate rows=1
+    ellipse keeps only the anchor column (r=0 → dx=0), like cv2."""
+    rows, cols = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    if shape == "rect":
+        return np.ones((rows, cols), np.uint8)
+    if shape == "cross":
+        k = np.zeros((rows, cols), np.uint8)
+        k[rows // 2, :] = 1
+        k[:, cols // 2] = 1
+        return k
+    if shape == "ellipse":
+        r, c = rows // 2, cols // 2
+        inv = 1.0 / (r * r) if r > 0 else 0.0
+        k = np.zeros((rows, cols), np.uint8)
+        for i in range(rows):
+            dy = i - r
+            if abs(dy) <= r:
+                dx = int(np.round(c * np.sqrt(max(r * r - dy * dy, 0) * inv)))
+                k[i, max(c - dx, 0):min(c + dx + 1, cols)] = 1
+        return k
+    raise ValueError(f"unknown shape {shape!r} (rect|ellipse|cross)")
+
+
+def _minmax_filter_kernel(img, kernel, op):
+    """min/max filter over an arbitrary 0/1 kernel (replicate border,
+    anchor kh//2 — matches cv2.erode/dilate with custom elements)."""
+    kernel = np.asarray(kernel)
+    kh, kw = kernel.shape
+    ay, ax = kh // 2, kw // 2
+    H, W = img.shape
+    p = np.pad(img, ((ay, kh - 1 - ay), (ax, kw - 1 - ax)), mode="edge")
+    red = np.minimum if op == "min" else np.maximum
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            if kernel[dy, dx]:
+                v = p[dy:dy + H, dx:dx + W]
+                acc = v.copy() if acc is None else red(acc, v)
+    if acc is None:
+        return img.copy()
+    return acc
+
+
+def gabor_kernel(ksize, sigma: float, theta: float, lambd: float,
+                 gamma: float = 1.0, psi: float = np.pi / 2) -> np.ndarray:
+    """``cv2.getGaborKernel`` (f64) — the standard Gabor formula;
+    ``ksize`` = (rows, cols) row-major."""
+    rows, cols = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    # cv2 bumps even sizes to the enclosing odd kernel (2*(k//2)+1) and
+    # writes kernel[ymax−y, xmax−x] — i.e. the grid runs POSITIVE→
+    # NEGATIVE (the cosine phase is odd in xr, so the flip matters)
+    ymax, xmax = rows // 2, cols // 2
+    y, x = np.mgrid[ymax:-ymax - 1:-1, xmax:-xmax - 1:-1]
+    xr = x * np.cos(theta) + y * np.sin(theta)
+    yr = -x * np.sin(theta) + y * np.cos(theta)
+    ex = np.exp(-(xr * xr + gamma * gamma * yr * yr) / (2 * sigma * sigma))
+    return (ex * np.cos(2 * np.pi * xr / lambd + psi)).astype(np.float64)
+
+
+def corner_harris(img: np.ndarray, block_size: int = 2, ksize: int = 3,
+                  k: float = 0.04) -> np.ndarray:
+    """``cv2.cornerHarris`` — float32 response at f32-ulp tolerance
+    (3e-7 rel): Sobel dx/dy scaled by ``1/(2^(ksize-1)·block·255)``,
+    unnormalized block sums of the products, ``det − k·trace²``."""
+    if img.dtype != np.uint8:
+        raise TypeError("cornerHarris (this port) requires uint8 input")
+    dx = sobel(img.astype(np.float32), 1, 0, ksize).astype(np.float64)
+    dy = sobel(img.astype(np.float32), 0, 1, ksize).astype(np.float64)
+    sc = 1.0 / ((1 << (ksize - 1)) * block_size * 255)
+    dx *= sc
+    dy *= sc
+    cxx = box_filter(((dx * dx).astype(np.float32)), block_size, normalize=False).astype(np.float64)
+    cyy = box_filter(((dy * dy).astype(np.float32)), block_size, normalize=False).astype(np.float64)
+    cxy = box_filter(((dx * dy).astype(np.float32)), block_size, normalize=False).astype(np.float64)
+    return (cxx * cyy - cxy * cxy - k * (cxx + cyy) ** 2).astype(np.float32)
