@@ -65,6 +65,8 @@ __all__ = [
     "integral",
     "apply_color_map",
     "mean_std_dev",
+    "psnr",
+    "norm",
     "compare_hist",
     "canny",
     "connected_components",
@@ -728,6 +730,20 @@ def apply_color_map(img, colormap: str = "jet", channels_last: bool = True):
     names).  Returns RGB (cv2 returns BGR)."""
     _check_u8(img)
     return _colormap_jit(str(colormap), bool(channels_last))(img)
+
+
+def psnr(a, b, max_val: float = 255.0):
+    """``cv2.PSNR`` (host f64 helper; inf on identical inputs)."""
+    from imageenhancement_mp_tpu.ref.ops import psnr as _p
+
+    return _p(np.asarray(a), np.asarray(b), max_val)
+
+
+def norm(a, norm_type: str = "l2", b=None):
+    """``cv2.norm(a[, b])`` — l1 | l2 | inf (host f64 helper)."""
+    from imageenhancement_mp_tpu.ref.ops import norm as _n
+
+    return _n(np.asarray(a), norm_type, None if b is None else np.asarray(b))
 
 
 def mean_std_dev(img):

@@ -123,6 +123,8 @@ __all__ = [
     "get_structuring_element",
     "gabor_kernel",
     "corner_harris",
+    "psnr",
+    "norm",
     "min_max_loc",
 ]
 
@@ -2604,3 +2606,32 @@ def corner_harris(img: np.ndarray, block_size: int = 2, ksize: int = 3,
     cyy = box_filter(((dy * dy).astype(np.float32)), block_size, normalize=False).astype(np.float64)
     cxy = box_filter(((dx * dy).astype(np.float32)), block_size, normalize=False).astype(np.float64)
     return (cxx * cyy - cxy * cxy - k * (cxx + cyy) ** 2).astype(np.float32)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
+    """``cv2.PSNR`` — 10·log10(R²/MSE) in f64 (inf on identical
+    inputs, like cv2)."""
+    if a.shape != b.shape:
+        raise ValueError("inputs must share shape")
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float((d * d).mean())
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(max_val * max_val / mse))
+
+
+def norm(a: np.ndarray, norm_type: str = "l2", b: np.ndarray = None) -> float:
+    """``cv2.norm(a[, b])`` — L1 | L2 | inf in f64, exact (pairwise
+    form computes the norm of a−b)."""
+    x = a.astype(np.float64)
+    if b is not None:
+        if a.shape != b.shape:
+            raise ValueError("inputs must share shape")
+        x = x - b.astype(np.float64)
+    if norm_type == "l1":
+        return float(np.abs(x).sum())
+    if norm_type == "l2":
+        return float(np.sqrt((x * x).sum()))
+    if norm_type == "inf":
+        return float(np.abs(x).max())
+    raise ValueError(f"unknown norm {norm_type!r} (l1|l2|inf)")

@@ -122,3 +122,16 @@ def test_calc_back_project():
         assert np.array_equal(ref.calc_back_project(img, hist, sc), want)
         got = np.asarray(ie.calc_back_project(jnp.asarray(img), hist, sc))
         assert np.array_equal(got, want)
+
+
+def test_psnr_and_norm():
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 256, (20, 24), np.uint8)
+    b = rng.integers(0, 256, (20, 24), np.uint8)
+    assert abs(ie.psnr(a, b) - cv2.PSNR(a, b)) < 1e-9
+    assert ie.psnr(a, a) == float("inf")
+    assert abs(ie.norm(a, "l2") - cv2.norm(a, cv2.NORM_L2)) < 1e-9
+    assert abs(ie.norm(a, "l1", b) - cv2.norm(a, b, cv2.NORM_L1)) < 1e-9
+    assert abs(ie.norm(a, "inf", b) - cv2.norm(a, b, cv2.NORM_INF)) < 1e-9
+    with pytest.raises(ValueError):
+        ie.norm(a, "l0")
