@@ -124,6 +124,10 @@ __all__ = [
     "gabor_kernel",
     "corner_harris",
     "psnr",
+    "rgb_to_xyz",
+    "xyz_to_rgb",
+    "rgb_to_lab",
+    "lab_to_rgb",
     "norm",
     "min_max_loc",
 ]
@@ -2635,3 +2639,95 @@ def norm(a: np.ndarray, norm_type: str = "l2", b: np.ndarray = None) -> float:
     if norm_type == "inf":
         return float(np.abs(x).max())
     raise ValueError(f"unknown norm {norm_type!r} (l1|l2|inf)")
+
+
+# ---------------------------------------------------------------------------
+# XYZ / Lab color spaces (cv2.cvtColor extensions)
+# ---------------------------------------------------------------------------
+
+_XYZ_FWD = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]])
+_XYZ_INV = np.array([[3.240479, -1.537150, -0.498535],
+                     [-0.969256, 1.875992, 0.041556],
+                     [0.055648, -0.204043, 1.057311]])
+_LAB_WHITE = np.array([0.950456, 1.0, 1.088754])
+
+
+def rgb_to_xyz(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(RGB2XYZ)`` — u8 bit-exact (coefficients at 2^12,
+    half-up shift; probe 0 diff); f32 = the plain matrix product."""
+    if img.shape[-1] != 3:
+        raise ValueError("expected [..,3] color image")
+    rgb = img[..., ::-1] if order == "bgr" else img
+    if img.dtype == np.float32:
+        return (rgb.astype(np.float64) @ _XYZ_FWD.T).astype(np.float32)
+    if img.dtype != np.uint8:
+        raise TypeError("rgb_to_xyz supports uint8/float32")
+    C = np.round(_XYZ_FWD * 4096).astype(np.int64)
+    r = rgb.astype(np.int64)
+    out = np.stack([(r[..., 0] * C[k, 0] + r[..., 1] * C[k, 1]
+                     + r[..., 2] * C[k, 2] + 2048) >> 12 for k in range(3)], -1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def xyz_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(XYZ2RGB)`` — u8 bit-exact (2^12 fixed point)."""
+    if img.shape[-1] != 3:
+        raise ValueError("expected [..,3] color image")
+    if img.dtype == np.float32:
+        out = (img.astype(np.float64) @ _XYZ_INV.T).astype(np.float32)
+    elif img.dtype == np.uint8:
+        C = np.round(_XYZ_INV * 4096).astype(np.int64)
+        r = img.astype(np.int64)
+        out = np.stack([(r[..., 0] * C[k, 0] + r[..., 1] * C[k, 1]
+                         + r[..., 2] * C[k, 2] + 2048) >> 12 for k in range(3)], -1)
+        out = np.clip(out, 0, 255).astype(np.uint8)
+    else:
+        raise TypeError("xyz_to_rgb supports uint8/float32")
+    return out[..., ::-1] if order == "bgr" else out
+
+
+def rgb_to_lab(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(RGB2LAB)`` (u8) — ±1 LSB everywhere (fuzz: max 1,
+    ~9 % px off by 1 — cv2's table-quantized fixed point vs this f64
+    model).  sRGB linearization (cv2's default), D65 white, the CIE
+    f(t) split at 0.008856; L scaled 255/100, a/b offset +128."""
+    if img.dtype != np.uint8 or img.shape[-1] != 3:
+        raise TypeError("rgb_to_lab requires uint8 [..,3]")
+    rgb = img[..., ::-1] if order == "bgr" else img
+    r = rgb.astype(np.float64) / 255.0
+    r = np.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
+    xyz = (r @ _XYZ_FWD.T) / _LAB_WHITE
+
+    def f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(xyz[..., 0]), f(xyz[..., 1]), f(xyz[..., 2])
+    L = np.where(xyz[..., 1] > 0.008856, 116 * fy - 16, 903.3 * xyz[..., 1])
+    out = np.stack([L * 255.0 / 100.0, 500 * (fx - fy) + 128,
+                    200 * (fy - fz) + 128], -1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def lab_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(LAB2RGB)`` (u8) — ±1 LSB (see ``rgb_to_lab``)."""
+    if img.dtype != np.uint8 or img.shape[-1] != 3:
+        raise TypeError("lab_to_rgb requires uint8 [..,3]")
+    L = img[..., 0].astype(np.float64) * 100.0 / 255.0
+    a = img[..., 1].astype(np.float64) - 128.0
+    b = img[..., 2].astype(np.float64) - 128.0
+    fy = (L + 16) / 116
+    fx, fz = fy + a / 500, fy - b / 200
+
+    def fi(t):
+        return np.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    x = fi(fx) * _LAB_WHITE[0]
+    y = np.where(L > 903.3 * 0.008856, fy ** 3, L / 903.3)
+    z = fi(fz) * _LAB_WHITE[2]
+    rgb = np.stack([x, y, z], -1) @ _XYZ_INV.T
+    rgb = np.clip(rgb, 0, None)
+    rgb = np.where(rgb > 0.0031308, 1.055 * rgb ** (1 / 2.4) - 0.055, 12.92 * rgb)
+    out = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+    return out[..., ::-1] if order == "bgr" else out
