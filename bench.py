@@ -236,8 +236,9 @@ def main() -> int:
                 "nlmeans 1080p gray",
                 lambda x: ie.fast_nl_means_denoising(x, 10.0),
                 rng.integers(0, 256, (1, 1080, 1920), dtype=np.uint8),
-                # oracle on a small crop only (the NumPy oracle is O(441*HW))
-                None,
+                # the NumPy oracle is O(441*HW), so parity runs the SAME op
+                # on a 160x160 crop, device vs oracle (phase-2 special case)
+                "nlmeans-crop",
             ),
             (
                 "canny 4K gray b2",
@@ -316,6 +317,29 @@ def main() -> int:
             ),
         ]
 
+    # ---------------- canary sandwich (docs/DESIGN.md §9) ------------------
+    # The 61-pass bilateral is VPU-compute-bound at ~1.5 GPix/s on this
+    # chip (docs/DESIGN.md §5b) and cannot physically exceed ~20 GPix/s.
+    # A higher reading means the tunnel entered a state where
+    # block_until_ready acks WITHOUT syncing (observed: every row then
+    # clusters at a ~30 µs dispatch floor) — the window's timings are
+    # untrustworthy.  Per §9 the ONLY way to certify a window is a canary
+    # measured before AND after the rows it certifies, so the DEFAULT
+    # bench path (the exact command the driver runs) times the canary on
+    # both sides of the suite; --all additionally gets the full-size
+    # bilateral row in between.
+    canary_x = jax.device_put(
+        rng.integers(0, 256, (1, 1080, 1920), dtype=np.uint8), dev)
+
+    def _canary_gpix():
+        if dev.platform == "cpu":
+            return 0.0  # hermetic CI: no tunnel, no lying states
+        secs = _time(lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
+                     canary_x, iters=3)
+        return float(np.prod(canary_x.shape) / secs / 1e9)
+
+    canary_pre = _canary_gpix()
+
     # ---------------- phase 1: timing (NO device->host transfers) ----------
     results = {}
     handles = {}
@@ -334,17 +358,23 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # tunnel-sanity canary: the 61-pass bilateral is VPU-compute-bound at
-    # ~1.5 GPix/s on this chip (docs/DESIGN.md §5b) and cannot physically
-    # exceed ~20.  A higher reading means the tunnel entered a state where
-    # block_until_ready acks WITHOUT syncing (observed: every row then
-    # clusters at a ~30 µs dispatch floor) — the sweep's timing phase is
-    # untrustworthy and must be rerun in a fresh process.
-    timing_suspect = bool(results.get("bilateral9 4K gray b2", 0.0) > 20.0)
+    canary_post = _canary_gpix()
+    CANARY_BOUND = 20.0
+    timing_suspect = bool(
+        canary_pre > CANARY_BOUND
+        or canary_post > CANARY_BOUND
+        or results.get("bilateral9 4K gray b2", 0.0) > CANARY_BOUND
+    )
+    print(
+        f"canary sandwich: pre={canary_pre:.2f} post={canary_post:.2f} GPix/s "
+        f"(physical bound {CANARY_BOUND:.0f})",
+        file=sys.stderr,
+    )
     if timing_suspect:
         print(
-            "WARNING: bilateral canary exceeded its physical bound — the "
-            "tunnel is ack'ing without sync; DISCARD this sweep's timings",
+            "WARNING: a canary exceeded its physical bound — the tunnel is "
+            "ack'ing without sync; DISCARD this window's timings and rerun "
+            "in a fresh process",
             file=sys.stderr,
         )
 
@@ -361,9 +391,16 @@ def main() -> int:
         for name, fn, x, oracle in suite:
             if oracle is None:
                 continue
-            f, xd = handles[name]
-            got = np.asarray(f(xd))
-            want = oracle(x)
+            if oracle == "nlmeans-crop":
+                crop = np.ascontiguousarray(x[:, :160, :160])
+                got = np.asarray(
+                    ie.fast_nl_means_denoising(jax.device_put(crop, dev), 10.0))
+                want = np.stack(
+                    [ref.fast_nl_means_denoising(p, 10.0) for p in crop])
+            else:
+                f, xd = handles[name]
+                got = np.asarray(f(xd))
+                want = oracle(x)
             lsb = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
             parity[name] = lsb
             print(f"{name:40s} max-LSB={lsb}", file=sys.stderr)
@@ -401,9 +438,18 @@ def main() -> int:
                 "value": round(float(headline), 4),
                 "unit": "GPix/s/chip",
                 "vs_baseline": round(float(headline) / BASELINES["histeq+unsharp 1080p gray b8"], 2),
+                "timing_suspect": timing_suspect,
+                "canary_pre_gpix": round(canary_pre, 2),
+                "canary_post_gpix": round(canary_post, 2),
             }
         )
     )
+    if timing_suspect:
+        print(
+            "NOTE: timing_suspect=true — the canary sandwich failed its "
+            "physical bound; the value above is NOT a certified measurement",
+            file=sys.stderr,
+        )
 
     # ---------------- regression gates ------------------------------------
     # Perf floor (TPU only): half the round-1 measured 771 GPix/s headline,

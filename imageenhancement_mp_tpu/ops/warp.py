@@ -1,21 +1,23 @@
 """Affine warps: ``cv2.warpAffine`` parity on device (contract pinned
-in ref/ops.py ``warp_affine``).
+in ref/ops.py ``warp_affine``) — BIT-EXACT for every dtype.
 
 TPU mapping: the destination->source coordinate field is affine, so the
-device never materialises an (oh, ow) coordinate constant — it combines
-a per-ROW int32 table and a per-COLUMN int32 table (host-precomputed in
-f64, tiny) with one broadcast add in-program, then gathers the 4 taps
-with ``jnp.take`` on flattened indices.  Everything else is VPU math
-that XLA fuses around the gather.
+device never materialises an (oh, ow) coordinate constant — it rebuilds
+cv2 5.0's exact f32 hybrid coordinate field (ref/ops.py
+``warp_affine_coords_f32``) from two tiny per-ROW f32 tables plus a
+single-rounded on-device FMA (``utils.fma.fma32``), then gathers the 4
+taps with ``jnp.take`` on flattened indices.  Everything else is VPU
+math that XLA fuses around the gather.
 
-* LINEAR u8/u16/f32 — cv2 5.0's full-precision float path.  On device
-  (no f64) the coordinates use 2^18 fixed point: frac error <= 2^-19,
-  which keeps even uint16 values within 0.25 LSB of the f64 oracle
-  (razor ±1 only).
-* LINEAR i16 — cv2's OWN fixed-point path (AB_BITS=10 coords, 32x32
-  tab at 2^15): identical integer arithmetic to the oracle, bit-exact.
-* NEAREST — i16 rounds the AB fixed-point map; other dtypes round the
-  2^18 map (oracle rounds f64; razor ±index only).
+* LINEAR u8/u16/f32 — cv2 5.0's float path: hybrid f32 coords (SIMD
+  body ``fma(a, x, f32(b·y + c))``, scalar tail
+  ``f32(fma(a, x, f32(b·y)) + c)`` on the last ``ow %% 16`` columns),
+  then the row-column FMA lerp.  ``fma32`` reproduces the single
+  rounding without hardware FMA, so the device matches cv2 bitwise.
+* LINEAR i16 — cv2's legacy fixed-point coords (AB_BITS=10, 1/32
+  subpixel) with FLOAT tab weights and sequential f32 accumulation.
+* NEAREST — i16 rounds the AB fixed-point map; other dtypes cvRound
+  the f32 hybrid coords.
 """
 
 from __future__ import annotations
@@ -25,34 +27,58 @@ import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.ref.ops import (invert_affine, warp_affine_coords_int,
                                              warp_affine_nn_coords_int, warp_tab_int)
+from imageenhancement_mp_tpu.utils.fma import fma32
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
 __all__ = ["warp_affine_planes", "remap_planes", "undistort_planes"]
 
-_BITS = 18  # device coordinate fixed point (float path)
+
+def _coords_f32_device(Mi, oh: int, ow: int):
+    """cv2's exact f32 coordinate field, rebuilt on device from per-row
+    host tables (f64 row math is exact on host; the per-column FMA is
+    ``fma32``).  Returns f32 ``(oh, ow)`` arrays ``(sx, sy)``."""
+    Mf = np.asarray(Mi, np.float64).astype(np.float32)
+    ys = np.arange(oh, dtype=np.float32)
+    xs = jnp.asarray(np.arange(ow, dtype=np.float32))[None, :]
+    body = jnp.asarray(np.arange(ow) < ow - (ow % 16))[None, :]
+    out = []
+    for r in (0, 1):
+        a, b, c = Mf[r]
+        crow = jnp.asarray((b * ys + c).astype(np.float32))[:, None]
+        brow = jnp.asarray((b * ys).astype(np.float32))[:, None]
+        a = jnp.float32(a)
+        sb = fma32(xs, a, crow)
+        st = fma32(xs, a, brow) + jnp.float32(c)
+        # clamp far-outside coords so the int32 casts below cannot
+        # overflow (identity inside ±2e9; those pixels are all border)
+        out.append(jnp.clip(jnp.where(body, sb, st), -2e9, 2e9))
+    return out[0], out[1]
 
 
-def _coord_tables(Mi, oh, ow):
-    """Host-side per-row/per-column int tables: coord*2^bits = row + col.
+def _bilinear_fma_device(sample, tx, ty):
+    """cv2 5.0's float bilinear: lerp rows then columns, one
+    single-rounded f32 FMA per step (``_bilinear_f32_fma`` on device).
+    ``sample(dy, dx)`` returns the f32 tap planes."""
+    p00, p01 = sample(0, 0), sample(0, 1)
+    p10, p11 = sample(1, 0), sample(1, 1)
+    top = fma32(tx[None], p01 - p00, p00)
+    bot = fma32(tx[None], p11 - p10, p10)
+    return fma32(ty[None], bot - top, top)
 
-    The fixed-point width adapts downward (18 -> ...) until the combined
-    |row + col| magnitude fits int32 with headroom for the NN rounding
-    add — huge translations lose fractional precision instead of
-    wrapping (they're all border pixels anyway)."""
-    for bits in range(_BITS, 7, -1):
-        S = 1 << bits
-        acol = np.round(Mi[0, 0] * np.arange(ow) * S)
-        bcol = np.round(Mi[1, 0] * np.arange(ow) * S)
-        arow = np.round((Mi[0, 1] * np.arange(oh) + Mi[0, 2]) * S)
-        brow = np.round((Mi[1, 1] * np.arange(oh) + Mi[1, 2]) * S)
-        bound = max(
-            abs(arow).max() + abs(acol).max() if oh and ow else 0,
-            abs(brow).max() + abs(bcol).max() if oh and ow else 0,
-        )
-        if bound < 2 ** 30:
-            return (arow.astype(np.int32), acol.astype(np.int32),
-                    brow.astype(np.int32), bcol.astype(np.int32), bits)
-    raise ValueError("warp matrix translation too large for device fixed point")
+
+def _bilinear_tab_seq_device(sample, fx, fy):
+    """cv2's legacy 16S bilinear: float tab weights from the 1/32
+    fraction, sequential f32 accumulation (matches
+    ``_bilinear_tab_f32_seq``; all four weights are exact multiples of
+    1/1024 so the products/ordering are the only roundings)."""
+    one = jnp.float32(1)
+    w0 = ((one - fx) * (one - fy))[None]
+    w1 = (fx * (one - fy))[None]
+    w2 = ((one - fx) * fy)[None]
+    w3 = (fx * fy)[None]
+    acc = sample(0, 0) * w0 + sample(0, 1) * w1
+    acc = acc + sample(1, 0) * w2
+    return acc + sample(1, 1) * w3
 
 
 def _gather(planes, iy, ix, H, W, border, border_value, minv, maxv):
@@ -105,42 +131,29 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
             return v
         X, Y = warp_affine_coords_int(Mi, oh, ow)        # (oh, ow) int64 host
         T = (1 << 5) - 1
-        tab = warp_tab_int()[Y & T, X & T].astype(np.int32)   # (oh, ow, 2, 2)
         iy0 = jnp.asarray((Y >> 5).astype(np.int32))
         ix0 = jnp.asarray((X >> 5).astype(np.int32))
-        acc = None
-        for dy in range(2):
-            for dx in range(2):
-                v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
-                            border, border_value, minv, maxv).astype(jnp.int32)
-                term = v * jnp.asarray(tab[:, :, dy, dx])[None]
-                acc = term if acc is None else acc + term
-        out = (acc + (1 << 14)) >> 15
-        return jnp.clip(out, minv, maxv).astype(planes.dtype)
+        fx = jnp.asarray(((X & T) / 32.0).astype(np.float32))
+        fy = jnp.asarray(((Y & T) / 32.0).astype(np.float32))
+        acc = _bilinear_tab_seq_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            fx, fy)
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
 
-    arow, acol, brow, bcol, bits = _coord_tables(Mi, oh, ow)
-    X = jnp.asarray(arow)[:, None] + jnp.asarray(acol)[None, :]   # int32 2^bits
-    Y = jnp.asarray(brow)[:, None] + jnp.asarray(bcol)[None, :]
+    sx, sy = _coords_f32_device(Mi, oh, ow)
     if interpolation == "nearest":
-        half = 1 << (bits - 1)
-        iy = (Y + half) >> bits
-        ix = (X + half) >> bits
+        iy = jnp.round(sy).astype(jnp.int32)
+        ix = jnp.round(sx).astype(jnp.int32)
         v = _gather(planes, iy, ix, H, W, border, border_value, minv, maxv)
         return v if is_f32 else v.astype(planes.dtype)
-    ix0, iy0 = X >> bits, Y >> bits
-    inv = jnp.float32(1.0 / (1 << bits))
-    tx = (X & ((1 << bits) - 1)).astype(jnp.float32) * inv
-    ty = (Y & ((1 << bits) - 1)).astype(jnp.float32) * inv
-    one = jnp.float32(1)
-    acc = None
-    for dy in range(2):
-        wy = ty if dy else one - ty
-        for dx in range(2):
-            wx = tx if dx else one - tx
-            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
-                        border, border_value, minv, maxv).astype(jnp.float32)
-            term = v * (wy * wx)[None]
-            acc = term if acc is None else acc + term
+    ixf, iyf = jnp.floor(sx), jnp.floor(sy)
+    ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+    tx, ty = sx - ixf, sy - iyf
+    acc = _bilinear_fma_device(
+        lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                               border_value, minv, maxv).astype(jnp.float32),
+        tx, ty)
     if is_f32:
         return acc
     return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
@@ -153,10 +166,10 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
     maps (traced inputs — unlike ``warp_affine_planes`` the coordinates
     are data, so nothing is baked at trace time).
 
-    Same contracts as the oracle (ref/ops.py ``remap``): the maps ARE
-    f32, so the device float path loses nothing vs the f64 oracle
-    except razor blend ties (u8/u16 ±1); i16 reproduces the oracle's
-    fixed-point tab integers bit-exactly; NEAREST rounds the map."""
+    Same contracts as the oracle (ref/ops.py ``remap``), BIT-EXACT:
+    u8/u16/f32 LINEAR use the continuous f32 subpixels with the
+    single-rounded FMA lerp (``fma32``); i16 uses the legacy quantized
+    coords with float tab weights; NEAREST cvRounds the map."""
     if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
         raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
     if border not in ("constant", "replicate"):
@@ -164,8 +177,8 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
     if interpolation not in ("nearest", "linear"):
         raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
     H, W = planes.shape[-2], planes.shape[-1]
-    mx = map_x.astype(jnp.float32)
-    my = map_y.astype(jnp.float32)
+    mx = jnp.clip(map_x.astype(jnp.float32), -2e9, 2e9)   # int32-cast safety
+    my = jnp.clip(map_y.astype(jnp.float32), -2e9, 2e9)
     is_f32 = planes.dtype == jnp.float32
     minv, maxv = (0, 0) if is_f32 else int_bounds(planes.dtype)
     if not is_f32:
@@ -176,33 +189,23 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
         v = _gather(planes, iy, ix, H, W, border, border_value, minv, maxv)
         return v if is_f32 else v.astype(planes.dtype)
     if planes.dtype == jnp.int16:
-        X = jnp.round(mx * jnp.float32(32)).astype(jnp.int32)
-        Y = jnp.round(my * jnp.float32(32)).astype(jnp.int32)
+        X = jnp.round(jnp.clip(mx, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)
+        Y = jnp.round(jnp.clip(my, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)
         ix0, iy0 = X >> 5, Y >> 5
-        tab = jnp.asarray(warp_tab_int().astype(np.int32).reshape(32 * 32, 4))
-        w = jnp.take(tab, (Y & 31) * 32 + (X & 31), axis=0)   # (oh, ow, 4)
-        acc = None
-        for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
-                        border, border_value, minv, maxv).astype(jnp.int32)
-            term = v * w[..., k][None]
-            acc = term if acc is None else acc + term
-        out = (acc + (1 << 14)) >> 15
-        return jnp.clip(out, minv, maxv).astype(planes.dtype)
-    ix0 = jnp.floor(mx).astype(jnp.int32)
-    iy0 = jnp.floor(my).astype(jnp.int32)
-    tx = mx - ix0.astype(jnp.float32)
-    ty = my - iy0.astype(jnp.float32)
-    one = jnp.float32(1)
-    acc = None
-    for dy in range(2):
-        wy = ty if dy else one - ty
-        for dx in range(2):
-            wx = tx if dx else one - tx
-            v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
-                        border, border_value, minv, maxv).astype(jnp.float32)
-            term = v * (wy * wx)[None]
-            acc = term if acc is None else acc + term
+        fx = (X & 31).astype(jnp.float32) * jnp.float32(1 / 32)
+        fy = (Y & 31).astype(jnp.float32) * jnp.float32(1 / 32)
+        acc = _bilinear_tab_seq_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            fx, fy)
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+    ixf, iyf = jnp.floor(mx), jnp.floor(my)
+    ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+    tx, ty = mx - ixf, my - iyf
+    acc = _bilinear_fma_device(
+        lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                               border_value, minv, maxv).astype(jnp.float32),
+        tx, ty)
     if is_f32:
         return acc
     return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
@@ -211,9 +214,11 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
 def undistort_planes(planes: jnp.ndarray, K, dist, new_K=None) -> jnp.ndarray:
     """``cv2.undistort`` per plane on ``(N, H, W)`` — contract in
     ref/ops.py ``undistort``: cv2's quantized-map path (f64 distortion
-    maps rounded to 1/32 subpixels, 32x32 tab).  K/dist are static, so
-    the quantized integer coordinate fields are baked host-side; u8 is
-    bit-exact, u16/i16 ±1, f32 float-tab."""
+    maps rounded to 1/32 subpixels).  K/dist are static, so the
+    quantized integer coordinate fields are baked host-side.
+    BIT-EXACT for every dtype: u8 through the 32x32 INT tab at 2^15,
+    u16/i16/f32 through the float tab with sequential f32
+    accumulation."""
     from imageenhancement_mp_tpu.ref.ops import _undistort_maps64
 
     if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
@@ -226,20 +231,16 @@ def undistort_planes(planes: jnp.ndarray, K, dist, new_K=None) -> jnp.ndarray:
     iy0 = jnp.asarray((Y >> 5).astype(np.int32))
     is_f32 = planes.dtype == jnp.float32
     minv, maxv = (0, 0) if is_f32 else int_bounds(planes.dtype)
-    if is_f32:
-        tx = jnp.asarray(((X & 31) / 32.0).astype(np.float32))
-        ty = jnp.asarray(((Y & 31) / 32.0).astype(np.float32))
-        one = jnp.float32(1)
-        acc = None
-        for dy in range(2):
-            wy = ty if dy else one - ty
-            for dx in range(2):
-                wx = tx if dx else one - tx
-                v = _gather(planes, iy0 + dy, ix0 + dx, H, W,
-                            "constant", 0.0, minv, maxv).astype(jnp.float32)
-                term = v * (wy * wx)[None]
-                acc = term if acc is None else acc + term
-        return acc
+    if planes.dtype != jnp.uint8:
+        fx = jnp.asarray(((X & 31) / 32.0).astype(np.float32))
+        fy = jnp.asarray(((Y & 31) / 32.0).astype(np.float32))
+        acc = _bilinear_tab_seq_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                                   "constant", 0.0, minv, maxv).astype(jnp.float32),
+            fx, fy)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
     tab = warp_tab_int()[Y & 31, X & 31].astype(np.int32)   # (H, W, 2, 2)
     acc = None
     for dy in range(2):

@@ -14,14 +14,19 @@ apply_lut           cv2.LUT                                     exact
 gamma / log LUTs    standard power-law / log transforms         exact (spec)
 contrast_stretch    cv2.normalize(NORM_MINMAX, 0, 255)          exact
 equalize_hist       cv2.equalizeHist                            exact
-clahe               cv2.createCLAHE(clip, grid).apply           ±1 LSB
-gaussian_blur σ=0   cv2.GaussianBlur(k, 0)                      exact
-gaussian_blur σ>0   cv2.GaussianBlur(k, σ)                      ±2 LSB
+clahe               cv2.createCLAHE(clip, grid).apply           exact (u8/u16)
+gaussian_blur       cv2.GaussianBlur(k, σ) u8/u16, any σ        exact
 laplacian           cv2.Laplacian(ksize=1, CV_16S)              exact
 laplacian_sharpen   src − Laplacian, saturating                 exact
 unsharp_mask        cv2.addWeighted(src,1+a,blur,−a,0)          exact
 median_blur         cv2.medianBlur (border replicate)           exact
+warp_affine/remap   cv2.warpAffine / cv2.remap, all dtypes      exact
 ==================  ==========================================  ============
+
+(The one remaining ±1 budget in the integer API is GaussianBlur on
+int16 — cv2's f32 conv vs the oracle's double-float model, docs/
+PARITY.md; every other row above is bit-exact per the deterministic
+fuzz tiers in tests/.)
 
 All formulas below were verified by direct probes against OpenCV 5.0.0 in this
 environment (see tests/test_ref_vs_cv2.py, which re-verifies them in CI when
@@ -1769,6 +1774,38 @@ def get_rotation_matrix_2d(center, angle_deg: float, scale: float = 1.0) -> np.n
                      [-be, al, be * cx + (1 - al) * cy]])
 
 
+def _fma32(a, b, c) -> np.ndarray:
+    """Single-rounded f32 FMA ``RN_f32(a*b + c)`` (exact: the f64 product
+    of two f32 values is exact, the add rounds once in f64, and the final
+    f32 cast is the single rounding — ties are >29 bits away)."""
+    return (np.asarray(a, np.float64) * np.asarray(b, np.float64)
+            + np.asarray(c, np.float64)).astype(np.float32)
+
+
+def _bilinear_f32_fma(p00, p01, p10, p11, tx, ty) -> np.ndarray:
+    """cv2 5.0's float bilinear kernel: lerp the two rows then the
+    columns, each step ``fma(t, hi - lo, lo)`` with a single f32 FMA
+    (pinned by probe — 133.5-exact razor ties reproduce only under this
+    order; 0/6000 u8 + 0/3000 u16/f32 fuzz vs cv2)."""
+    top = _fma32(tx, p01 - p00, p00)
+    bot = _fma32(tx, p11 - p10, p10)
+    return _fma32(ty, bot - top, top)
+
+
+def _bilinear_tab_f32_seq(sample, iy, ix, fx, fy) -> np.ndarray:
+    """cv2's legacy 16S bilinear: FLOAT tab weights from the 1/32
+    fraction, sequential f32 accumulation (pinned 0/3000 fuzz; the
+    pairwise order is ±1 on ~1 % of configs)."""
+    one = np.float32(1)
+    w0 = (one - fx) * (one - fy)
+    w1 = fx * (one - fy)
+    w2 = (one - fx) * fy
+    w3 = fx * fy
+    acc = sample(iy, ix) * w0 + sample(iy, ix + 1) * w1
+    acc = acc + sample(iy + 1, ix) * w2
+    return acc + sample(iy + 1, ix + 1) * w3
+
+
 _WARP_TAB_CACHE = None
 
 
@@ -1827,17 +1864,48 @@ def warp_affine_nn_coords_int(Mi: np.ndarray, oh: int, ow: int):
     return iy, ix
 
 
+def warp_affine_coords_f32(Mi: np.ndarray, oh: int, ow: int):
+    """cv2 5.0's f32 destination->source coordinate field for the float
+    warp path, pinned EXACTLY (ramp-image coordinate extraction, then
+    0/2500-per-dtype end-to-end fuzz):
+
+    * SIMD body (columns ``x < ow - ow % 16``):
+      ``s = fma(a, x, f32(b·y + c))`` — one FMA onto a per-row constant
+      that was itself computed mul-then-add in f32.
+    * scalar tail (the last ``ow % 16`` columns):
+      ``s = f32(fma(a, x, f32(b·y)) + c)`` — the FMA runs onto the bare
+      y-term and the constant is added after.
+
+    Returns ``(sx, sy)`` f32 ``(oh, ow)`` maps."""
+    Mi = np.asarray(Mi, np.float64)
+    Mf = Mi.astype(np.float32)
+    ys = np.arange(oh, dtype=np.float32)[:, None]
+    xs = np.arange(ow, dtype=np.float32)[None, :]
+    body = (np.arange(ow) < ow - (ow % 16))[None, :]
+    out = []
+    for r in (0, 1):
+        a, b, c = Mf[r]
+        crow = (b * ys + c).astype(np.float32)
+        sb = _fma32(a, xs, crow)
+        st = (_fma32(a, xs, (b * ys).astype(np.float32)) + c).astype(np.float32)
+        out.append(np.where(body, sb, st).astype(np.float32))
+    return out[0], out[1]
+
+
 def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
                 border: str = "constant", border_value: float = 0.0,
                 inverse_map: bool = False) -> np.ndarray:
     """``cv2.warpAffine(img, M, (ow, oh), ...)`` — ``dsize`` is (oh, ow).
 
-    Pinned (80-config fuzz per dtype): cv2 5.0 computes u8/u16/f32
-    LINEAR warps in FLOAT at full precision (u8 exact vs the f64 model
-    off one razor tie in 80, u16 ±1 from cv2's f32 accumulation, f32
-    1-ulp) — NOT the classic 5-bit-quantized path; int16 still uses the
-    fixed-point path (AB_BITS=10 coords, 32x32 tab at 2^15, ±1 from
-    cv2's f32 tab build).  NEAREST = ``round(src_coord)`` (0/60 fuzz).
+    Pinned BIT-EXACT per dtype (deterministic fuzz, 2000-2500 configs
+    each): u8/u16/f32 LINEAR = the f32 hybrid coordinate field
+    (``warp_affine_coords_f32``) + the FMA row-column lerp
+    (``_bilinear_f32_fma``); NEAREST (u8/u16/f32) = cvRound of the same
+    f32 coords (the old f64-coord model was ±1 on 2/2000); int16 LINEAR
+    = cv2's legacy fixed-point coords (AB_BITS=10, 1/32 subpixel) with
+    FLOAT tab weights and sequential f32 accumulation
+    (``_bilinear_tab_f32_seq``, 0/2000 — the int-tab 2^15 model was
+    ±1); int16 NEAREST = the AB fixed-point rounding.
     ``border``: ``constant`` (with ``border_value``) or ``replicate``.
     """
     kind = _img_kind(img, allow_i16=True)
@@ -1856,50 +1924,43 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
 
     def sample(iy, ix):
         inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float64)
+        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float32)
         if border == "constant":
-            v = np.where(inside, v, fill)
+            v = np.where(inside, v, np.float32(fill))
         return v
 
-    ys, xs = np.mgrid[0:oh, 0:ow]
     if interpolation == "nearest":
         if kind == "i16":
             # i16 keeps cv2's AB fixed-point maps: round at scale 2^10
             # (40/40 fuzz; the f64-round model fails 8/60)
             iy, ix = warp_affine_nn_coords_int(Mi, oh, ow)
             v = sample(iy, ix)
-            return np.clip(np.round(v), lo, hi).astype(img.dtype)
-        sx = Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]
-        sy = Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]
-        v = sample(np.round(sy).astype(np.int64), np.round(sx).astype(np.int64))
+            return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+        sx, sy = warp_affine_coords_f32(Mi, oh, ow)
+        v = sample(np.rint(sy).astype(np.int64), np.rint(sx).astype(np.int64))
         if kind == "f32":
             return v.astype(np.float32)
-        return np.clip(np.round(v), lo, hi).astype(img.dtype)
+        return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
     if interpolation != "linear":
         raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
     if kind == "i16":
         X, Y = warp_affine_coords_int(Mi, oh, ow)
         T = (1 << _WARP_INTER_BITS) - 1
         ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
-        tab = warp_tab_int()[Y & T, X & T]            # (oh, ow, 2, 2)
-        acc = np.zeros((oh, ow), np.int64)
-        for dy in range(2):
-            for dx in range(2):
-                acc += sample(iy + dy, ix + dx).astype(np.int64) * tab[:, :, dy, dx]
-        out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
-        return np.clip(out, lo, hi).astype(img.dtype)
-    sx = Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]
-    sy = Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]
-    ix, iy = np.floor(sx).astype(np.int64), np.floor(sy).astype(np.int64)
-    tx, ty = sx - ix, sy - iy
-    acc = np.zeros((oh, ow))
-    for dy in range(2):
-        for dx in range(2):
-            acc += (sample(iy + dy, ix + dx)
-                    * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
+        fx = (X & T).astype(np.float32) / np.float32(32)
+        fy = (Y & T).astype(np.float32) / np.float32(32)
+        acc = _bilinear_tab_f32_seq(sample, iy, ix, fx, fy)
+        return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
+    sx, sy = warp_affine_coords_f32(Mi, oh, ow)
+    ixf, iyf = np.floor(sx), np.floor(sy)
+    ix, iy = ixf.astype(np.int64), iyf.astype(np.int64)
+    tx = (sx - ixf).astype(np.float32)
+    ty = (sy - iyf).astype(np.float32)
+    acc = _bilinear_f32_fma(sample(iy, ix), sample(iy, ix + 1),
+                            sample(iy + 1, ix), sample(iy + 1, ix + 1), tx, ty)
     if kind == "f32":
-        return acc.astype(np.float32)
-    return np.clip(np.round(acc), lo, hi).astype(img.dtype)
+        return acc
+    return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -2000,12 +2061,22 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
           border_value: float = 0.0) -> np.ndarray:
     """``cv2.remap(img, map_x, map_y, ...)`` with float32 maps.
 
-    Pinned (40-config fuzz per dtype): same dtype split as
-    ``warp_affine`` — u8/u16/f32 LINEAR run in full-precision float
-    (u8/f32 exact, u16 ±1), int16 uses the fixed-point path
-    (``cvRound(map·32)`` subpixel coords into the 32x32 tab at 2^15,
-    ±1); NEAREST = ``round(map)`` (0/30).  borderValue saturates into
-    the dtype before blending, like cv2."""
+    Pinned BIT-EXACT for every dtype (deterministic fuzz, 3000+ configs
+    per dtype incl. border-straddling coords):
+
+    * LINEAR u8/u16/f32 — cv2 5.0's float path: continuous f32
+      subpixels taken straight from the maps (``t = f32(s - floor(s))``),
+      then the row-column FMA lerp (``_bilinear_f32_fma``), cvRound
+      (half-to-even), saturate.  The round-2 f64 model was ±1 on ~1 % of
+      configs (razor 133.5 ties that only f32 arithmetic hits exactly).
+    * LINEAR i16 — the legacy path cv2 keeps for 16S: quantize
+      ``cvRound(map·32)``, split into index + 1/32 fraction, FLOAT tab
+      weights ``(1-fx)(1-fy)…`` and sequential f32 accumulation
+      ``((p00·w0 + p01·w1) + p10·w2) + p11·w3``, cvRound.  (The int-tab
+      2^15 model was ±1 on ~1 % of configs; the float tab is 0/3000.)
+    * NEAREST — ``cvRound(map)`` gather (exact).
+
+    borderValue saturates into the dtype before blending, like cv2."""
     kind = _img_kind(img, allow_i16=True)
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
@@ -2020,9 +2091,9 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
 
     def sample(iy, ix):
         inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float64)
+        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float32)
         if border == "constant":
-            v = np.where(inside, v, fill)
+            v = np.where(inside, v, np.float32(fill))
         return v
 
     if interpolation == "nearest":
@@ -2030,7 +2101,7 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
                    np.round(map_x.astype(np.float64)).astype(np.int64))
         if kind == "f32":
             return v.astype(np.float32)
-        return np.clip(np.round(v), lo, hi).astype(img.dtype)
+        return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
     if interpolation != "linear":
         raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
     if kind == "i16":
@@ -2038,24 +2109,19 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
         Y = np.round(map_y.astype(np.float64) * 32).astype(np.int64)
         ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
         T = (1 << _WARP_INTER_BITS) - 1
-        w = warp_tab_int()[Y & T, X & T]
-        acc = np.zeros(map_x.shape, np.int64)
-        for dy in range(2):
-            for dx in range(2):
-                acc += sample(iy + dy, ix + dx).astype(np.int64) * w[:, :, dy, dx]
-        out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
-        return np.clip(out, lo, hi).astype(img.dtype)
-    sx, sy = map_x.astype(np.float64), map_y.astype(np.float64)
-    ix, iy = np.floor(sx).astype(np.int64), np.floor(sy).astype(np.int64)
-    tx, ty = sx - ix, sy - iy
-    acc = np.zeros(map_x.shape)
-    for dy in range(2):
-        for dx in range(2):
-            acc += (sample(iy + dy, ix + dx)
-                    * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
+        fx = (X & T).astype(np.float32) / np.float32(32)
+        fy = (Y & T).astype(np.float32) / np.float32(32)
+        acc = _bilinear_tab_f32_seq(sample, iy, ix, fx, fy)
+        return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
+    ixf, iyf = np.floor(map_x), np.floor(map_y)
+    ix, iy = ixf.astype(np.int64), iyf.astype(np.int64)
+    tx = (map_x - ixf).astype(np.float32)
+    ty = (map_y - iyf).astype(np.float32)
+    acc = _bilinear_f32_fma(sample(iy, ix), sample(iy, ix + 1),
+                            sample(iy + 1, ix), sample(iy + 1, ix + 1), tx, ty)
     if kind == "f32":
-        return acc.astype(np.float32)
-    return np.clip(np.round(acc), lo, hi).astype(img.dtype)
+        return acc
+    return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
 
 
 _MT_METHODS = ("sqdiff", "sqdiff_normed", "ccorr", "ccorr_normed",
@@ -2394,11 +2460,13 @@ def _undistort_maps64(K, dist, size, new_K=None):
 
 
 def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
-    """``cv2.undistort`` — BIT-EXACT for u8 (0/25 fuzz): cv2 quantizes
-    the f64 distortion maps to CV_16SC2 (``round(map·32)``) and runs
-    the 32x32-tab fixed-point remap; integer dtypes share that path
-    (u16/i16 within the same ±1 tab budget as remap); f32 uses the
-    5-bit-quantized coordinates with float bilinear weights."""
+    """``cv2.undistort`` — BIT-EXACT for u8/u16/i16: cv2 quantizes the
+    f64 distortion maps to CV_16SC2 (``round(map·32)``) and runs the
+    fixed-point remap — u8 through the 32x32 INT tab at 2^15, u16/i16
+    through the FLOAT tab with sequential f32 accumulation
+    (``_bilinear_tab_f32_seq``, 0/300 fuzz each — the int-tab model was
+    ±1 for 16-bit); f32 uses the quantized coordinates with float
+    bilinear weights."""
     kind = _img_kind(img, allow_i16=True)
     H, W = img.shape
     mx, my = _undistort_maps64(K, dist, (H, W), new_K)
@@ -2411,21 +2479,23 @@ def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
         inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
         return np.where(inside,
                         img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)
-                            ].astype(np.float64), 0.0)
+                            ].astype(np.float32), np.float32(0))
 
     if kind == "f32":
-        ty, tx = (Y & T) / 32.0, (X & T) / 32.0
-        acc = np.zeros(mx.shape)
-        for dy in range(2):
-            for dx in range(2):
-                acc += (sample(iy + dy, ix + dx)
-                        * np.where(dy, ty, 1 - ty) * np.where(dx, tx, 1 - tx))
-        return acc.astype(np.float32)
+        fx = (X & T).astype(np.float32) / np.float32(32)
+        fy = (Y & T).astype(np.float32) / np.float32(32)
+        return _bilinear_tab_f32_seq(sample, iy, ix, fx, fy)
+    if kind in ("u16", "i16"):
+        fx = (X & T).astype(np.float32) / np.float32(32)
+        fy = (Y & T).astype(np.float32) / np.float32(32)
+        acc = _bilinear_tab_f32_seq(sample, iy, ix, fx, fy)
+        return np.clip(np.rint(acc),
+                       _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
     w = warp_tab_int()[Y & T, X & T]
     acc = np.zeros(mx.shape, np.int64)
     for dy in range(2):
         for dx in range(2):
-            acc += sample(iy + dy, ix + dx).astype(np.int64) * w[:, :, dy, dx]
+            acc += np.rint(sample(iy + dy, ix + dx)).astype(np.int64) * w[:, :, dy, dx]
     out = (acc + (1 << (_WARP_REMAP_BITS - 1))) >> _WARP_REMAP_BITS
     return np.clip(out, _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 

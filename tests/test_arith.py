@@ -3,6 +3,8 @@ bitwise/min/max/compare (docs/PARITY.md — everything exact except f32
 multiply at fractional scales, 1 ulp)."""
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -26,7 +28,7 @@ def _pair(rng, dt, shape):
 
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_ref_vs_cv2(dt):
-    rng = np.random.default_rng(hash(("arith", dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("arith", dt.__name__))
     for t in range(50):
         a, b = _pair(rng, dt, (int(rng.integers(2, 25)), int(rng.integers(2, 25))))
         sc = float(rng.choice([1.0, 0.5, 2.0, 1.7, 0.23]))
@@ -67,7 +69,7 @@ def test_multiply_overflow_saturates_to_min():
 
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_device_vs_cv2(dt):
-    rng = np.random.default_rng(hash(("arithdev", dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("arithdev", dt.__name__))
     a, b = _pair(rng, dt, (13, 17))
     ja, jb = jnp.asarray(a), jnp.asarray(b)
     for sc in (1.0, 0.5, 1.7):

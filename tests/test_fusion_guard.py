@@ -10,7 +10,7 @@ round trip).  A fully-unfused pipeline has 25+ (one per primitive); the
 fused program has 7 on the CPU backend and ~14 on TPU (where padding
 concats and layout copies also surface at entry level).
 
-The companion runtime guard is ``bench.py --gate`` (default 400 GPix/s on
+The companion runtime guard is ``bench.py --gate`` (default 100 GPix/s on
 TPU), which the driver runs every round.
 """
 

@@ -2,6 +2,8 @@
 the weight LUT: round(FPM*exp(-SSD*scale/h^2)), denominator h^2)."""
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -21,7 +23,7 @@ def _noisy(rng, H, W, sigma):
 
 @pytest.mark.parametrize("t,s", [(3, 9), (5, 15), (7, 21)])
 def test_ref_vs_cv2(t, s):
-    rng = np.random.default_rng(hash(("nlm", t, s)) % 2**31)
+    rng = np.random.default_rng(seed("nlm", t, s))
     for trial in range(8):
         H, W = int(rng.integers(14, 44)), int(rng.integers(14, 44))
         img = _noisy(rng, H, W, rng.uniform(3, 25))

@@ -1,7 +1,10 @@
-"""cv2.remap parity (float32 maps) — same contracts as warpAffine:
-u8/f32 linear exact, u16/i16 ±1, NEAREST exact (docs/PARITY.md)."""
+"""cv2.remap parity (float32 maps) — BIT-EXACT for every dtype
+(docs/PARITY.md): u8/u16/f32 linear via the f32 FMA lerp, i16 via the
+legacy float-tab path, NEAREST via cvRound(map)."""
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -34,7 +37,7 @@ def _maps(rng, H, W, oh, ow):
 @pytest.mark.parametrize("interp", ["linear", "nearest"])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_ref_vs_cv2(interp, dt):
-    rng = np.random.default_rng(hash(("remap", interp, dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("remap", interp, dt.__name__))
     for t in range(30):
         H, W = int(rng.integers(6, 50)), int(rng.integers(6, 50))
         oh, ow = int(rng.integers(6, 50)), int(rng.integers(6, 50))
@@ -46,27 +49,24 @@ def test_ref_vs_cv2(interp, dt):
                          borderValue=bval)
         got = ref.remap(img, mx, my, interp, bmode, bval)
         if dt is np.float32:
-            tol = 1e-5 * max(1.0, float(np.abs(want).max()))
-            assert float(np.abs(got - want).max()) <= tol
+            assert np.array_equal(got, want), (H, W, oh, ow)
         else:
             d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
-            lim = 0 if interp == "nearest" or dt is np.uint8 else 1
-            assert d <= lim, (H, W, oh, ow, d)
+            assert d == 0, (H, W, oh, ow, d)
 
 
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_device_vs_oracle(dt):
-    rng = np.random.default_rng(hash(("remapdev", dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("remapdev", dt.__name__))
     img = _img(rng, dt, (29, 33))
     mx, my = _maps(rng, 29, 33, 21, 26)
     want = ref.remap(img, mx, my)
     got = np.asarray(remap_planes(jnp.asarray(img)[None],
                                   jnp.asarray(mx), jnp.asarray(my)))[0]
     if dt is np.float32:
-        assert float(np.abs(got - want).max()) <= 1e-3
+        assert np.array_equal(got, want)
     else:
-        d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
-        assert d <= 1
+        assert np.array_equal(got, want)
 
 
 def test_api_identity_map_is_noop():

@@ -10,6 +10,8 @@ Budgets (docs/PARITY.md):
 """
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -43,7 +45,7 @@ def _img(rng, dt, shape):
 @pytest.mark.parametrize("interp", ["nearest", "linear", "area"])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_ref_vs_cv2(interp, dt):
-    rng = np.random.default_rng(hash((interp, dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed(interp, dt.__name__))
     checked = 0
     for t in range(140):
         H, W = int(rng.integers(1, 48)), int(rng.integers(1, 48))
@@ -90,7 +92,7 @@ def test_area_2x2_fast_path_half_up():
 @pytest.mark.parametrize("interp", ["nearest", "linear", "area"])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_device_vs_oracle(interp, dt):
-    rng = np.random.default_rng(hash((interp, dt.__name__, "dev")) % 2**31)
+    rng = np.random.default_rng(seed(interp, dt.__name__, "dev"))
     for t in range(6):
         H, W = int(rng.integers(2, 40)), int(rng.integers(2, 40))
         oh, ow = int(rng.integers(1, 56)), int(rng.integers(1, 56))
@@ -128,7 +130,7 @@ def test_api_rejects():
 
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_cubic_ref_vs_cv2(dt):
-    rng = np.random.default_rng(hash(("cubic", dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("cubic", dt.__name__))
     for t in range(60):
         H, W = int(rng.integers(2, 45)), int(rng.integers(2, 45))
         oh, ow = int(rng.integers(1, 64)), int(rng.integers(1, 64))

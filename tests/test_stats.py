@@ -1,6 +1,8 @@
 """integral / meanStdDev / compareHist / applyColorMap parity."""
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -14,7 +16,7 @@ cv2.setNumThreads(1)
 
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_integral_ref_vs_cv2(dt):
-    rng = np.random.default_rng(hash(("int", dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("int", dt.__name__))
     for t in range(15):
         H, W = int(rng.integers(2, 40)), int(rng.integers(2, 40))
         img = ((rng.random((H, W)) * 300 - 100).astype(np.float32)

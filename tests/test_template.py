@@ -2,6 +2,8 @@
 cv2.minMaxLoc."""
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -21,7 +23,7 @@ _M = {"sqdiff": cv2.TM_SQDIFF, "sqdiff_normed": cv2.TM_SQDIFF_NORMED,
 @pytest.mark.parametrize("method", sorted(_M))
 @pytest.mark.parametrize("dt", [np.uint8, np.float32])
 def test_ref_vs_cv2(method, dt):
-    rng = np.random.default_rng(hash(("mt", method, dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("mt", method, dt.__name__))
     for t in range(20):
         H, W = int(rng.integers(12, 70)), int(rng.integers(12, 70))
         th, tw = int(rng.integers(3, 12)), int(rng.integers(3, 12))

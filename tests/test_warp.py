@@ -1,11 +1,13 @@
 """cv2.warpAffine parity: oracle vs cv2, device vs oracle, API.
 
-Budgets (docs/PARITY.md): u8 linear exact off razor ties (tested ±1),
-u16 ±1 (cv2's f32 accumulation), i16 bit-matched fixed-point path,
-f32 1-ulp; NEAREST exact (i16 via the AB fixed-point map).
+Budgets (docs/PARITY.md): BIT-EXACT for every dtype — u8/u16/f32 via
+the hybrid f32 coordinate field + FMA lerp, i16 via the legacy
+fixed-point coords with float tab weights; NEAREST exact.
 """
 
 import numpy as np
+
+from detseed import seed
 import pytest
 
 import jax.numpy as jnp
@@ -37,7 +39,7 @@ def _mat(rng):
 @pytest.mark.parametrize("interp", ["linear", "nearest"])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_ref_vs_cv2(interp, dt):
-    rng = np.random.default_rng(hash(("warp", interp, dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("warp", interp, dt.__name__))
     for t in range(40):
         H, W = int(rng.integers(4, 45)), int(rng.integers(4, 45))
         oh, ow = int(rng.integers(4, 45)), int(rng.integers(4, 45))
@@ -49,11 +51,10 @@ def test_ref_vs_cv2(interp, dt):
                               borderMode=_B[bmode], borderValue=bval)
         got = ref.warp_affine(img, M, (oh, ow), interp, bmode, bval)
         if dt is np.float32:
-            tol = 1e-5 * max(1.0, float(np.abs(want).max()))
-            assert float(np.abs(got - want).max()) <= tol, (H, W, oh, ow)
+            assert np.array_equal(got, want), (H, W, oh, ow)
         else:
             d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
-            assert d <= 1, (H, W, oh, ow, d)
+            assert d == 0, (H, W, oh, ow, d)
 
 
 def test_border_value_saturates():
@@ -75,8 +76,7 @@ def test_inverse_map_roundtrip():
     want = cv2.warpAffine(img, M, (22, 18),
                           flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
     got = ref.warp_affine(img, M, (18, 22), inverse_map=True)
-    d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
-    assert d <= 1
+    assert np.array_equal(got, want)
 
 
 def test_rotation_matrix_matches_cv2():
@@ -89,18 +89,13 @@ def test_rotation_matrix_matches_cv2():
 @pytest.mark.parametrize("interp", ["linear", "nearest"])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
 def test_device_vs_oracle(interp, dt):
-    rng = np.random.default_rng(hash(("warpdev", interp, dt.__name__)) % 2**31)
+    rng = np.random.default_rng(seed("warpdev", interp, dt.__name__))
     img = _img(rng, dt, (29, 34))
     M = _mat(rng)
     want = ref.warp_affine(img, M, (25, 31), interp, "constant", 7.0)
     got = np.asarray(warp_affine_planes(
         jnp.asarray(img)[None], M, (25, 31), interp, "constant", 7.0))[0]
-    if dt is np.float32:
-        assert float(np.abs(got - want).max()) <= 1e-2
-    else:
-        lim = 0 if dt is np.int16 else 1  # i16 shares the oracle's integers
-        d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
-        assert d <= lim, d
+    assert np.array_equal(got, want)
 
 
 def test_api_batch_rgb_rotation():
@@ -110,8 +105,7 @@ def test_api_batch_rgb_rotation():
     out = np.asarray(ie.warp_affine(jnp.asarray(img), M, (24, 30)))
     assert out.shape == (2, 24, 30, 3)
     want = cv2.warpAffine(img[0], M, (30, 24))
-    d = int(np.abs(out[0].astype(np.int64) - want.astype(np.int64)).max())
-    assert d <= 1
+    assert np.array_equal(out[0], want)
 
 
 def test_rejects():
