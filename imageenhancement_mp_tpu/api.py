@@ -86,6 +86,7 @@ __all__ = [
     "contrast_stretch",
     "equalize_hist",
     "clahe",
+    "clahe_lab",
     "gaussian_blur",
     "laplacian",
     "laplacian_sharpen",
@@ -331,6 +332,8 @@ _CVT_CODES = (
     "rgb2gray", "bgr2gray", "rgba2gray", "bgra2gray",
     "rgb2ycrcb", "bgr2ycrcb", "ycrcb2rgb", "ycrcb2bgr",
     "rgb2hsv", "bgr2hsv", "hsv2rgb", "hsv2bgr",
+    "rgb2xyz", "bgr2xyz", "xyz2rgb", "xyz2bgr",
+    "rgb2lab", "bgr2lab", "lab2rgb", "lab2bgr",
 )
 
 
@@ -339,8 +342,12 @@ def _cvt_color_jit(code: str):
     from imageenhancement_mp_tpu.ops.color import (
         cvt_gray_nhwc,
         hsv_to_rgb_nhwc,
+        lab_to_rgb_nhwc,
         rgb_to_hsv_nhwc,
+        rgb_to_lab_nhwc,
+        rgb_to_xyz_nhwc,
         rgb_to_ycrcb_nhwc,
+        xyz_to_rgb_nhwc,
         ycrcb_to_rgb_nhwc,
     )
 
@@ -352,8 +359,16 @@ def _cvt_color_jit(code: str):
             return rgb_to_ycrcb_nhwc(img, "bgr" if code.startswith("b") else "rgb")
         if code.endswith("2hsv"):
             return rgb_to_hsv_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.endswith("2xyz"):
+            return rgb_to_xyz_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.endswith("2lab"):
+            return rgb_to_lab_nhwc(img, "bgr" if code.startswith("b") else "rgb")
         if code.startswith("hsv"):
             return hsv_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
+        if code.startswith("xyz"):
+            return xyz_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
+        if code.startswith("lab"):
+            return lab_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
         return ycrcb_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
 
     return run
@@ -402,6 +417,44 @@ def equalize_luma(img, order: str = "rgb"):
     if img.ndim not in (3, 4) or img.shape[-1] != 3:
         raise ValueError(f"expected [H,W,3] or [N,H,W,3], got {img.shape}")
     return _equalize_luma_jit(str(order))(img)
+
+
+@lru_cache(maxsize=None)
+def _clahe_lab_jit(order: str, clip_limit: float, tile_grid):
+    from imageenhancement_mp_tpu.ops.clahe import clahe_planes
+    from imageenhancement_mp_tpu.ops.color import lab_to_rgb_nhwc, rgb_to_lab_nhwc
+
+    @jax.jit
+    def run(img):
+        lab = rgb_to_lab_nhwc(img, order)
+        L = clahe_planes(lab[..., 0].reshape((-1,) + lab.shape[-3:-1]),
+                         clip_limit=clip_limit, tile_grid=tile_grid)
+        L = L.reshape(lab.shape[:-1])
+        return lab_to_rgb_nhwc(
+            jnp.concatenate([L[..., None], lab[..., 1:]], axis=-1), order)
+
+    return run
+
+
+def clahe_lab(img, clip_limit: float = 2.0, tile_grid: tuple[int, int] = (8, 8),
+              order: str = "rgb"):
+    """COLOR CLAHE the canonical way: RGB -> Lab (cv2's exhaustively
+    pinned u8 fixed point), CLAHE on the L (lightness) plane only,
+    convert back — local contrast without the hue/chroma shifts that
+    per-channel CLAHE causes.  The Lab legs are bit-exact vs cv2 and
+    the CLAHE core is the pinned cv2 algorithm, so the composite equals
+    the cv2 recipe ``cvtColor -> CLAHE-on-L -> cvtColor`` bitwise
+    (modulo CLAHE's documented +/-1 CPU-tier caveat).
+
+    uint8 ``[H,W,3]`` / ``[N,H,W,3]``; ``tile_grid`` is (rows, cols).
+    """
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"clahe_lab is uint8 (cv2 Lab u8 path), got {img.dtype}")
+    if img.ndim not in (3, 4) or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] or [N,H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    return _clahe_lab_jit(str(order), float(clip_limit), tuple(tile_grid))(img)
 
 
 @lru_cache(maxsize=None)

@@ -28,6 +28,8 @@ from imageenhancement_mp_tpu.utils.fma import fma32
 
 __all__ = ["cvt_gray_nhwc", "rgb_to_ycrcb_nhwc", "ycrcb_to_rgb_nhwc",
            "rgb_to_hsv_nhwc", "hsv_to_rgb_nhwc",
+           "rgb_to_xyz_nhwc", "xyz_to_rgb_nhwc",
+           "rgb_to_lab_nhwc", "lab_to_rgb_nhwc",
            "GRAY_CR", "GRAY_CG", "GRAY_CB"]
 
 GRAY_CR, GRAY_CG = 9798, 19235          # round(0.299·2^15), round(0.587·2^15)
@@ -221,3 +223,109 @@ def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     if order == "bgr":
         out = out[::-1]
     return jnp.stack(out, axis=-1).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# XYZ / Lab (cv2.cvtColor RGB<->XYZ, RGB<->Lab) — u8 fixed point, pinned
+# EXHAUSTIVELY bit-exact (every 2^24 input, both directions; ref/ops.py
+# rgb_to_lab/lab_to_rgb carry the algorithm documentation)
+# ---------------------------------------------------------------------------
+
+def _lab_device_tabs():
+    """Baked jnp copies of the oracle's integer tables."""
+    from imageenhancement_mp_tpu.ref.ops import _lab_tabs
+
+    gamma_b, cbrt_b, y_b, ify_b, adiv, bdiv, minab, abxz, invg = _lab_tabs()
+    as32 = lambda a: jnp.asarray(a.astype("int32"))
+    return (as32(gamma_b), as32(cbrt_b), as32(y_b), as32(ify_b),
+            as32(adiv), as32(bdiv), int(minab), as32(abxz), as32(invg))
+
+
+def rgb_to_xyz_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(RGB2XYZ)`` u8 — 2^12 coeffs, half-up shift
+    (exhaustively exact; ref/ops.py rgb_to_xyz)."""
+    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
+        raise TypeError("rgb_to_xyz requires uint8 [..,3]")
+    import numpy as _np
+
+    from imageenhancement_mp_tpu.ref.ops import _XYZ_FWD
+
+    C = _np.round(_XYZ_FWD * 4096).astype(_np.int32)
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    r = img[..., ri].astype(jnp.int32)
+    g = img[..., gi].astype(jnp.int32)
+    b = img[..., bi].astype(jnp.int32)
+    chans = [jnp.right_shift(r * int(C[k, 0]) + g * int(C[k, 1])
+                             + b * int(C[k, 2]) + 2048, 12) for k in range(3)]
+    return jnp.stack([jnp.clip(c, 0, 255) for c in chans], -1).astype(jnp.uint8)
+
+
+def xyz_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(XYZ2RGB)`` u8 — 2^12 coeffs (exhaustively exact)."""
+    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
+        raise TypeError("xyz_to_rgb requires uint8 [..,3]")
+    import numpy as _np
+
+    from imageenhancement_mp_tpu.ref.ops import _XYZ_INV
+
+    C = _np.round(_XYZ_INV * 4096).astype(_np.int32)
+    x = img[..., 0].astype(jnp.int32)
+    y = img[..., 1].astype(jnp.int32)
+    z = img[..., 2].astype(jnp.int32)
+    chans = [jnp.clip(jnp.right_shift(x * int(C[k, 0]) + y * int(C[k, 1])
+                                      + z * int(C[k, 2]) + 2048, 12), 0, 255)
+             for k in range(3)]
+    out = jnp.stack(chans, -1).astype(jnp.uint8)
+    return out[..., ::-1] if order == "bgr" else out
+
+
+def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(RGB2LAB)`` u8 — cv2's table fixed point,
+    exhaustively bit-exact (ref/ops.py rgb_to_lab)."""
+    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
+        raise TypeError("rgb_to_lab requires uint8 [..,3]")
+    gamma_b, cbrt_b = _lab_device_tabs()[:2]
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    R = jnp.take(gamma_b, img[..., ri].astype(jnp.int32))
+    G = jnp.take(gamma_b, img[..., gi].astype(jnp.int32))
+    B = jnp.take(gamma_b, img[..., bi].astype(jnp.int32))
+    from imageenhancement_mp_tpu.ref.ops import _LAB_C_FWD
+
+    C = _LAB_C_FWD
+    def cb(k):
+        acc = (R * int(C[k, 0]) + G * int(C[k, 1]) + B * int(C[k, 2]) + 2048)
+        return jnp.take(cbrt_b, jnp.clip(jnp.right_shift(acc, 12), 0, 3071))
+    fX, fY, fZ = cb(0), cb(1), cb(2)
+    Lscale = (116 * 255 + 50) // 100
+    Lshift = -((16 * 255 * (1 << 15) + 50) // 100)
+    L = jnp.right_shift(Lscale * fY + Lshift + (1 << 14), 15)
+    a = jnp.right_shift(500 * (fX - fY) + (128 << 15) + (1 << 14), 15)
+    b = jnp.right_shift(200 * (fY - fZ) + (128 << 15) + (1 << 14), 15)
+    return jnp.stack([jnp.clip(L, 0, 255), jnp.clip(a, 0, 255),
+                      jnp.clip(b, 0, 255)], -1).astype(jnp.uint8)
+
+
+def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(LAB2RGB)`` u8 — cv2's integer inverse,
+    exhaustively bit-exact (ref/ops.py lab_to_rgb)."""
+    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
+        raise TypeError("lab_to_rgb requires uint8 [..,3]")
+    (_, _, y_b, ify_b, adiv, bdiv, minab, abxz, invg) = _lab_device_tabs()
+    LL = img[..., 0].astype(jnp.int32)
+    aa = img[..., 1].astype(jnp.int32)
+    bb = img[..., 2].astype(jnp.int32)
+    y = jnp.take(y_b, LL)
+    ify = jnp.take(ify_b, LL)
+    n_ab = abxz.shape[0]
+    x = jnp.take(abxz, jnp.clip(ify + jnp.take(adiv, aa) - minab, 0, n_ab - 1))
+    z = jnp.take(abxz, jnp.clip(ify - jnp.take(bdiv, bb) - minab, 0, n_ab - 1))
+    from imageenhancement_mp_tpu.ref.ops import _LAB_C_INV
+
+    C = _LAB_C_INV
+    chans = []
+    for k in range(3):
+        v = jnp.right_shift(x * int(C[k, 0]) + y * int(C[k, 1])
+                            + z * int(C[k, 2]) + (1 << 13), 14)
+        chans.append(jnp.take(invg, jnp.clip(v, 0, 4095)))
+    out = jnp.stack(chans, -1).astype(jnp.uint8)
+    return out[..., ::-1] if order == "bgr" else out

@@ -2758,46 +2758,136 @@ def xyz_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
     return out[..., ::-1] if order == "bgr" else out
 
 
-def rgb_to_lab(img: np.ndarray, order: str = "rgb") -> np.ndarray:
-    """``cv2.cvtColor(RGB2LAB)`` (u8) — ±1 LSB everywhere (fuzz: max 1,
-    ~9 % px off by 1 — cv2's table-quantized fixed point vs this f64
-    model).  sRGB linearization (cv2's default), D65 white, the CIE
-    f(t) split at 0.008856; L scaled 255/100, a/b offset +128."""
+# cv2's RGB<->Lab u8 fixed point (color_lab.cpp semantics), pinned
+# EXHAUSTIVELY bit-exact against cv2 5.0 — every one of the 256^3 inputs
+# in BOTH directions measures 0 LSB (round-3 probes).  Scales:
+# gamma tab at 255*2^3 = 2040, cube-root tab at 2^15 over 3072 entries,
+# XYZ coeffs at 2^12 whitepoint-folded, inverse at BASE = 2^14.
+_LAB_C_FWD = np.array([[1777, 1541, 778],     # round(M/WP[:,None] * 4096)
+                       [871, 2929, 296],
+                       [73, 448, 3575]], np.int64)
+_LAB_C_INV = np.array([[12615, -6296, -2223],  # round(inv(M)*WP[None,:]*4096)
+                       [-3773, 7684, 185],
+                       [217, -836, 4715]], np.int64)
+_LAB_TABS = None
+
+
+def _trunc_div(a, b):
+    """C-style truncating integer division (negative dividends)."""
+    q = np.abs(a) // b
+    return np.where(a < 0, -q, q)
+
+
+def _lab_tabs():
+    global _LAB_TABS
+    if _LAB_TABS is not None:
+        return _LAB_TABS
+    BASE = 1 << 14
+    # sRGB gamma-expand table at scale 2040 (f64 build matches cv2's
+    # softdouble build on every entry — exhaustive sweep)
+    i = np.arange(256) / 255.0
+    g = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
+    gamma_b = np.round(g * 2040).astype(np.int64)
+    # cube-root tab at 2^15; entries 49/628 sit ~1e-4 from a .5 tie and
+    # cv2's softdouble cbrt lands on the other side — pinned empirically
+    # (the ONLY two of 3072 entries where f64 disagrees; flipping them
+    # takes the exhaustive LRGB2Lab sweep from 541 bad pixels to 0)
+    x = np.arange(3072) / 2040.0
+    f = np.where(x > 0.008856, np.cbrt(x), 7.787 * x + 16.0 / 116.0)
+    cbrt_b = np.round(f * (1 << 15)).astype(np.int64)
+    cbrt_b[49] -= 1
+    cbrt_b[628] += 1
+    # inverse: y and f(y) per L (LabToYF_b)
+    L = np.arange(256) * 100.0 / 255.0
+    lth = 0.008856 * 903.3
+    y_t = np.where(L <= lth, L / 903.3, ((L + 16.0) / 116.0) ** 3)
+    ify_t = np.where(L <= lth, 7.787 * (L / 903.3) + 16.0 / 116.0,
+                     (L + 16.0) / 116.0)
+    y_b = np.round(y_t * BASE).astype(np.int64)
+    ify_b = np.round(ify_t * BASE).astype(np.int64)
+    # a/b offsets at BASE scale (cv2's shift-multiply approximations)
+    ab = np.arange(256, dtype=np.int64)
+    adiv = ((5 * ab * 53687 + (1 << 7)) >> 13) - 128 * BASE // 500
+    bdiv = ((ab * 41943 + (1 << 4)) >> 9) - 128 * BASE // 200 + 1
+    # f^-1 tab over ifxz in [-8145, -8145 + 9*BASE/4): linear branch is
+    # TRUNCATING i*108/841 (not rounded!), cube is ((i*i)/B)*i/B truncating
+    minab = -8145
+    iv = np.arange(minab, minab + 9 * BASE // 4, dtype=np.int64)
+    thresh = int(np.round(6.0 / 29.0 * BASE))
+    lin = _trunc_div(iv * 108, 841) - (BASE * 16 * 108) // (116 * 841)
+    cube = _trunc_div(_trunc_div(iv * iv, BASE) * iv, BASE)
+    abxz = np.where(iv <= thresh, lin, cube)
+    # inverse sRGB gamma table: 4096 entries -> u8
+    u = np.arange(4096) / 4096.0
+    ig = np.where(u <= 0.0031308, 12.92 * u, 1.055 * u ** (1 / 2.4) - 0.055)
+    invg = np.clip(np.round(ig * 255.0), 0, 255).astype(np.int64)
+    _LAB_TABS = (gamma_b, cbrt_b, y_b, ify_b, adiv, bdiv, minab, abxz, invg)
+    return _LAB_TABS
+
+
+def rgb_to_lab(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.ndarray:
+    """``cv2.cvtColor(RGB2LAB)`` (u8) — BIT-EXACT, verified on ALL 2^24
+    inputs (0 LSB; round-3 exhaustive probe; ``srgb=False`` ==
+    COLOR_LRGB2LAB, also exhaustive-exact).
+
+    cv2's fixed point: gamma-expand through the 2040-scale table (or
+    ``i*8`` linear), XYZ at 2^12 whitepoint-folded coeffs with
+    half-up descale, cube-root table at 2^15, then
+    ``L = (296*fY - 1336934 + 2^14) >> 15``,
+    ``a/b = (500/200*(fX-fY/fY-fZ) + 128*2^15 + 2^14) >> 15``."""
     if img.dtype != np.uint8 or img.shape[-1] != 3:
         raise TypeError("rgb_to_lab requires uint8 [..,3]")
+    gamma_b, cbrt_b = _lab_tabs()[:2]
     rgb = img[..., ::-1] if order == "bgr" else img
-    r = rgb.astype(np.float64) / 255.0
-    r = np.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
-    xyz = (r @ _XYZ_FWD.T) / _LAB_WHITE
+    c = rgb.astype(np.int64)
+    if srgb:
+        R, G, B = gamma_b[c[..., 0]], gamma_b[c[..., 1]], gamma_b[c[..., 2]]
+    else:
+        R, G, B = c[..., 0] << 3, c[..., 1] << 3, c[..., 2] << 3
+    C = _LAB_C_FWD
+    fX = cbrt_b[np.clip((R * C[0, 0] + G * C[0, 1] + B * C[0, 2] + 2048) >> 12,
+                        0, 3071)]
+    fY = cbrt_b[np.clip((R * C[1, 0] + G * C[1, 1] + B * C[1, 2] + 2048) >> 12,
+                        0, 3071)]
+    fZ = cbrt_b[np.clip((R * C[2, 0] + G * C[2, 1] + B * C[2, 2] + 2048) >> 12,
+                        0, 3071)]
+    Lscale = (116 * 255 + 50) // 100
+    Lshift = -((16 * 255 * (1 << 15) + 50) // 100)
+    L = (Lscale * fY + Lshift + (1 << 14)) >> 15
+    a = (500 * (fX - fY) + 128 * (1 << 15) + (1 << 14)) >> 15
+    b = (200 * (fY - fZ) + 128 * (1 << 15) + (1 << 14)) >> 15
+    return np.stack([np.clip(L, 0, 255), np.clip(a, 0, 255),
+                     np.clip(b, 0, 255)], -1).astype(np.uint8)
 
-    def f(t):
-        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
 
-    fx, fy, fz = f(xyz[..., 0]), f(xyz[..., 1]), f(xyz[..., 2])
-    L = np.where(xyz[..., 1] > 0.008856, 116 * fy - 16, 903.3 * xyz[..., 1])
-    out = np.stack([L * 255.0 / 100.0, 500 * (fx - fy) + 128,
-                    200 * (fy - fz) + 128], -1)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+def lab_to_rgb(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.ndarray:
+    """``cv2.cvtColor(LAB2RGB)`` (u8) — BIT-EXACT, verified on ALL 2^24
+    inputs (0 LSB; round-3 exhaustive probe).
 
-
-def lab_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
-    """``cv2.cvtColor(LAB2RGB)`` (u8) — ±1 LSB (see ``rgb_to_lab``)."""
+    cv2's integer inverse: per-L y/f(y) tables at BASE=2^14, shift-mul
+    a/b offsets, the f^-1 table (truncating linear branch i*108/841 —
+    the one formula where cv2 truncates instead of rounding — and
+    truncating integer cube), XYZ->RGB at 2^12, inverse-gamma through
+    the 4096-entry table."""
     if img.dtype != np.uint8 or img.shape[-1] != 3:
         raise TypeError("lab_to_rgb requires uint8 [..,3]")
-    L = img[..., 0].astype(np.float64) * 100.0 / 255.0
-    a = img[..., 1].astype(np.float64) - 128.0
-    b = img[..., 2].astype(np.float64) - 128.0
-    fy = (L + 16) / 116
-    fx, fz = fy + a / 500, fy - b / 200
-
-    def fi(t):
-        return np.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
-
-    x = fi(fx) * _LAB_WHITE[0]
-    y = np.where(L > 903.3 * 0.008856, fy ** 3, L / 903.3)
-    z = fi(fz) * _LAB_WHITE[2]
-    rgb = np.stack([x, y, z], -1) @ _XYZ_INV.T
-    rgb = np.clip(rgb, 0, None)
-    rgb = np.where(rgb > 0.0031308, 1.055 * rgb ** (1 / 2.4) - 0.055, 12.92 * rgb)
-    out = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+    (_, _, y_b, ify_b, adiv, bdiv, minab, abxz, invg) = _lab_tabs()
+    LL = img[..., 0].astype(np.int64)
+    aa = img[..., 1].astype(np.int64)
+    bb = img[..., 2].astype(np.int64)
+    y = y_b[LL]
+    ify = ify_b[LL]
+    n_ab = abxz.shape[0]
+    x = abxz[np.clip(ify + adiv[aa] - minab, 0, n_ab - 1)]
+    z = abxz[np.clip(ify - bdiv[bb] - minab, 0, n_ab - 1)]
+    C = _LAB_C_INV
+    out = np.empty((*img.shape[:-1], 3), np.int64)
+    for k in range(3):
+        v = (C[k, 0] * x + C[k, 1] * y + C[k, 2] * z + (1 << 13)) >> 14
+        if srgb:
+            out[..., k] = invg[np.clip(v, 0, 4095)]
+        else:
+            # linear output truncates: (v*255) >> 12 (exhaustive-exact)
+            out[..., k] = (np.clip(v, 0, 4095) * 255) >> 12
+    out = out.astype(np.uint8)
     return out[..., ::-1] if order == "bgr" else out

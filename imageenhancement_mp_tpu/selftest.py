@@ -103,6 +103,20 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # and measures 0, like the clahe check)
         ("hsv/inv", lambda: ie.cvt_color(ref.rgb_to_hsv(rgb), "hsv2rgb"),
          lambda: ref.hsv_to_rgb(ref.rgb_to_hsv(rgb)), 1),
+        # Lab/XYZ: exhaustively pinned integer tables — bit-exact both ways
+        ("lab/fwd", lambda: ie.cvt_color(rgb, "rgb2lab"),
+         lambda: ref.rgb_to_lab(rgb), 0),
+        ("lab/inv", lambda: ie.cvt_color(ref.rgb_to_lab(rgb), "lab2rgb"),
+         lambda: ref.lab_to_rgb(ref.rgb_to_lab(rgb)), 0),
+        ("xyz/fwd", lambda: ie.cvt_color(rgb, "rgb2xyz"),
+         lambda: ref.rgb_to_xyz(rgb), 0),
+        # color CLAHE on the Lab L plane (budget 3: the CLAHE blend's
+        # CPU-tier ±1-on-L FMA caveat amplifies ~3x through the cubic
+        # Lab->RGB leg; XLA:TPU doesn't contract and measures 0)
+        ("clahe_lab", lambda: ie.clahe_lab(rgb, 2.0, (4, 4)),
+         lambda: ref.lab_to_rgb(np.concatenate(
+             [ref.clahe(ref.rgb_to_lab(rgb)[..., 0], 2.0, (4, 4))[..., None],
+              ref.rgb_to_lab(rgb)[..., 1:]], axis=-1)), 3),
         ("pyr_down", lambda: ie.pyr_down(img), lambda: ref.pyr_down(img), 0),
         ("pyr_up", lambda: ie.pyr_up(img), lambda: ref.pyr_up(img), 0),
         ("filter2d", lambda: ie.filter2d(img, ((0, -1, 0), (-1, 5, -1), (0, -1, 0))),
@@ -121,19 +135,19 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.canny(img, 60.0, 160.0), 0),
         ("nlmeans", lambda: ie.fast_nl_means_denoising(img, 12.0, 5, 9),
          lambda: ref.fast_nl_means_denoising(img, 12.0, 5, 9), 0),
-        # runtime-map warp; budget 1: device f32 blend vs f64 oracle
+        # runtime-map warp: bit-exact (fma32 lerp == cv2's FMA path)
         ("remap", lambda: ie.remap(img, *_swirl_maps(size)),
-         lambda: ref.remap(img, *_swirl_maps(size)), 1),
+         lambda: ref.remap(img, *_swirl_maps(size)), 0),
         # float-result op: compare at tolerance via the quantized trick
         ("match_tpl", lambda: _quant_mt(ie.match_template(img, img2[:7, :9], "ccoeff_normed")),
          lambda: _quant_mt(ref.match_template(img, img2[:7, :9], "ccoeff_normed")), 1),
-        # budget 1: device fixed-point coords vs the oracle's f64 (razor)
+        # bit-exact: device rebuilds cv2's hybrid f32 coords via fma32
         ("warp/rot30", lambda: ie.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
             size),
          lambda: ref.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
-            size), 1),
+            size), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -1,0 +1,90 @@
+"""RGB<->Lab / RGB<->XYZ parity (docs/PARITY.md): cv2's u8 fixed point,
+pinned EXHAUSTIVELY bit-exact in round 3 (all 2^24 inputs, both
+directions, sRGB + linear variants).  CI samples the space; the
+exhaustive sweeps live in the round-3 probe logs."""
+
+import numpy as np
+
+from detseed import seed
+import pytest
+
+import jax.numpy as jnp
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+
+def _rand_rgb(rng, shape=(64, 83, 3)):
+    return rng.integers(0, 256, shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("name,code,fn", [
+    ("rgb2lab", cv2.COLOR_RGB2LAB, lambda a: ref.rgb_to_lab(a)),
+    ("lrgb2lab", cv2.COLOR_LRGB2LAB, lambda a: ref.rgb_to_lab(a, srgb=False)),
+    ("lab2rgb", cv2.COLOR_LAB2RGB, lambda a: ref.lab_to_rgb(a)),
+    ("lab2lrgb", cv2.COLOR_LAB2LRGB, lambda a: ref.lab_to_rgb(a, srgb=False)),
+    ("bgr2lab", cv2.COLOR_BGR2LAB, lambda a: ref.rgb_to_lab(a, "bgr")),
+    ("lab2bgr", cv2.COLOR_LAB2BGR, lambda a: ref.lab_to_rgb(a, "bgr")),
+    ("rgb2xyz", cv2.COLOR_RGB2XYZ, lambda a: ref.rgb_to_xyz(a)),
+    ("xyz2rgb", cv2.COLOR_XYZ2RGB, lambda a: ref.xyz_to_rgb(a)),
+])
+def test_ref_vs_cv2(name, code, fn):
+    rng = np.random.default_rng(seed("lab", name))
+    for t in range(20):
+        img = _rand_rgb(rng, (int(rng.integers(8, 90)), int(rng.integers(8, 90)), 3))
+        want = cv2.cvtColor(img, code)
+        got = fn(img)
+        assert np.array_equal(got, want), name
+    # structured edges: gray axis, extremes
+    edges = np.zeros((4, 256, 3), np.uint8)
+    edges[0, :, 0] = edges[0, :, 1] = edges[0, :, 2] = np.arange(256)
+    edges[1, :, 0] = np.arange(256)
+    edges[2, :, 1] = np.arange(256)
+    edges[3, :, 2] = 255 - np.arange(256)
+    assert np.array_equal(fn(edges), cv2.cvtColor(edges, code))
+
+
+@pytest.mark.parametrize("code,cvcode", [
+    ("rgb2lab", cv2.COLOR_RGB2LAB), ("lab2rgb", cv2.COLOR_LAB2RGB),
+    ("rgb2xyz", cv2.COLOR_RGB2XYZ), ("xyz2rgb", cv2.COLOR_XYZ2RGB),
+    ("bgr2lab", cv2.COLOR_BGR2LAB), ("lab2bgr", cv2.COLOR_LAB2BGR),
+    ("xyz2bgr", cv2.COLOR_XYZ2BGR), ("bgr2xyz", cv2.COLOR_BGR2XYZ),
+])
+def test_device_vs_cv2(code, cvcode):
+    rng = np.random.default_rng(seed("labdev", code))
+    img = _rand_rgb(rng, (2, 47, 61, 3))
+    got = np.asarray(ie.cvt_color(jnp.asarray(img), code))
+    want = np.stack([cv2.cvtColor(f, cvcode) for f in img])
+    assert np.array_equal(got, want), code
+
+
+def test_clahe_lab_matches_cv2_recipe():
+    rng = np.random.default_rng(seed("clahelab"))
+    img = _rand_rgb(rng, (96, 120, 3))
+    got = np.asarray(ie.clahe_lab(jnp.asarray(img), 2.0, (4, 4)))
+    lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    Lcv = cv2.createCLAHE(2.0, (4, 4)).apply(lab[..., 0])
+    want = cv2.cvtColor(
+        np.concatenate([Lcv[..., None], lab[..., 1:]], axis=-1), cv2.COLOR_LAB2RGB)
+    # the CLAHE stage carries the documented CPU-tier ±1 on L (XLA:CPU
+    # FMA contraction — on TPU it measures 0); the Lab legs are
+    # bit-exact, so wherever the L planes agree the RGB must be equal
+    Ldev = np.asarray(ie.clahe(jnp.asarray(lab[..., 0]), 2.0, (4, 4)))
+    dL = np.abs(Ldev.astype(np.int64) - Lcv.astype(np.int64))
+    assert int(dL.max()) <= 1
+    same = dL == 0
+    assert np.array_equal(got[same], want[same])
+
+
+def test_clahe_lab_batch_and_rejects():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (2, 40, 44, 3), np.uint8)
+    out = np.asarray(ie.clahe_lab(jnp.asarray(img)))
+    assert out.shape == img.shape
+    with pytest.raises(TypeError):
+        ie.clahe_lab(jnp.zeros((8, 8, 3), jnp.uint16))
+    with pytest.raises(ValueError):
+        ie.clahe_lab(jnp.zeros((8, 8), jnp.uint8))
