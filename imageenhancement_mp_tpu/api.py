@@ -854,10 +854,11 @@ def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,
 def connected_components(img, connectivity: int = 8, channels_last: bool = True):
     """``cv2.connectedComponents`` — int32 labels (0 = background).
 
-    4-connectivity numbering is bit-exact vs cv2; 8-connectivity gives
-    the identical partition with deterministic first-pixel raster
-    numbering (cv2's BBDT block scan can permute IDs — docs/PARITY.md).
-    Pointer-jumping while_loop: log-diameter convergence on device."""
+    Numbering bit-exact vs cv2 for BOTH connectivities: 4-conn ranks
+    components in first-pixel raster order (SAUF), 8-conn in cv2's
+    BBDT order = the component's first 2x2 block in block-raster order
+    (docs/PARITY.md).  Pointer-jumping while_loop: log-diameter
+    convergence on device."""
     _check_u8(img)
     return _apply("connected_components", img, channels_last,
                   connectivity=int(connectivity))

@@ -108,8 +108,11 @@ def connected_components_planes(planes: jnp.ndarray, connectivity: int = 8) -> j
     compresses paths by gathering each pixel's label's label, so
     convergence is logarithmic in the component diameter instead of
     linear (a 4K spiral converges in ~25 steps, not thousands).  The
-    final numbering is one cumsum + gather (rank roots in raster
-    order), matching cv2 bit-exactly for connectivity=4."""
+    final numbering matches cv2 bit-exactly for BOTH connectivities:
+    4-conn ranks roots in raster order (cv2's SAUF first-pixel order,
+    one cumsum + gather); 8-conn ranks components by their minimum
+    2x2-BLOCK index (cv2's BBDT block-scan order — ref/ops.py
+    ``connected_components`` documents the pinning)."""
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     N, H, W = planes.shape
@@ -141,7 +144,23 @@ def connected_components_planes(planes: jnp.ndarray, connectivity: int = 8) -> j
 
     lbl, _ = jax.lax.while_loop(lambda s: s[1], body, (lbl0, jnp.bool_(True)))
     flat = lbl.reshape(N, H * W)
-    is_root = m.reshape(N, H * W) & (flat == jnp.arange(H * W, dtype=jnp.int32)[None])
-    rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
-    out = jnp.take_along_axis(rank, jnp.minimum(flat, H * W - 1), axis=1)
-    return jnp.where(m.reshape(N, H * W), out, 0).reshape(N, H, W).astype(jnp.int32)
+    mf = m.reshape(N, H * W)
+    is_root = mf & (flat == jnp.arange(H * W, dtype=jnp.int32)[None])
+    if connectivity == 4:
+        rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
+        out = jnp.take_along_axis(rank, jnp.minimum(flat, H * W - 1), axis=1)
+        return jnp.where(mf, out, 0).reshape(N, H, W).astype(jnp.int32)
+    # 8-conn: cv2's BBDT order — rank components by min 2x2-block index
+    nbw = (W + 1) // 2
+    ys, xs = jnp.divmod(jnp.arange(H * W, dtype=jnp.int32), W)
+    blk = (ys >> 1) * nbw + (xs >> 1)
+    minblk = jnp.full((N, H * W), INF, jnp.int32)
+    minblk = minblk.at[jnp.arange(N)[:, None], jnp.minimum(flat, H * W - 1)].min(
+        jnp.where(mf, blk[None], INF))
+    key = jnp.where(is_root, minblk, INF)
+    order = jnp.argsort(key, axis=1, stable=True)
+    rank = jnp.zeros((N, H * W), jnp.int32).at[
+        jnp.arange(N)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(H * W, dtype=jnp.int32)[None], (N, H * W)))
+    out = jnp.take_along_axis(rank, jnp.minimum(flat, H * W - 1), axis=1) + 1
+    return jnp.where(mf, out, 0).reshape(N, H, W).astype(jnp.int32)

@@ -2382,15 +2382,17 @@ def apply_color_map(img: np.ndarray, colormap: str = "jet") -> np.ndarray:
 
 
 def connected_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
-    """``cv2.connectedComponents`` labels (int32; 0 = background).
+    """``cv2.connectedComponents`` labels (int32; 0 = background) —
+    numbering BIT-EXACT vs cv2 for BOTH connectivities (round 3).
 
-    Pinned: 4-connectivity numbering is BIT-EXACT vs cv2 (0/40 fuzz) —
-    cv2's scan labels components in raster order of their first pixel,
-    which equals ranking components by minimum flat index.
-    8-connectivity partitions identically (count always matches) but
-    cv2's block-based (BBDT 2x2) scan can permute label IDs vs the
-    first-pixel order (9/40 fuzz differ in numbering only) — our
-    numbering is the deterministic first-pixel raster order.
+    Pinned: 4-connectivity — cv2's SAUF scan labels components in
+    raster order of their first pixel == ranking by minimum flat index
+    (0/40 fuzz).  8-connectivity — cv2's BBDT scans 2x2 BLOCKS in
+    raster order and a block's foreground pixels are always mutually
+    8-connected, so each block belongs to ONE component and cv2's
+    numbering equals ranking components by their minimum block index
+    ``(y>>1)·ceil(W/2) + (x>>1)`` (0/400 fuzz; the round-2 first-PIXEL
+    order differed on 9/40).
     """
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
@@ -2416,8 +2418,21 @@ def connected_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
         lbl = new
     flat = lbl.reshape(-1)
     is_root = m.reshape(-1) & (flat == np.arange(H * W))
-    rank = np.cumsum(is_root)
-    out = np.where(m.reshape(-1), rank[np.minimum(flat, INF - 1)], 0)
+    if connectivity == 4:
+        rank = np.cumsum(is_root)
+        out = np.where(m.reshape(-1), rank[np.minimum(flat, INF - 1)], 0)
+        return out.reshape(H, W).astype(np.int32)
+    # 8-conn: rank roots by the component's minimum 2x2-BLOCK index
+    nbw = (W + 1) // 2
+    ys, xs = np.divmod(np.arange(H * W), W)
+    blk = (ys >> 1) * nbw + (xs >> 1)
+    minblk = np.full(H * W, INF, np.int64)
+    np.minimum.at(minblk, np.minimum(flat, INF - 1), np.where(m.reshape(-1), blk, INF))
+    key = np.where(is_root, minblk, INF)
+    order = np.argsort(key, kind="stable")
+    rank = np.empty(H * W, np.int64)
+    rank[order] = np.arange(H * W)
+    out = np.where(m.reshape(-1), rank[np.minimum(flat, INF - 1)] + 1, 0)
     return out.reshape(H, W).astype(np.int32)
 
 

@@ -1,6 +1,6 @@
-"""cv2.connectedComponents parity: 4-conn numbering bit-exact; 8-conn
-identical partition with deterministic first-pixel numbering
-(docs/PARITY.md)."""
+"""cv2.connectedComponents parity: numbering bit-exact for BOTH
+connectivities (4-conn = SAUF first-pixel raster order, 8-conn = BBDT
+min-2x2-block order; docs/PARITY.md)."""
 
 import numpy as np
 import pytest
@@ -23,17 +23,13 @@ def test_conn4_bitexact_vs_cv2():
         assert np.array_equal(ref.connected_components(mask, 4), want), (H, W)
 
 
-def test_conn8_partition_equivalent():
+def test_conn8_bitexact_vs_cv2():
     rng = np.random.default_rng(1)
-    for t in range(30):
-        H, W = int(rng.integers(5, 60)), int(rng.integers(5, 60))
-        mask = (rng.random((H, W)) > 0.5).astype(np.uint8) * 255
-        n, want = cv2.connectedComponents(mask, connectivity=8)
-        got = ref.connected_components(mask, 8)
-        assert got.max() == n - 1                       # same component count
-        pairs = set(zip(want.ravel().tolist(), got.ravel().tolist()))
-        # bijection between label sets = identical partition
-        assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+    for t in range(60):
+        H, W = int(rng.integers(3, 60)), int(rng.integers(3, 60))
+        mask = (rng.random((H, W)) > float(rng.uniform(0.3, 0.7))).astype(np.uint8) * 255
+        _, want = cv2.connectedComponents(mask, connectivity=8)
+        assert np.array_equal(ref.connected_components(mask, 8), want), (H, W)
 
 
 @pytest.mark.parametrize("conn", [4, 8])
