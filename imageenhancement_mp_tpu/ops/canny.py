@@ -41,6 +41,32 @@ def _sobel_replicate(planes, dx, dy, ksize):
     return jnp.clip(raw, -32768, 32767)
 
 
+def _nms_keep(magv, gx, gy):
+    """cv2's fixed-point non-maximum suppression over a VERTICALLY
+    extended magnitude block ``magv = (N, h+2, W)`` (rows 1..h are the
+    centers; row 0 / h+1 are the zero border — or, on the spatial
+    row-sharded path, the neighbor shard's true boundary rows).
+    Horizontal zero padding (cv2's column border) happens here."""
+    mp = jnp.pad(magv, ((0, 0), (0, 0), (1, 1)))
+    c = mp[:, 1:-1, 1:-1]
+    left, right = mp[:, 1:-1, :-2], mp[:, 1:-1, 2:]
+    up, down = mp[:, :-2, 1:-1], mp[:, 2:, 1:-1]
+    ul, ur = mp[:, :-2, :-2], mp[:, :-2, 2:]
+    dl, dr = mp[:, 2:, :-2], mp[:, 2:, 2:]
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy) << _SHIFT
+    tg22x = ax * _TG22
+    tg67x = tg22x + ((ax + ax) << _SHIFT)
+    s_neg = (gx ^ gy) < 0
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    d1 = jnp.where(s_neg, ur, ul)
+    d2 = jnp.where(s_neg, dl, dr)
+    return jnp.where(
+        horiz, (c > left) & (c >= right),
+        jnp.where(vert, (c > up) & (c >= down), (c > d1) & (c > d2)))
+
+
 def _dilate8(mask):
     p = jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))
     return (p[:, :-2, :-2] | p[:, :-2, 1:-1] | p[:, :-2, 2:]
@@ -66,24 +92,8 @@ def canny_planes(planes: jnp.ndarray, threshold1: float, threshold2: float,
     else:
         mag = jnp.abs(gx) + jnp.abs(gy)
         lo_i, hi_i = int(np.floor(lo_t)), int(np.floor(hi_t))
-    mp = jnp.pad(mag, ((0, 0), (1, 1), (1, 1)))      # zero border, like cv2
-    c = mp[:, 1:-1, 1:-1]
-    left, right = mp[:, 1:-1, :-2], mp[:, 1:-1, 2:]
-    up, down = mp[:, :-2, 1:-1], mp[:, 2:, 1:-1]
-    ul, ur = mp[:, :-2, :-2], mp[:, :-2, 2:]
-    dl, dr = mp[:, 2:, :-2], mp[:, 2:, 2:]
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy) << _SHIFT
-    tg22x = ax * _TG22
-    tg67x = tg22x + ((ax + ax) << _SHIFT)
-    s_neg = (gx ^ gy) < 0
-    horiz = ay < tg22x
-    vert = ay > tg67x
-    d1 = jnp.where(s_neg, ur, ul)
-    d2 = jnp.where(s_neg, dl, dr)
-    keep = jnp.where(
-        horiz, (c > left) & (c >= right),
-        jnp.where(vert, (c > up) & (c >= down), (c > d1) & (c > d2)))
+    magv = jnp.pad(mag, ((0, 0), (1, 1), (0, 0)))    # zero border, like cv2
+    keep = _nms_keep(magv, gx, gy)
     keep = keep & (mag > lo_i)
     strong = keep & (mag > hi_i)
 

@@ -39,12 +39,19 @@ def _fixed_coeffs(frac: np.ndarray):
     return _RESIZE_SCALE - c2, c2
 
 
-def _linear_u8(planes, oh, ow, area):
+def _linear_u8(planes, oh, ow, area, ytab=None):
+    """``ytab``: optional externally built vertical tables
+    ``(iy0, iy1, cy1, cy2)`` — indices LOCAL to ``planes``' rows, values
+    may be traced (the spatial row-sharded path slices the global
+    tables per shard and rebases them onto its halo-extended block)."""
     H, W = planes.shape[-2], planes.shape[-1]
-    iy0, iy1, ry = resize_lin_tables(H, oh, area)
+    if ytab is None:
+        iy0, iy1, ry = resize_lin_tables(H, oh, area)
+        cy1, cy2 = _fixed_coeffs(ry)
+    else:
+        iy0, iy1, cy1, cy2 = ytab
     ix0, ix1, rx = resize_lin_tables(W, ow, area)
     cx1, cx2 = _fixed_coeffs(rx)
-    cy1, cy2 = _fixed_coeffs(ry)
     a = planes.astype(jnp.int32)
     sh = (jnp.take(a, ix0, axis=-1) * cx1[None, None, :]
           + jnp.take(a, ix1, axis=-1) * cx2[None, None, :])   # scale 2^11
@@ -54,9 +61,12 @@ def _linear_u8(planes, oh, ow, area):
     return jnp.clip((t + 2) >> 2, 0, 255).astype(jnp.uint8)
 
 
-def _linear_float(planes, oh, ow, area):
+def _linear_float(planes, oh, ow, area, ytab=None):
     H, W = planes.shape[-2], planes.shape[-1]
-    iy0, iy1, ry = resize_lin_tables(H, oh, area)
+    if ytab is None:
+        iy0, iy1, ry = resize_lin_tables(H, oh, area)
+    else:
+        iy0, iy1, ry = ytab
     ix0, ix1, rx = resize_lin_tables(W, ow, area)
     a = planes.astype(jnp.float32)
     one = jnp.float32(1)
@@ -77,7 +87,7 @@ def _cubic_tables(n, on, fixed):
     return idx, c
 
 
-def _cubic(planes, oh, ow):
+def _cubic(planes, oh, ow, ytab=None):
     """Bicubic: u8 keeps the oracle's integer horizontal pass (scale
     2^11, |S| < 2^20 — exact in int32 AND in f32's 24-bit mantissa);
     the vertical accumulation runs in f32 because the full 2^22-scale
@@ -87,7 +97,7 @@ def _cubic(planes, oh, ow):
     H, W = planes.shape[-2], planes.shape[-1]
     if planes.dtype == jnp.uint8:
         xi, xc = _cubic_tables(W, ow, fixed=True)
-        yi, yc = _cubic_tables(H, oh, fixed=True)
+        yi, yc = ytab if ytab is not None else _cubic_tables(H, oh, fixed=True)
         a = planes.astype(jnp.int32)
         S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
                 for k in range(4))
@@ -98,7 +108,7 @@ def _cubic(planes, oh, ow):
         out = jnp.round(v * jnp.float32(1.0 / (1 << 22)))
         return jnp.clip(out, 0, 255).astype(jnp.uint8)
     xi, xc = _cubic_tables(W, ow, fixed=False)
-    yi, yc = _cubic_tables(H, oh, fixed=False)
+    yi, yc = ytab if ytab is not None else _cubic_tables(H, oh, fixed=False)
     a = planes.astype(jnp.float32)
     S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
             for k in range(4)).astype(jnp.float32)

@@ -62,6 +62,10 @@ __all__ = [
     "equalize_hist_spatial",
     "contrast_stretch_spatial",
     "clahe_spatial",
+    "resize_spatial",
+    "warp_affine_spatial",
+    "remap_spatial",
+    "canny_spatial",
     "SPATIAL_OP_REGISTRY",
     "make_spatial_pipeline",
 ]
@@ -532,10 +536,15 @@ def _spatial_registry():
         "laplacian_sharpen": laplacian_sharpen_spatial,
         "unsharp_mask": unsharp_mask_spatial,
         "median_blur": median_blur_spatial,
+        # geometry (round 3): output-row redistribution
+        "resize": resize_spatial,
+        "warp_affine": warp_affine_spatial,
+        "remap": remap_spatial,
+        "canny": canny_spatial,
     }
 
 
-SPATIAL_OP_REGISTRY = _spatial_registry()
+SPATIAL_OP_REGISTRY: dict = {}
 
 
 def make_spatial_pipeline(
@@ -582,3 +591,273 @@ def make_spatial_pipeline(
         return local
 
     return shard_spatial(run, mesh, axis_name=axis_name, batch_axis=batch_axis)
+
+
+# ---------------------------------------------------------------------------
+# Geometry ops (round 3): OUTPUT-row redistribution over the mesh
+# ---------------------------------------------------------------------------
+#
+# Stencils shard the INPUT rows and keep output rows aligned; geometry ops
+# resample, so each shard owns an equal block of OUTPUT rows instead and
+# fetches whatever input rows those need:
+#
+# * resize — input needs are PROPORTIONAL (output block [s·oh/n, …) reads
+#   input ≈ [s·H/n, …) ± taps for every uniform scale), so a bounded halo
+#   exchange suffices; the halo radius is computed statically from the
+#   pinned coordinate tables and the per-shard tables are rebased onto the
+#   halo-extended block (bit-identical arithmetic to the planes op).
+# * warpAffine / remap — an affine map (or arbitrary runtime maps) can pull
+#   input rows from anywhere, so the input is all_gather'd over ICI and
+#   each shard computes ONLY its own output rows (compute sharded n-ways,
+#   coordinates sliced from the exact hybrid-f32 row tables).
+# * canny — stencil stages use halos; the hysteresis flood is a CROSS-SHARD
+#   FIXPOINT: flood locally to convergence, exchange one boundary row,
+#   and repeat while a psum says any shard still grew.
+
+
+def _row_slice(tab, idx, oloc):
+    """Dynamic per-shard row slice of a host-built (oh, ...) table."""
+    return jax.lax.dynamic_slice_in_dim(jnp.asarray(tab), idx * oloc, oloc, 0)
+
+
+def _geom_split(local, dsize, axis_name):
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    h = local.shape[1]
+    oh, ow = int(dsize[0]), int(dsize[1])
+    if oh % n:
+        raise ValueError(
+            f"spatial geometry needs the output height {oh} divisible by the "
+            f"{n}-shard mesh axis (pad dsize or reshard)")
+    return n, idx, h, h * n, oh, ow, oh // n
+
+
+def _vhalo(ylo, yhi, n, h, oloc):
+    """Static halo radius: how far any shard's output block reaches past
+    its own input share (from the global per-output-row input spans)."""
+    r = 0
+    for s in range(n):
+        o0, o1 = s * oloc, (s + 1) * oloc
+        r = max(r, s * h - int(ylo[o0:o1].min()),
+                int(yhi[o0:o1].max()) - ((s + 1) * h - 1))
+    return max(r, 0)
+
+
+def resize_spatial(local, dsize, interpolation: str = "linear",
+                   axis_name: str = "y"):
+    """``cv2.resize`` on row-sharded planes — bit-identical to
+    :func:`ops.resize.resize_planes` on the gathered frame (each shard
+    produces output rows ``[idx·oh/n, (idx+1)·oh/n)``)."""
+    from imageenhancement_mp_tpu.ops.resize import (_area_weights, _cubic,
+                                                    _cubic_tables, _fixed_coeffs,
+                                                    _linear_float, _linear_u8,
+                                                    _round_cast, resize_planes)
+    from imageenhancement_mp_tpu.ref.ops import resize_lin_tables
+    from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
+    n, idx, h, H, oh, ow, oloc = _geom_split(local, dsize, axis_name)
+    W = local.shape[2]
+    dt = local.dtype
+
+    if interpolation == "nearest":
+        ys = np.minimum((np.arange(oh) * (H / oh)).astype(np.int64), H - 1)
+        xs = np.minimum((np.arange(ow) * (W / ow)).astype(np.int64), W - 1)
+        r = _vhalo(ys, ys, n, h, oloc)
+        ext = halo_exchange(local, r, axis_name, "edge")
+        iy = _row_slice(ys.astype(np.int32), idx, oloc) - (idx * h - r)
+        return jnp.take(jnp.take(ext, iy, axis=-2), xs, axis=-1)
+
+    if interpolation == "cubic":
+        fixed = dt == jnp.uint8
+        yi, yc = _cubic_tables(H, oh, fixed=fixed)
+        r = _vhalo(yi.min(axis=1), yi.max(axis=1), n, h, oloc)
+        ext = halo_exchange(local, r, axis_name, "edge")
+        yi_l = _row_slice(yi.astype(np.int32), idx, oloc) - (idx * h - r)
+        yc_l = _row_slice(yc, idx, oloc)
+        return _cubic(ext, oh, ow, ytab=(yi_l, yc_l))
+
+    if interpolation == "area":
+        if H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
+            # integer factors: cell rows never straddle a shard boundary
+            # (h = (H//oh)·oloc), so the planes op IS the local op
+            return resize_planes(local, (oloc, ow), "area")
+        if H >= oh and W >= ow:
+            # general downscale: the two-MXU-matmul path with the shard's
+            # Wy rows; Wy zero-padded by r columns per side so the slice
+            # aligns with the halo-extended block (zero weight on any
+            # synthesized halo row — exactness preserved)
+            wy = _area_weights(H, oh)
+            nz_lo = np.array([np.flatnonzero(row)[0] for row in wy])
+            nz_hi = np.array([np.flatnonzero(row)[-1] for row in wy])
+            r = _vhalo(nz_lo, nz_hi, n, h, oloc)
+            ext = halo_exchange(local, r, axis_name, "edge")
+            wy_pad = np.zeros((oh, H + 2 * r), np.float32)
+            wy_pad[:, r:H + r] = wy.astype(np.float32)
+            wy_loc = jax.lax.dynamic_slice(
+                jnp.asarray(wy_pad), (idx * oloc, idx * h), (oloc, h + 2 * r))
+            wx = _area_weights(W, ow).T.astype(np.float32)
+            cell = np.float32(1.0 / ((H / oh) * (W / ow)))
+            v = jnp.einsum("oh,nhw,wp->nop", wy_loc, ext.astype(jnp.float32),
+                           wx, precision=jax.lax.Precision.HIGHEST) * cell
+            return _round_cast(v, dt)
+        # any-upscale-axis fallback: the linear machinery with AREA coords
+        area_flag = True
+    elif interpolation == "linear":
+        area_flag = False
+    else:
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+
+    iy0, iy1, ry = resize_lin_tables(H, oh, area_flag)
+    r = _vhalo(np.minimum(iy0, iy1), np.maximum(iy0, iy1), n, h, oloc)
+    ext = halo_exchange(local, r, axis_name, "edge")
+    off = idx * h - r
+    l0 = _row_slice(iy0.astype(np.int32), idx, oloc) - off
+    l1 = _row_slice(iy1.astype(np.int32), idx, oloc) - off
+    if dt == jnp.uint8:
+        cy1, cy2 = _fixed_coeffs(ry)
+        return _linear_u8(ext, oh, ow, area_flag,
+                          ytab=(l0, l1, _row_slice(cy1, idx, oloc),
+                                _row_slice(cy2, idx, oloc)))
+    ry_l = _row_slice(ry.astype(np.float32), idx, oloc)
+    return _round_cast(_linear_float(ext, oh, ow, area_flag,
+                                     ytab=(l0, l1, ry_l)), dt)
+
+
+def _warp_coords_rows(Mi, oh, ow, idx, oloc):
+    """The exact hybrid-f32 warp coordinate field for output rows
+    ``[idx·oloc, (idx+1)·oloc)`` (ref/ops.py ``warp_affine_coords_f32``
+    semantics, rebuilt per shard via ``fma32``)."""
+    from imageenhancement_mp_tpu.utils.fma import fma32
+
+    Mf = np.asarray(Mi, np.float64).astype(np.float32)
+    ys = np.arange(oh, dtype=np.float32)
+    xs = jnp.asarray(np.arange(ow, dtype=np.float32))[None, :]
+    body = jnp.asarray(np.arange(ow) < ow - (ow % 16))[None, :]
+    out = []
+    for r in (0, 1):
+        a, b, c = Mf[r]
+        crow = _row_slice((b * ys + c).astype(np.float32), idx, oloc)[:, None]
+        brow = _row_slice((b * ys).astype(np.float32), idx, oloc)[:, None]
+        sb = fma32(xs, jnp.float32(a), crow)
+        st = fma32(xs, jnp.float32(a), brow) + jnp.float32(c)
+        out.append(jnp.clip(jnp.where(body, sb, st), -2e9, 2e9))
+    return out[0], out[1]
+
+
+def warp_affine_spatial(local, M, dsize, interpolation: str = "linear",
+                        border: str = "constant", border_value: float = 0.0,
+                        inverse_map: bool = False, axis_name: str = "y"):
+    """``cv2.warpAffine`` on row-sharded planes — bit-identical to
+    :func:`ops.warp.warp_affine_planes` on the gathered frame.
+
+    The input is ``all_gather``'d (an affine map can read rows from
+    anywhere); each shard samples only its own output-row block with the
+    exact per-row coordinate tables, so compute scales n-ways."""
+    from imageenhancement_mp_tpu.ops.warp import (_bilinear_tab_seq_device,
+                                                  _gather, remap_planes)
+    from imageenhancement_mp_tpu.ref.ops import (invert_affine,
+                                                 warp_affine_coords_int,
+                                                 warp_affine_nn_coords_int)
+    from imageenhancement_mp_tpu.utils.ranges import int_bounds
+
+    n, idx, h, H, oh, ow, oloc = _geom_split(local, dsize, axis_name)
+    W = local.shape[2]
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    if interpolation not in ("nearest", "linear"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    Mi = (np.asarray(M, np.float64).reshape(2, 3) if inverse_map
+          else invert_affine(np.asarray(M, np.float64)))
+    full = jax.lax.all_gather(local, axis_name, axis=1, tiled=True)
+    if local.dtype == jnp.int16:
+        minv, maxv = int_bounds(local.dtype)
+        bv = float(np.clip(np.round(float(border_value)), minv, maxv))
+        if interpolation == "nearest":
+            niy, nix = warp_affine_nn_coords_int(Mi, oh, ow)
+            clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+            return _gather(full, _row_slice(clip32(niy), idx, oloc),
+                           _row_slice(clip32(nix), idx, oloc),
+                           H, W, border, bv, minv, maxv)
+        X, Y = warp_affine_coords_int(Mi, oh, ow)
+        clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+        Xl = _row_slice(clip32(X), idx, oloc)
+        Yl = _row_slice(clip32(Y), idx, oloc)
+        iy0, ix0 = Yl >> 5, Xl >> 5
+        fx = (Xl & 31).astype(jnp.float32) * jnp.float32(1 / 32)
+        fy = (Yl & 31).astype(jnp.float32) * jnp.float32(1 / 32)
+        acc = _bilinear_tab_seq_device(
+            lambda dy, dx: _gather(full, iy0 + dy, ix0 + dx, H, W, border, bv,
+                                   minv, maxv).astype(jnp.float32), fx, fy)
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(local.dtype)
+    sx, sy = _warp_coords_rows(Mi, oh, ow, idx, oloc)
+    return remap_planes(full, sx, sy, interpolation, border, border_value)
+
+
+def remap_spatial(local, map_x, map_y, interpolation: str = "linear",
+                  border: str = "constant", border_value: float = 0.0,
+                  axis_name: str = "y"):
+    """``cv2.remap`` on row-sharded planes.  ``map_x``/``map_y`` are the
+    LOCAL output-row blocks of the maps (shard them like the output);
+    the input frame is ``all_gather``'d since runtime maps can read any
+    row.  Bit-identical to ``remap_planes`` on the gathered frame."""
+    from imageenhancement_mp_tpu.ops.warp import remap_planes
+
+    full = jax.lax.all_gather(local, axis_name, axis=1, tiled=True)
+    return remap_planes(full, map_x, map_y, interpolation, border, border_value)
+
+
+def canny_spatial(local, threshold1: float, threshold2: float,
+                  aperture_size: int = 3, l2_gradient: bool = False,
+                  axis_name: str = "y"):
+    """``cv2.Canny`` on row-sharded planes — bit-identical to
+    :func:`ops.canny.canny_planes` on the gathered frame.
+
+    Sobel and NMS use halo exchanges (replicate resp. zero borders, like
+    cv2); the hysteresis flood is the cross-shard FIXPOINT: flood
+    locally with the log-diameter while_loop, ppermute ONE boundary row
+    each way, and repeat while a psum reports any shard still grew."""
+    from imageenhancement_mp_tpu.ops.canny import (_dilate8, _nms_keep,
+                                                   _sobel_replicate)
+
+    if local.dtype != jnp.uint8:
+        raise TypeError(f"cv2.Canny requires uint8 input, got {local.dtype}")
+    if aperture_size not in (3, 5, 7):
+        raise ValueError(f"aperture_size must be 3, 5 or 7, got {aperture_size}")
+    r = aperture_size // 2
+    ext = halo_exchange(local, r, axis_name, "edge")
+    gx = _sobel_replicate(ext, 1, 0, aperture_size)[:, r:-r, :]
+    gy = _sobel_replicate(ext, 0, 1, aperture_size)[:, r:-r, :]
+    lo_t, hi_t = sorted((float(threshold1), float(threshold2)))
+    if aperture_size == 7:
+        lo_t, hi_t = lo_t / 16.0, hi_t / 16.0
+    if l2_gradient:
+        mag = gx * gx + gy * gy
+        lo_i, hi_i = int(np.floor(lo_t * lo_t)), int(np.floor(hi_t * hi_t))
+    else:
+        mag = jnp.abs(gx) + jnp.abs(gy)
+        lo_i, hi_i = int(np.floor(lo_t)), int(np.floor(hi_t))
+    magv = halo_exchange(mag, 1, axis_name, "const", const_val=0)
+    keep = _nms_keep(magv, gx, gy) & (mag > lo_i)
+    strong = keep & (mag > hi_i)
+
+    def outer(state):
+        out, _ = state
+
+        def inner(st):
+            o, _ = st
+            new = o | (keep & _dilate8(o))
+            return new, jnp.any(new != o)
+
+        out2, _ = jax.lax.while_loop(lambda s: s[1], inner,
+                                     (out, jnp.bool_(True)))
+        extm = halo_exchange(out2, 1, axis_name, "const", const_val=False)
+        new = out2 | (keep & _dilate8(extm)[:, 1:-1, :])
+        grew = jax.lax.psum(jnp.any(new != out2).astype(jnp.int32), axis_name)
+        return new, grew > 0
+
+    out, _ = jax.lax.while_loop(lambda s: s[1], outer,
+                                (strong, jnp.bool_(True)))
+    return jnp.where(out, jnp.uint8(255), jnp.uint8(0))
+
+
+SPATIAL_OP_REGISTRY.update(_spatial_registry())
