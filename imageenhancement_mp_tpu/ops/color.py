@@ -242,16 +242,24 @@ def _lab_device_tabs():
 
 
 def rgb_to_xyz_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
-    """``cv2.cvtColor(RGB2XYZ)`` u8 — 2^12 coeffs, half-up shift
-    (exhaustively exact; ref/ops.py rgb_to_xyz)."""
-    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
-        raise TypeError("rgb_to_xyz requires uint8 [..,3]")
+    """``cv2.cvtColor(RGB2XYZ)`` — u8 2^12 coeffs, half-up shift
+    (exhaustively exact; ref/ops.py rgb_to_xyz); f32 = the matrix
+    product (float tolerance)."""
+    if img.shape[-1] != 3:
+        raise TypeError("rgb_to_xyz requires [..,3]")
     import numpy as _np
 
     from imageenhancement_mp_tpu.ref.ops import _XYZ_FWD
 
-    C = _np.round(_XYZ_FWD * 4096).astype(_np.int32)
     ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    if img.dtype == jnp.float32:
+        Mf = _XYZ_FWD.astype(_np.float32)
+        ch = [img[..., ri], img[..., gi], img[..., bi]]
+        return jnp.stack([ch[0] * Mf[k, 0] + ch[1] * Mf[k, 1]
+                          + ch[2] * Mf[k, 2] for k in range(3)], -1)
+    if img.dtype != jnp.uint8:
+        raise TypeError("rgb_to_xyz requires uint8 or float32 [..,3]")
+    C = _np.round(_XYZ_FWD * 4096).astype(_np.int32)
     r = img[..., ri].astype(jnp.int32)
     g = img[..., gi].astype(jnp.int32)
     b = img[..., bi].astype(jnp.int32)
@@ -261,13 +269,22 @@ def rgb_to_xyz_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
 
 
 def xyz_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
-    """``cv2.cvtColor(XYZ2RGB)`` u8 — 2^12 coeffs (exhaustively exact)."""
-    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
-        raise TypeError("xyz_to_rgb requires uint8 [..,3]")
+    """``cv2.cvtColor(XYZ2RGB)`` — u8 2^12 coeffs (exhaustively exact);
+    f32 = the inverse matrix product."""
+    if img.shape[-1] != 3:
+        raise TypeError("xyz_to_rgb requires [..,3]")
     import numpy as _np
 
     from imageenhancement_mp_tpu.ref.ops import _XYZ_INV
 
+    if img.dtype == jnp.float32:
+        Mf = _XYZ_INV.astype(_np.float32)
+        ch = [img[..., 0], img[..., 1], img[..., 2]]
+        out = jnp.stack([ch[0] * Mf[k, 0] + ch[1] * Mf[k, 1]
+                         + ch[2] * Mf[k, 2] for k in range(3)], -1)
+        return out[..., ::-1] if order == "bgr" else out
+    if img.dtype != jnp.uint8:
+        raise TypeError("xyz_to_rgb requires uint8 or float32 [..,3]")
     C = _np.round(_XYZ_INV * 4096).astype(_np.int32)
     x = img[..., 0].astype(jnp.int32)
     y = img[..., 1].astype(jnp.int32)
@@ -280,10 +297,30 @@ def xyz_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
 
 
 def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
-    """``cv2.cvtColor(RGB2LAB)`` u8 — cv2's table fixed point,
-    exhaustively bit-exact (ref/ops.py rgb_to_lab)."""
-    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
-        raise TypeError("rgb_to_lab requires uint8 [..,3]")
+    """``cv2.cvtColor(RGB2LAB)`` — u8 via cv2's table fixed point,
+    exhaustively bit-exact; f32 via the analytic CIE formulas (the
+    documented deviation from cv2's coarse interpolated-LUT f32 path —
+    ref/ops.py rgb_to_lab)."""
+    if img.shape[-1] != 3:
+        raise TypeError("rgb_to_lab requires [..,3]")
+    if img.dtype == jnp.float32:
+        import numpy as _np
+
+        from imageenhancement_mp_tpu.ref.ops import _LAB_WHITE, _XYZ_FWD
+
+        ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+        r = jnp.stack([img[..., ri], img[..., gi], img[..., bi]], -1)
+        r = jnp.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
+        Mw = (_XYZ_FWD / _LAB_WHITE[:, None]).astype(_np.float32)
+        xyz = [r[..., 0] * Mw[k, 0] + r[..., 1] * Mw[k, 1]
+               + r[..., 2] * Mw[k, 2] for k in range(3)]
+        f = [jnp.where(t > 0.008856, jnp.cbrt(t),
+                       jnp.float32(7.787) * t + jnp.float32(16.0 / 116.0))
+             for t in xyz]
+        L = jnp.where(xyz[1] > 0.008856, 116.0 * f[1] - 16.0, 903.3 * xyz[1])
+        return jnp.stack([L, 500.0 * (f[0] - f[1]), 200.0 * (f[1] - f[2])], -1)
+    if img.dtype != jnp.uint8:
+        raise TypeError("rgb_to_lab requires uint8 or float32 [..,3]")
     gamma_b, cbrt_b = _lab_device_tabs()[:2]
     ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
     R = jnp.take(gamma_b, img[..., ri].astype(jnp.int32))
@@ -306,10 +343,37 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
 
 
 def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
-    """``cv2.cvtColor(LAB2RGB)`` u8 — cv2's integer inverse,
-    exhaustively bit-exact (ref/ops.py lab_to_rgb)."""
-    if img.dtype != jnp.uint8 or img.shape[-1] != 3:
-        raise TypeError("lab_to_rgb requires uint8 [..,3]")
+    """``cv2.cvtColor(LAB2RGB)`` — u8 via cv2's integer inverse,
+    exhaustively bit-exact; f32 via the analytic float inverse
+    (ref/ops.py lab_to_rgb)."""
+    if img.shape[-1] != 3:
+        raise TypeError("lab_to_rgb requires [..,3]")
+    if img.dtype == jnp.float32:
+        import numpy as _np
+
+        from imageenhancement_mp_tpu.ref.ops import _LAB_WHITE, _XYZ_INV
+
+        L, a, b = img[..., 0], img[..., 1], img[..., 2]
+        fy = (L + 16.0) / 116.0
+        fx, fz = fy + a / 500.0, fy - b / 200.0
+
+        def fi(t):
+            return jnp.where(t * t * t > 0.008856, t * t * t,
+                             (t - jnp.float32(16.0 / 116.0)) / 7.787)
+
+        x = fi(fx) * jnp.float32(_LAB_WHITE[0])
+        y = jnp.where(L > 8.0, fy * fy * fy, L / 903.3)
+        z = fi(fz) * jnp.float32(_LAB_WHITE[2])
+        Mi = _XYZ_INV.astype(_np.float32)
+        rgb = [jnp.maximum(x * Mi[k, 0] + y * Mi[k, 1] + z * Mi[k, 2], 0.0)
+               for k in range(3)]
+        srgb = [jnp.clip(jnp.where(
+            c > 0.0031308, 1.055 * c ** jnp.float32(1 / 2.4) - 0.055,
+            12.92 * c), 0.0, 1.0) for c in rgb]
+        out = jnp.stack(srgb, -1)
+        return out[..., ::-1] if order == "bgr" else out
+    if img.dtype != jnp.uint8:
+        raise TypeError("lab_to_rgb requires uint8 or float32 [..,3]")
     (_, _, y_b, ify_b, adiv, bdiv, minab, abxz, invg) = _lab_device_tabs()
     LL = img[..., 0].astype(jnp.int32)
     aa = img[..., 1].astype(jnp.int32)

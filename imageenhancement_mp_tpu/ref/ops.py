@@ -2841,19 +2841,40 @@ def _lab_tabs():
 
 
 def rgb_to_lab(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.ndarray:
-    """``cv2.cvtColor(RGB2LAB)`` (u8) — BIT-EXACT, verified on ALL 2^24
+    """``cv2.cvtColor(RGB2LAB)`` — u8 BIT-EXACT, verified on ALL 2^24
     inputs (0 LSB; round-3 exhaustive probe; ``srgb=False`` ==
     COLOR_LRGB2LAB, also exhaustive-exact).
+
+    float32 input ([0,1] RGB like cv2): the analytic CIE formulas in
+    f64, cast f32.  DELIBERATE deviation: cv2's f32 forward runs a
+    coarsely-interpolated int16 LUT (knots every 1/512, output
+    staircase ~9/64 L-units — probed) whose own error vs true Lab
+    reaches ~0.6; we return the accurate value instead (≤8e-3 of
+    exact, the LUT's grid-point quantum).  The u8 path matches cv2
+    bitwise because there the LUT IS the contract.
 
     cv2's fixed point: gamma-expand through the 2040-scale table (or
     ``i*8`` linear), XYZ at 2^12 whitepoint-folded coeffs with
     half-up descale, cube-root table at 2^15, then
     ``L = (296*fY - 1336934 + 2^14) >> 15``,
     ``a/b = (500/200*(fX-fY/fY-fZ) + 128*2^15 + 2^14) >> 15``."""
-    if img.dtype != np.uint8 or img.shape[-1] != 3:
-        raise TypeError("rgb_to_lab requires uint8 [..,3]")
-    gamma_b, cbrt_b = _lab_tabs()[:2]
+    if img.shape[-1] != 3:
+        raise TypeError("rgb_to_lab requires [..,3]")
     rgb = img[..., ::-1] if order == "bgr" else img
+    if img.dtype == np.float32:
+        r = rgb.astype(np.float64)
+        if srgb:
+            r = np.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
+        xyz = (r @ _XYZ_FWD.T) / _LAB_WHITE
+        f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        L = np.where(xyz[..., 1] > 0.008856, 116.0 * fy - 16.0,
+                     903.3 * xyz[..., 1])
+        return np.stack([L, 500.0 * (fx - fy), 200.0 * (fy - fz)],
+                        -1).astype(np.float32)
+    if img.dtype != np.uint8:
+        raise TypeError("rgb_to_lab requires uint8 or float32 [..,3]")
+    gamma_b, cbrt_b = _lab_tabs()[:2]
     c = rgb.astype(np.int64)
     if srgb:
         R, G, B = gamma_b[c[..., 0]], gamma_b[c[..., 1]], gamma_b[c[..., 2]]
@@ -2876,16 +2897,40 @@ def rgb_to_lab(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.nda
 
 
 def lab_to_rgb(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.ndarray:
-    """``cv2.cvtColor(LAB2RGB)`` (u8) — BIT-EXACT, verified on ALL 2^24
-    inputs (0 LSB; round-3 exhaustive probe).
+    """``cv2.cvtColor(LAB2RGB)`` — u8 BIT-EXACT, verified on ALL 2^24
+    inputs (0 LSB; round-3 exhaustive probe); float32 = the analytic
+    float inverse (probed ≤9e-5 vs cv2, which clips to [0,1]).
 
     cv2's integer inverse: per-L y/f(y) tables at BASE=2^14, shift-mul
     a/b offsets, the f^-1 table (truncating linear branch i*108/841 —
     the one formula where cv2 truncates instead of rounding — and
     truncating integer cube), XYZ->RGB at 2^12, inverse-gamma through
     the 4096-entry table."""
-    if img.dtype != np.uint8 or img.shape[-1] != 3:
-        raise TypeError("lab_to_rgb requires uint8 [..,3]")
+    if img.shape[-1] != 3:
+        raise TypeError("lab_to_rgb requires [..,3]")
+    if img.dtype == np.float32:
+        # cv2's f32 inverse is the analytic float path (probed 9e-5)
+        L = img[..., 0].astype(np.float64)
+        a = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        fy = (L + 16.0) / 116.0
+        fx, fz = fy + a / 500.0, fy - b / 200.0
+
+        def fi(t):
+            return np.where(t ** 3 > 0.008856, t ** 3,
+                            (t - 16.0 / 116.0) / 7.787)
+
+        x = fi(fx) * _LAB_WHITE[0]
+        y = np.where(L > 8.0, fy ** 3, L / 903.3)
+        z = fi(fz) * _LAB_WHITE[2]
+        rgb = np.clip(np.stack([x, y, z], -1) @ _XYZ_INV.T, 0, None)
+        if srgb:
+            rgb = np.where(rgb > 0.0031308,
+                           1.055 * rgb ** (1 / 2.4) - 0.055, 12.92 * rgb)
+        out = np.clip(rgb, 0, 1).astype(np.float32)
+        return out[..., ::-1] if order == "bgr" else out
+    if img.dtype != np.uint8:
+        raise TypeError("lab_to_rgb requires uint8 or float32 [..,3]")
     (_, _, y_b, ify_b, adiv, bdiv, minab, abxz, invg) = _lab_tabs()
     LL = img[..., 0].astype(np.int64)
     aa = img[..., 1].astype(np.int64)

@@ -88,3 +88,35 @@ def test_clahe_lab_batch_and_rejects():
         ie.clahe_lab(jnp.zeros((8, 8, 3), jnp.uint16))
     with pytest.raises(ValueError):
         ie.clahe_lab(jnp.zeros((8, 8), jnp.uint8))
+
+
+def test_f32_lab_float_paths():
+    """f32 Lab: inverse tracks cv2 at float tolerance; the forward is
+    the DOCUMENTED deviation — cv2's coarse interpolated LUT vs our
+    analytic value (ref/ops.py rgb_to_lab)."""
+    rng = np.random.default_rng(seed("labf32"))
+    img = rng.random((60, 70, 3)).astype(np.float32)
+    lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    got = ref.rgb_to_lab(img)
+    assert float(np.abs(got - lab).max()) <= 0.7     # cv2's own LUT error
+    inv = ref.lab_to_rgb(lab)
+    want = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    assert float(np.abs(inv - want).max()) <= 2e-4
+    xyz = ref.rgb_to_xyz(img)
+    assert float(np.abs(xyz - cv2.cvtColor(img, cv2.COLOR_RGB2XYZ)).max()) <= 1e-6
+    back = ref.xyz_to_rgb(xyz)
+    assert float(np.abs(back - cv2.cvtColor(xyz, cv2.COLOR_XYZ2RGB)).max()) <= 3e-6
+
+
+def test_f32_device_paths():
+    """Device f32 cvt_color lab/xyz tracks cv2/oracle at float tolerance."""
+    rng = np.random.default_rng(seed("labf32dev"))
+    img = rng.random((24, 30, 3)).astype(np.float32)
+    x = np.asarray(ie.cvt_color(jnp.asarray(img), "rgb2xyz"))
+    assert float(np.abs(x - cv2.cvtColor(img, cv2.COLOR_RGB2XYZ)).max()) <= 1e-5
+    b = np.asarray(ie.cvt_color(jnp.asarray(x), "xyz2rgb"))
+    assert float(np.abs(b - cv2.cvtColor(x, cv2.COLOR_XYZ2RGB)).max()) <= 1e-5
+    lab = np.asarray(ie.cvt_color(jnp.asarray(img), "rgb2lab"))
+    assert float(np.abs(lab - ref.rgb_to_lab(img)).max()) <= 5e-3
+    inv = np.asarray(ie.cvt_color(jnp.asarray(lab), "lab2rgb"))
+    assert float(np.abs(inv - ref.lab_to_rgb(lab)).max()) <= 1e-4

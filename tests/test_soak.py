@@ -34,7 +34,7 @@ def test_soak_oracle_vs_cv2():
     N = int(os.environ.get("IE_SOAK_N", "1500"))
     for trial in range(N):
         H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-        op = trial % 16
+        op = trial % 18
         try:
             if op == 0:  # gaussian, any k/sigma, u8/u16
                 dt = np.uint8 if trial % 2 else np.uint16
@@ -185,12 +185,29 @@ def test_soak_oracle_vs_cv2():
                 want = cv2.warpAffine(img, M, (ow, oh), flags=cvf,
                                       borderMode=cvb, borderValue=bv)
                 got = ref.warp_affine(img, M, (oh, ow), interp, bmode, bv)
-                if dt is np.float32:
-                    tol = 1e-5 * max(1.0, float(np.abs(want).max()))
-                    ok = float(np.abs(got - want).max()) <= tol
-                else:
-                    ok = int(np.abs(got.astype(np.int64)
-                                    - want.astype(np.int64)).max()) <= 1
+                ok = np.array_equal(got, want)   # round 3: exact, all dtypes
+            elif op == 15:  # remap (round 3: exact, all dtypes)
+                dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
+                img = _img(rng, dt, (H, W))
+                oh, ow = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+                interp, cvf = [("linear", cv2.INTER_LINEAR),
+                               ("nearest", cv2.INTER_NEAREST)][trial % 2]
+                bmode, cvb = [("constant", cv2.BORDER_CONSTANT),
+                              ("replicate", cv2.BORDER_REPLICATE)][(trial // 2) % 2]
+                bv = float(rng.integers(0, 120))
+                mx = (rng.random((oh, ow)) * (W + 4) - 2).astype(np.float32)
+                my = (rng.random((oh, ow)) * (H + 4) - 2).astype(np.float32)
+                want = cv2.remap(img, mx, my, cvf, borderMode=cvb, borderValue=bv)
+                ok = np.array_equal(ref.remap(img, mx, my, interp, bmode, bv), want)
+            elif op == 16:  # Lab/XYZ round trips (round 3: exhaustively exact)
+                rgb = _img(rng, np.uint8, (H, W, 3))
+                code, fn = [
+                    (cv2.COLOR_RGB2LAB, lambda a: ref.rgb_to_lab(a)),
+                    (cv2.COLOR_LAB2RGB, lambda a: ref.lab_to_rgb(a)),
+                    (cv2.COLOR_RGB2XYZ, lambda a: ref.rgb_to_xyz(a)),
+                    (cv2.COLOR_XYZ2RGB, lambda a: ref.xyz_to_rgb(a)),
+                ][trial % 4]
+                ok = np.array_equal(fn(rgb), cv2.cvtColor(rgb, code))
             else:  # canny
                 img = _img(rng, np.uint8, (H, W))
                 t1, t2 = sorted(rng.uniform(5, 300, 2))
