@@ -73,6 +73,16 @@ def _time(fn, x, iters, warmup=2):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run all judged configs")
+    ap.add_argument(
+        "--rows",
+        default=None,
+        metavar="REGEX",
+        help="run only the suite rows whose name matches REGEX (implies the "
+        "--all suite).  This exists so a full certified sweep can be split "
+        "across FRESH processes — each chunk stays under the tunnel's "
+        "~150-execution degradation cliff and carries its own canary "
+        "sandwich (docs/DESIGN.md §9; tools/certified_sweep.py drives it)",
+    )
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-parity", action="store_true", help="skip parity phase")
     ap.add_argument(
@@ -136,7 +146,7 @@ def main() -> int:
         )
     ]
 
-    if args.all:
+    if args.all or args.rows:
         i512 = rng.integers(0, 256, (512, 512), dtype=np.uint8)
         b32 = rng.integers(0, 256, (32, 1080, 1920, 3), dtype=np.uint8)
         rgb4k = rng.integers(0, 256, (1, 2160, 3840, 3), dtype=np.uint8)
@@ -317,6 +327,14 @@ def main() -> int:
             ),
         ]
 
+    if args.rows:
+        import re
+
+        pat = re.compile(args.rows)
+        suite = [row for row in suite if pat.search(row[0])]
+        if not suite:
+            ap.error(f"--rows {args.rows!r} matched no suite rows")
+
     # ---------------- canary sandwich (docs/DESIGN.md §9) ------------------
     # The 61-pass bilateral is VPU-compute-bound at ~1.5 GPix/s on this
     # chip (docs/DESIGN.md §5b) and cannot physically exceed ~20 GPix/s.
@@ -378,7 +396,7 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    if args.profile:
+    if args.profile and "histeq+unsharp 1080p gray b8" in handles:
         fn, xd = handles["histeq+unsharp 1080p gray b8"]
         with jax.profiler.trace(args.profile):
             for _ in range(5):
@@ -411,6 +429,8 @@ def main() -> int:
                 {
                     "device": f"{dev.device_kind} ({dev.platform})",
                     "timing_suspect": timing_suspect,
+                    "canary_pre_gpix": round(canary_pre, 2),
+                    "canary_post_gpix": round(canary_post, 2),
                     "rows": [
                         {
                             "name": name,
@@ -430,20 +450,21 @@ def main() -> int:
             )
         print(f"full table written to {args.json_out}", file=sys.stderr)
 
-    headline = results["histeq+unsharp 1080p gray b8"]
-    print(
-        json.dumps(
-            {
-                "metric": "fused_histeq_unsharp_1080p_gray",
-                "value": round(float(headline), 4),
-                "unit": "GPix/s/chip",
-                "vs_baseline": round(float(headline) / BASELINES["histeq+unsharp 1080p gray b8"], 2),
-                "timing_suspect": timing_suspect,
-                "canary_pre_gpix": round(canary_pre, 2),
-                "canary_post_gpix": round(canary_post, 2),
-            }
+    headline = results.get("histeq+unsharp 1080p gray b8")
+    if headline is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "fused_histeq_unsharp_1080p_gray",
+                    "value": round(float(headline), 4),
+                    "unit": "GPix/s/chip",
+                    "vs_baseline": round(float(headline) / BASELINES["histeq+unsharp 1080p gray b8"], 2),
+                    "timing_suspect": timing_suspect,
+                    "canary_pre_gpix": round(canary_pre, 2),
+                    "canary_post_gpix": round(canary_post, 2),
+                }
+            )
         )
-    )
     if timing_suspect:
         print(
             "NOTE: timing_suspect=true — the canary sandwich failed its "
@@ -456,7 +477,7 @@ def main() -> int:
     # far above any unfused/regressed state (docs/DESIGN.md §4).  Parity
     # gate: every oracled uint8 σ=0 row must stay within the judged ±1 LSB.
     rc = 0
-    if args.gate > 0 and dev.platform != "cpu":
+    if args.gate > 0 and dev.platform != "cpu" and headline is not None:
         if headline < args.gate:
             print(
                 f"GATE FAIL: headline {headline:.1f} GPix/s below the "

@@ -47,6 +47,9 @@ __all__ = [
     "rotate",
     "transpose",
     "warp_affine",
+    "warp_perspective",
+    "get_perspective_transform",
+    "get_affine_transform",
     "remap",
     "match_template",
     "min_max_loc",
@@ -146,6 +149,7 @@ _I16_OK = {
     "rotate",
     "transpose",
     "warp_affine",
+    "warp_perspective",
     "match_template",
     "undistort",
     "laplacian_sharpen",
@@ -614,11 +618,11 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
     """``cv2.warpAffine(img, M, (ow, oh), ...)`` — ``dsize`` is (oh, ow)
     row-major.  ``M`` is a static 2x3 matrix (recompiles per matrix).
 
-    u8/u16/f32 follow cv2 5.0's full-precision float path (u8 exact off
-    razor ties, u16 ±1, f32 1-ulp); int16 is bit-matched to cv2's
-    fixed-point path.  ``border``: constant (with ``border_value``,
-    saturated like cv2) or replicate.  ``inverse_map`` = cv2's
-    WARP_INVERSE_MAP."""
+    BIT-EXACT for every dtype (docs/PARITY.md round-3 re-pin): the
+    hybrid f32 coordinate field + single-FMA lerp for u8/u16/f32, the
+    legacy fixed-point coords with float tab weights for int16.
+    ``border``: constant (with ``border_value``, saturated like cv2) or
+    replicate.  ``inverse_map`` = cv2's WARP_INVERSE_MAP."""
     _check_image_dtype(img, allow_i16=True)
     Mt = tuple(tuple(float(v) for v in row)
                for row in np.asarray(M, np.float64).reshape(2, 3))
@@ -627,6 +631,42 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
                   interpolation=str(interpolation), border=str(border),
                   border_value=float(border_value),
                   inverse_map=bool(inverse_map))
+
+
+def warp_perspective(img, M, dsize, interpolation: str = "linear",
+                     border: str = "constant", border_value: float = 0.0,
+                     inverse_map: bool = False, channels_last: bool = True):
+    """``cv2.warpPerspective(img, M, (ow, oh), ...)`` — ``dsize`` is
+    (oh, ow) row-major.  ``M`` is a static 3x3 homography (recompiles
+    per matrix).
+
+    BIT-EXACT for every dtype (docs/PARITY.md): the perspective-divided
+    hybrid f32 coordinate field + single-FMA lerp for u8/u16/f32 (the
+    division happens at trace time in exactly cv2's f32 arithmetic);
+    int16 uses cv2's legacy per-pixel f64 quantized path.  Matrix
+    inversion is cv2's f64 cofactor expansion.
+    ``get_perspective_transform``/``get_affine_transform`` build
+    matrices from point pairs like cv2."""
+    _check_image_dtype(img, allow_i16=True)
+    Mt = tuple(tuple(float(v) for v in row)
+               for row in np.asarray(M, np.float64).reshape(3, 3))
+    return _apply("warp_perspective", img, channels_last, M=Mt,
+                  dsize=(int(dsize[0]), int(dsize[1])),
+                  interpolation=str(interpolation), border=str(border),
+                  border_value=float(border_value),
+                  inverse_map=bool(inverse_map))
+
+
+def get_perspective_transform(src, dst):
+    """``cv2.getPerspectiveTransform`` (4 point pairs -> 3x3 f64)."""
+    from imageenhancement_mp_tpu.ref.ops import get_perspective_transform as g
+    return g(src, dst)
+
+
+def get_affine_transform(src, dst):
+    """``cv2.getAffineTransform`` (3 point pairs -> 2x3 f64)."""
+    from imageenhancement_mp_tpu.ref.ops import get_affine_transform as g
+    return g(src, dst)
 
 
 @lru_cache(maxsize=None)

@@ -29,7 +29,8 @@ from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes, pyr_up_planes
 from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.warp import (remap_planes, undistort_planes,
-                                              warp_affine_planes)
+                                              warp_affine_planes,
+                                              warp_perspective_planes)
 from imageenhancement_mp_tpu.ops.canny import canny_planes, connected_components_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
@@ -69,6 +70,7 @@ OP_REGISTRY = {
     "rotate": rotate_planes,
     "transpose": transpose_planes,
     "warp_affine": warp_affine_planes,
+    "warp_perspective": warp_perspective_planes,
     "canny": canny_planes,
     "connected_components": connected_components_planes,
     "remap": remap_planes,
@@ -114,6 +116,7 @@ __all__ = [
     "rotate_planes",
     "transpose_planes",
     "warp_affine_planes",
+    "warp_perspective_planes",
     "canny_planes",
     "connected_components_planes",
     "remap_planes",

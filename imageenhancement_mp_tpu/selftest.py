@@ -84,6 +84,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         my = (yy + 2.0 * np.cos(xx / 9.0)).astype(np.float32)
         return mx, my
 
+    def _persp_matrix(size):
+        h, w = size
+        src = [(0, 0), (w - 1.0, 0), (w - 1.0, h - 1.0), (0, h - 1.0)]
+        dst = [(3.5, 2.0), (w - 5.0, 4.5), (w - 2.0, h - 3.0), (1.0, h - 6.5)]
+        return ref.get_perspective_transform(src, dst)
+
     def _luma_oracle():
         ycc = ref.rgb_to_ycrcb(rgb)
         y = ref.equalize_hist(ycc[..., 0])
@@ -148,6 +154,9 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
             size), 0),
+        # perspective warp: bit-exact (hybrid f32 coords + f32 divide via fma32)
+        ("warp/persp", lambda: ie.warp_perspective(img, _persp_matrix(size), size),
+         lambda: ref.warp_perspective(img, _persp_matrix(size), size), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
