@@ -932,15 +932,73 @@ def calc_back_project(img, hist, scale: float = 1.0, channels_last: bool = True)
                   scale=float(scale))
 
 
+@lru_cache(maxsize=None)
+def _nlm_jit(h: float, t: int, s: int, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_vec
+    from imageenhancement_mp_tpu.utils.shapes import as_vec
+
+    @jax.jit
+    def run(img):
+        vec, restore = as_vec(img, channels_last=channels_last)
+        return restore(fast_nl_means_vec(vec, h, t, s))
+
+    return run
+
+
 def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
                             search_window: int = 21, channels_last: bool = True):
-    """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0/40 fuzz over h, t, s
-    on realistic noisy images; docs/PARITY.md pins the weight LUT:
-    ``round(FPM·exp(−SSD·scale/h²))``, denominator h² alone).  uint8."""
+    """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0-LSB deterministic
+    fuzz over h, t, s and cn∈{1,2,3,4}; docs/PARITY.md pins the weight
+    LUT: ``round(FPM·exp(−SSD·scale/(h²·cn)))``).  uint8.
+
+    Multichannel inputs follow cv2's VECTOR-pixel semantics: one joint
+    SSD over the channels drives a shared weight (NOT per-plane
+    denoising).  A 3-D input with last dim ≤ 4 is one [H,W,C] image
+    (the as_planes ambiguity rule)."""
     _check_u8(img)
-    return _apply("fast_nl_means", img, channels_last, h=float(h),
-                  template_window=int(template_window),
-                  search_window=int(search_window))
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    return _nlm_jit(float(h), t, s, bool(channels_last))(img)
+
+
+@lru_cache(maxsize=None)
+def _nlm_colored_jit(h: float, hc: float, t: int, s: int, order: str):
+    from imageenhancement_mp_tpu.ops.color import lab_to_rgb_nhwc, rgb_to_lab_nhwc
+    from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_vec
+
+    @jax.jit
+    def run(img):
+        lab = rgb_to_lab_nhwc(img, order, srgb=False)
+        batched = lab if lab.ndim == 4 else lab[None]
+        L = fast_nl_means_vec(batched[..., :1], h, t, s)
+        ab = fast_nl_means_vec(batched[..., 1:3], hc, t, s)
+        out = lab_to_rgb_nhwc(jnp.concatenate([L, ab], -1), order, srgb=False)
+        return out if lab.ndim == 4 else out[0]
+
+    return run
+
+
+def fast_nl_means_denoising_colored(img, h: float = 3.0, h_color: float = 3.0,
+                                    template_window: int = 7,
+                                    search_window: int = 21,
+                                    order: str = "rgb"):
+    """``cv2.fastNlMeansDenoisingColored`` — BIT-EXACT (pinned
+    decomposition, docs/PARITY.md): convert with the LINEAR-RGB Lab
+    variant (COLOR_LBGR2Lab — no sRGB gamma stage, exhaustively exact
+    tables), denoise L alone with ``h``, denoise the (a,b) pair as one
+    2-channel vector image with ``h_color`` (joint SSD, shared
+    weights), convert back.  uint8 ``[H,W,3]`` / ``[N,H,W,3]``."""
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"fastNlMeansDenoisingColored is uint8, got {img.dtype}")
+    if img.ndim not in (3, 4) or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] or [N,H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    return _nlm_colored_jit(float(h), float(h_color), t, s, str(order))(img)
 
 
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):

@@ -296,11 +296,13 @@ def xyz_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     return out[..., ::-1] if order == "bgr" else out
 
 
-def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb",
+                    srgb: bool = True) -> jnp.ndarray:
     """``cv2.cvtColor(RGB2LAB)`` — u8 via cv2's table fixed point,
-    exhaustively bit-exact; f32 via the analytic CIE formulas (the
-    documented deviation from cv2's coarse interpolated-LUT f32 path —
-    ref/ops.py rgb_to_lab)."""
+    exhaustively bit-exact (``srgb=False`` == COLOR_LRGB2LAB, the
+    linear-RGB variant, also exhaustive-exact); f32 via the analytic
+    CIE formulas (the documented deviation from cv2's coarse
+    interpolated-LUT f32 path — ref/ops.py rgb_to_lab)."""
     if img.shape[-1] != 3:
         raise TypeError("rgb_to_lab requires [..,3]")
     if img.dtype == jnp.float32:
@@ -310,7 +312,8 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
 
         ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
         r = jnp.stack([img[..., ri], img[..., gi], img[..., bi]], -1)
-        r = jnp.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
+        if srgb:
+            r = jnp.where(r > 0.04045, ((r + 0.055) / 1.055) ** 2.4, r / 12.92)
         Mw = (_XYZ_FWD / _LAB_WHITE[:, None]).astype(_np.float32)
         xyz = [r[..., 0] * Mw[k, 0] + r[..., 1] * Mw[k, 1]
                + r[..., 2] * Mw[k, 2] for k in range(3)]
@@ -323,9 +326,14 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
         raise TypeError("rgb_to_lab requires uint8 or float32 [..,3]")
     gamma_b, cbrt_b = _lab_device_tabs()[:2]
     ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
-    R = jnp.take(gamma_b, img[..., ri].astype(jnp.int32))
-    G = jnp.take(gamma_b, img[..., gi].astype(jnp.int32))
-    B = jnp.take(gamma_b, img[..., bi].astype(jnp.int32))
+    if srgb:
+        R = jnp.take(gamma_b, img[..., ri].astype(jnp.int32))
+        G = jnp.take(gamma_b, img[..., gi].astype(jnp.int32))
+        B = jnp.take(gamma_b, img[..., bi].astype(jnp.int32))
+    else:
+        R = img[..., ri].astype(jnp.int32) << 3
+        G = img[..., gi].astype(jnp.int32) << 3
+        B = img[..., bi].astype(jnp.int32) << 3
     from imageenhancement_mp_tpu.ref.ops import _LAB_C_FWD
 
     C = _LAB_C_FWD
@@ -342,10 +350,12 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
                       jnp.clip(b, 0, 255)], -1).astype(jnp.uint8)
 
 
-def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb",
+                    srgb: bool = True) -> jnp.ndarray:
     """``cv2.cvtColor(LAB2RGB)`` — u8 via cv2's integer inverse,
-    exhaustively bit-exact; f32 via the analytic float inverse
-    (ref/ops.py lab_to_rgb)."""
+    exhaustively bit-exact (``srgb=False`` == COLOR_LAB2LRGB: the
+    linear output truncates ``(v*255) >> 12``); f32 via the analytic
+    float inverse (ref/ops.py lab_to_rgb)."""
     if img.shape[-1] != 3:
         raise TypeError("lab_to_rgb requires [..,3]")
     if img.dtype == jnp.float32:
@@ -367,10 +377,11 @@ def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
         Mi = _XYZ_INV.astype(_np.float32)
         rgb = [jnp.maximum(x * Mi[k, 0] + y * Mi[k, 1] + z * Mi[k, 2], 0.0)
                for k in range(3)]
-        srgb = [jnp.clip(jnp.where(
-            c > 0.0031308, 1.055 * c ** jnp.float32(1 / 2.4) - 0.055,
-            12.92 * c), 0.0, 1.0) for c in rgb]
-        out = jnp.stack(srgb, -1)
+        if srgb:
+            rgb = [jnp.where(c > 0.0031308,
+                             1.055 * c ** jnp.float32(1 / 2.4) - 0.055,
+                             12.92 * c) for c in rgb]
+        out = jnp.stack([jnp.clip(c, 0.0, 1.0) for c in rgb], -1)
         return out[..., ::-1] if order == "bgr" else out
     if img.dtype != jnp.uint8:
         raise TypeError("lab_to_rgb requires uint8 or float32 [..,3]")
@@ -390,6 +401,8 @@ def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     for k in range(3):
         v = jnp.right_shift(x * int(C[k, 0]) + y * int(C[k, 1])
                             + z * int(C[k, 2]) + (1 << 13), 14)
-        chans.append(jnp.take(invg, jnp.clip(v, 0, 4095)))
+        v = jnp.clip(v, 0, 4095)
+        chans.append(jnp.take(invg, v) if srgb
+                     else jnp.right_shift(v * 255, 12))
     out = jnp.stack(chans, -1).astype(jnp.uint8)
     return out[..., ::-1] if order == "bgr" else out

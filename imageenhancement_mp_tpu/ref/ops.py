@@ -2763,19 +2763,25 @@ def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
     return np.clip(out, _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 
 
-def _nlm_weight_lut(h: float, t: int, s: int):
-    """cv2 fastNlMeans weight LUT: index = SSD >> bin_shift where
-    2^bin_shift is the nearest pow-2 >= t²; w = round(FPM·exp(−dist/h²))
-    with FPM = INT_MAX // (s²·255) and the 0.001·FPM cutoff."""
+def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1):
+    """cv2 fastNlMeans weight LUT (cn = pixel channels, SSD summed over
+    channels): index = SSD >> bin_shift where 2^bin_shift is the nearest
+    pow-2 >= t²; w = round(FPM·exp(−dist/(h²·cn))) with
+    FPM = INT_MAX // (s²·255) — the fixed-point multiplier does NOT
+    scale with cn (pinned by differential probe 2026-08-17: the /cn and
+    plain-INT_MAX variants each leave ~1e-4-relative residue flipping
+    rare quotients; this one is 0-LSB over 216 deterministic configs,
+    cn∈{1,2,3,4}) — and the 0.001·FPM cutoff.  Only the exp's variance
+    normalisation sees cn."""
     tsq = t * t
     bs = 0
     while (1 << bs) < tsq:
         bs += 1
     mult = (1 << bs) / tsq
     fpm = np.iinfo(np.int32).max // ((s * s) * 255)
-    amd = int(255 * 255 * tsq / mult + 1)
+    amd = int(255 * 255 * cn * tsq / mult + 1)
     i = np.arange(amd + 1)
-    w = np.round(fpm * np.exp(-(i * mult) / (h * h))).astype(np.int64)
+    w = np.round(fpm * np.exp(-(i * mult) / (h * h * cn))).astype(np.int64)
     w[w < 0.001 * fpm] = 0
     # the LUT is zero beyond the cutoff — keep only the live prefix
     nz = np.nonzero(w)[0]
@@ -2786,42 +2792,78 @@ def _nlm_weight_lut(h: float, t: int, s: int):
 def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
                             template_window: int = 7,
                             search_window: int = 21) -> np.ndarray:
-    """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0/24 fuzz over
-    h∈[3,25], t∈{3,5,7}, s∈{9,15,21} on realistic noisy images).
+    """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0/24 fuzz gray over
+    h∈[3,25], t∈{3,5,7}, s∈{9,15,21} on realistic noisy images; 0-LSB
+    multichannel fuzz for cn∈{2,3,4} in tests/test_nlmeans.py).
 
-    Pinned model: REFLECT_101 pad by (s+t)//2·…; integer patch SSD over
-    the t×t template; index = SSD >> bin_shift (2^bin_shift = nearest
-    pow-2 ≥ t²); weight LUT ``round(FPM·exp(−SSD·scale/h²))`` — the
-    denominator is h² alone, NOT h²·t² — with FPM = INT_MAX//(s²·255)
-    and weights below 0.001·FPM zeroed; result
+    ``img`` is ``[H,W]`` or ``[H,W,C]`` with C∈{1,2,3,4} — cv2 treats
+    the channels as VECTOR pixels: one joint SSD (summed over channels)
+    drives a shared weight applied to every channel.  Pinned model:
+    REFLECT_101 pad by (s+t)//2·…; integer patch SSD over the t×t
+    template; index = SSD >> bin_shift (2^bin_shift = nearest pow-2 ≥
+    t²); weight LUT ``round(FPM·exp(−SSD·scale/(h²·cn)))`` — the
+    denominator is h²·cn, NOT h²·t² — with FPM = INT_MAX//(s²·255)
+    (no cn factor; see _nlm_weight_lut) and weights below 0.001·FPM
+    zeroed; result per channel
     ``(Σw·v + Σw/2) // Σw``."""
     if img.dtype != np.uint8:
         raise TypeError("fastNlMeansDenoising requires uint8 input")
     t, s = int(template_window), int(search_window)
     if t % 2 == 0 or s % 2 == 0:
         raise ValueError("window sizes must be odd")
-    H, W = img.shape
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    cn = img.shape[2]
+    if cn not in (1, 2, 3, 4):
+        raise ValueError(f"fastNlMeansDenoising supports 1-4 channels, got {cn}")
+    H, W = img.shape[:2]
     th, sh = t // 2, s // 2
     border = sh + th
-    p = np.pad(img.astype(np.int64), border, mode="reflect")
-    w, bs, _ = _nlm_weight_lut(float(h), t, s)
+    p = np.pad(img.astype(np.int64), ((border, border), (border, border), (0, 0)),
+               mode="reflect")
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn)
     cut = len(w) - 1
-    est = np.zeros((H, W), np.int64)
+    est = np.zeros((H, W, cn), np.int64)
     wsum = np.zeros((H, W), np.int64)
     for dy in range(-sh, sh + 1):
         for dx in range(-sh, sh + 1):
             a = p[border - th:border + H + th, border - th:border + W + th]
             b = p[border - th + dy:border + H + th + dy,
                   border - th + dx:border + W + th + dx]
-            d2 = (a - b) ** 2
+            d2 = ((a - b) ** 2).sum(axis=2)
             c = np.pad(d2.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
             ssd = c[t:, t:] - c[:-t, t:] - c[t:, :-t] + c[:-t, :-t]
             ww = w[np.minimum(ssd >> bs, cut)]
             v = p[border + dy:border + H + dy, border + dx:border + W + dx]
-            est += ww * v
+            est += ww[..., None] * v
             wsum += ww
-    out = (est + wsum // 2) // np.maximum(wsum, 1)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = (est + (wsum // 2)[..., None]) // np.maximum(wsum, 1)[..., None]
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
+def fast_nl_means_denoising_colored(img: np.ndarray, h: float = 3.0,
+                                    h_color: float = 3.0,
+                                    template_window: int = 7,
+                                    search_window: int = 21,
+                                    order: str = "rgb") -> np.ndarray:
+    """``cv2.fastNlMeansDenoisingColored`` — BIT-EXACT (pinned
+    decomposition, 0-LSB fuzz in tests/test_nlmeans.py).
+
+    cv2's exact composition (probed 2026-08-17): convert with the
+    LINEAR-RGB Lab variant (COLOR_LBGR2Lab — no sRGB gamma stage),
+    denoise L alone with ``h``, denoise the (a,b) pair as one
+    2-channel vector image with ``h_color`` (joint SSD, shared
+    weights), then COLOR_Lab2LBGR back.  All three stages reuse this
+    module's exhaustively-pinned primitives."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[-1] != 3:
+        raise TypeError("fastNlMeansDenoisingColored requires uint8 [H,W,3]")
+    lab = rgb_to_lab(img, order=order, srgb=False)
+    l = fast_nl_means_denoising(lab[..., 0], h, template_window, search_window)
+    ab = fast_nl_means_denoising(np.ascontiguousarray(lab[..., 1:3]), h_color,
+                                 template_window, search_window)
+    return lab_to_rgb(np.dstack([l, ab]), order=order, srgb=False)
 
 
 def sep_filter2d(img: np.ndarray, kernel_x, kernel_y, delta: float = 0.0) -> np.ndarray:

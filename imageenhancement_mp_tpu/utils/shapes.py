@@ -36,6 +36,28 @@ def treat_as_hwc(img, channels_last: bool = True) -> bool:
     return img.ndim == 3 and channels_last and img.shape[-1] in (1, 2, 3, 4)
 
 
+def as_vec(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, Restore]:
+    """Canonicalize to ``[N, H, W, C]`` VECTOR-pixel batches (for ops
+    whose cv2 semantics are joint over the channels, e.g.
+    fastNlMeansDenoising's joint SSD) and return the undo function.
+    Same ambiguity rule as ``as_planes``: a 3-D input is one [H,W,C]
+    image iff ``treat_as_hwc``; otherwise a grayscale [N,H,W] batch
+    (C=1 vectors).  ``channels_last=False`` 4-D inputs are [N,C,H,W]."""
+    nd = img.ndim
+    if nd == 2:
+        return img[None, ..., None], lambda out: out[0, ..., 0]
+    if nd == 3:
+        if treat_as_hwc(img, channels_last):
+            return img[None], lambda out: out[0]
+        return img[..., None], lambda out: out[..., 0]
+    if nd == 4:
+        if channels_last:
+            return img, lambda out: out
+        return (jnp.moveaxis(img, 1, -1),
+                lambda out: jnp.moveaxis(out, -1, 1))
+    raise ValueError(f"expected 2-4 dims ([N,]H,W[,C]), got shape {img.shape}")
+
+
 def as_planes(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, Restore]:
     """Canonicalize to ``[B, H, W]`` and return a function undoing the reshape."""
     nd = img.ndim

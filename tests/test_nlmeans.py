@@ -1,5 +1,7 @@
-"""cv2.fastNlMeansDenoising parity — BIT-EXACT (docs/PARITY.md pins
-the weight LUT: round(FPM*exp(-SSD*scale/h^2)), denominator h^2)."""
+"""cv2.fastNlMeansDenoising(+Colored) parity — BIT-EXACT
+(docs/PARITY.md pins the weight LUT: round(FPM*exp(-SSD*scale/(h^2*cn)))
+with FPM = INT_MAX//(s^2*255), cn-independent; Colored = linear-RGB Lab
+split, L with h, (a,b) as one 2-channel vector image with h_color)."""
 
 import numpy as np
 
@@ -62,3 +64,67 @@ def test_rejects():
         ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint16))
     with pytest.raises(ValueError):
         ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint8), 10.0, 4, 21)
+    with pytest.raises(TypeError):
+        ie.fast_nl_means_denoising_colored(jnp.zeros((8, 8, 3), jnp.uint16))
+    with pytest.raises(ValueError):
+        ie.fast_nl_means_denoising_colored(jnp.zeros((8, 8, 4), jnp.uint8))
+
+
+def _noisy_c(rng, H, W, cn, sigma):
+    return np.dstack([_noisy(rng, H, W, sigma) for _ in range(cn)])
+
+
+@pytest.mark.parametrize("cn", [2, 3, 4])
+def test_ref_multichannel_vs_cv2(cn):
+    """Vector-pixel semantics: joint SSD, shared weight, FPM sans cn."""
+    rng = np.random.default_rng(seed("nlmc", cn))
+    for trial in range(6):
+        t, s = [(3, 9), (5, 15), (7, 21), (7, 9), (3, 21), (5, 9)][trial]
+        H, W = int(rng.integers(14, 40)), int(rng.integers(14, 40))
+        img = _noisy_c(rng, H, W, cn, rng.uniform(3, 30))
+        h = float(rng.uniform(3, 45))
+        want = cv2.fastNlMeansDenoising(img, None, h, t, s)
+        if want.ndim == 2:
+            want = want[..., None]
+        got = ref.fast_nl_means_denoising(img, h, t, s)
+        assert np.array_equal(got, want), (H, W, h, t, s, cn)
+
+
+def test_device_multichannel_vs_cv2():
+    rng = np.random.default_rng(seed("nlmcdev"))
+    for trial, cn in enumerate((2, 3, 4)):
+        t, s = [(3, 9), (5, 15), (7, 9)][trial]
+        img = _noisy_c(rng, 30, 34, cn, 15)
+        h = float(rng.uniform(4, 30))
+        want = cv2.fastNlMeansDenoising(img, None, h, t, s)
+        got = np.asarray(ie.fast_nl_means_denoising(jnp.asarray(img), h, t, s))
+        assert np.array_equal(got, want), (h, t, s, cn)
+
+
+@pytest.mark.parametrize("t,s", [(3, 9), (7, 21)])
+def test_ref_colored_vs_cv2(t, s):
+    rng = np.random.default_rng(seed("nlmcol", t, s))
+    for trial in range(4):
+        H, W = int(rng.integers(16, 40)), int(rng.integers(16, 40))
+        img = _noisy_c(rng, H, W, 3, rng.uniform(5, 25))
+        h, hc = float(rng.uniform(3, 25)), float(rng.uniform(3, 25))
+        want = cv2.fastNlMeansDenoisingColored(img, None, h, hc, t, s)
+        got = ref.fast_nl_means_denoising_colored(img, h, hc, t, s, order="bgr")
+        assert np.array_equal(got, want), (H, W, h, hc)
+
+
+def test_device_colored_vs_cv2():
+    rng = np.random.default_rng(seed("nlmcoldev"))
+    img = _noisy_c(rng, 32, 36, 3, 18)
+    want = cv2.fastNlMeansDenoisingColored(img, None, 10.0, 10.0, 7, 21)
+    got = np.asarray(ie.fast_nl_means_denoising_colored(
+        jnp.asarray(img), 10.0, 10.0, 7, 21, order="bgr"))
+    assert np.array_equal(got, want)
+    # batched path: both images must match their single-image results
+    two = np.stack([img, img[::-1].copy()])
+    ref_each = np.stack([
+        cv2.fastNlMeansDenoisingColored(two[i], None, 5.0, 14.0, 3, 9)
+        for i in range(2)])
+    got2 = np.asarray(ie.fast_nl_means_denoising_colored(
+        jnp.asarray(two), 5.0, 14.0, 3, 9, order="bgr"))
+    assert np.array_equal(got2, ref_each)
