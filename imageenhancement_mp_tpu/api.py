@@ -1001,6 +1001,103 @@ def fast_nl_means_denoising_colored(img, h: float = 3.0, h_color: float = 3.0,
     return _nlm_colored_jit(float(h), float(h_color), t, s, str(order))(img)
 
 
+@lru_cache(maxsize=None)
+def _nlm_multi_jit(h: float, t: int, s: int):
+    from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_multi_vec
+
+    @jax.jit
+    def run(stack):
+        vec = stack if stack.ndim == 4 else stack[..., None]
+        out = fast_nl_means_multi_vec(vec[:, None], h, t, s)[0]
+        return out if stack.ndim == 4 else out[..., 0]
+
+    return run
+
+
+def _temporal_stack(frames, idx, tw):
+    tw, idx = int(tw), int(idx)
+    if tw % 2 == 0:
+        raise ValueError("temporalWindowSize must be odd")
+    if hasattr(frames, "ndim"):
+        n = frames.shape[0]
+    else:
+        n = len(frames)
+    lo = idx - tw // 2
+    if lo < 0 or idx + tw // 2 >= n:
+        raise ValueError("temporal window exceeds the frame list")
+    if hasattr(frames, "ndim"):
+        stack = frames[lo:lo + tw]
+    else:
+        stack = jnp.stack([jnp.asarray(f) for f in frames[lo:lo + tw]])
+    if stack.dtype != jnp.uint8:
+        raise TypeError("fastNlMeansDenoisingMulti requires uint8 frames")
+    return stack
+
+
+def fast_nl_means_denoising_multi(frames, img_to_denoise_index: int,
+                                  temporal_window_size: int, h: float = 3.0,
+                                  template_window: int = 7,
+                                  search_window: int = 21):
+    """``cv2.fastNlMeansDenoisingMulti`` — BIT-EXACT temporal NLMeans
+    (docs/PARITY.md): the search set is every spatial offset in every
+    frame of the odd ``temporal_window_size`` window centred on
+    ``img_to_denoise_index``; templates always come from the target
+    frame; FPM = INT_MAX//(T·s²·255).  ``frames`` is a ``[T,H,W]`` /
+    ``[T,H,W,C]`` uint8 stack (or a list of frames); returns the
+    denoised target frame."""
+    stack = _temporal_stack(frames, img_to_denoise_index,
+                            temporal_window_size)
+    if stack.ndim not in (3, 4) or (
+            stack.ndim == 4 and stack.shape[-1] not in (1, 2, 3, 4)):
+        raise ValueError(f"expected [T,H,W] or [T,H,W,C<=4] frames, "
+                         f"got {stack.shape}")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    return _nlm_multi_jit(float(h), t, s)(stack)
+
+
+@lru_cache(maxsize=None)
+def _nlm_colored_multi_jit(h: float, hc: float, t: int, s: int, order: str):
+    from imageenhancement_mp_tpu.ops.color import lab_to_rgb_nhwc, rgb_to_lab_nhwc
+    from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_multi_vec
+
+    @jax.jit
+    def run(stack):
+        lab = rgb_to_lab_nhwc(stack, order, srgb=False)[:, None]
+        L = fast_nl_means_multi_vec(lab[..., :1], h, t, s)
+        ab = fast_nl_means_multi_vec(lab[..., 1:3], hc, t, s)
+        return lab_to_rgb_nhwc(jnp.concatenate([L, ab], -1)[0], order,
+                               srgb=False)
+
+    return run
+
+
+def fast_nl_means_denoising_colored_multi(frames, img_to_denoise_index: int,
+                                          temporal_window_size: int,
+                                          h: float = 3.0,
+                                          h_color: float = 3.0,
+                                          template_window: int = 7,
+                                          search_window: int = 21,
+                                          order: str = "rgb"):
+    """``cv2.fastNlMeansDenoisingColoredMulti`` — BIT-EXACT: every
+    window frame converted with the LINEAR-RGB Lab variant, temporal
+    NLMeans on L with ``h`` and on the (a,b) 2-channel vector pairs
+    with ``h_color``, target converted back.  ``frames`` is a
+    ``[T,H,W,3]`` uint8 stack (or list); returns the denoised target."""
+    stack = _temporal_stack(frames, img_to_denoise_index,
+                            temporal_window_size)
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise ValueError(f"expected [T,H,W,3] frames, got {stack.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    return _nlm_colored_multi_jit(float(h), float(h_color), t, s,
+                                  str(order))(stack)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

@@ -1,22 +1,24 @@
 """Non-local means denoising: ``cv2.fastNlMeansDenoising`` (+ the
-``Colored`` variant's building blocks) on device — contract pinned
-BIT-EXACT in ref/ops.py ``fast_nl_means_denoising``.
+``Colored`` and ``Multi`` variants' building blocks) on device —
+contract pinned BIT-EXACT in ref/ops.py ``fast_nl_means_denoising``.
 
-TPU mapping: a ``lax.fori_loop`` over the s² search offsets; each step
-takes one shifted view (dynamic_slice on the padded frame), forms the
-integer squared-difference map (summed over the pixel's channels —
-cv2 treats multichannel images as VECTOR pixels with one joint SSD),
-box-sums it over the t×t template with two cumulative sums, gathers
-the fixed-point weight from the host-built LUT (the live prefix after
-cv2's 0.001 cutoff is tiny — a few thousand entries), and accumulates
-the shared Σw plus per-channel Σw·v in int32.  All integer VPU work;
-the final division replicates cv2's ``(Σwv + Σw/2) // Σw`` in exact
-integer form.
+TPU mapping: a ``lax.fori_loop`` over the T·s² search candidates (T
+temporal frames × s² spatial offsets; T=1 for the single-image op);
+each step takes one shifted view (dynamic_slice on the padded stack),
+forms the integer squared-difference map against the TARGET frame's
+template (summed over the pixel's channels — cv2 treats multichannel
+images as VECTOR pixels with one joint SSD), box-sums it over the t×t
+template with two cumulative sums, gathers the fixed-point weight from
+the host-built LUT (the live prefix after cv2's 0.001 cutoff is tiny —
+a few thousand entries), and accumulates the shared Σw plus
+per-channel Σw·v in int32.  All integer VPU work; the final division
+replicates cv2's ``(Σwv + Σw/2) // Σw`` in exact integer form.
 
-Accumulator bounds: Σw ≤ s²·FPM ≤ INT_MAX/255 by cv2's own FPM choice
-(FPM = INT_MAX // (s²·255), cn-independent — only the exp's variance
-normalisation h²·cn sees the channel count), and |Σw·(v−128)| ≤
-128·Σw ≤ INT_MAX/2 — inside the same int32 budget cv2 relies on.
+Accumulator bounds: Σw ≤ T·s²·FPM ≤ INT_MAX/255 by cv2's own FPM
+choice (FPM = INT_MAX // (T·s²·255), cn-independent — only the exp's
+variance normalisation h²·cn sees the channel count), and
+|Σw·(v−128)| ≤ 128·Σw ≤ INT_MAX/2 — inside the same int32 budget cv2
+relies on.
 """
 
 from __future__ import annotations
@@ -27,41 +29,47 @@ import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.ref.ops import _nlm_weight_lut
 
-__all__ = ["fast_nl_means_planes", "fast_nl_means_vec"]
+__all__ = ["fast_nl_means_planes", "fast_nl_means_vec",
+           "fast_nl_means_multi_vec"]
 
 
-def fast_nl_means_vec(img: jnp.ndarray, h: float = 10.0,
-                      template_window: int = 7,
-                      search_window: int = 21) -> jnp.ndarray:
-    """``cv2.fastNlMeansDenoising`` on ``(N, H, W, C)`` uint8 vector
-    pixels (C ∈ {1,2,3,4}): ONE joint SSD over the channels drives a
-    shared weight applied to every channel — cv2's multichannel
-    semantics, NOT per-plane denoising."""
-    if img.dtype != jnp.uint8:
+def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
+                            template_window: int = 7,
+                            search_window: int = 21) -> jnp.ndarray:
+    """``cv2.fastNlMeansDenoisingMulti`` core on ``(T, N, H, W, C)``
+    uint8 vector pixels: denoise the CENTER frame (index T//2) of each
+    batch element using candidates from every frame of the temporal
+    window.  C ∈ {1,2,3,4}; ONE joint SSD over the channels drives a
+    shared weight applied to every channel."""
+    if stack.dtype != jnp.uint8:
         raise TypeError("fastNlMeansDenoising requires uint8 input")
     t, s = int(template_window), int(search_window)
     if t % 2 == 0 or s % 2 == 0:
         raise ValueError("window sizes must be odd")
-    N, H, W, C = img.shape
+    T, N, H, W, C = stack.shape
+    if T % 2 == 0:
+        raise ValueError("temporal window must be odd")
     if C not in (1, 2, 3, 4):
         raise ValueError(f"fastNlMeansDenoising supports 1-4 channels, got {C}")
     th, sh = t // 2, s // 2
     border = sh + th
-    w, bs, _ = _nlm_weight_lut(float(h), t, s, C)
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, C, temporal=T)
     cut = len(w) - 1
     lut = jnp.asarray(w.astype(np.int32))
-    p = jnp.pad(img.astype(jnp.int32),
-                ((0, 0), (border, border), (border, border), (0, 0)),
+    p = jnp.pad(stack.astype(jnp.int32),
+                ((0, 0), (0, 0), (border, border), (border, border), (0, 0)),
                 mode="reflect")
-    a = p[:, border - th:border + H + th, border - th:border + W + th]
+    a = p[T // 2, :, border - th:border + H + th, border - th:border + W + th]
 
     def body(k, state):
         est, wsum = state
-        dy = k // s
-        dx = k % s
+        f = k // (s * s)
+        r = k % (s * s)
+        dy = r // s
+        dx = r % s
         b = jax.lax.dynamic_slice(
-            p, (0, border - th + dy - sh, border - th + dx - sh, 0),
-            (N, H + 2 * th, W + 2 * th, C))
+            p, (f, 0, border - th + dy - sh, border - th + dx - sh, 0),
+            (1, N, H + 2 * th, W + 2 * th, C))[0]
         d2 = ((a - b) * (a - b)).sum(axis=-1)
         # int32 cumsums WRAP on large frames, but the windowed
         # difference below recovers the true t×t sum (< 2^31) exactly
@@ -71,13 +79,14 @@ def fast_nl_means_vec(img: jnp.ndarray, h: float = 10.0,
         ssd = (c[:, t:, t:] - c[:, :-t, t:] - c[:, t:, :-t] + c[:, :-t, :-t])
         ww = jnp.take(lut, jnp.minimum(ssd >> bs, cut))
         v = jax.lax.dynamic_slice(
-            p, (0, border + dy - sh, border + dx - sh, 0), (N, H, W, C))
+            p, (f, 0, border + dy - sh, border + dx - sh, 0),
+            (1, N, H, W, C))[0]
         # accumulate v-128 so Σw·v never crosses int32 even at Σw max
         return est + ww[..., None] * (v - 128), wsum + ww
 
     est0 = jnp.zeros((N, H, W, C), jnp.int32)
     ws0 = jnp.zeros((N, H, W), jnp.int32)
-    est, wsum = jax.lax.fori_loop(0, s * s, body, (est0, ws0))
+    est, wsum = jax.lax.fori_loop(0, T * s * s, body, (est0, ws0))
     # exact (Σwv + Σw/2) // Σw without the marginal int32 overflow at
     # v≈255 constants: v was biased by −128 in the loop (floor-div
     # distributes exactly over multiples of the divisor)
@@ -85,6 +94,17 @@ def fast_nl_means_vec(img: jnp.ndarray, h: float = 10.0,
     num = est + (wsum >> 1)[..., None]
     out = 128 + jnp.floor_divide(num, ws[..., None])
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def fast_nl_means_vec(img: jnp.ndarray, h: float = 10.0,
+                      template_window: int = 7,
+                      search_window: int = 21) -> jnp.ndarray:
+    """``cv2.fastNlMeansDenoising`` on ``(N, H, W, C)`` uint8 vector
+    pixels (C ∈ {1,2,3,4}): ONE joint SSD over the channels drives a
+    shared weight applied to every channel — cv2's multichannel
+    semantics, NOT per-plane denoising."""
+    return fast_nl_means_multi_vec(img[None], h, template_window,
+                                   search_window)
 
 
 def fast_nl_means_planes(planes: jnp.ndarray, h: float = 10.0,

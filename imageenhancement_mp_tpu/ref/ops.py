@@ -2763,22 +2763,24 @@ def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
     return np.clip(out, _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 
 
-def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1):
+def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1):
     """cv2 fastNlMeans weight LUT (cn = pixel channels, SSD summed over
-    channels): index = SSD >> bin_shift where 2^bin_shift is the nearest
-    pow-2 >= t²; w = round(FPM·exp(−dist/(h²·cn))) with
-    FPM = INT_MAX // (s²·255) — the fixed-point multiplier does NOT
-    scale with cn (pinned by differential probe 2026-08-17: the /cn and
+    channels; temporal = frames searched, 1 for the single-image API):
+    index = SSD >> bin_shift where 2^bin_shift is the nearest pow-2 >=
+    t²; w = round(FPM·exp(−dist/(h²·cn))) with
+    FPM = INT_MAX // (temporal·s²·255) — the fixed-point multiplier
+    scales with the SEARCH-SET size (temporal·s² candidates), NOT with
+    cn (pinned by differential probe 2026-08-17: the /cn and
     plain-INT_MAX variants each leave ~1e-4-relative residue flipping
-    rare quotients; this one is 0-LSB over 216 deterministic configs,
-    cn∈{1,2,3,4}) — and the 0.001·FPM cutoff.  Only the exp's variance
-    normalisation sees cn."""
+    rare quotients; this one is 0-LSB over 216 deterministic configs
+    cn∈{1,2,3,4} + 108 temporal configs) — and the 0.001·FPM cutoff.
+    Only the exp's variance normalisation sees cn."""
     tsq = t * t
     bs = 0
     while (1 << bs) < tsq:
         bs += 1
     mult = (1 << bs) / tsq
-    fpm = np.iinfo(np.int32).max // ((s * s) * 255)
+    fpm = np.iinfo(np.int32).max // (temporal * (s * s) * 255)
     amd = int(255 * 255 * cn * tsq / mult + 1)
     i = np.arange(amd + 1)
     w = np.round(fpm * np.exp(-(i * mult) / (h * h * cn))).astype(np.int64)
@@ -2841,6 +2843,92 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
     out = (est + (wsum // 2)[..., None]) // np.maximum(wsum, 1)[..., None]
     out = np.clip(out, 0, 255).astype(np.uint8)
     return out[..., 0] if squeeze else out
+
+
+def fast_nl_means_denoising_multi(frames, img_to_denoise_index: int,
+                                  temporal_window_size: int,
+                                  h: float = 3.0,
+                                  template_window: int = 7,
+                                  search_window: int = 21) -> np.ndarray:
+    """``cv2.fastNlMeansDenoisingMulti`` — BIT-EXACT (0/108 deterministic
+    fuzz over h, t, s, cn∈{1,2,3}, window sizes 3/5 in probes +
+    tests/test_nlmeans.py).
+
+    Temporal NLMeans: the search set is every spatial offset in EVERY
+    frame of the temporal window (``temporal_window_size`` frames
+    centred on ``img_to_denoise_index``); the template patch always
+    comes from the TARGET frame, candidates from each window frame.
+    Same weight LUT as the single-image op except
+    FPM = INT_MAX//(T·s²·255) (search set is T·s² candidates)."""
+    frames = [np.asarray(f) for f in frames]
+    tw = int(temporal_window_size)
+    idx = int(img_to_denoise_index)
+    if tw % 2 == 0:
+        raise ValueError("temporalWindowSize must be odd")
+    lo = idx - tw // 2
+    if lo < 0 or idx + tw // 2 >= len(frames):
+        raise ValueError("temporal window exceeds the frame list")
+    stack = np.stack(frames[lo:lo + tw])
+    if stack.dtype != np.uint8:
+        raise TypeError("fastNlMeansDenoisingMulti requires uint8 frames")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    squeeze = stack.ndim == 3
+    if squeeze:
+        stack = stack[..., None]
+    T, H, W, cn = stack.shape
+    if cn not in (1, 2, 3, 4):
+        raise ValueError(f"supports 1-4 channels, got {cn}")
+    th, sh = t // 2, s // 2
+    border = sh + th
+    p = np.pad(stack.astype(np.int64),
+               ((0, 0), (border, border), (border, border), (0, 0)),
+               mode="reflect")
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn, temporal=T)
+    cut = len(w) - 1
+    est = np.zeros((H, W, cn), np.int64)
+    wsum = np.zeros((H, W), np.int64)
+    a = p[T // 2, border - th:border + H + th, border - th:border + W + th]
+    for f in range(T):
+        for dy in range(-sh, sh + 1):
+            for dx in range(-sh, sh + 1):
+                b = p[f, border - th + dy:border + H + th + dy,
+                      border - th + dx:border + W + th + dx]
+                d2 = ((a - b) ** 2).sum(axis=2)
+                c = np.pad(d2.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+                ssd = c[t:, t:] - c[:-t, t:] - c[t:, :-t] + c[:-t, :-t]
+                ww = w[np.minimum(ssd >> bs, cut)]
+                v = p[f, border + dy:border + H + dy,
+                      border + dx:border + W + dx]
+                est += ww[..., None] * v
+                wsum += ww
+    out = (est + (wsum // 2)[..., None]) // np.maximum(wsum, 1)[..., None]
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return out[..., 0] if squeeze else out
+
+
+def fast_nl_means_denoising_colored_multi(frames, img_to_denoise_index: int,
+                                          temporal_window_size: int,
+                                          h: float = 3.0,
+                                          h_color: float = 3.0,
+                                          template_window: int = 7,
+                                          search_window: int = 21,
+                                          order: str = "rgb") -> np.ndarray:
+    """``cv2.fastNlMeansDenoisingColoredMulti`` — BIT-EXACT: every frame
+    converted with the LINEAR-RGB Lab variant, temporal-multi on L with
+    ``h``, temporal-multi on the (a,b) 2-channel vector pairs with
+    ``h_color``, target converted back (same composition as the
+    single-image Colored op, fuzz-pinned in tests/test_nlmeans.py)."""
+    labs = [rgb_to_lab(np.asarray(f), order=order, srgb=False) for f in frames]
+    l = fast_nl_means_denoising_multi(
+        [x[..., 0] for x in labs], img_to_denoise_index, temporal_window_size,
+        h, template_window, search_window)
+    ab = fast_nl_means_denoising_multi(
+        [np.ascontiguousarray(x[..., 1:3]) for x in labs],
+        img_to_denoise_index, temporal_window_size,
+        h_color, template_window, search_window)
+    return lab_to_rgb(np.dstack([l, ab]), order=order, srgb=False)
 
 
 def fast_nl_means_denoising_colored(img: np.ndarray, h: float = 3.0,

@@ -113,6 +113,56 @@ def test_ref_colored_vs_cv2(t, s):
         assert np.array_equal(got, want), (H, W, h, hc)
 
 
+@pytest.mark.parametrize("cn", [1, 3])
+def test_ref_multi_vs_cv2(cn):
+    """Temporal NLMeans: search set = T*s^2, FPM = INT_MAX//(T*s^2*255)."""
+    rng = np.random.default_rng(seed("nlmmulti", cn))
+    for trial in range(4):
+        t, s = [(3, 9), (7, 21), (5, 15), (5, 9)][trial]
+        idx, tw = [(1, 3), (2, 5), (3, 3), (2, 3)][trial]
+        H, W = int(rng.integers(14, 36)), int(rng.integers(14, 36))
+        frames = [_noisy_c(rng, H, W, cn, 15) if cn > 1 else _noisy(rng, H, W, 15)
+                  for _ in range(6)]
+        frames = [np.ascontiguousarray(f) for f in frames]
+        h = float(rng.uniform(3, 40))
+        want = cv2.fastNlMeansDenoisingMulti(frames, idx, tw, None, h, t, s)
+        got = ref.fast_nl_means_denoising_multi(frames, idx, tw, h, t, s)
+        assert np.array_equal(got, want), (H, W, h, t, s, idx, tw, cn)
+
+
+def test_device_multi_vs_cv2():
+    rng = np.random.default_rng(seed("nlmmultidev"))
+    frames = [_noisy(rng, 26, 30, 14) for _ in range(5)]
+    want = cv2.fastNlMeansDenoisingMulti(frames, 2, 3, None, 12.0, 5, 9)
+    got = np.asarray(ie.fast_nl_means_denoising_multi(
+        jnp.stack(frames), 2, 3, 12.0, 5, 9))
+    assert np.array_equal(got, want)
+    # multichannel temporal window + list-of-frames input
+    cf = [_noisy_c(rng, 22, 26, 3, 12) for _ in range(5)]
+    want = cv2.fastNlMeansDenoisingMulti(cf, 1, 3, None, 20.0, 3, 9)
+    got = np.asarray(ie.fast_nl_means_denoising_multi(cf, 1, 3, 20.0, 3, 9))
+    assert np.array_equal(got, want)
+
+
+def test_device_colored_multi_vs_cv2():
+    rng = np.random.default_rng(seed("nlmcmdev"))
+    cf = [_noisy_c(rng, 24, 28, 3, 16) for _ in range(5)]
+    want = cv2.fastNlMeansDenoisingColoredMulti(cf, 2, 5, None, 8.0, 12.0, 5, 9)
+    got = np.asarray(ie.fast_nl_means_denoising_colored_multi(
+        jnp.stack(cf), 2, 5, 8.0, 12.0, 5, 9, order="bgr"))
+    assert np.array_equal(got, want)
+
+
+def test_multi_rejects():
+    frames = jnp.zeros((5, 12, 12), jnp.uint8)
+    with pytest.raises(ValueError):   # even temporal window
+        ie.fast_nl_means_denoising_multi(frames, 2, 2, 10.0)
+    with pytest.raises(ValueError):   # window exceeds the list
+        ie.fast_nl_means_denoising_multi(frames, 0, 3, 10.0)
+    with pytest.raises(TypeError):
+        ie.fast_nl_means_denoising_multi(frames.astype(jnp.uint16), 2, 3)
+
+
 def test_device_colored_vs_cv2():
     rng = np.random.default_rng(seed("nlmcoldev"))
     img = _noisy_c(rng, 32, 36, 3, 18)
