@@ -336,6 +336,7 @@ _CVT_CODES = (
     "rgb2gray", "bgr2gray", "rgba2gray", "bgra2gray",
     "rgb2ycrcb", "bgr2ycrcb", "ycrcb2rgb", "ycrcb2bgr",
     "rgb2hsv", "bgr2hsv", "hsv2rgb", "hsv2bgr",
+    "rgb2hls", "bgr2hls", "hls2rgb", "hls2bgr",
     "rgb2xyz", "bgr2xyz", "xyz2rgb", "xyz2bgr",
     "rgb2lab", "bgr2lab", "lab2rgb", "lab2bgr",
 )
@@ -345,8 +346,10 @@ _CVT_CODES = (
 def _cvt_color_jit(code: str):
     from imageenhancement_mp_tpu.ops.color import (
         cvt_gray_nhwc,
+        hls_to_rgb_nhwc,
         hsv_to_rgb_nhwc,
         lab_to_rgb_nhwc,
+        rgb_to_hls_nhwc,
         rgb_to_hsv_nhwc,
         rgb_to_lab_nhwc,
         rgb_to_xyz_nhwc,
@@ -363,6 +366,10 @@ def _cvt_color_jit(code: str):
             return rgb_to_ycrcb_nhwc(img, "bgr" if code.startswith("b") else "rgb")
         if code.endswith("2hsv"):
             return rgb_to_hsv_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.endswith("2hls"):
+            return rgb_to_hls_nhwc(img, "bgr" if code.startswith("b") else "rgb")
+        if code.startswith("hls"):
+            return hls_to_rgb_nhwc(img, "bgr" if code.endswith("bgr") else "rgb")
         if code.endswith("2xyz"):
             return rgb_to_xyz_nhwc(img, "bgr" if code.startswith("b") else "rgb")
         if code.endswith("2lab"):
@@ -381,10 +388,13 @@ def _cvt_color_jit(code: str):
 def cvt_color(img, code: str):
     """``cv2.cvtColor`` — codes: ``{rgb,bgr,rgba,bgra}2gray``,
     ``{rgb,bgr}2ycrcb``, ``ycrcb2{rgb,bgr}``, ``{rgb,bgr}2hsv``,
-    ``hsv2{rgb,bgr}`` on ``[..,H,W,C]``.  Gray/YCrCb: u8/u16 exact
-    (pinned fixed point), f32 exact on cv2's SIMD vector body.  HSV: u8
-    only; forward exact (12-bit fixed point), inverse = cv2's SIMD-body
-    model (its own scalar tail differs ±1 — docs/PARITY.md)."""
+    ``hsv2{rgb,bgr}``, ``{rgb,bgr}2hls``, ``hls2{rgb,bgr}``,
+    ``{rgb,bgr}2{xyz,lab}``, ``{xyz,lab}2{rgb,bgr}`` on ``[..,H,W,C]``.
+    Gray/YCrCb: u8/u16 exact (pinned fixed point), f32 exact on cv2's
+    SIMD vector body.  HSV: u8 only; forward exact (12-bit fixed
+    point), inverse = cv2's SIMD-body model (its own scalar tail
+    differs ±1 — docs/PARITY.md).  HLS/XYZ/Lab: u8 EXHAUSTIVELY
+    bit-exact both directions (all 2^24 inputs)."""
     _check_image_dtype(img)
     code = str(code).lower()
     if code not in _CVT_CODES:

@@ -22,12 +22,15 @@ Pinned arithmetic (probes vs OpenCV 5.0.0 — see ref/ops.py:cvt_gray):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.utils.fma import fma32
 
 __all__ = ["cvt_gray_nhwc", "rgb_to_ycrcb_nhwc", "ycrcb_to_rgb_nhwc",
            "rgb_to_hsv_nhwc", "hsv_to_rgb_nhwc",
+           "rgb_to_hls_nhwc", "hls_to_rgb_nhwc",
            "rgb_to_xyz_nhwc", "xyz_to_rgb_nhwc",
            "rgb_to_lab_nhwc", "lab_to_rgb_nhwc",
            "GRAY_CR", "GRAY_CG", "GRAY_CB"]
@@ -223,6 +226,102 @@ def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     if order == "bgr":
         out = out[::-1]
     return jnp.stack(out, axis=-1).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=None)
+def _hls_host_tabs():
+    from imageenhancement_mp_tpu.ref.ops import _hls_fwd_tables, _hls_inv_tables
+
+    d60, X, L8, S8 = _hls_fwd_tables()
+    p2, p1, sec, hf = _hls_inv_tables()
+    return (d60.ravel(), X.ravel(), L8.ravel(), S8.ravel(),
+            p2.ravel(), p1.ravel(), sec, hf)
+
+
+def _hls_device_tabs():
+    # host numpy is cached; jnp constants are created per trace (caching
+    # jnp arrays from inside a jit trace would leak tracers)
+    return tuple(jnp.asarray(t) for t in _hls_host_tabs())
+
+
+def rgb_to_hls_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(..2HLS)`` on uint8 — EXHAUSTIVELY bit-exact
+    (ref/ops.py rgb_to_hls pins the law: every f32 rounding of cv2's
+    scaled float body is frozen into (v,vmin)/(a,b)-pair tables and the
+    hue's single-rounded FMA is reproduced with ``fma32``)."""
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"HLS is uint8-only here (cv2's 8u path), got {img.dtype}")
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    d60t, Xt, L8t, S8t = _hls_device_tabs()[:4]
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    r = img[..., ri].astype(jnp.int32)
+    g = img[..., gi].astype(jnp.int32)
+    b = img[..., bi].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    pair = v * 256 + vmin
+    L8 = jnp.take(L8t, pair)
+    S8 = jnp.take(S8t, pair)
+    d60 = jnp.take(d60t, pair)
+    # branch select with cv2's r-first tie order
+    is_r = v == r
+    is_g = jnp.logical_and(~is_r, v == g)
+    xpair = jnp.where(is_r, g * 256 + b, jnp.where(is_g, b * 256 + r, r * 256 + g))
+    X = jnp.take(Xt, xpair)
+    C = jnp.where(is_r, jnp.float32(0.0),
+                  jnp.where(is_g, jnp.float32(120.0), jnp.float32(240.0)))
+    h = fma32(X, d60, C)
+    # the body re-FMAs a negative hue with +360 (single rounding)
+    h = jnp.where(h < 0, fma32(X, d60, jnp.float32(360.0)), h)
+    H8 = jnp.where(v == vmin, 0,
+                   jnp.round(h * jnp.float32(0.5)).astype(jnp.int32))
+    return jnp.stack([jnp.clip(H8, 0, 255).astype(jnp.uint8), L8, S8], -1)
+
+
+def hls_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(HLS2..)`` on uint8 — EXHAUSTIVELY bit-exact
+    (ref/ops.py hls_to_rgb; the sector chain's tie profile is
+    insensitive to FMA contraction, so plain f32 arithmetic on the
+    (L,S)-pair p1/p2 tables suffices)."""
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"HLS is uint8-only here (cv2's 8u path), got {img.dtype}")
+    if img.shape[-1] != 3:
+        raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    from imageenhancement_mp_tpu.ref.ops import _HLS_SECTOR
+    from imageenhancement_mp_tpu.utils.fma import two_prod
+
+    p2t, p1t, sect, hft = _hls_device_tabs()[4:]
+    H = img[..., 0].astype(jnp.int32)
+    Lr = img[..., 1].astype(jnp.int32)
+    Sr = img[..., 2].astype(jnp.int32)
+    pair = Lr * 256 + Sr
+    p2 = jnp.take(p2t, pair)
+    p1 = jnp.take(p1t, pair)
+    sec = jnp.take(sect, H)
+    hf = jnp.take(hft, H)
+    d = p2 - p1
+    t2 = p1 + two_prod(d, jnp.float32(1.0) - hf)[0]
+    t3 = p1 + two_prod(d, hf)[0]
+    tab = [p2, p1, t2, t3]
+    L = jnp.take(p1t, Lr * 256)  # p1[L,0] == 2L - L·1 == scaled L exactly
+    gray = Sr == 0
+    out = []
+    for comp in range(3):  # b, g, r
+        val = tab[0]
+        for k in range(6):
+            val = jnp.where(sec == k, tab[_HLS_SECTOR[k][comp]], val)
+        val = jnp.where(gray, L, val)
+        out.append(jnp.clip(
+            jnp.round(two_prod(val, jnp.float32(255.0))[0]), 0, 255))
+    rgb = [out[2], out[1], out[0]]
+    if order == "bgr":
+        rgb = rgb[::-1]
+    return jnp.stack(rgb, -1).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -1404,6 +1404,155 @@ def hsv_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
     return np.stack(out, axis=-1).astype(np.uint8)
 
 
+# cv2 u8 HLS (pinned EXHAUSTIVELY, all 2^24 inputs both directions,
+# probes 2026-08-17): the u8 path runs cv2's FLOAT body on 1/255-scaled
+# f32 values.  Forward (SIMD-body model): L=(v+vmin)/2;
+# S=diff/(v+vmin) if L<0.5 else diff/(2-(v+vmin)) — the body subtracts
+# the PRE-SUMMED v+vmin where the scalar tail computes (2-v)-vmin; hue
+# h = FMA(X, 60/diff, C) with X the branch numerator (g-b | b-r | r-g,
+# r-first ties) and C in {0,120,240} — the FMA is SINGLE-rounded
+# (hardware fma in cv2's SIMD body; the double-rounded mul+add model
+# misses 1744/2^24 tie pixels in BOTH directions, the folded
+# +2diff/+4diff HSV-style numerator misses ~850); a negative hue is
+# re-FMA'd with +360 (the tail double-rounds h+360 instead).  Outputs
+# cvRound(h/2), cvRound(L*255), cvRound(S*255) — half-to-even.
+# Inverse: cv2's p1/p2 sector chain in plain f32 (exhaustively
+# identical for body AND tail, insensitive to FMA contraction).
+_HLS_SECTOR = ((1, 3, 0), (1, 0, 2), (3, 0, 1), (0, 2, 1), (0, 1, 3), (2, 1, 0))
+
+
+def _hls_fwd_tables():
+    """Device-side tables keyed by raw u8 pairs (idx = a*256 + b):
+    d60[v,vmin] = f32 60/(f32(v/255)-f32(vmin/255)); X[a,b] = f32 scaled
+    difference; L8/S8[v,vmin] = the final rounded L and S bytes.  Every
+    f32 rounding the cv2 body performs is frozen into the tables, so
+    the device op needs only gathers + one emulated FMA."""
+    f32 = np.float32
+    c = f32(1.0 / 255.0)
+    s = (np.arange(256, dtype=f32) * c).astype(f32)          # scaled channel
+    a = s[:, None]
+    b = s[None, :]
+    X = (a - b).astype(f32)                                   # [256,256]
+    diff = X                                                  # v rows, vmin cols
+    with np.errstate(divide="ignore"):
+        d60 = (f32(60.0) / np.where(diff > 0, diff, f32(1))).astype(f32)
+    vsum = (a + b).astype(f32)
+    l = (vsum * f32(0.5)).astype(f32)
+    denom = np.where(l < f32(0.5), vsum, (f32(2.0) - vsum).astype(f32)).astype(f32)
+    sval = np.where(diff > 0,
+                    (diff / np.where(denom == 0, f32(1), denom)).astype(f32),
+                    f32(0.0))
+    L8 = np.round((l * f32(255.0)).astype(np.float64)).astype(np.uint8)
+    S8 = np.clip(np.round((sval * f32(255.0)).astype(np.float64)),
+                 0, 255).astype(np.uint8)
+    return d60, X, L8, S8
+
+
+def _hls_inv_tables():
+    """Inverse tables: p2/p1[l,s] (f32, idx = L*256 + S) and the per-H
+    sector/fraction tables for h = H * 6/180."""
+    f32 = np.float32
+    c = f32(1.0 / 255.0)
+    L = (np.arange(256, dtype=f32) * c).astype(f32)[:, None]
+    S = (np.arange(256, dtype=f32) * c).astype(f32)[None, :]
+    p2a = (L * (f32(1.0) + S).astype(f32)).astype(f32)
+    p2b = ((L + S).astype(f32) - (L * S).astype(f32)).astype(f32)
+    p2 = np.where(L <= f32(0.5), p2a, p2b).astype(f32)
+    p1 = ((f32(2.0) * L).astype(f32) - p2).astype(f32)
+    h = (np.arange(256, dtype=f32) * f32(6.0 / 180.0)).astype(f32)
+    h = np.where(h >= 6, (h - f32(6.0)).astype(f32), h)
+    sec = np.floor(h).astype(np.int32)
+    hf = (h - sec.astype(f32)).astype(f32)
+    return p2, p1, sec, hf
+
+
+def rgb_to_hls(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_{RGB,BGR}2HLS)`` — the SIMD-BODY model,
+    EXHAUSTIVELY bit-exact on it (uint8; H ∈ 0..180; all 2^24 inputs in
+    wide rows, 0 LSB).  cv2's own scalar row TAIL (the last
+    width-mod-vecwidth pixels of each row) differs from its body in two
+    spots — S's denominator association ((2−v)−vmin vs 2−(v+vmin)) and
+    the negative-hue wrap (+360 double-rounded vs single FMA) — so
+    parity on tail pixels is ±1 and build-dependent, exactly like
+    HSV2RGB (docs/PARITY.md)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    f32 = np.float32
+    ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
+    f = (img.astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    R, G, B = f[..., ri], f[..., gi], f[..., bi]
+    v = np.maximum(np.maximum(R, G), B).astype(f32)
+    vmin = np.minimum(np.minimum(R, G), B).astype(f32)
+    diff = (v - vmin).astype(f32)
+    live = diff > np.float32(np.finfo(np.float32).eps)
+    vsum = (v + vmin).astype(f32)
+    l = (vsum * f32(0.5)).astype(f32)
+    denom = np.where(l < f32(0.5), vsum, (f32(2.0) - vsum).astype(f32)).astype(f32)
+    s = np.where(live, (diff / np.where(denom == 0, f32(1), denom)).astype(f32),
+                 f32(0.0))
+    d60 = (f32(60.0) / np.where(live, diff, f32(1))).astype(f32)
+    X = np.where(v == R, (G - B).astype(f32),
+                 np.where(v == G, (B - R).astype(f32), (R - G).astype(f32)))
+    C = np.where(v == R, f32(0.0), np.where(v == G, f32(120.0), f32(240.0)))
+    # cv2's SIMD body computes h with a SINGLE-rounded fma (f64 product
+    # + add is exact to well past f32, so one final cast reproduces it);
+    # a negative hue is re-FMA'd with +360, again single-rounded
+    X64, d64 = X.astype(np.float64), d60.astype(np.float64)
+    h = (X64 * d64 + C.astype(np.float64)).astype(f32)
+    h = np.where(h < 0, (X64 * d64 + 360.0).astype(f32), h)
+    h = np.where(live, h, f32(0.0))
+    H8 = np.round((h * f32(0.5)).astype(np.float64)).astype(np.int64)
+    L8 = np.round((l * f32(255.0)).astype(np.float64)).astype(np.int64)
+    S8 = np.round((s * f32(255.0)).astype(np.float64)).astype(np.int64)
+    return np.stack([np.clip(H8, 0, 255), np.clip(L8, 0, 255),
+                     np.clip(S8, 0, 255)], -1).astype(np.uint8)
+
+
+def hls_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(COLOR_HLS2{RGB,BGR})`` — EXHAUSTIVELY bit-exact
+    (uint8; all 2^24 inputs, 0 LSB; unlike HSV2RGB the tie profile is
+    insensitive to FMA contraction, so plain f32 suffices)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    f32 = np.float32
+    Hc = img[..., 0].astype(f32)
+    L = (img[..., 1].astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    S = (img[..., 2].astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    p2 = np.where(L <= f32(0.5), (L * (f32(1.0) + S).astype(f32)).astype(f32),
+                  ((L + S).astype(f32) - (L * S).astype(f32)).astype(f32))
+    p1 = ((f32(2.0) * L).astype(f32) - p2).astype(f32)
+    h = (Hc * f32(6.0 / 180.0)).astype(f32)
+    h = np.where(h < 0, (h + f32(6.0)).astype(f32), h)
+    h = np.where(h >= 6, (h - f32(6.0)).astype(f32), h)
+    sec = np.floor(h).astype(np.int64)
+    hf = (h - sec.astype(f32)).astype(f32)
+    d = (p2 - p1).astype(f32)
+    tab = [p2, p1,
+           (p1 + (d * (f32(1.0) - hf).astype(f32)).astype(f32)).astype(f32),
+           (p1 + (d * hf).astype(f32)).astype(f32)]
+    gray = img[..., 2] == 0
+    out = np.empty(img.shape, np.uint8)
+    bgr = [None, None, None]
+    for comp in range(3):  # b, g, r per cv2's sector table
+        val = np.select([sec % 6 == k for k in range(6)],
+                        [tab[_HLS_SECTOR[k][comp]] for k in range(6)])
+        val = np.where(gray, L, val).astype(f32)
+        bgr[comp] = np.clip(np.round((val * f32(255.0)).astype(np.float64)),
+                            0, 255).astype(np.uint8)
+    rgb = [bgr[2], bgr[1], bgr[0]]
+    if order == "bgr":
+        rgb = rgb[::-1]
+    for i in range(3):
+        out[..., i] = rgb[i]
+    return out
+
+
 _PYR_K = (1, 4, 6, 4, 1)
 
 

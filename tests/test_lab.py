@@ -120,3 +120,53 @@ def test_f32_device_paths():
     assert float(np.abs(lab - ref.rgb_to_lab(img)).max()) <= 5e-3
     inv = np.asarray(ie.cvt_color(jnp.asarray(lab), "lab2rgb"))
     assert float(np.abs(inv - ref.lab_to_rgb(lab)).max()) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# HLS (docs/PARITY.md): the SIMD-body model, exhaustively bit-exact on
+# wide rows; cv2's own scalar row tail differs ±1 (like HSV2RGB), so
+# forward tests use width-64 images to sit entirely in cv2's body.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,code,fn", [
+    ("rgb2hls", cv2.COLOR_RGB2HLS, lambda a: ref.rgb_to_hls(a)),
+    ("bgr2hls", cv2.COLOR_BGR2HLS, lambda a: ref.rgb_to_hls(a, "bgr")),
+    ("hls2rgb", cv2.COLOR_HLS2RGB, lambda a: ref.hls_to_rgb(a)),
+    ("hls2bgr", cv2.COLOR_HLS2BGR, lambda a: ref.hls_to_rgb(a, "bgr")),
+])
+def test_hls_ref_vs_cv2(name, code, fn):
+    rng = np.random.default_rng(seed("hls", name))
+    for t in range(12):
+        img = _rand_rgb(rng, (int(rng.integers(8, 90)), 64, 3))
+        want = cv2.cvtColor(img, code)
+        got = fn(img)
+        assert np.array_equal(got, want), name
+    # gray axis + saturated extremes + the pinned hue-tie bank
+    edges = np.zeros((4, 64, 3), np.uint8)
+    edges[0] = np.arange(64)[:, None] * 4
+    edges[1, :, 0] = np.arange(64) * 4
+    edges[2, :, 1] = 255
+    edges[3, :32] = [12, 23, 24]
+    edges[3, 32:] = [255, 211, 244]
+    assert np.array_equal(fn(edges), cv2.cvtColor(edges, code)), name
+
+
+@pytest.mark.parametrize("code,cvcode", [
+    ("rgb2hls", cv2.COLOR_RGB2HLS), ("hls2rgb", cv2.COLOR_HLS2RGB),
+    ("bgr2hls", cv2.COLOR_BGR2HLS), ("hls2bgr", cv2.COLOR_HLS2BGR),
+])
+def test_hls_device_vs_cv2(code, cvcode):
+    rng = np.random.default_rng(seed("hlsdev", code))
+    img = _rand_rgb(rng, (2, 37, 64, 3))
+    got = np.asarray(ie.cvt_color(jnp.asarray(img), code))
+    want = np.stack([cv2.cvtColor(f, cvcode) for f in img])
+    assert np.array_equal(got, want), code
+
+
+def test_hls_roundtrip_device_vs_oracle():
+    rng = np.random.default_rng(seed("hlsrt"))
+    img = _rand_rgb(rng, (1, 128, 257, 3))  # odd width: oracle is layout-free
+    got = np.asarray(ie.cvt_color(jnp.asarray(img), "rgb2hls"))
+    assert np.array_equal(got[0], ref.rgb_to_hls(img[0]))
+    back = np.asarray(ie.cvt_color(jnp.asarray(got), "hls2rgb"))
+    assert np.array_equal(back[0], ref.hls_to_rgb(got[0]))
