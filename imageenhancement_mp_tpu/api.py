@@ -708,6 +708,43 @@ def remap(img, map_x, map_y, interpolation: str = "linear",
         img, jnp.asarray(map_x, jnp.float32), jnp.asarray(map_y, jnp.float32))
 
 
+def warp_polar(img, dsize, center, max_radius: float, log: bool = False,
+               inverse: bool = False, interpolation: str = "linear",
+               channels_last: bool = True):
+    """``cv2.warpPolar`` (with ``WARP_FILL_OUTLIERS``) — BIT-EXACT:
+    cv2's coordinate maps are reproduced on the host (forward: f32
+    radius table × f64 rays + f32 center; inverse: f32 cartToPolar with
+    the pinned single-FMA fastAtan2 polynomial and cv2's one-row
+    angular BORDER_WRAP pad — ref/ops.py _warp_polar_maps) and fed to
+    the bit-exact ``remap``.  ``log=True`` = semilog
+    (``WARP_POLAR_LOG``); ``inverse=True`` maps a polar image back to
+    cartesian (``WARP_INVERSE_MAP``).  One documented budget: the
+    semilog inverse's log32f is build-dependent inside cv2 itself —
+    u8/u16 stay bit-exact, f32-linear within 6e-6 (ref docstring)."""
+    _check_image_dtype(img, allow_i16=True)
+    from imageenhancement_mp_tpu.ref.ops import _warp_polar_maps
+    from imageenhancement_mp_tpu.utils.shapes import treat_as_hwc
+
+    if img.ndim == 2 or (img.ndim == 3 and treat_as_hwc(img, channels_last)):
+        hw = img.shape[:2]
+    else:
+        hw = img.shape[1:3]
+    mx, my = _warp_polar_maps(hw, dsize, center, float(max_radius),
+                              bool(log), bool(inverse))
+    src = img
+    if inverse:
+        # angular wrap pad: one row each side of the H (angle) axis
+        if img.ndim == 2 or (img.ndim == 3 and treat_as_hwc(img, channels_last)):
+            ax = 0
+        else:
+            ax = 1
+        first = jax.lax.slice_in_dim(img, 0, 1, axis=ax)
+        last = jax.lax.slice_in_dim(img, img.shape[ax] - 1, img.shape[ax],
+                                    axis=ax)
+        src = jnp.concatenate([last, img, first], axis=ax)
+    return remap(src, mx, my, interpolation, "constant", 0.0, channels_last)
+
+
 @lru_cache(maxsize=None)
 def _arith_jit(op: str, scale: float, two_args: bool):
     from imageenhancement_mp_tpu.ops import arith_arrays

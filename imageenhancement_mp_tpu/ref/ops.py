@@ -2912,6 +2912,133 @@ def undistort(img: np.ndarray, K, dist, new_K=None) -> np.ndarray:
     return np.clip(out, _int_minval(kind), _int_maxval(kind)).astype(img.dtype)
 
 
+def _fast_atan2_deg(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """cv2's ``fastAtan2`` (degrees, f32) — BIT-EXACT vs
+    ``cv2.cartToPolar`` (0/262k random values incl. axes/origin, both
+    angle units; probes 2026-08-17).  The pinned law: coefficients are
+    the f32×f32 products ``f32(p_k)·f32(180/π)`` (NOT the once-rounded
+    f64 product), the octant ratio guard is +DBL_EPSILON (an f32 no-op
+    except at 0/0), and the odd polynomial is evaluated with
+    SINGLE-ROUNDED FMAs; quadrant fixups subtract from exact 90/180/360
+    and radians are a final ×f32(π/180)."""
+    f32 = np.float32
+    deg = f32(180 / np.pi)
+    P1 = f32(f32(0.9997878412794807) * deg)
+    P3 = f32(f32(-0.3258083974640975) * deg)
+    P5 = f32(f32(0.1555786518463281) * deg)
+    P7 = f32(f32(-0.04432655554792128) * deg)
+    eps = np.float32(2.2204460492503131e-16)  # (float)DBL_EPSILON
+    ax, ay = np.abs(x).astype(f32), np.abs(y).astype(f32)
+    swap = ax < ay
+    num = np.minimum(ax, ay).astype(f32)
+    den = np.maximum(ax, ay).astype(f32)
+    c = (num / (den + eps).astype(f32)).astype(f32)
+    c2 = (c * c).astype(f32)
+
+    def _fma(a, b, cc):
+        return (a.astype(np.float64) * b.astype(np.float64)
+                + cc.astype(np.float64)).astype(f32)
+
+    a = _fma(_fma(_fma(np.full_like(c2, P7), c2, np.full_like(c2, P5)),
+                  c2, np.full_like(c2, P3)), c2, np.full_like(c2, P1))
+    a = (a * c).astype(f32)
+    a = np.where(swap, (f32(90.0) - a).astype(f32), a)
+    a = np.where(x < 0, (f32(180.0) - a).astype(f32), a)
+    a = np.where(y < 0, (f32(360.0) - a).astype(f32), a)
+    return a
+
+
+def cart_to_polar(x: np.ndarray, y: np.ndarray, angle_in_degrees: bool = False):
+    """``cv2.cartToPolar`` — BIT-EXACT f32 (0/262k fuzz): magnitude is
+    ``sqrt(fma(x, x, y·y))`` (the fma argument order matters — x first),
+    angle is the pinned fastAtan2 (optionally ×f32(π/180))."""
+    f32 = np.float32
+    x = np.asarray(x, f32)
+    y = np.asarray(y, f32)
+    mag = np.sqrt((x.astype(np.float64) * x.astype(np.float64)
+                   + ((y * y).astype(f32)).astype(np.float64)).astype(f32)
+                  ).astype(f32)
+    ang = _fast_atan2_deg(y, x)
+    if not angle_in_degrees:
+        ang = (ang * f32(np.pi / 180)).astype(f32)
+    return mag, ang
+
+
+def _warp_polar_maps(src_hw, dsize, center, max_radius: float,
+                     log: bool, inverse: bool):
+    """cv2.warpPolar's coordinate maps (pinned bitwise, probes
+    2026-08-17).  Forward: per-column radius table computed in f64,
+    STORED f32 (cv2 keeps bufRhos as float), then f64 cos/sin rays +
+    center, cast f32.  Inverse: f32 cartToPolar (f32 magnitude sqrt +
+    fastAtan2 polynomial in degrees ×π/180), rho/phi descaled in f64,
+    +1 on phi for the one-row BORDER_WRAP pad cv2 adds to the polar
+    source.  Returns (map_x, map_y) f32 for ``remap``."""
+    H, W = src_hw
+    dw, dh = int(dsize[0]), int(dsize[1])
+    f32 = np.float32
+    # cv2's API takes center as Point2f — the coordinates are f32
+    cx, cy = float(f32(center[0])), float(f32(center[1]))
+    mr = float(max_radius)
+    if not inverse:
+        rho = np.arange(dw, dtype=np.float64)
+        if log:
+            buf = np.exp(rho * (np.log(mr) / dw)) - 1.0
+        else:
+            buf = rho * (mr / dw)
+        buf = buf.astype(f32).astype(np.float64)
+        phi = np.arange(dh, dtype=np.float64) * (2 * np.pi / dh)
+        mapx = (buf[None, :] * np.cos(phi)[:, None] + cx).astype(f32)
+        mapy = (buf[None, :] * np.sin(phi)[:, None] + cy).astype(f32)
+        return mapx, mapy
+    Kangle = 2 * np.pi / H
+    Kmag = (np.log(mr) / W) if log else (mr / W)
+    xs = (np.arange(dw, dtype=f32) - f32(cx)).astype(f32)
+    ys = (np.arange(dh, dtype=f32) - f32(cy)).astype(f32)
+    X = np.broadcast_to(xs[None, :], (dh, dw)).astype(f32)
+    Y = np.broadcast_to(ys[:, None], (dh, dw)).astype(f32)
+    mag, ang = cart_to_polar(X, Y)
+    if log:
+        # cv2 adds 1.f in f32, then runs its own log32f.  That log is
+        # BUILD-DEPENDENT (the IPP and universal-intrinsic paths differ
+        # from each other by 1 ulp on ~20 % of inputs — measured); we
+        # use the correctly-rounded f32 log, giving ≤1-ulp map
+        # coordinates vs either cv2 build (docstring budget).
+        lg = np.log((mag + f32(1.0)).astype(f32).astype(np.float64)).astype(f32)
+        rho = lg.astype(np.float64) / Kmag
+    else:
+        rho = mag.astype(np.float64) / Kmag
+    mapx = rho.astype(f32)
+    # cv2 casts the f64 angle quotient to f32 FIRST, then adds the +1
+    # BORDER_WRAP row offset in f32 (pinned: adding before the cast
+    # flips 15/1845 interpolation cells on f32 frames)
+    mapy = ((ang.astype(np.float64) / Kangle).astype(f32)
+            + f32(1.0)).astype(f32)
+    return mapx, mapy
+
+
+def warp_polar(img: np.ndarray, dsize, center, max_radius: float,
+               log: bool = False, inverse: bool = False,
+               interpolation: str = "linear") -> np.ndarray:
+    """``cv2.warpPolar(..., WARP_FILL_OUTLIERS [| WARP_POLAR_LOG |
+    WARP_INVERSE_MAP])`` — BIT-EXACT via the pinned coordinate maps
+    (_warp_polar_maps) + the bit-exact ``remap`` (border constant 0),
+    with ONE documented exception: the semilog INVERSE runs cv2's own
+    ``log32f``, whose bits are build-dependent (IPP vs
+    universal-intrinsic builds differ by 1 ulp on ~20 % of inputs —
+    measured); we use the correctly-rounded f32 log, which keeps
+    u8/u16 frames bit-exact in all fuzz (0/32 configs) and f32-linear
+    frames within 6e-6 absolute (~1 % px).  Forward maps
+    cartesian→polar (dsize = (rho_bins, angle_bins)); inverse maps a
+    polar image back to cartesian, reproducing cv2's one-row angular
+    BORDER_WRAP pad."""
+    maps = _warp_polar_maps(img.shape[:2], dsize, center, float(max_radius),
+                            bool(log), bool(inverse))
+    src = img
+    if inverse:
+        src = np.concatenate([img[-1:], img, img[:1]], axis=0)
+    return remap(src, maps[0], maps[1], interpolation, "constant", 0.0)
+
+
 def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1):
     """cv2 fastNlMeans weight LUT (cn = pixel channels, SSD summed over
     channels; temporal = frames searched, 1 for the single-image API):

@@ -41,8 +41,9 @@ def as_vec(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, R
     whose cv2 semantics are joint over the channels, e.g.
     fastNlMeansDenoising's joint SSD) and return the undo function.
     Same ambiguity rule as ``as_planes``: a 3-D input is one [H,W,C]
-    image iff ``treat_as_hwc``; otherwise a grayscale [N,H,W] batch
-    (C=1 vectors).  ``channels_last=False`` 4-D inputs are [N,C,H,W]."""
+    image iff ``treat_as_hwc``, otherwise a grayscale [N,H,W] batch
+    (C=1 vectors); 4-D is always ``[N,H,W,C]`` (``channels_last`` is
+    the 3-D disambiguation flag, like everywhere in this API)."""
     nd = img.ndim
     if nd == 2:
         return img[None, ..., None], lambda out: out[0, ..., 0]
@@ -51,10 +52,7 @@ def as_vec(img: jnp.ndarray, channels_last: bool = True) -> Tuple[jnp.ndarray, R
             return img[None], lambda out: out[0]
         return img[..., None], lambda out: out[..., 0]
     if nd == 4:
-        if channels_last:
-            return img, lambda out: out
-        return (jnp.moveaxis(img, 1, -1),
-                lambda out: jnp.moveaxis(out, -1, 1))
+        return img, lambda out: out
     raise ValueError(f"expected 2-4 dims ([N,]H,W[,C]), got shape {img.shape}")
 
 
