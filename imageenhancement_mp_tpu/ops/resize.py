@@ -25,7 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from imageenhancement_mp_tpu.ref.ops import (cubic_weights, resize_cubic_tables,
+from imageenhancement_mp_tpu.ref.ops import (cubic_weights, lanczos4_weights,
+                                             resize_cubic_tables,
+                                             resize_lanczos_tables,
                                              resize_lin_tables)
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
@@ -117,6 +119,49 @@ def _cubic(planes, oh, ow, ytab=None):
     return _round_cast(v, planes.dtype)
 
 
+def _lanczos_tables(n, on, fixed):
+    idx, r = resize_lanczos_tables(n, on)
+    if fixed:
+        c = np.stack([np.round(lanczos4_weights(float(t)).astype(np.float64)
+                               * 2048).astype(np.int32) for t in r])
+    else:
+        c = np.stack([lanczos4_weights(float(t)) for t in r]).astype(np.float32)
+    return idx, c
+
+
+def _lanczos(planes, oh, ow):
+    """Lanczos-4: u8 runs the EXACT integer pipeline inside int32 by
+    centering the pixels at 128 — |Σc·(v−128)| ≤ 128·Σ|c| ≤ 128·3072
+    per axis, so the 2^22-scale vertical sum stays ≤ 1.2e9 — and
+    restoring the mean with the PER-COLUMN/ROW tap-sum tables (the
+    rounded fixed-point taps don't sum to exactly 2048 everywhere).
+    Bit-exact vs the int64 oracle; on adversarial ringing beyond 2^31
+    the int32 arithmetic wraps mod 2^32 exactly like cv2's own int
+    vertical.  Other dtypes: the oracle's f32 path verbatim."""
+    H, W = planes.shape[-2], planes.shape[-1]
+    if planes.dtype == jnp.uint8:
+        xi, xc = _lanczos_tables(W, ow, fixed=True)
+        yi, yc = _lanczos_tables(H, oh, fixed=True)
+        hsum = xc.sum(axis=1).astype(np.int32)            # per output col
+        vsum = yc.sum(axis=1).astype(np.int32)            # per output row
+        a = planes.astype(jnp.int32) - 128
+        S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
+                for k in range(8))                        # S_true − 128·hsum
+        S = S + (128 * (hsum - 2048))[None, None, :]      # = S_true − 128·2048
+        v = sum(jnp.take(S, yi[:, k], axis=-2) * yc[:, k][None, :, None]
+                for k in range(8))                        # v_true − 2^18·vsum
+        v = v + ((1 << 18) * vsum + (1 << 21))[None, :, None]
+        return jnp.clip(v >> 22, 0, 255).astype(jnp.uint8)
+    xi, xc = _lanczos_tables(W, ow, fixed=False)
+    yi, yc = _lanczos_tables(H, oh, fixed=False)
+    a = planes.astype(jnp.float32)
+    S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
+            for k in range(8)).astype(jnp.float32)
+    v = sum(jnp.take(S, yi[:, k], axis=-2) * yc[:, k][None, :, None]
+            for k in range(8)).astype(jnp.float32)
+    return _round_cast(v, planes.dtype)
+
+
 def _round_cast(v, dtype):
     if dtype == jnp.float32:
         return v
@@ -156,6 +201,8 @@ def resize_planes(planes: jnp.ndarray, dsize, interpolation: str = "linear") -> 
         return _round_cast(_linear_float(planes, oh, ow, area=False), planes.dtype)
     if interpolation == "cubic":
         return _cubic(planes, oh, ow)
+    if interpolation == "lanczos4":
+        return _lanczos(planes, oh, ow)
     if interpolation == "area":
         if H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
             f1, f2 = H // oh, W // ow

@@ -186,3 +186,52 @@ def test_geometry_exact():
 def test_rotate_rejects_bad_code():
     with pytest.raises(ValueError):
         ref.rotate(np.zeros((4, 4), np.uint8), "45")
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_lanczos_ref_vs_cv2(dt):
+    rng = np.random.default_rng(seed("lanczos", dt.__name__))
+    for t in range(40):
+        H, W = int(rng.integers(2, 60)), int(rng.integers(2, 60))
+        oh, ow = int(rng.integers(1, 72)), int(rng.integers(1, 72))
+        img = _img(rng, dt, (H, W))
+        want = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LANCZOS4)
+        got = ref.resize(img, (oh, ow), "lanczos4")
+        if dt is np.float32:
+            tol = 2e-6 * max(1.0, float(np.abs(want).max()))
+            assert float(np.abs(got - want).max()) <= tol, (H, W, oh, ow)
+        elif dt is np.uint8:
+            # u8 integer pipeline is BIT-EXACT
+            assert np.array_equal(got, want), (H, W, oh, ow)
+        else:
+            # u16/i16 ride cv2's f32 path: ±1 on full-range
+            # accumulation-order ties (docs/PARITY.md)
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+def test_lanczos_device_vs_oracle_and_cv2():
+    rng = np.random.default_rng(seed("lanczosdev"))
+    for dt in [np.uint8, np.uint16, np.float32]:
+        img = _img(rng, dt, (43, 37))
+        want = ref.resize(img, (29, 50), "lanczos4")
+        got = np.asarray(resize_planes(jnp.asarray(img)[None], (29, 50),
+                                       "lanczos4"))[0]
+        if dt is np.float32:
+            assert float(np.abs(got - want).max()) <= 2e-6 * max(
+                1.0, float(np.abs(want).max()))
+        else:
+            assert np.array_equal(got, want), dt
+    # adversarial checkerboard: the centered int32 pipeline must match
+    # cv2 even where ringing is extreme
+    cb = (np.indices((64, 64)).sum(0) % 2 * 255).astype(np.uint8)
+    want = cv2.resize(cb, (37, 41), interpolation=cv2.INTER_LANCZOS4)
+    got = np.asarray(resize_planes(jnp.asarray(cb)[None], (41, 37),
+                                   "lanczos4"))[0]
+    assert np.array_equal(got, want)
+    # API route with a batched rgb frame
+    rgb = rng.integers(0, 256, (2, 40, 44, 3), np.uint8)
+    want = np.stack([cv2.resize(f, (30, 26), interpolation=cv2.INTER_LANCZOS4)
+                     for f in rgb])
+    got = np.asarray(ie.resize(jnp.asarray(rgb), (26, 30), "lanczos4"))
+    assert np.array_equal(got, want)
