@@ -157,6 +157,35 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # perspective warp: bit-exact (hybrid f32 coords + f32 divide via fma32)
         ("warp/persp", lambda: ie.warp_perspective(img, _persp_matrix(size), size),
          lambda: ref.warp_perspective(img, _persp_matrix(size), size), 0),
+        # round-3 wave 2: HLS (exhaustively pinned SIMD-body model),
+        # Lanczos4 (centered int32 pipeline), polar warps (pinned
+        # fastAtan2/magnitude maps), vector/temporal/colored NLMeans
+        ("hls/fwd", lambda: ie.cvt_color(rgb, "rgb2hls"),
+         lambda: ref.rgb_to_hls(rgb), 0),
+        ("hls/inv", lambda: ie.cvt_color(ref.rgb_to_hls(rgb), "hls2rgb"),
+         lambda: ref.hls_to_rgb(ref.rgb_to_hls(rgb)), 0),
+        ("resize/lanczos", lambda: ie.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "lanczos4"),
+         lambda: ref.resize(img, (size[0] * 5 // 8, size[1] * 9 // 7), "lanczos4"), 0),
+        ("warp_polar", lambda: ie.warp_polar(
+            img, (size[1] * 3 // 4, 64), (size[1] / 2, size[0] / 2), 40.0),
+         lambda: ref.warp_polar(
+            img, (size[1] * 3 // 4, 64), (size[1] / 2, size[0] / 2), 40.0), 0),
+        ("warp_polar/inv", lambda: ie.warp_polar(
+            img, (size[1], size[0]), (size[1] / 2, size[0] / 2), 40.0,
+            log=True, inverse=True),
+         lambda: ref.warp_polar(
+            img, (size[1], size[0]), (size[1] / 2, size[0] / 2), 40.0,
+            log=True, inverse=True), 0),
+        ("nlmeans/color", lambda: ie.fast_nl_means_denoising_colored(
+            rgb[:48, :52], 10.0, 14.0, 3, 9),
+         lambda: ref.fast_nl_means_denoising_colored(
+            np.asarray(rgb)[:48, :52], 10.0, 14.0, 3, 9), 0),
+        ("nlmeans/multi", lambda: ie.fast_nl_means_denoising_multi(
+            np.stack([img[:40, :44], img2[:40, :44], img[10:50, 5:49]]),
+            1, 3, 15.0, 3, 9),
+         lambda: ref.fast_nl_means_denoising_multi(
+            [np.asarray(img)[:40, :44], np.asarray(img2)[:40, :44],
+             np.asarray(img)[10:50, 5:49]], 1, 3, 15.0, 3, 9), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
