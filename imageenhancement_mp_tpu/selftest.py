@@ -58,6 +58,7 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("median5", lambda: ie.median_blur(img, 5), lambda: ref.median_blur(img, 5), 0),
     ]
     img2 = rng.integers(0, 256, size, dtype=np.uint8)
+    mh, mw = min(40, size[0]), min(44, size[1])  # temporal-NLMeans crop
     rgb = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
     checks += [
         ("add_weighted", lambda: ie.add_weighted(img, 1.7, img2, -0.6, 41.25),
@@ -177,15 +178,16 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
             img, (size[1], size[0]), (size[1] / 2, size[0] / 2), 40.0,
             log=True, inverse=True), 0),
         ("nlmeans/color", lambda: ie.fast_nl_means_denoising_colored(
-            rgb[:48, :52], 10.0, 14.0, 3, 9),
+            rgb[:min(48, size[0]), :min(52, size[1])], 10.0, 14.0, 3, 9),
          lambda: ref.fast_nl_means_denoising_colored(
-            np.asarray(rgb)[:48, :52], 10.0, 14.0, 3, 9), 0),
+            np.asarray(rgb)[:min(48, size[0]), :min(52, size[1])],
+            10.0, 14.0, 3, 9), 0),
         ("nlmeans/multi", lambda: ie.fast_nl_means_denoising_multi(
-            np.stack([img[:40, :44], img2[:40, :44], img[10:50, 5:49]]),
+            np.stack([img[:mh, :mw], img2[:mh, :mw], img[size[0] - mh:, size[1] - mw:]]),
             1, 3, 15.0, 3, 9),
          lambda: ref.fast_nl_means_denoising_multi(
-            [np.asarray(img)[:40, :44], np.asarray(img2)[:40, :44],
-             np.asarray(img)[10:50, 5:49]], 1, 3, 15.0, 3, 9), 0),
+            [np.asarray(img)[:mh, :mw], np.asarray(img2)[:mh, :mw],
+             np.asarray(img)[size[0] - mh:, size[1] - mw:]], 1, 3, 15.0, 3, 9), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
