@@ -50,6 +50,9 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "sobel3 4K gray b2": 1.883,  # cv2.Sobel CV_16S
     "open3 4K gray b2": 3.853,  # cv2.morphologyEx MORPH_OPEN 3x3
     "athresh/gauss11 4K gray b2": 0.243,  # cv2.adaptiveThreshold GAUSSIAN_C
+    "resize/lanczos4 4K->1440p gray b2": 0.250,  # cv2 INTER_LANCZOS4
+    "warp_polar 4K gray b2": 0.242,   # cv2.warpPolar linear fwd
+    "cvt/hls 1080p rgb b8": 1.671,    # cv2.cvtColor RGB2HLS (elements/s)
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -285,6 +288,26 @@ def main() -> int:
                 gray_oracle(
                     lambda p: ref.adaptive_threshold(p, 255.0, "gaussian", "binary", 11, 2.0)
                 ),
+            ),
+            (
+                "resize/lanczos4 4K->1440p gray b2",
+                lambda x: ie.resize(x, (1440, 2560), "lanczos4"),
+                b4k,
+                gray_oracle(lambda p: ref.resize(p, (1440, 2560), "lanczos4")),
+            ),
+            (
+                "warp_polar 4K gray b2",
+                lambda x: ie.warp_polar(x, (1920, 2160), (1920.0, 1080.0), 1900.0),
+                b4k,
+                gray_oracle(
+                    lambda p: ref.warp_polar(p, (1920, 2160), (1920.0, 1080.0), 1900.0)
+                ),
+            ),
+            (
+                "cvt/hls 1080p rgb b8",
+                lambda x: ie.cvt_color(x, "rgb2hls"),
+                rng.integers(0, 256, (8, 1080, 1920, 3), dtype=np.uint8),
+                lambda x: np.stack([ref.rgb_to_hls(np.asarray(f)) for f in x]),
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

@@ -1145,6 +1145,67 @@ def fast_nl_means_denoising_colored_multi(frames, img_to_denoise_index: int,
                                   str(order))(stack)
 
 
+@lru_cache(maxsize=None)
+def _photo_jit(op: str, a: float, b: float, extra: str):
+    from imageenhancement_mp_tpu.ops import photo
+
+    @jax.jit
+    def run(img):
+        batched = img if img.ndim == 4 else img[None]
+        if op == "epf":
+            out = photo.edge_preserving_filter_nhwc(batched, extra, a, b)
+        elif op == "detail":
+            out = photo.detail_enhance_nhwc(batched, a, b, extra)
+        else:
+            out = photo.stylization_nhwc(batched, a, b)
+        return out if img.ndim == 4 else out[0]
+
+    return run
+
+
+def _check_rgb_u8(img, name):
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"{name} is uint8, got {img.dtype}")
+    if img.ndim not in (3, 4) or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] or [N,H,W,3], got {img.shape}")
+
+
+def edge_preserving_filter(img, flags: str = "recursive",
+                           sigma_s: float = 60.0, sigma_r: float = 0.4):
+    """``cv2.edgePreservingFilter`` — the Gastal domain transform.
+    ``flags='recursive'`` (RECURS_FILTER) is BIT-EXACT vs cv2 (rare ±1
+    powf-ulp px); ``'normconv'`` (NORMCONV_FILTER) is ±1 on ~3 % px
+    (docs/PARITY.md).  On device the RF recursion runs as lax.scan
+    chains (strict per-op f32 on TPU == the oracle's sequence); the NC
+    variant is fully data-parallel (cumsum + searchsorted + SAT).
+    uint8 ``[H,W,3]`` / ``[N,H,W,3]``."""
+    _check_rgb_u8(img, "edgePreservingFilter")
+    if flags not in ("recursive", "normconv"):
+        raise ValueError(f"flags must be 'recursive' or 'normconv', got {flags!r}")
+    return _photo_jit("epf", float(sigma_s), float(sigma_r), str(flags))(img)
+
+
+def detail_enhance(img, sigma_s: float = 10.0, sigma_r: float = 0.15,
+                   order: str = "rgb"):
+    """``cv2.detailEnhance`` — RF-filter the Lab L plane, boost the
+    detail layer 3x (pinned composition incl. cv2's L/255 scaling
+    quirk).  Budget ±3 vs cv2 on ~16 % px — entirely the documented
+    analytic-vs-interpolated f32 Lab difference (docs/PARITY.md).
+    uint8 ``[H,W,3]`` / ``[N,H,W,3]``."""
+    _check_rgb_u8(img, "detailEnhance")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    return _photo_jit("detail", float(sigma_s), float(sigma_r), str(order))(img)
+
+
+def stylization(img, sigma_s: float = 60.0, sigma_r: float = 0.45):
+    """``cv2.stylization`` — NC domain-transform abstraction + Sobel
+    edge darkening (pinned composition; ±1 inherited from the NC
+    stage's ~3 %).  uint8 ``[H,W,3]`` / ``[N,H,W,3]``."""
+    _check_rgb_u8(img, "stylization")
+    return _photo_jit("styl", float(sigma_s), float(sigma_r), "")(img)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

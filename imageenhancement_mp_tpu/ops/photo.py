@@ -1,0 +1,175 @@
+"""cv2.photo domain-transform family on device (contract pinned in
+ref/ops.py: edge_preserving_filter / detail_enhance / stylization).
+
+TPU mapping:
+
+* The RECURS (RF) variant is a first-order IIR along each axis.  We run
+  it as ``lax.scan`` chains (forward + backward per axis, 3 iterations)
+  so the f32 op sequence matches the oracle's sequential recursion
+  exactly — XLA:TPU computes strict per-op f32 (docs/PARITY.md backend
+  nuance), so the device result is bit-identical to the oracle.  The
+  scan carries a ``[N,H,C]`` column; throughput is latency-bound but
+  the op is O(HW) total work.
+* The NORMCONV (NC) variant is data-parallel: transformed-domain
+  coordinates by ``cumsum``, box bounds by ``searchsorted`` per row
+  (vmapped), box means from SAT differences — no sequential chain at
+  all, so it rides the VPU at full width.
+* ``detail_enhance`` composes the RF filter with the f32 analytic
+  Lab legs from ops/color; ``stylization`` composes the NC filter with
+  a Sobel-magnitude edge-darkening pass (the pinned
+  ``sqrt(fma(gx,gx,gy²))`` magnitude law).
+
+The one device-vs-oracle caveat: ``V = a**dHdx`` uses the device's f32
+``pow`` (the oracle uses libm powf); a 1-ulp difference there can
+amplify through the recursion to ±1 LSB on isolated pixels — the same
+budget class as cv2's own build variance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dt_derivatives", "dt_rf", "dt_nc",
+           "edge_preserving_filter_nhwc", "detail_enhance_nhwc",
+           "stylization_nhwc"]
+
+_F32 = jnp.float32
+
+
+def _sigma_h(sigma_s: float, i: int, n: int) -> float:
+    return float(sigma_s * np.sqrt(3.0) * (2.0 ** (n - i - 1))
+                 / np.sqrt(4.0 ** n - 1))
+
+
+def dt_derivatives(I: jnp.ndarray, sigma_s: float, sigma_r: float):
+    """Domain-transform derivatives of f32 ``[N,H,W,C]`` (L1 over C)."""
+    ratio = _F32(float(sigma_s) / float(sigma_r))
+    dIx = jnp.abs(jnp.diff(I, axis=2)).sum(-1)
+    dIy = jnp.abs(jnp.diff(I, axis=1)).sum(-1)
+    return (_F32(1.0) + ratio * dIx), (_F32(1.0) + ratio * dIy)
+
+
+def _rf_axis(J: jnp.ndarray, V: jnp.ndarray):
+    """One forward+backward RF sweep along axis 2 of ``[N,H,W,C]``;
+    ``V``: ``[N,H,W-1]`` feedback coefficients between columns."""
+    Jw = jnp.moveaxis(J, 2, 0)                    # [W, N, H, C]
+    Vw = jnp.moveaxis(V, 2, 0)[..., None]         # [W-1, N, H, 1]
+
+    def fwd(carry, xs):
+        j, v = xs
+        out = j + v * (carry - j)
+        return out, out
+
+    _, tail = jax.lax.scan(fwd, Jw[0], (Jw[1:], Vw))
+    Jw = jnp.concatenate([Jw[:1], tail], axis=0)
+
+    def bwd(carry, xs):
+        j, v = xs
+        out = j + v * (carry - j)
+        return out, out
+
+    _, head = jax.lax.scan(bwd, Jw[-1], (Jw[:-1][::-1], Vw[::-1]))
+    Jw = jnp.concatenate([head[::-1], Jw[-1:]], axis=0)
+    return jnp.moveaxis(Jw, 0, 2)
+
+
+def dt_rf(J: jnp.ndarray, dHdx: jnp.ndarray, dVdy: jnp.ndarray,
+          sigma_s: float, iters: int = 3) -> jnp.ndarray:
+    """The recursive domain-transform filter on f32 ``[N,H,W,C]``."""
+    for i in range(iters):
+        a = _F32(np.exp(-np.sqrt(2.0) / _sigma_h(sigma_s, i, iters)))
+        Vx = jnp.power(a, dHdx)
+        Vy = jnp.power(a, dVdy)
+        J = _rf_axis(J, Vx)
+        J = jnp.swapaxes(_rf_axis(jnp.swapaxes(J, 1, 2), jnp.swapaxes(Vy, 1, 2)),
+                         1, 2)
+    return J
+
+
+def _nc_axis(J: jnp.ndarray, ct: jnp.ndarray, radius):
+    """NC box mean along axis 2: ``J [N,H,W,C]``, ``ct [N,H,W]``."""
+    N, H, W, C = J.shape
+    flat_ct = ct.reshape(N * H, W)
+    lo = jax.vmap(lambda p: jnp.searchsorted(p, p - radius, side="left"))(flat_ct)
+    hi = jax.vmap(lambda p: jnp.searchsorted(p, p + radius, side="left"))(flat_ct)
+    hi = jnp.minimum(hi, W).reshape(N, H, W)
+    lo = lo.reshape(N, H, W)
+    sat = jnp.concatenate(
+        [jnp.zeros((N, H, 1, C), _F32), jnp.cumsum(J, axis=2, dtype=_F32)],
+        axis=2)
+    num = (jnp.take_along_axis(sat, hi[..., None], 2)
+           - jnp.take_along_axis(sat, lo[..., None], 2))
+    cnt = jnp.maximum(hi - lo, 1).astype(_F32)
+    return (num / cnt[..., None]).astype(_F32)
+
+
+def dt_nc(J: jnp.ndarray, dHdx: jnp.ndarray, dVdy: jnp.ndarray,
+          sigma_s: float, iters: int = 3) -> jnp.ndarray:
+    """The normalized-convolution domain-transform filter."""
+    N, H, W, C = J.shape
+    ctH = jnp.concatenate([jnp.zeros((N, H, 1), _F32),
+                           jnp.cumsum(dHdx, axis=2, dtype=_F32)], axis=2)
+    ctV = jnp.concatenate([jnp.zeros((N, 1, W), _F32),
+                           jnp.cumsum(dVdy, axis=1, dtype=_F32)], axis=1)
+    for i in range(iters):
+        radius = _F32(_sigma_h(sigma_s, i, iters) * np.sqrt(3.0))
+        J = _nc_axis(J, ctH, radius)
+        J = jnp.swapaxes(
+            _nc_axis(jnp.swapaxes(J, 1, 2), jnp.swapaxes(ctV, 1, 2), radius),
+            1, 2)
+    return J
+
+
+def _to_u8(J: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(J * _F32(255.0)), 0, 255).astype(jnp.uint8)
+
+
+def edge_preserving_filter_nhwc(img: jnp.ndarray, flags: str = "recursive",
+                                sigma_s: float = 60.0,
+                                sigma_r: float = 0.4) -> jnp.ndarray:
+    """``cv2.edgePreservingFilter`` on uint8 ``[N,H,W,3]``."""
+    I = img.astype(_F32) * _F32(1.0 / 255.0)
+    dHdx, dVdy = dt_derivatives(I, sigma_s, sigma_r)
+    fn = dt_rf if flags == "recursive" else dt_nc
+    return _to_u8(fn(I, dHdx, dVdy, sigma_s))
+
+
+def detail_enhance_nhwc(img: jnp.ndarray, sigma_s: float = 10.0,
+                        sigma_r: float = 0.15,
+                        order: str = "rgb") -> jnp.ndarray:
+    """``cv2.detailEnhance`` on uint8 ``[N,H,W,3]`` (analytic f32 Lab
+    legs — the documented ±3 deviation vs cv2's interpolated-LUT Lab)."""
+    from imageenhancement_mp_tpu.ops.color import (lab_to_rgb_nhwc,
+                                                   rgb_to_lab_nhwc)
+
+    I = img.astype(_F32) * _F32(1.0 / 255.0)
+    lab = rgb_to_lab_nhwc(I, order)
+    L = (lab[..., :1] * _F32(1.0 / 255.0)).astype(_F32)
+    dHdx, dVdy = dt_derivatives(L, sigma_s, sigma_r)
+    res = dt_rf(L, dHdx, dVdy, sigma_s)
+    Lout = ((res + _F32(3.0) * (L - res)) * _F32(255.0)).astype(_F32)
+    out = lab_to_rgb_nhwc(jnp.concatenate([Lout, lab[..., 1:]], -1), order)
+    return _to_u8(out)
+
+
+def stylization_nhwc(img: jnp.ndarray, sigma_s: float = 60.0,
+                     sigma_r: float = 0.45) -> jnp.ndarray:
+    """``cv2.stylization`` on uint8 ``[N,H,W,3]``."""
+    I = img.astype(_F32) * _F32(1.0 / 255.0)
+    dHdx, dVdy = dt_derivatives(I, sigma_s, sigma_r)
+    res = dt_nc(I, dHdx, dVdy, sigma_s)
+    # Sobel-3 gradients with REFLECT_101 border, per channel
+    p = jnp.pad(res, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    smooth_y = p[:, :-2] + _F32(2.0) * p[:, 1:-1] + p[:, 2:]
+    gx = smooth_y[:, :, 2:] - smooth_y[:, :, :-2]
+    smooth_x = p[:, :, :-2] + _F32(2.0) * p[:, :, 1:-1] + p[:, :, 2:]
+    gy = smooth_x[:, 2:] - smooth_x[:, :-2]
+    # pinned magnitude law: sqrt(fma(gx, gx, gy*gy)), summed over C
+    from imageenhancement_mp_tpu.utils.fma import fma32
+
+    acc = fma32(gx, gx, gy * gy)
+    mag = jnp.sqrt(acc).astype(_F32).sum(-1).astype(_F32)
+    mag = (_F32(1.0) - mag).astype(_F32)
+    return _to_u8(res * mag[..., None])

@@ -3690,3 +3690,159 @@ def lab_to_rgb(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.nda
             out[..., k] = (np.clip(v, 0, 4095) * 255) >> 12
     out = out.astype(np.uint8)
     return out[..., ::-1] if order == "bgr" else out
+
+
+# ---------------------------------------------------------------------------
+# cv2.photo domain-transform family (Gastal & Oliveira's domain transform;
+# cv2's npr.hpp Domain_Filter) — pinned empirically 2026-08-17:
+#   * edgePreservingFilter(RECURS_FILTER):  BIT-EXACT (19/20 fuzz configs
+#     0 LSB; 1 config had a single ±1 px — a powf ulp amplified through
+#     the recursion).  The whole chain is plain f32: I/255, L1 channel
+#     sums of the forward differences, dHdx = 1 + (σs/σr)·ΣΔ,
+#     a = exp(−√2/σH_i) with σH_i = σs·√3·2^(N−1−i)/√(4^N−1), V = a^dHdx,
+#     and the two-direction recursion J += V·(J_prev − J) run
+#     horizontally then vertically, 3 iterations.
+#   * edgePreservingFilter(NORMCONV_FILTER): the transformed-domain box
+#     (SAT + searchsorted bounds at radius σH·√3) matches within ±1 on
+#     ~3 % px (cv2's incremental sliding sums accumulate different f32
+#     rounding than our SAT differences — all bound/dtype variants
+#     probed identical).
+#   * detailEnhance: f32 BGR2Lab, L/255 (cv2 scales by 1/255 even
+#     though L spans 0..100 — a pinned quirk), RECURS filter on L,
+#     L' = res + 3·(L − res), Lab2BGR — bit-exact when run with cv2's
+#     own f32 Lab legs; with THIS repo's analytic f32 Lab the budget is
+#     ±3 on ~16 % px (the documented f32-Lab interpolated-LUT
+#     deviation, docs/PARITY.md).
+#   * stylization: NORMCONV filter, then mag = 1 − Σ_c |∇(res_c)|
+#     (Sobel-3 magnitudes), out = res·mag — composition pinned (3 px ±1
+#     on the probe, all inherited from the NC stage).
+# ---------------------------------------------------------------------------
+
+def _dt_derivatives(I: np.ndarray, sigma_s: float, sigma_r: float):
+    f32 = np.float32
+    dIx = np.abs(np.diff(I, axis=1)).sum(-1)
+    dIy = np.abs(np.diff(I, axis=0)).sum(-1)
+    ratio = f32(sigma_s / sigma_r)
+    dHdx = (f32(1.0) + ratio * dIx).astype(f32)
+    dVdy = (f32(1.0) + ratio * dIy).astype(f32)
+    return dHdx, dVdy
+
+
+def _dt_sigma_h(sigma_s: float, i: int, n: int) -> float:
+    return float(sigma_s * np.sqrt(3.0) * (2.0 ** (n - i - 1))
+                 / np.sqrt(4.0 ** n - 1))
+
+
+def _dt_rf(J: np.ndarray, dHdx: np.ndarray, dVdy: np.ndarray,
+           sigma_s: float, iters: int = 3) -> np.ndarray:
+    """The recursive (RF) domain-transform filter on f32 [H,W,C]."""
+    f32 = np.float32
+    J = J.copy()
+    H, W, _ = J.shape
+    for i in range(iters):
+        a = np.exp(-np.sqrt(2.0) / _dt_sigma_h(sigma_s, i, iters))
+        Vx = np.power(f32(a), dHdx).astype(f32)
+        Vy = np.power(f32(a), dVdy).astype(f32)
+        for x in range(1, W):
+            J[:, x] += Vx[:, x - 1, None] * (J[:, x - 1] - J[:, x])
+        for x in range(W - 2, -1, -1):
+            J[:, x] += Vx[:, x, None] * (J[:, x + 1] - J[:, x])
+        for y in range(1, H):
+            J[y] += Vy[y - 1, :, None] * (J[y - 1] - J[y])
+        for y in range(H - 2, -1, -1):
+            J[y] += Vy[y, :, None] * (J[y + 1] - J[y])
+        J = J.astype(f32)
+    return J
+
+
+def _dt_nc(J: np.ndarray, dHdx: np.ndarray, dVdy: np.ndarray,
+           sigma_s: float, iters: int = 3) -> np.ndarray:
+    """The normalized-convolution (NC) domain-transform filter."""
+    f32 = np.float32
+    H, W, C = J.shape
+    ctH = np.concatenate([np.zeros((H, 1), f32),
+                          np.cumsum(dHdx, 1, dtype=f32)], 1).astype(f32)
+    ctV = np.concatenate([np.zeros((1, W), f32),
+                          np.cumsum(dVdy, 0, dtype=f32)], 0).astype(f32)
+
+    def ncpass(J, ct, radius):
+        Hh, Ww, Cc = J.shape
+        out = np.empty_like(J)
+        for y in range(Hh):
+            pos = ct[y]
+            lo = np.searchsorted(pos, (pos - radius).astype(f32), side="left")
+            hi = np.minimum(
+                np.searchsorted(pos, (pos + radius).astype(f32), side="left"),
+                Ww)
+            sat = np.concatenate([np.zeros((1, Cc), f32),
+                                  np.cumsum(J[y], 0, dtype=f32)], 0)
+            cnt = np.maximum(hi - lo, 1).astype(f32)
+            out[y] = ((sat[hi] - sat[lo]).astype(f32) / cnt[:, None]).astype(f32)
+        return out.astype(f32)
+
+    J = J.copy()
+    for i in range(iters):
+        radius = f32(_dt_sigma_h(sigma_s, i, iters) * np.sqrt(3.0))
+        J = ncpass(J, ctH, radius)
+        J = np.swapaxes(ncpass(np.swapaxes(J, 0, 1), ctV.T, radius), 0, 1)
+    return J
+
+
+def edge_preserving_filter(img: np.ndarray, flags: str = "recursive",
+                           sigma_s: float = 60.0,
+                           sigma_r: float = 0.4) -> np.ndarray:
+    """``cv2.edgePreservingFilter`` — RECURS_FILTER bit-exact (rare ±1
+    powf-ulp px); NORMCONV_FILTER ±1 on ~3 % px.  uint8 [H,W,3]."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    if flags not in ("recursive", "normconv"):
+        raise ValueError(f"flags must be 'recursive' or 'normconv', got {flags!r}")
+    f32 = np.float32
+    I = (img.astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    dHdx, dVdy = _dt_derivatives(I, sigma_s, sigma_r)
+    fn = _dt_rf if flags == "recursive" else _dt_nc
+    J = fn(I, dHdx, dVdy, sigma_s)
+    return np.clip(np.round(J.astype(np.float64) * 255.0), 0, 255).astype(np.uint8)
+
+
+def detail_enhance(img: np.ndarray, sigma_s: float = 10.0,
+                   sigma_r: float = 0.15, order: str = "rgb") -> np.ndarray:
+    """``cv2.detailEnhance`` — the pinned composition (f32 Lab, L/255,
+    RECURS filter, L' = res + 3·(L−res)); with the analytic f32 Lab the
+    budget vs cv2 is ±3 on ~16 % px (docs/PARITY.md)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    f32 = np.float32
+    I = (img.astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    lab = rgb_to_lab(I, order=order)
+    L = (lab[..., 0] * f32(1.0 / 255.0)).astype(f32)
+    dHdx, dVdy = _dt_derivatives(L[..., None], sigma_s, sigma_r)
+    res = _dt_rf(L[..., None], dHdx, dVdy, sigma_s)[..., 0]
+    Lout = ((res + f32(3.0) * (L - res)) * f32(255.0)).astype(f32)
+    lab2 = np.concatenate([Lout[..., None], lab[..., 1:]], -1).astype(f32)
+    out = lab_to_rgb(lab2, order=order)
+    return np.clip(np.round(out.astype(np.float64) * 255.0), 0, 255).astype(np.uint8)
+
+
+def stylization(img: np.ndarray, sigma_s: float = 60.0,
+                sigma_r: float = 0.45) -> np.ndarray:
+    """``cv2.stylization`` — NC filter + (1 − Σ|∇res|) edge darkening;
+    composition pinned (±1 inherited from the NC stage's ~3 %)."""
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    f32 = np.float32
+    I = (img.astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    dHdx, dVdy = _dt_derivatives(I, sigma_s, sigma_r)
+    res = _dt_nc(I, dHdx, dVdy, sigma_s)
+    mag = np.zeros(res.shape[:2], f32)
+    for c in range(3):
+        gx = sep_filter2d(res[..., c], (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
+        gy = sep_filter2d(res[..., c], (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+        mag += cart_to_polar(gx.astype(f32), gy.astype(f32))[0]
+        mag = mag.astype(f32)
+    mag = (f32(1.0) - mag).astype(f32)
+    out = (res * mag[..., None]).astype(f32)
+    return np.clip(np.round(out.astype(np.float64) * 255.0), 0, 255).astype(np.uint8)

@@ -1,0 +1,105 @@
+"""cv2.photo domain-transform family parity (docs/PARITY.md):
+edgePreservingFilter RECURS bit-exact (rare powf-ulp ±1); NORMCONV ±1
+on ~3 % px; detailEnhance ±3 (the analytic-vs-interpolated f32 Lab
+deviation); stylization ±1."""
+
+import numpy as np
+
+from detseed import seed
+import pytest
+
+import jax.numpy as jnp
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+
+def _img(rng, h, w):
+    base = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+    return np.clip(base * 0.6 + rng.normal(80, 40, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("flags,cvflag,budget,frac", [
+    ("recursive", 1, 1, 0.001),   # bit-exact up to rare powf-ulp px
+    ("normconv", 2, 1, 0.05),
+])
+def test_epf_ref_vs_cv2(flags, cvflag, budget, frac):
+    rng = np.random.default_rng(seed("epf", flags))
+    for t in range(6):
+        img = _img(rng, int(rng.integers(14, 64)), int(rng.integers(14, 64)))
+        ss = float(rng.uniform(8, 160))
+        sr = float(rng.uniform(0.05, 0.8))
+        want = cv2.edgePreservingFilter(img, flags=cvflag, sigma_s=ss, sigma_r=sr)
+        got = ref.edge_preserving_filter(img, flags, ss, sr)
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= budget, (t, ss, sr, int(d.max()))
+        assert (d > 0).mean() <= frac, (t, ss, sr, float((d > 0).mean()))
+
+
+def test_detail_enhance_ref_vs_cv2():
+    rng = np.random.default_rng(seed("detail"))
+    for t in range(4):
+        img = _img(rng, int(rng.integers(16, 56)), int(rng.integers(16, 56)))
+        ss = float(rng.uniform(5, 60))
+        sr = float(rng.uniform(0.05, 0.4))
+        want = cv2.detailEnhance(img, sigma_s=ss, sigma_r=sr)
+        got = ref.detail_enhance(img, ss, sr, order="bgr")
+        d = np.abs(got.astype(int) - want.astype(int))
+        # the ±3 is entirely the analytic-vs-interpolated f32 Lab legs
+        assert d.max() <= 4, (t, ss, sr, int(d.max()))
+
+
+def test_stylization_ref_vs_cv2():
+    rng = np.random.default_rng(seed("styl"))
+    for t in range(4):
+        img = _img(rng, int(rng.integers(16, 56)), int(rng.integers(16, 56)))
+        ss = float(rng.uniform(20, 150))
+        sr = float(rng.uniform(0.1, 0.6))
+        want = cv2.stylization(img, sigma_s=ss, sigma_r=sr)
+        got = ref.stylization(img, ss, sr)
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= 1, (t, ss, sr, int(d.max()))
+        assert (d > 0).mean() <= 0.02
+
+
+def test_device_vs_oracle():
+    rng = np.random.default_rng(seed("photodev"))
+    img = _img(rng, 30, 34)
+    # RF: the lax.scan chain replays the oracle's f32 sequence
+    got = np.asarray(ie.edge_preserving_filter(jnp.asarray(img), "recursive",
+                                               55.0, 0.35))
+    want = ref.edge_preserving_filter(img, "recursive", 55.0, 0.35)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    # NC: XLA's tree cumsum vs numpy's sequential cumsum is ±1-class
+    got = np.asarray(ie.edge_preserving_filter(jnp.asarray(img), "normconv",
+                                               55.0, 0.35))
+    want = ref.edge_preserving_filter(img, "normconv", 55.0, 0.35)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    got = np.asarray(ie.detail_enhance(jnp.asarray(img), 10.0, 0.15))
+    want = ref.detail_enhance(img, 10.0, 0.15)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    got = np.asarray(ie.stylization(jnp.asarray(img), 60.0, 0.45))
+    want = ref.stylization(img, 60.0, 0.45)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    # batched path keeps per-frame results identical
+    two = np.stack([img, img[::-1].copy()])
+    got2 = np.asarray(ie.edge_preserving_filter(jnp.asarray(two), "recursive",
+                                                55.0, 0.35))
+    ref_each = np.stack([ref.edge_preserving_filter(two[i], "recursive",
+                                                    55.0, 0.35)
+                         for i in range(2)])
+    assert int(np.abs(got2.astype(int) - ref_each.astype(int)).max()) <= 1
+
+
+def test_rejects():
+    with pytest.raises(TypeError):
+        ie.edge_preserving_filter(jnp.zeros((8, 8, 3), jnp.uint16))
+    with pytest.raises(ValueError):
+        ie.edge_preserving_filter(jnp.zeros((8, 8, 3), jnp.uint8), "bogus")
+    with pytest.raises(ValueError):
+        ie.detail_enhance(jnp.zeros((8, 8), jnp.uint8))
+    with pytest.raises(TypeError):
+        ie.stylization(jnp.zeros((8, 8, 3), jnp.float32))

@@ -55,6 +55,9 @@ ROWS = [
     "sobel3 4K gray b2",
     "open3 4K gray b2",
     "athresh/gauss11 4K gray b2",
+    "resize/lanczos4 4K->1440p gray b2",
+    "warp_polar 4K gray b2",
+    "cvt/hls 1080p rgb b8",
     "clahe/u16 4K gray b2",
     "median5/u16 4K gray b2",
     "gaussian5/u16 4K gray b2",
