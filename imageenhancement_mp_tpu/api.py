@@ -1206,6 +1206,95 @@ def stylization(img, sigma_s: float = 60.0, sigma_r: float = 0.45):
     return _photo_jit("styl", float(sigma_s), float(sigma_r), "")(img)
 
 
+@lru_cache(maxsize=None)
+def _accum_jit(op: str, alpha: float, masked: bool):
+    from imageenhancement_mp_tpu.utils.fma import two_prod, two_sum
+
+    def rmul(a, b):
+        return two_prod(a, b)[0]   # forced f32 rounding (no contraction)
+
+    @jax.jit
+    def run(src, acc, *m):
+        s = src.astype(jnp.float32)
+        if op == "acc":
+            new = acc + s
+        elif op == "sq":
+            new = acc + rmul(s, s)
+        elif op == "w":
+            al = jnp.float32(alpha)
+            be = jnp.float32(1.0 - np.float64(alpha))
+            # two_sum forces the final add to round once (XLA:CPU would
+            # otherwise keep excess precision through the chain)
+            new = two_sum(rmul(acc, be), rmul(s, al))[0]
+        else:  # product: src is a tuple handled by run2
+            new = acc + s
+        if masked:
+            mm = m[0] != 0
+            if mm.ndim == acc.ndim - 1:
+                mm = mm[..., None]
+            new = jnp.where(mm, new, acc)
+        return new.astype(jnp.float32)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _accum_prod_jit(masked: bool):
+    from imageenhancement_mp_tpu.utils.fma import two_prod
+
+    @jax.jit
+    def run(src1, src2, acc, *m):
+        new = acc + two_prod(src1.astype(jnp.float32),
+                             src2.astype(jnp.float32))[0]
+        if masked:
+            mm = m[0] != 0
+            if mm.ndim == acc.ndim - 1:
+                mm = mm[..., None]
+            new = jnp.where(mm, new, acc)
+        return new.astype(jnp.float32)
+
+    return run
+
+
+def _check_acc(acc):
+    if acc.dtype != jnp.float32:
+        raise TypeError(f"accumulator must be float32, got {acc.dtype}")
+
+
+def accumulate(src, acc, mask=None):
+    """``cv2.accumulate`` — EXACT functional form: returns the new f32
+    accumulator ``acc + f32(src)`` (masked pixels keep ``acc``)."""
+    _check_acc(acc)
+    fn = _accum_jit("acc", 0.0, mask is not None)
+    return fn(src, acc) if mask is None else fn(src, acc, mask)
+
+
+def accumulate_square(src, acc, mask=None):
+    """``cv2.accumulateSquare`` — EXACT: ``acc + f32(src)²``."""
+    _check_acc(acc)
+    fn = _accum_jit("sq", 0.0, mask is not None)
+    return fn(src, acc) if mask is None else fn(src, acc, mask)
+
+
+def accumulate_product(src1, src2, acc, mask=None):
+    """``cv2.accumulateProduct`` — EXACT: ``acc + f32(src1)·f32(src2)``."""
+    _check_acc(acc)
+    fn = _accum_prod_jit(mask is not None)
+    return fn(src1, src2, acc) if mask is None else fn(src1, src2, acc, mask)
+
+
+def accumulate_weighted(src, acc, alpha: float, mask=None):
+    """``cv2.accumulateWeighted`` — the video running average
+    ``acc·f32(1−α) + src·f32(α)`` in plain per-op f32 (cv2's NATIVE
+    path; cv2's default IPP dispatch deviates ~2e-3 from cv2's own
+    native path — ref/ops.py accumulate_weighted).  On the CPU test
+    backend XLA contracts the chain (±1 ulp, the docs/PARITY.md
+    backend nuance); XLA:TPU computes the strict per-op law."""
+    _check_acc(acc)
+    fn = _accum_jit("w", float(alpha), mask is not None)
+    return fn(src, acc) if mask is None else fn(src, acc, mask)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

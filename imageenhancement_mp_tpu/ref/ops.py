@@ -3846,3 +3846,60 @@ def stylization(img: np.ndarray, sigma_s: float = 60.0,
     mag = (f32(1.0) - mag).astype(f32)
     out = (res * mag[..., None]).astype(f32)
     return np.clip(np.round(out.astype(np.float64) * 255.0), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# cv2 accumulate* family (video running statistics) — pinned 2026-08-17:
+# accumulate / accumulateSquare / accumulateProduct are EXACT plain f32
+# (u8/u16/f32 src into an f32 accumulator, optional mask).
+# accumulateWeighted's portable law is plain per-op f32
+# ``acc·f32(1−α) + src·f32(α)`` — cv2's own NATIVE path matches it to
+# contraction noise (16/19800 px, their -ffp-contract build), while
+# cv2's DEFAULT x86 IPP dispatch deviates from cv2's own native path by
+# up to ~2e-3 relative (measured ~1900 ulp!) — the IPP bits are
+# unpinnable and internally inconsistent, so the native law is the
+# contract.
+# ---------------------------------------------------------------------------
+
+def _acc_mask(acc, new, mask):
+    if mask is None:
+        return new.astype(np.float32)
+    m = np.asarray(mask) != 0
+    if m.ndim == acc.ndim - 1:
+        m = m[..., None]
+    return np.where(m, new, acc).astype(np.float32)
+
+
+def accumulate(src: np.ndarray, acc: np.ndarray, mask=None) -> np.ndarray:
+    """``cv2.accumulate`` — EXACT: returns ``acc + f32(src)``."""
+    new = (acc + src.astype(np.float32)).astype(np.float32)
+    return _acc_mask(acc, new, mask)
+
+
+def accumulate_square(src: np.ndarray, acc: np.ndarray, mask=None) -> np.ndarray:
+    """``cv2.accumulateSquare`` — EXACT: ``acc + f32(src)²``."""
+    s = src.astype(np.float32)
+    new = (acc + (s * s).astype(np.float32)).astype(np.float32)
+    return _acc_mask(acc, new, mask)
+
+
+def accumulate_product(src1: np.ndarray, src2: np.ndarray, acc: np.ndarray,
+                       mask=None) -> np.ndarray:
+    """``cv2.accumulateProduct`` — EXACT: ``acc + f32(src1)·f32(src2)``."""
+    new = (acc + (src1.astype(np.float32)
+                  * src2.astype(np.float32)).astype(np.float32)).astype(np.float32)
+    return _acc_mask(acc, new, mask)
+
+
+def accumulate_weighted(src: np.ndarray, acc: np.ndarray, alpha: float,
+                        mask=None) -> np.ndarray:
+    """``cv2.accumulateWeighted`` — the running average
+    ``acc·f32(1−α) + src·f32(α)`` in plain per-op f32 (cv2's native
+    path; its default IPP dispatch is ~2e-3 off its own native path —
+    header note)."""
+    f32 = np.float32
+    al = f32(alpha)
+    be = f32(1.0 - np.float64(alpha))
+    new = ((acc * be).astype(f32)
+           + (src.astype(f32) * al).astype(f32)).astype(f32)
+    return _acc_mask(acc, new, mask)

@@ -188,6 +188,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.fast_nl_means_denoising_multi(
             [np.asarray(img)[:mh, :mw], np.asarray(img2)[:mh, :mw],
              np.asarray(img)[size[0] - mh:, size[1] - mw:]], 1, 3, 15.0, 3, 9), 0),
+        # photo domain-transform family (budget 1: device powf / tree
+        # cumsum vs the oracle's libm/sequential f32 — docs/PARITY.md)
+        ("photo/epf_rf", lambda: ie.edge_preserving_filter(rgb[:mh, :mw], "recursive", 55.0, 0.35),
+         lambda: ref.edge_preserving_filter(np.asarray(rgb)[:mh, :mw], "recursive", 55.0, 0.35), 1),
+        ("photo/styliz", lambda: ie.stylization(rgb[:mh, :mw], 60.0, 0.45),
+         lambda: ref.stylization(np.asarray(rgb)[:mh, :mw], 60.0, 0.45), 1),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
