@@ -1295,6 +1295,39 @@ def accumulate_weighted(src, acc, alpha: float, mask=None):
     return fn(src, acc) if mask is None else fn(src, acc, mask)
 
 
+@lru_cache(maxsize=None)
+def _mertens_jit(wcon: float, wsat: float, wexp: float):
+    from imageenhancement_mp_tpu.ops.photo import merge_mertens_nhwc
+
+    @jax.jit
+    def run(stack):
+        return merge_mertens_nhwc(stack, wcon, wsat, wexp)
+
+    return run
+
+
+def merge_mertens(images, contrast_weight: float = 1.0,
+                  saturation_weight: float = 1.0,
+                  exposure_weight: float = 0.0):
+    """``cv2.createMergeMertens(...).process`` — multi-exposure HDR
+    fusion (Mertens): per-frame contrast/saturation/well-exposedness
+    weights, Laplacian-pyramid blend.  ``images``: a ``[T,H,W,3]`` u8
+    stack or list of frames; returns the fused f32 ``[H,W,3]``
+    (≈[0,1], may over/undershoot like cv2 — scale by 255 and clip to
+    display).  Composition pinned within ~2e-5 of cv2 (the f32
+    pyramid float noise; ref/ops.py merge_mertens)."""
+    if hasattr(images, "ndim"):
+        stack = images
+    else:
+        stack = jnp.stack([jnp.asarray(f) for f in images])
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise ValueError(f"expected [T,H,W,3] frames, got {stack.shape}")
+    if stack.dtype != jnp.uint8:
+        raise TypeError(f"merge_mertens expects uint8 frames, got {stack.dtype}")
+    return _mertens_jit(float(contrast_weight), float(saturation_weight),
+                        float(exposure_weight))(stack)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

@@ -173,3 +173,57 @@ def stylization_nhwc(img: jnp.ndarray, sigma_s: float = 60.0,
     mag = jnp.sqrt(acc).astype(_F32).sum(-1).astype(_F32)
     mag = (_F32(1.0) - mag).astype(_F32)
     return _to_u8(res * mag[..., None])
+
+
+def merge_mertens_nhwc(stack: jnp.ndarray, wcon: float, wsat: float,
+                       wexp: float) -> jnp.ndarray:
+    """Mertens exposure fusion on a ``[T,H,W,3]`` u8 stack → f32
+    ``[H,W,3]`` (composition pinned in ref/ops.py merge_mertens)."""
+    from imageenhancement_mp_tpu.ops.pyramid import (pyr_down_planes,
+                                                     pyr_up_planes)
+    from imageenhancement_mp_tpu.ops.filters import laplacian_planes
+
+    T, H, W, C = stack.shape
+    I = stack.astype(_F32) * _F32(1.0 / 255.0)
+    # cv2's f32 RGB2GRAY on the array as-is (the pinned quirk)
+    gray = (I[..., 0] * _F32(0.299) + I[..., 1] * _F32(0.587)
+            + I[..., 2] * _F32(0.114)).astype(_F32)
+    contrast = jnp.abs(laplacian_planes(gray, 1)).astype(_F32)
+    mean = (I.sum(-1) * _F32(1.0 / 3.0)).astype(_F32)
+    sat = jnp.sqrt((((I - mean[..., None]) ** 2).sum(-1)
+                    * _F32(1.0 / 3.0))).astype(_F32)
+    expo = jnp.exp(-(((I - _F32(0.5)) ** 2) * _F32(1.0 / 0.08))
+                   ).astype(_F32).prod(-1).astype(_F32)
+    w = (jnp.power(contrast, _F32(wcon)) * jnp.power(sat, _F32(wsat))
+         * jnp.power(expo, _F32(wexp))).astype(_F32) + _F32(1e-12)
+    w = (w / w.sum(0)).astype(_F32)                    # [T,H,W]
+    maxlevel = int(np.log(min(H, W)) / np.log(2.0))
+
+    def down(x):   # [T,H,W,C] or [T,H,W]
+        if x.ndim == 4:
+            flat = jnp.moveaxis(x, -1, 1).reshape(-1, x.shape[1], x.shape[2])
+            d = pyr_down_planes(flat)
+            return jnp.moveaxis(d.reshape(x.shape[0], x.shape[3],
+                                          d.shape[-2], d.shape[-1]), 1, -1)
+        return pyr_down_planes(x)
+
+    def up(x, hw):
+        flat = jnp.moveaxis(x, -1, 1).reshape(-1, x.shape[1], x.shape[2])
+        u = pyr_up_planes(flat)[:, :hw[0], :hw[1]]
+        return jnp.moveaxis(u.reshape(x.shape[0], x.shape[3],
+                                      hw[0], hw[1]), 1, -1)
+
+    gp_i, gp_w = [I], [w]
+    for _ in range(maxlevel):
+        gp_i.append(down(gp_i[-1]))
+        gp_w.append(down(gp_w[-1]))
+    res = []
+    for l in range(maxlevel + 1):
+        lap = gp_i[l] if l == maxlevel else (
+            gp_i[l] - up(gp_i[l + 1], gp_i[l].shape[1:3]))
+        res.append((lap * gp_w[l][..., None]).sum(0).astype(_F32))
+    out = res[maxlevel]
+    for l in range(maxlevel - 1, -1, -1):
+        u = up(out[None], res[l].shape[0:2])[0]
+        out = (res[l] + u).astype(_F32)
+    return out

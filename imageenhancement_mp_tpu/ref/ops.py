@@ -3903,3 +3903,70 @@ def accumulate_weighted(src: np.ndarray, acc: np.ndarray, alpha: float,
     new = ((acc * be).astype(f32)
            + (src.astype(f32) * al).astype(f32)).astype(f32)
     return _acc_mask(acc, new, mask)
+
+
+def merge_mertens(images, contrast_weight: float = 1.0,
+                  saturation_weight: float = 1.0,
+                  exposure_weight: float = 0.0) -> np.ndarray:
+    """``cv2.createMergeMertens(wcon, wsat, wexp).process(images)`` —
+    exposure fusion (Mertens et al.), pinned composition (probe
+    2026-08-17, ≤8e-7 abs vs cv2 on [0,1]-range outputs):
+
+    * every frame → f32·(1/255) regardless of dtype;
+    * per-frame weight = |Laplacian₁(gray)|^wcon ·
+      sqrt(mean_c((I_c − mean)²))^wsat ·
+      (Π_c exp(−(I_c−0.5)²/0.08))^wexp + 1e-12, normalized across
+      frames — the gray uses cv2's RGB2GRAY coefficients on the array
+      AS-IS (cv2 assumes RGB order; a pinned quirk);
+    * Laplacian-pyramid blend with maxlevel = int(ln(min(H,W))/ln 2)
+      and the cv2 pyrDown/pyrUp taps.
+
+    Returns the fused f32 [H,W,3] (cv2's convention: roughly [0,1],
+    may over/undershoot; scale by 255 and clip to display)."""
+    f32 = np.float32
+    ims = [np.asarray(im) for im in images]
+    if not ims or any(im.ndim != 3 or im.shape[-1] != 3 for im in ims):
+        raise ValueError("merge_mertens expects a list of [H,W,3] frames")
+    H, W = ims[0].shape[:2]
+    ims = [(im.astype(f32) * f32(1.0 / 255.0)).astype(f32) for im in ims]
+    weights = []
+    wsum = np.zeros((H, W), f32)
+    for im in ims:
+        gray = cvt_gray(im, order="rgb")
+        contrast = np.abs(laplacian(gray, 1)).astype(f32)
+        mean = (im.sum(-1) / f32(3.0)).astype(f32)
+        sat = np.sqrt((((im - mean[..., None]) ** 2).sum(-1)
+                       / f32(3.0))).astype(f32)
+        expo = np.ones((H, W), f32)
+        for c in range(3):
+            expo = (expo * np.exp(-((im[..., c] - f32(0.5)) ** 2)
+                                  / f32(0.08))).astype(f32)
+        w = (np.power(contrast, f32(contrast_weight))
+             * np.power(sat, f32(saturation_weight))
+             * np.power(expo, f32(exposure_weight))).astype(f32) + f32(1e-12)
+        weights.append(w.astype(f32))
+        wsum += w
+    maxlevel = int(np.log(min(H, W)) / np.log(2.0))
+
+    def _pyr3(img, down):
+        return np.stack([down(img[..., c]) for c in range(img.shape[-1])], -1) \
+            if img.ndim == 3 else down(img)
+
+    res = None
+    for im, w in zip(ims, weights):
+        w = (w / wsum).astype(f32)
+        gp_i, gp_w = [im], [w]
+        for _ in range(maxlevel):
+            gp_i.append(_pyr3(gp_i[-1], pyr_down).astype(f32))
+            gp_w.append(pyr_down(gp_w[-1]).astype(f32))
+        for l in range(maxlevel):
+            up = _pyr3(gp_i[l + 1], pyr_up)[:gp_i[l].shape[0], :gp_i[l].shape[1]]
+            gp_i[l] = (gp_i[l] - up).astype(f32)
+        cur = [(gp_i[l] * gp_w[l][..., None]).astype(f32)
+               for l in range(maxlevel + 1)]
+        res = cur if res is None else [(a + b).astype(f32)
+                                       for a, b in zip(res, cur)]
+    for l in range(maxlevel, 0, -1):
+        up = _pyr3(res[l], pyr_up)[:res[l - 1].shape[0], :res[l - 1].shape[1]]
+        res[l - 1] = (res[l - 1] + up).astype(f32)
+    return res[0]

@@ -103,3 +103,29 @@ def test_rejects():
         ie.detail_enhance(jnp.zeros((8, 8), jnp.uint8))
     with pytest.raises(TypeError):
         ie.stylization(jnp.zeros((8, 8, 3), jnp.float32))
+
+
+def test_merge_mertens_vs_cv2():
+    rng = np.random.default_rng(seed("mertens"))
+    for t in range(3):
+        H, W = int(rng.integers(24, 64)), int(rng.integers(24, 64))
+        base = np.clip(rng.normal(128, 60, (H, W, 3)), 0, 255)
+        n = int(rng.integers(2, 5))
+        frames = [np.clip(base * s + rng.normal(0, 6, base.shape), 0, 255)
+                  .astype(np.uint8) for s in np.linspace(0.3, 2.0, n)]
+        want = cv2.createMergeMertens().process(frames)
+        got_ref = ref.merge_mertens(frames)
+        got_dev = np.asarray(ie.merge_mertens(frames))
+        assert float(np.abs(got_ref - want).max()) <= 1e-4
+        assert float(np.abs(got_dev - want).max()) <= 1e-4
+    # custom weight exponents
+    want = cv2.createMergeMertens(0.5, 2.0, 1.0).process(frames)
+    got = np.asarray(ie.merge_mertens(frames, 0.5, 2.0, 1.0))
+    assert float(np.abs(got - want).max()) <= 1e-4
+
+
+def test_merge_mertens_rejects():
+    with pytest.raises(TypeError):
+        ie.merge_mertens(jnp.zeros((3, 16, 16, 3), jnp.float32))
+    with pytest.raises(ValueError):
+        ie.merge_mertens(jnp.zeros((16, 16, 3), jnp.uint8))
