@@ -1328,6 +1328,29 @@ def merge_mertens(images, contrast_weight: float = 1.0,
                         float(exposure_weight))(stack)
 
 
+@lru_cache(maxsize=None)
+def _tonemap_jit(gamma: float):
+    @jax.jit
+    def run(img):
+        mn = img.min()
+        mx = img.max()
+        x = (img - mn) / jnp.maximum(mx - mn, jnp.float32(1e-38))
+        out = jnp.power(x, jnp.float32(1.0 / gamma)).astype(jnp.float32)
+        return jnp.where(mx > mn, out, jnp.zeros_like(out))
+
+    return run
+
+
+def tonemap(img, gamma: float = 1.0):
+    """``cv2.createTonemap(gamma).process`` — global min/max normalize
+    + ``pow(1/gamma)`` (the display map for ``merge_mertens`` output;
+    pinned ≤6e-8, and a constant frame maps to zeros instead of cv2's
+    NaN).  f32 ``[H,W,3]``."""
+    if img.dtype != jnp.float32:
+        raise TypeError(f"tonemap expects float32 HDR input, got {img.dtype}")
+    return _tonemap_jit(float(gamma))(img)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

@@ -3970,3 +3970,17 @@ def merge_mertens(images, contrast_weight: float = 1.0,
         up = _pyr3(res[l], pyr_up)[:res[l - 1].shape[0], :res[l - 1].shape[1]]
         res[l - 1] = (res[l - 1] + up).astype(f32)
     return res[0]
+
+
+def tonemap(img: np.ndarray, gamma: float = 1.0) -> np.ndarray:
+    """``cv2.createTonemap(gamma).process`` — global min/max normalize
+    to [0,1] + ``pow(1/gamma)`` (pinned ≤6e-8; cv2 emits NaN where its
+    own normalize divides 0/0 on constant frames — we define that case
+    as zeros).  f32 ``[H,W,3]`` HDR in, f32 out."""
+    f32 = np.float32
+    img = np.asarray(img, f32)
+    mn, mx = float(img.min()), float(img.max())
+    if mx <= mn:
+        return np.zeros_like(img, f32)
+    x = ((img - f32(mn)) / f32(mx - mn)).astype(f32)
+    return np.power(x, f32(1.0 / gamma)).astype(f32)

@@ -129,3 +129,16 @@ def test_merge_mertens_rejects():
         ie.merge_mertens(jnp.zeros((3, 16, 16, 3), jnp.float32))
     with pytest.raises(ValueError):
         ie.merge_mertens(jnp.zeros((16, 16, 3), jnp.uint8))
+
+
+def test_tonemap_vs_cv2():
+    rng = np.random.default_rng(seed("tonemap"))
+    hdr = (rng.random((20, 22, 3)).astype(np.float32) * 8.0 + 0.01).astype(np.float32)
+    for g in (1.0, 2.2, 0.7):
+        want = cv2.createTonemap(g).process(hdr)
+        got_ref = ref.tonemap(hdr, g)
+        got_dev = np.asarray(ie.tonemap(jnp.asarray(hdr), g))
+        m = ~np.isnan(want)   # cv2 emits NaN at its 0/0 corner
+        assert float(np.abs(got_ref[m] - want[m]).max()) <= 5e-5
+        assert float(np.abs(got_dev[m] - want[m]).max()) <= 5e-5
+    assert np.all(np.asarray(ie.tonemap(jnp.ones((4, 4, 3), jnp.float32))) == 0)
