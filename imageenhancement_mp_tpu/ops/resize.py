@@ -129,7 +129,7 @@ def _lanczos_tables(n, on, fixed):
     return idx, c
 
 
-def _lanczos(planes, oh, ow):
+def _lanczos(planes, oh, ow, ytab=None):
     """Lanczos-4: u8 runs the EXACT integer pipeline inside int32 by
     centering the pixels at 128 — |Σc·(v−128)| ≤ 128·Σ|c| ≤ 128·3072
     per axis, so the 2^22-scale vertical sum stays ≤ 1.2e9 — and
@@ -141,9 +141,9 @@ def _lanczos(planes, oh, ow):
     H, W = planes.shape[-2], planes.shape[-1]
     if planes.dtype == jnp.uint8:
         xi, xc = _lanczos_tables(W, ow, fixed=True)
-        yi, yc = _lanczos_tables(H, oh, fixed=True)
+        yi, yc = ytab if ytab is not None else _lanczos_tables(H, oh, fixed=True)
         hsum = xc.sum(axis=1).astype(np.int32)            # per output col
-        vsum = yc.sum(axis=1).astype(np.int32)            # per output row
+        vsum = yc.sum(axis=1).astype(jnp.int32)           # per output row
         a = planes.astype(jnp.int32) - 128
         S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
                 for k in range(8))                        # S_true − 128·hsum
@@ -153,7 +153,7 @@ def _lanczos(planes, oh, ow):
         v = v + ((1 << 18) * vsum + (1 << 21))[None, :, None]
         return jnp.clip(v >> 22, 0, 255).astype(jnp.uint8)
     xi, xc = _lanczos_tables(W, ow, fixed=False)
-    yi, yc = _lanczos_tables(H, oh, fixed=False)
+    yi, yc = ytab if ytab is not None else _lanczos_tables(H, oh, fixed=False)
     a = planes.astype(jnp.float32)
     S = sum(jnp.take(a, xi[:, k], axis=-1) * xc[:, k][None, None, :]
             for k in range(8)).astype(jnp.float32)

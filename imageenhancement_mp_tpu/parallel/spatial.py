@@ -676,6 +676,18 @@ def resize_spatial(local, dsize, interpolation: str = "linear",
         yc_l = _row_slice(yc, idx, oloc)
         return _cubic(ext, oh, ow, ytab=(yi_l, yc_l))
 
+    if interpolation == "lanczos4":
+        from imageenhancement_mp_tpu.ops.resize import (_lanczos,
+                                                        _lanczos_tables)
+
+        fixed = dt == jnp.uint8
+        yi, yc = _lanczos_tables(H, oh, fixed=fixed)
+        r = _vhalo(yi.min(axis=1), yi.max(axis=1), n, h, oloc)
+        ext = halo_exchange(local, r, axis_name, "edge")
+        yi_l = _row_slice(yi.astype(np.int32), idx, oloc) - (idx * h - r)
+        yc_l = _row_slice(yc, idx, oloc)
+        return _lanczos(ext, oh, ow, ytab=(yi_l, yc_l))
+
     if interpolation == "area":
         if H % oh == 0 and W % ow == 0 and H >= oh and W >= ow:
             # integer factors: cell rows never straddle a shard boundary
@@ -804,6 +816,36 @@ def remap_spatial(local, map_x, map_y, interpolation: str = "linear",
 
     full = jax.lax.all_gather(local, axis_name, axis=1, tiled=True)
     return remap_planes(full, map_x, map_y, interpolation, border, border_value)
+
+
+def warp_polar_spatial(local, dsize, center, max_radius, log: bool = False,
+                       inverse: bool = False, interpolation: str = "linear",
+                       axis_name: str = "y"):
+    """``cv2.warpPolar`` on row-sharded planes — each shard computes its
+    own block of OUTPUT rows from its slice of the pinned coordinate
+    maps (ref/ops.py _warp_polar_maps); the input frame is
+    ``all_gather``'d like ``remap_spatial`` (polar reads are globally
+    scattered), with the inverse's one-row angular wrap pad applied on
+    the gathered frame.  Bit-identical to the single-chip op."""
+    from imageenhancement_mp_tpu.ops.warp import remap_planes
+    from imageenhancement_mp_tpu.ref.ops import _warp_polar_maps
+
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    h = local.shape[1]
+    H, W = h * n, local.shape[2]
+    dw, dh = int(dsize[0]), int(dsize[1])
+    if dh % n:
+        raise ValueError(f"output height {dh} must divide the {n}-shard axis")
+    mx, my = _warp_polar_maps((H, W), dsize, center, float(max_radius),
+                              bool(log), bool(inverse))
+    oloc = dh // n
+    mx_l = _row_slice(mx, idx, oloc)
+    my_l = _row_slice(my, idx, oloc)
+    full = jax.lax.all_gather(local, axis_name, axis=1, tiled=True)
+    if inverse:
+        full = jnp.concatenate([full[:, -1:], full, full[:, :1]], axis=1)
+    return remap_planes(full, mx_l, my_l, interpolation, "constant", 0.0)
 
 
 def canny_spatial(local, threshold1: float, threshold2: float,

@@ -31,7 +31,7 @@ def _img(rng, dt, shape):
 
 @pytest.mark.parametrize("interp,dsize", [
     ("nearest", (40, 28)), ("linear", (40, 28)), ("linear", (96, 80)),
-    ("cubic", (56, 44)), ("area", (32, 18)), ("area", (16, 12)),
+    ("cubic", (56, 44)), ("lanczos4", (56, 44)), ("area", (32, 18)), ("area", (16, 12)),
     ("area", (96, 70)),
 ])
 @pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.float32])
@@ -111,3 +111,20 @@ def test_resize_rejects_undivisible_output():
     planes = np.zeros((1, 64, 32), np.uint8)
     with pytest.raises(ValueError):
         run_spatial(lambda p: sp.resize_spatial(p, (42, 20)), planes)
+
+
+def test_warp_polar_spatial_bitexact():
+    from imageenhancement_mp_tpu.ops.warp import remap_planes
+    from imageenhancement_mp_tpu.ref.ops import _warp_polar_maps
+    rng = np.random.default_rng(seed("wpsp"))
+    planes = rng.integers(0, 256, (2, 64, 48), np.uint8)
+    for log, inv, dsz in [(False, False, (40, 64)), (True, False, (40, 64)),
+                          (False, True, (48, 64)), (True, True, (48, 64))]:
+        mx, my = _warp_polar_maps((64, 48), dsz, (23.5, 30.25), 28.0, log, inv)
+        src = jnp.asarray(planes)
+        if inv:
+            src = jnp.concatenate([src[:, -1:], src, src[:, :1]], axis=1)
+        want = np.asarray(remap_planes(src, mx, my, "linear", "constant", 0.0))
+        got = run_spatial(lambda p: sp.warp_polar_spatial(
+            p, dsz, (23.5, 30.25), 28.0, log, inv), planes)
+        assert np.array_equal(got, want), (log, inv)
