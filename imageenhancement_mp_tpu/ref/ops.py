@@ -3110,9 +3110,10 @@ def warp_polar(img: np.ndarray, dsize, center, max_radius: float,
     with ONE documented exception: the semilog INVERSE runs cv2's own
     ``log32f``, whose bits are build-dependent (IPP vs
     universal-intrinsic builds differ by 1 ulp on ~20 % of inputs —
-    measured); we use the correctly-rounded f32 log, which keeps
-    u8/u16 frames bit-exact in all fuzz (0/32 configs) and f32-linear
-    frames within 6e-6 absolute (~1 % px).  Forward maps
+    measured); we use the correctly-rounded f32 log, which keeps u8
+    frames bit-exact in all fuzz, u16 within ±1 on ~0.1 % px (finer
+    quantization exposes the log ulp) and f32-linear frames within
+    6e-6 absolute (~1 % px).  Forward maps
     cartesian→polar (dsize = (rho_bins, angle_bins)); inverse maps a
     polar image back to cartesian, reproducing cv2's one-row angular
     BORDER_WRAP pad."""

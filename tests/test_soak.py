@@ -34,7 +34,7 @@ def test_soak_oracle_vs_cv2():
     N = int(os.environ.get("IE_SOAK_N", "1500"))
     for trial in range(N):
         H, W = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-        op = trial % 18
+        op = trial % 21
         try:
             if op == 0:  # gaussian, any k/sigma, u8/u16
                 dt = np.uint8 if trial % 2 else np.uint16
@@ -208,13 +208,48 @@ def test_soak_oracle_vs_cv2():
                     (cv2.COLOR_XYZ2RGB, lambda a: ref.xyz_to_rgb(a)),
                 ][trial % 4]
                 ok = np.array_equal(fn(rgb), cv2.cvtColor(rgb, code))
-            else:  # canny
+            elif op == 17:  # canny
                 img = _img(rng, np.uint8, (H, W))
                 t1, t2 = sorted(rng.uniform(5, 300, 2))
                 ap = [3, 5, 7][trial % 3]
                 L2 = bool((trial // 3) % 2)
                 want = cv2.Canny(img, t1, t2, apertureSize=ap, L2gradient=L2)
                 ok = np.array_equal(ref.canny(img, t1, t2, ap, L2), want)
+            elif op == 18:  # HLS both directions (SIMD-body: wide rows)
+                Wb = 64
+                rgb = _img(rng, np.uint8, (H, Wb, 3))
+                if trial % 2:
+                    ok = np.array_equal(ref.rgb_to_hls(rgb),
+                                        cv2.cvtColor(rgb, cv2.COLOR_RGB2HLS))
+                else:
+                    ok = np.array_equal(ref.hls_to_rgb(rgb),
+                                        cv2.cvtColor(rgb, cv2.COLOR_HLS2RGB))
+            elif op == 19:  # lanczos4 resize (u8 bit-exact; u16/i16 +-1)
+                dt = [np.uint8, np.uint16, np.int16][trial % 3]
+                img = _img(rng, dt, (H, W))
+                oh, ow = int(rng.integers(4, 100)), int(rng.integers(4, 100))
+                want = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LANCZOS4)
+                got = ref.resize(img, (oh, ow), "lanczos4")
+                d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+                ok = d == 0 if dt is np.uint8 else d <= 1
+            else:  # warpPolar fwd/inv, linear+semilog (non-semilog-inverse exact)
+                dt = [np.uint8, np.uint16][trial % 2]
+                img = _img(rng, dt, (max(H, 12), max(W, 12)))
+                log = bool((trial // 2) % 2)
+                inv = bool((trial // 4) % 2)
+                cx = float(rng.uniform(3, img.shape[1] - 3))
+                cy = float(rng.uniform(3, img.shape[0] - 3))
+                mr = float(rng.uniform(6, 50))
+                dsz = (int(rng.integers(12, 64)), int(rng.integers(12, 64)))
+                flags = (cv2.INTER_LINEAR + cv2.WARP_FILL_OUTLIERS
+                         + (cv2.WARP_POLAR_LOG if log else 0)
+                         + (cv2.WARP_INVERSE_MAP if inv else 0))
+                want = cv2.warpPolar(img, dsz, (cx, cy), mr, flags)
+                got = ref.warp_polar(img, dsz, (cx, cy), mr, log, inv)
+                d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+                # semilog INVERSE carries the log32f build budget: u8
+                # exact, u16 +-1 rare (finer quantization)
+                ok = d == 0 if not (log and inv and dt is np.uint16) else d <= 1
         except Exception as e:  # pragma: no cover - soak diagnostics
             fails.append((trial, op, f"EXC {e}"))
             continue
