@@ -133,6 +133,30 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                             ps[2] if len(ps) > 2 else "linear")
         elif name == "pyrdown":
             out = ie.pyr_down(out)
+        elif name == "epf":
+            out = ie.edge_preserving_filter(
+                out, ps[0] if ps else "recursive",
+                float(ps[1]) if len(ps) > 1 else 60.0,
+                float(ps[2]) if len(ps) > 2 else 0.4)
+        elif name == "detail":
+            out = ie.detail_enhance(out,
+                                    float(ps[0]) if ps else 10.0,
+                                    float(ps[1]) if len(ps) > 1 else 0.15)
+        elif name == "stylize":
+            out = ie.stylization(out,
+                                 float(ps[0]) if ps else 60.0,
+                                 float(ps[1]) if len(ps) > 1 else 0.45)
+        elif name == "nlmeans":
+            out = ie.fast_nl_means_denoising(
+                out, float(ps[0]) if ps else 10.0,
+                int(ps[1]) if len(ps) > 1 else 7,
+                int(ps[2]) if len(ps) > 2 else 21)
+        elif name == "warppolar":
+            h, w = out.shape[0], out.shape[1]
+            out = ie.warp_polar(
+                out, (int(ps[0]) if ps else w, int(ps[1]) if len(ps) > 1 else h),
+                (w / 2, h / 2),
+                float(ps[2]) if len(ps) > 2 else min(h, w) / 2)
         elif name == "pyrup":
             out = ie.pyr_up(out)
         elif name == "sobel":
@@ -276,7 +300,9 @@ def main(argv: list[str] | None = None) -> int:
         "otsu[:mv[:type]] | triangle[:mv[:type]] | "
         "athresh[:method[:type[:bs[:C]]]] | "
         "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
-        "sobel[:dx[:dy[:k]]] | pyrdown | pyrup | sharpen2d)",
+        "sobel[:dx[:dy[:k]]] | pyrdown | pyrup | sharpen2d | "
+        "epf[:flags[:ss[:sr]]] | detail[:ss[:sr]] | stylize[:ss[:sr]] | "
+        "nlmeans[:h[:t[:s]]] | warppolar[:dw[:dh[:maxr]]])",
     )
     args = p.parse_args(argv)
 
