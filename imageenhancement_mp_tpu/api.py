@@ -1541,3 +1541,23 @@ def cvt_gray(img, order: str = "rgb"):
     if img.ndim not in (3, 4):
         raise ValueError(f"expected [H,W,C] or [N,H,W,C], got {img.shape}")
     return _cvt_gray_jit(str(order))(img)
+
+
+def align_mtb(frames, max_bits: int = 6, exclude_range: int = 4,
+              cut: bool = True):
+    """``cv2.createAlignMTB(...).process`` — median-threshold-bitmap
+    alignment of an exposure stack to its middle frame, BIT-EXACT vs
+    cv2 (10/10 + 240-shift fuzz; the pinned quirks: floor-sized
+    decimation pyramid, getMedian's +1, x-outer tie order).  A host
+    control op (the greedy pyramid search is inherently sequential);
+    feed the result to ``merge_mertens``.  ``frames``: list or
+    ``[T,H,W,3]`` u8 stack; returns a list of aligned frames (cropped
+    to the common region when ``cut`` — cv2's own Python binding can't
+    deliver the crop, but its C++ contract does)."""
+    from imageenhancement_mp_tpu.ref.ops import align_mtb as _align
+
+    if hasattr(frames, "ndim"):
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(f"expected [T,H,W,3], got {frames.shape}")
+        frames = [np.asarray(f) for f in np.asarray(frames)]
+    return _align(frames, int(max_bits), int(exclude_range), bool(cut))

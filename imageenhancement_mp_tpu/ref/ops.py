@@ -3985,3 +3985,108 @@ def tonemap(img: np.ndarray, gamma: float = 1.0) -> np.ndarray:
         return np.zeros_like(img, f32)
     x = ((img - f32(mn)) / f32(mx - mn)).astype(f32)
     return np.power(x, f32(1.0 / gamma)).astype(f32)
+
+
+# ---------------------------------------------------------------------------
+# cv2.AlignMTB (median-threshold-bitmap alignment for exposure stacks) —
+# pinned BIT-EXACT (24/24 + 40-config fuzz vs cv2, incl. the
+# noise-degenerate cases where both land on the same "wrong" optimum):
+#   * pyramid = plain 2x decimation at FLOORED sizes (odd tail rows/
+#     cols drop — cv2's downsample allocates rows/2 x cols/2), maxlevel =
+#     min(max_bits-1, int(ln(max(H,W))/ln 2) - 1);
+#   * median per level = getMedian's off-by-one: ONE PLUS the first bin
+#     whose cumulative count reaches total//2;
+#   * tb = img > med, eb = |img - med| > exclude_range;
+#   * greedy 3x3 search per level, err = count(tb0 ^ shift(tb1) & eb0 &
+#     shift(eb1)), STRICT improvement, candidates visited with the X
+#     OFFSET AS THE OUTER LOOP (cv2's Point(i, j) quirk) — tie order
+#     matters on noise-flat levels.
+# ---------------------------------------------------------------------------
+
+def _mtb_median(img: np.ndarray) -> int:
+    csum = np.cumsum(np.bincount(img.ravel(), minlength=256))
+    return int(np.argmax(csum >= img.size // 2)) + 1
+
+
+def shift_mat(img: np.ndarray, shift) -> np.ndarray:
+    """``cv2.AlignMTB.shiftMat`` — translate by ``(x, y)``, zero fill."""
+    sx, sy = int(shift[0]), int(shift[1])
+    out = np.zeros_like(img)
+    H, W = img.shape[:2]
+    out[max(0, sy):min(H, H + sy), max(0, sx):min(W, W + sx)] = \
+        img[max(0, -sy):min(H, H - sy), max(0, -sx):min(W, W - sx)]
+    return out
+
+
+def calculate_shift_mtb(img0: np.ndarray, img1: np.ndarray,
+                        max_bits: int = 6, exclude_range: int = 4):
+    """``cv2.AlignMTB.calculateShift`` — the (x, y) translation that
+    best aligns ``img1`` to ``img0`` (both u8 grayscale)."""
+    _check_u8(img0)
+    _check_u8(img1)
+    maxlevel = min(int(max_bits) - 1,
+                   int(np.log(max(img0.shape)) / np.log(2.0)) - 1)
+
+    def build(img):
+        pyr = [img]
+        for _ in range(maxlevel):
+            c = pyr[-1]
+            # cv2's downsample floors the size (odd last rows/cols drop)
+            pyr.append(np.ascontiguousarray(
+                c[:c.shape[0] // 2 * 2:2, :c.shape[1] // 2 * 2:2]))
+        return pyr
+
+    p0, p1 = build(img0), build(img1)
+    sx = sy = 0
+    for level in range(maxlevel, -1, -1):
+        sx *= 2
+        sy *= 2
+        im0, im1 = p0[level], p1[level]
+        m0, m1 = _mtb_median(im0), _mtb_median(im1)
+        tb0, tb1 = im0 > m0, im1 > m1
+        eb0 = np.abs(im0.astype(np.int32) - m0) > exclude_range
+        eb1 = np.abs(im1.astype(np.int32) - m1) > exclude_range
+        best = (int(im0.size), sx, sy)
+        for dx in (-1, 0, 1):            # x offset is the OUTER loop
+            for dy in (-1, 0, 1):
+                tx, ty = sx + dx, sy + dy
+                stb = shift_mat(tb1, (tx, ty))
+                seb = shift_mat(eb1, (tx, ty))
+                err = int(((tb0 ^ stb) & eb0 & seb).sum())
+                if err < best[0]:
+                    best = (err, tx, ty)
+        _, sx, sy = best
+    return (sx, sy)
+
+
+def align_mtb(frames, max_bits: int = 6, exclude_range: int = 4,
+              cut: bool = True):
+    """``cv2.createAlignMTB(max_bits, exclude_range, cut).process`` —
+    align an exposure stack to its middle frame before fusion.  Returns
+    the list of aligned frames (cropped to the common region when
+    ``cut``); the gray legs use cv2's u8 RGB2GRAY coefficients on the
+    arrays AS-IS (the same pinned assume-RGB quirk as mergeMertens)."""
+    imgs = [np.asarray(f) for f in frames]
+    if not imgs or any(f.ndim != 3 or f.shape[-1] != 3 for f in imgs):
+        raise ValueError("align_mtb expects a list of [H,W,3] u8 frames")
+    pivot = len(imgs) // 2
+    gray_base = cvt_gray(imgs[pivot], order="rgb")
+    out = [None] * len(imgs)
+    shifts = []
+    for i, f in enumerate(imgs):
+        if i == pivot:
+            shifts.append((0, 0))
+            out[i] = f.copy()
+            continue
+        s = calculate_shift_mtb(gray_base, cvt_gray(f, order="rgb"),
+                                max_bits, exclude_range)
+        shifts.append(s)
+        out[i] = shift_mat(f, s)
+    if cut:
+        xs = [s[0] for s in shifts]
+        ys = [s[1] for s in shifts]
+        mx, my = max(0, max(xs)), max(0, max(ys))
+        nx, ny = min(0, min(xs)), min(0, min(ys))
+        H, W = imgs[0].shape[:2]
+        out = [o[my:H + ny, mx:W + nx] for o in out]
+    return out

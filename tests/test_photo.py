@@ -142,3 +142,30 @@ def test_tonemap_vs_cv2():
         assert float(np.abs(got_ref[m] - want[m]).max()) <= 5e-5
         assert float(np.abs(got_dev[m] - want[m]).max()) <= 5e-5
     assert np.all(np.asarray(ie.tonemap(jnp.ones((4, 4, 3), jnp.float32))) == 0)
+
+
+def test_align_mtb_vs_cv2():
+    rng = np.random.default_rng(seed("alignmtb"))
+    for trial in range(3):
+        H, W = int(rng.integers(260, 420)), int(rng.integers(260, 420))
+        big = cv2.GaussianBlur(rng.integers(0, 256, (H, W)).astype(np.uint8),
+                               (0, 0), float(rng.uniform(1.0, 3.0)))
+        big3 = np.dstack([np.roll(big, k, 1) for k in range(3)])
+        frames = []
+        for s in (-5, 0, 4):
+            dy, dx = int(rng.integers(-6, 7)), int(rng.integers(-6, 7))
+            frames.append(np.clip(
+                big3[15 + dy:H - 15 + dy, 15 + dx:W - 15 + dx].astype(float)
+                * np.exp(s * 0.2), 0, 255).astype(np.uint8))
+        amtb = cv2.createAlignMTB()
+        dst = [f.copy() for f in frames]
+        amtb.process(frames, dst)
+        got = ie.align_mtb(frames, cut=False)
+        assert all(np.array_equal(a, b) for a, b in zip(dst, got))
+        # shift law directly
+        g0 = cv2.cvtColor(frames[1], cv2.COLOR_RGB2GRAY)
+        g1 = cv2.cvtColor(frames[2], cv2.COLOR_RGB2GRAY)
+        assert ref.calculate_shift_mtb(g0, g1) == tuple(amtb.calculateShift(g0, g1))
+    # the aligned-stack -> fusion flow end-to-end
+    fused = np.asarray(ie.merge_mertens(np.stack(ie.align_mtb(frames))))
+    assert fused.ndim == 3 and fused.shape[-1] == 3
