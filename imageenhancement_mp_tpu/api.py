@@ -1561,3 +1561,36 @@ def align_mtb(frames, max_bits: int = 6, exclude_range: int = 4,
             raise ValueError(f"expected [T,H,W,3], got {frames.shape}")
         frames = [np.asarray(f) for f in np.asarray(frames)]
     return _align(frames, int(max_bits), int(exclude_range), bool(cut))
+
+
+@lru_cache(maxsize=None)
+def _debevec_jit(times: tuple):
+    from imageenhancement_mp_tpu.ops.photo import merge_debevec_nhwc
+
+    @jax.jit
+    def run(stack):
+        return merge_debevec_nhwc(stack, times)
+
+    return run
+
+
+def merge_debevec(frames, times):
+    """``cv2.createMergeDebevec().process`` — HDR radiance recovery
+    (Debevec): joint triangle-weighted log-average of the exposures
+    (the pinned law incl. the 1e-6 weight floor and g(0):=0 —
+    ref/ops.py).  ``frames``: ``[T,H,W,3]`` u8 stack or list;
+    ``times``: exposure seconds per frame.  Returns f32 radiance; run
+    ``tonemap`` (or merge with ``merge_mertens`` instead) to display.
+    ~2e-6 relative of cv2."""
+    if hasattr(frames, "ndim"):
+        stack = frames
+    else:
+        stack = jnp.stack([jnp.asarray(f) for f in frames])
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise ValueError(f"expected [T,H,W,3] frames, got {stack.shape}")
+    if stack.dtype != jnp.uint8:
+        raise TypeError(f"merge_debevec expects uint8 frames, got {stack.dtype}")
+    t = tuple(float(v) for v in np.asarray(times).ravel())
+    if len(t) != stack.shape[0]:
+        raise ValueError("times must match the number of frames")
+    return _debevec_jit(t)(stack)

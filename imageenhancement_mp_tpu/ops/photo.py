@@ -227,3 +227,18 @@ def merge_mertens_nhwc(stack: jnp.ndarray, wcon: float, wsat: float,
         u = up(out[None], res[l].shape[0:2])[0]
         out = (res[l] + u).astype(_F32)
     return out
+
+
+def merge_debevec_nhwc(stack: jnp.ndarray, times) -> jnp.ndarray:
+    """Debevec HDR merge on a ``[T,H,W,3]`` u8 stack → f32 radiance
+    (law pinned in ref/ops.py merge_debevec)."""
+    z = np.arange(256, dtype=np.float64)
+    wt = jnp.asarray((np.minimum(z, 255.0 - z) + 1e-6).astype(np.float32))
+    g = jnp.asarray(np.log(np.maximum(z, 1.0)).astype(np.float32))
+    lt = np.log(np.asarray(times, np.float32)).astype(np.float32)
+    idx = stack.astype(jnp.int32)
+    wj = jnp.take(wt, idx).mean(-1, keepdims=True).astype(_F32)
+    gz = jnp.take(g, idx)
+    num = (wj * (gz - lt[:, None, None, None])).astype(_F32).sum(0)
+    den = wj.sum(0)
+    return jnp.exp((num / den).astype(_F32)).astype(_F32)

@@ -4090,3 +4090,37 @@ def align_mtb(frames, max_bits: int = 6, exclude_range: int = 4,
         H, W = imgs[0].shape[:2]
         out = [o[my:H + ny, mx:W + nx] for o in out]
     return out
+
+
+def merge_debevec(frames, times) -> np.ndarray:
+    """``cv2.createMergeDebevec().process(frames, times)`` — HDR
+    radiance recovery, pinned composition (float budget ~1e-5 rel):
+
+    * response g = ln(z) with ``g(0) := g(1) = 0`` (cv2 patches
+      response[0] before the log);
+    * weight = triangle ``min(z, 255−z) + 1e-6`` (the +1e-6 floor is
+      measured: all-saturated pixels fall back to the plain mean of
+      ``−ln t``, and a z=0 frame pulls a pair by exactly δ=1e-6);
+    * the per-pixel weight is JOINT — the mean of the per-channel
+      triangle weights — applied to every channel (like mergeMertens);
+    * ln E_c = Σ_i w_i·(g(z_ic) − ln t_i) / Σ_i w_i, E = exp.
+
+    Returns f32 [H,W,3] radiance."""
+    f32 = np.float32
+    imgs = [np.asarray(f) for f in frames]
+    if not imgs or any(f.ndim != 3 or f.shape[-1] != 3 for f in imgs):
+        raise ValueError("merge_debevec expects a list of [H,W,3] u8 frames")
+    t = np.asarray(times, f32).ravel()
+    if len(t) != len(imgs):
+        raise ValueError("times must match the number of frames")
+    z = np.arange(256, dtype=np.float64)
+    wt = (np.minimum(z, 255.0 - z) + 1e-6).astype(f32)
+    g = np.log(np.maximum(z, 1.0)).astype(f32)
+    lt = np.log(t).astype(f32)
+    num = np.zeros(imgs[0].shape, f32)
+    den = np.zeros(imgs[0].shape[:2] + (1,), f32)
+    for f, lti in zip(imgs, lt):
+        wj = wt[f].mean(-1, keepdims=True).astype(f32)
+        num += (wj * (g[f] - lti)).astype(f32)
+        den += wj
+    return np.exp((num / den).astype(f32)).astype(f32)

@@ -169,3 +169,22 @@ def test_align_mtb_vs_cv2():
     # the aligned-stack -> fusion flow end-to-end
     fused = np.asarray(ie.merge_mertens(np.stack(ie.align_mtb(frames))))
     assert fused.ndim == 3 and fused.shape[-1] == 3
+
+
+def test_merge_debevec_vs_cv2():
+    rng = np.random.default_rng(seed("debevec"))
+    for t in range(3):
+        H, W = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+        base = np.clip(rng.normal(120, 70, (H, W, 3)), 0, 255)
+        n = int(rng.integers(2, 5))
+        times = np.sort(rng.uniform(0.01, 2.0, n)).astype(np.float32)
+        frames = [np.clip(base * (tt * 3) + rng.normal(0, 4, base.shape),
+                          0, 255).astype(np.uint8) for tt in times]
+        want = cv2.createMergeDebevec().process(frames, times)
+        got_ref = ref.merge_debevec(frames, times)
+        got_dev = np.asarray(ie.merge_debevec(frames, times))
+        for got in (got_ref, got_dev):
+            rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-4)
+            assert float(rel.max()) <= 1e-4
+    with pytest.raises(ValueError):
+        ie.merge_debevec(jnp.zeros((2, 8, 8, 3), jnp.uint8), [0.1])
