@@ -980,20 +980,21 @@ def calc_back_project(img, hist, scale: float = 1.0, channels_last: bool = True)
 
 
 @lru_cache(maxsize=None)
-def _nlm_jit(h: float, t: int, s: int, channels_last: bool):
+def _nlm_jit(h: float, t: int, s: int, channels_last: bool, norm: str = "l2"):
     from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_vec
     from imageenhancement_mp_tpu.utils.shapes import as_vec
 
     @jax.jit
     def run(img):
         vec, restore = as_vec(img, channels_last=channels_last)
-        return restore(fast_nl_means_vec(vec, h, t, s))
+        return restore(fast_nl_means_vec(vec, h, t, s, norm))
 
     return run
 
 
 def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
-                            search_window: int = 21, channels_last: bool = True):
+                            search_window: int = 21, channels_last: bool = True,
+                            norm_type: str = "l2"):
     """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0-LSB deterministic
     fuzz over h, t, s and cn∈{1,2,3,4}; docs/PARITY.md pins the weight
     LUT: ``round(FPM·exp(−SSD·scale/(h²·cn)))``).  uint8.
@@ -1006,7 +1007,9 @@ def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
     t, s = int(template_window), int(search_window)
     if t % 2 == 0 or s % 2 == 0:
         raise ValueError("window sizes must be odd")
-    return _nlm_jit(float(h), t, s, bool(channels_last))(img)
+    if norm_type not in ("l1", "l2"):
+        raise ValueError(f"norm_type must be 'l1' or 'l2', got {norm_type!r}")
+    return _nlm_jit(float(h), t, s, bool(channels_last), str(norm_type))(img)
 
 
 @lru_cache(maxsize=None)

@@ -35,7 +35,8 @@ __all__ = ["fast_nl_means_planes", "fast_nl_means_vec",
 
 def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
                             template_window: int = 7,
-                            search_window: int = 21) -> jnp.ndarray:
+                            search_window: int = 21,
+                            norm_type: str = "l2") -> jnp.ndarray:
     """``cv2.fastNlMeansDenoisingMulti`` core on ``(T, N, H, W, C)``
     uint8 vector pixels: denoise the CENTER frame (index T//2) of each
     batch element using candidates from every frame of the temporal
@@ -53,7 +54,9 @@ def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
         raise ValueError(f"fastNlMeansDenoising supports 1-4 channels, got {C}")
     th, sh = t // 2, s // 2
     border = sh + th
-    w, bs, _ = _nlm_weight_lut(float(h), t, s, C, temporal=T)
+    if norm_type not in ("l1", "l2"):
+        raise ValueError(f"norm_type must be 'l1' or 'l2', got {norm_type!r}")
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, C, temporal=T, norm=norm_type)
     cut = len(w) - 1
     lut = jnp.asarray(w.astype(np.int32))
     p = jnp.pad(stack.astype(jnp.int32),
@@ -70,7 +73,10 @@ def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
         b = jax.lax.dynamic_slice(
             p, (f, 0, border - th + dy - sh, border - th + dx - sh, 0),
             (1, N, H + 2 * th, W + 2 * th, C))[0]
-        d2 = ((a - b) * (a - b)).sum(axis=-1)
+        if norm_type == "l1":
+            d2 = jnp.abs(a - b).sum(axis=-1)
+        else:
+            d2 = ((a - b) * (a - b)).sum(axis=-1)
         # int32 cumsums WRAP on large frames, but the windowed
         # difference below recovers the true t×t sum (< 2^31) exactly
         # by modular arithmetic — the classic integral-image trick
@@ -98,13 +104,14 @@ def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
 
 def fast_nl_means_vec(img: jnp.ndarray, h: float = 10.0,
                       template_window: int = 7,
-                      search_window: int = 21) -> jnp.ndarray:
+                      search_window: int = 21,
+                      norm_type: str = "l2") -> jnp.ndarray:
     """``cv2.fastNlMeansDenoising`` on ``(N, H, W, C)`` uint8 vector
     pixels (C ∈ {1,2,3,4}): ONE joint SSD over the channels drives a
     shared weight applied to every channel — cv2's multichannel
     semantics, NOT per-plane denoising."""
     return fast_nl_means_multi_vec(img[None], h, template_window,
-                                   search_window)
+                                   search_window, norm_type)
 
 
 def fast_nl_means_planes(planes: jnp.ndarray, h: float = 10.0,

@@ -3125,7 +3125,8 @@ def warp_polar(img: np.ndarray, dsize, center, max_radius: float,
     return remap(src, maps[0], maps[1], interpolation, "constant", 0.0)
 
 
-def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1):
+def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1,
+                    norm: str = "l2"):
     """cv2 fastNlMeans weight LUT (cn = pixel channels, SSD summed over
     channels; temporal = frames searched, 1 for the single-image API):
     index = SSD >> bin_shift where 2^bin_shift is the nearest pow-2 >=
@@ -3143,9 +3144,17 @@ def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1):
         bs += 1
     mult = (1 << bs) / tsq
     fpm = np.iinfo(np.int32).max // (temporal * (s * s) * 255)
-    amd = int(255 * 255 * cn * tsq / mult + 1)
-    i = np.arange(amd + 1)
-    w = np.round(fpm * np.exp(-(i * mult) / (h * h * cn))).astype(np.int64)
+    if norm == "l1":
+        # NORM_L1: the template distance is a SAD, squared in the exp
+        # (pinned: the h^2*cn^2 and linear-exp variants fail at h>=10)
+        amd = int(255 * cn * tsq / mult + 1)
+        i = np.arange(amd + 1)
+        dist = i * mult
+        w = np.round(fpm * np.exp(-(dist * dist) / (h * h * cn))).astype(np.int64)
+    else:
+        amd = int(255 * 255 * cn * tsq / mult + 1)
+        i = np.arange(amd + 1)
+        w = np.round(fpm * np.exp(-(i * mult) / (h * h * cn))).astype(np.int64)
     w[w < 0.001 * fpm] = 0
     # the LUT is zero beyond the cutoff — keep only the live prefix
     nz = np.nonzero(w)[0]
@@ -3155,7 +3164,8 @@ def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1):
 
 def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
                             template_window: int = 7,
-                            search_window: int = 21) -> np.ndarray:
+                            search_window: int = 21,
+                            norm_type: str = "l2") -> np.ndarray:
     """``cv2.fastNlMeansDenoising`` — BIT-EXACT (0/24 fuzz gray over
     h∈[3,25], t∈{3,5,7}, s∈{9,15,21} on realistic noisy images; 0-LSB
     multichannel fuzz for cn∈{2,3,4} in tests/test_nlmeans.py).
@@ -3186,7 +3196,9 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
     border = sh + th
     p = np.pad(img.astype(np.int64), ((border, border), (border, border), (0, 0)),
                mode="reflect")
-    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn)
+    if norm_type not in ("l1", "l2"):
+        raise ValueError(f"norm_type must be 'l1' or 'l2', got {norm_type!r}")
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn, norm=norm_type)
     cut = len(w) - 1
     est = np.zeros((H, W, cn), np.int64)
     wsum = np.zeros((H, W), np.int64)
@@ -3195,7 +3207,10 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
             a = p[border - th:border + H + th, border - th:border + W + th]
             b = p[border - th + dy:border + H + th + dy,
                   border - th + dx:border + W + th + dx]
-            d2 = ((a - b) ** 2).sum(axis=2)
+            if norm_type == "l1":
+                d2 = np.abs(a - b).sum(axis=2)
+            else:
+                d2 = ((a - b) ** 2).sum(axis=2)
             c = np.pad(d2.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
             ssd = c[t:, t:] - c[:-t, t:] - c[t:, :-t] + c[:-t, :-t]
             ww = w[np.minimum(ssd >> bs, cut)]

@@ -178,3 +178,30 @@ def test_device_colored_vs_cv2():
     got2 = np.asarray(ie.fast_nl_means_denoising_colored(
         jnp.asarray(two), 5.0, 14.0, 3, 9, order="bgr"))
     assert np.array_equal(got2, ref_each)
+
+
+@pytest.mark.parametrize("cn", [1, 3])
+def test_l1_norm_vs_cv2(cn):
+    """NORM_L1: SAD distance, weight exp(-SAD^2/(h^2*cn)) — pinned."""
+    rng = np.random.default_rng(seed("nlml1", cn))
+    for trial in range(5):
+        t, s = [(3, 9), (5, 15), (7, 21), (7, 9), (5, 9)][trial]
+        h = float(rng.uniform(3, 50))
+        img = _noisy_c(rng, 30, 34, cn, 18) if cn > 1 else _noisy(rng, 30, 34, 18)
+        want = cv2.fastNlMeansDenoising(img, np.array([h], np.float32), None,
+                                        t, s, cv2.NORM_L1)
+        if want.ndim == 2:
+            want = want[..., None]
+        got = ref.fast_nl_means_denoising(img, h, t, s, norm_type="l1")
+        if got.ndim == 2:
+            got = got[..., None]
+        assert np.array_equal(got, want), (cn, h, t, s)
+    # device path
+    got_dev = np.asarray(ie.fast_nl_means_denoising(
+        jnp.asarray(img), h, t, s, norm_type="l1"))
+    if got_dev.ndim == 2:
+        got_dev = got_dev[..., None]
+    assert np.array_equal(got_dev, want)
+    with pytest.raises(ValueError):
+        ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint8), 10.0,
+                                   norm_type="l3")
