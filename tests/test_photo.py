@@ -188,3 +188,18 @@ def test_merge_debevec_vs_cv2():
             assert float(rel.max()) <= 1e-4
     with pytest.raises(ValueError):
         ie.merge_debevec(jnp.zeros((2, 8, 8, 3), jnp.uint8), [0.1])
+
+
+def test_calibrate_debevec_vs_cv2():
+    rng = np.random.default_rng(seed("caldeb"))
+    H, W = 96, 120
+    base = np.clip(rng.normal(120, 70, (H, W, 3)), 0, 255)
+    times = np.array([0.05, 0.2, 0.8, 1.4], np.float32)
+    frames = [np.clip(base * (t * 4) + rng.normal(0, 3, base.shape),
+                      0, 255).astype(np.uint8) for t in times]
+    want = cv2.createCalibrateDebevec().process(frames, times)
+    got = ref.calibrate_debevec(frames, times)
+    # sampled bins track cv2 within a few percent; unsampled extreme
+    # bins are null-space (docs) — compare the central response range
+    rel = np.abs(got[30:226] - want[30:226]) / np.maximum(np.abs(want[30:226]), 1e-6)
+    assert float(rel.max()) <= 0.05, float(rel.max())
