@@ -3126,7 +3126,7 @@ def warp_polar(img: np.ndarray, dsize, center, max_radius: float,
 
 
 def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1,
-                    norm: str = "l2"):
+                    norm: str = "l2", maxval: int = 255):
     """cv2 fastNlMeans weight LUT (cn = pixel channels, SSD summed over
     channels; temporal = frames searched, 1 for the single-image API):
     index = SSD >> bin_shift where 2^bin_shift is the nearest pow-2 >=
@@ -3143,16 +3143,21 @@ def _nlm_weight_lut(h: float, t: int, s: int, cn: int = 1, temporal: int = 1,
     while (1 << bs) < tsq:
         bs += 1
     mult = (1 << bs) / tsq
-    fpm = np.iinfo(np.int32).max // (temporal * (s * s) * 255)
+    if maxval > 255:
+        # 16-bit path: cv2 dispatches int64 accumulators, so the
+        # multiplier caps at INT_MAX itself (pinned 0/10 u16-L1 fuzz)
+        fpm = np.iinfo(np.int32).max
+    else:
+        fpm = np.iinfo(np.int32).max // (temporal * (s * s) * 255)
     if norm == "l1":
         # NORM_L1: the template distance is a SAD, squared in the exp
         # (pinned: the h^2*cn^2 and linear-exp variants fail at h>=10)
-        amd = int(255 * cn * tsq / mult + 1)
+        amd = int(maxval * cn * tsq / mult + 1)
         i = np.arange(amd + 1)
         dist = i * mult
         w = np.round(fpm * np.exp(-(dist * dist) / (h * h * cn))).astype(np.int64)
     else:
-        amd = int(255 * 255 * cn * tsq / mult + 1)
+        amd = int(maxval * maxval * cn * tsq / mult + 1)
         i = np.arange(amd + 1)
         w = np.round(fpm * np.exp(-(i * mult) / (h * h * cn))).astype(np.int64)
     w[w < 0.001 * fpm] = 0
@@ -3180,8 +3185,10 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
     (no cn factor; see _nlm_weight_lut) and weights below 0.001·FPM
     zeroed; result per channel
     ``(Σw·v + Σw/2) // Σw``."""
-    if img.dtype != np.uint8:
-        raise TypeError("fastNlMeansDenoising requires uint8 input")
+    if img.dtype == np.uint16 and norm_type != "l1":
+        raise TypeError("16-bit fastNlMeansDenoising requires norm_type='l1' (like cv2)")
+    if img.dtype not in (np.uint8, np.uint16):
+        raise TypeError("fastNlMeansDenoising requires uint8 (or uint16 with L1) input")
     t, s = int(template_window), int(search_window)
     if t % 2 == 0 or s % 2 == 0:
         raise ValueError("window sizes must be odd")
@@ -3198,7 +3205,9 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
                mode="reflect")
     if norm_type not in ("l1", "l2"):
         raise ValueError(f"norm_type must be 'l1' or 'l2', got {norm_type!r}")
-    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn, norm=norm_type)
+    maxval = 65535 if img.dtype == np.uint16 else 255
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, cn, norm=norm_type,
+                               maxval=maxval)
     cut = len(w) - 1
     est = np.zeros((H, W, cn), np.int64)
     wsum = np.zeros((H, W), np.int64)
@@ -3218,7 +3227,7 @@ def fast_nl_means_denoising(img: np.ndarray, h: float = 10.0,
             est += ww[..., None] * v
             wsum += ww
     out = (est + (wsum // 2)[..., None]) // np.maximum(wsum, 1)[..., None]
-    out = np.clip(out, 0, 255).astype(np.uint8)
+    out = np.clip(out, 0, maxval).astype(img.dtype)
     return out[..., 0] if squeeze else out
 
 

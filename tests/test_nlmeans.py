@@ -205,3 +205,30 @@ def test_l1_norm_vs_cv2(cn):
     with pytest.raises(ValueError):
         ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint8), 10.0,
                                    norm_type="l3")
+
+
+def test_u16_l1_vs_cv2():
+    """16-bit NLMeans (cv2 supports u16 only with NORM_L1): FPM caps at
+    INT_MAX (int64 accumulators) — bit-exact up to rare quotient ties
+    (±1; LUT entries at INT_MAX scale can differ by one unit)."""
+    rng = np.random.default_rng(seed("nlmu16"))
+    worst = 0
+    for trial in range(6):
+        cn = [1, 2, 3][trial % 3]
+        img = np.clip(rng.normal(rng.uniform(8000, 55000),
+                                 rng.uniform(2000, 15000),
+                                 (26, 28, cn)).squeeze(), 0, 65535).astype(np.uint16)
+        h = float(rng.uniform(300, 8000))
+        t, s = [(3, 9), (5, 15), (7, 21)][trial % 3]
+        want = cv2.fastNlMeansDenoising(img, np.array([h], np.float32), None,
+                                        t, s, cv2.NORM_L1)
+        got = ref.fast_nl_means_denoising(img, h, t, s, norm_type="l1")
+        if want.ndim == 2:
+            want = want[..., None]
+        if got.ndim == 2:
+            got = got[..., None]
+        worst = max(worst, int(np.abs(got.astype(np.int64)
+                                      - want.astype(np.int64)).max()))
+    assert worst <= 1, worst
+    with pytest.raises(TypeError):   # u16 requires L1, like cv2
+        ref.fast_nl_means_denoising(img, h, t, s, norm_type="l2")
