@@ -1597,3 +1597,62 @@ def merge_debevec(frames, times):
     if len(t) != stack.shape[0]:
         raise ValueError("times must match the number of frames")
     return _debevec_jit(t)(stack)
+
+
+@lru_cache(maxsize=None)
+def _phasecorr_jit(H: int, W: int, M: int, N: int, windowed: bool):
+    @jax.jit
+    def run(a, b, *win):
+        a = a.astype(jnp.float64) if False else a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        if windowed:
+            a = a * win[0]
+            b = b * win[0]
+        pa = jnp.zeros((M, N), jnp.float32).at[:H, :W].set(a)
+        pb = jnp.zeros((M, N), jnp.float32).at[:H, :W].set(b)
+        P = jnp.fft.fft2(pa) * jnp.conj(jnp.fft.fft2(pb))
+        mag = jnp.abs(P)
+        C = jnp.fft.fftshift(jnp.real(jnp.fft.ifft2(
+            jnp.where(mag == 0, 0, P / jnp.where(mag == 0, 1, mag)))))
+        flat = jnp.argmax(C)
+        py, px = flat // N, flat % N
+        # clamped 5x5 weighted centroid via a gather
+        ys = jnp.clip(py + jnp.arange(-2, 3), 0, M - 1)
+        xs = jnp.clip(px + jnp.arange(-2, 3), 0, N - 1)
+        box = C[ys][:, xs]
+        # clamping duplicates edge rows; zero the duplicates like cv2's
+        # clamped BOX (cv2 iterates unique clamped indices)
+        uy = jnp.concatenate([jnp.array([True]), ys[1:] != ys[:-1]])
+        ux = jnp.concatenate([jnp.array([True]), xs[1:] != xs[:-1]])
+        mask2 = uy[:, None] & ux[None, :]
+        box = jnp.where(mask2, box, 0.0)
+        s = box.sum()
+        se = s + jnp.float32(1.2e-38)
+        cy = (box * ys[:, None]).sum() / se
+        cx = (box * xs[None, :]).sum() / se
+        return jnp.stack([N / 2.0 - cx, M / 2.0 - cy]), s
+
+    return run
+
+
+def phase_correlate(src1, src2, window=None):
+    """``cv2.phaseCorrelate`` — FFT sub-pixel translation between two
+    equal-size single-channel frames (law pinned in ref/ops.py
+    phase_correlate; pair with ``ref.create_hanning_window``).  Returns
+    ``((dx, dy), response)``.  The device runs the whole pipeline as
+    one jitted complex-FFT program (f32 spectra: shifts track the f64
+    oracle to ~1e-2 px; use the oracle for survey-grade accuracy)."""
+    from imageenhancement_mp_tpu.ref.ops import _optimal_dft_size
+
+    H, W = src1.shape
+    if src2.shape != (H, W):
+        raise ValueError("phase_correlate expects equal-shape 2-D inputs")
+    M, N = _optimal_dft_size(H), _optimal_dft_size(W)
+    fn = _phasecorr_jit(H, W, M, N, window is not None)
+    if window is None:
+        sh, resp = fn(jnp.asarray(src1), jnp.asarray(src2))
+    else:
+        sh, resp = fn(jnp.asarray(src1), jnp.asarray(src2),
+                      jnp.asarray(window, jnp.float32))
+    sh = np.asarray(sh)
+    return (float(sh[0]), float(sh[1])), float(resp)

@@ -4201,3 +4201,72 @@ def calibrate_debevec(frames, times, samples: int = 70,
         sol, *_ = np.linalg.lstsq(A, b, rcond=None)
         out[:, 0, c] = np.exp(sol[:256]).astype(f32)
     return out
+
+
+def _optimal_dft_size(n: int) -> int:
+    """cv2.getOptimalDFTSize: smallest 2^a·3^b·5^c ≥ n."""
+    best = None
+    p2 = 1
+    while p2 < 8 * n:
+        p3 = p2
+        while p3 < 8 * n:
+            p5 = p3
+            while p5 < 8 * n:
+                if p5 >= n and (best is None or p5 < best):
+                    best = p5
+                p5 *= 5
+            p3 *= 3
+        p2 *= 2
+    return int(best)
+
+
+def phase_correlate(src1: np.ndarray, src2: np.ndarray, window=None):
+    """``cv2.phaseCorrelate`` — FFT sub-pixel translation estimation.
+
+    Pinned composition: optional window multiply, zero-pad to the
+    optimal DFT size, normalized cross-power spectrum, real inverse
+    DFT, fftshift, argmax peak (row-major first like minMaxLoc), and
+    the CLAMPED 5x5 weighted centroid; returns ``((dx, dy), response)``
+    with response = the centroid box sum of the normalized correlation.
+    Budget: shifts within ~1e-3 px of cv2 when the peak is
+    well-defined (cv2's packed-CCS spectrum arithmetic differs from a
+    complex FFT in near-zero bins, which the centroid amplifies only on
+    degenerate correlations where both results are noise anyway)."""
+    a = np.asarray(src1, np.float64)
+    b = np.asarray(src2, np.float64)
+    if a.shape != b.shape or a.ndim != 2:
+        raise ValueError("phase_correlate expects two equal-shape 2-D arrays")
+    if window is not None:
+        w = np.asarray(window, np.float64)
+        a = a * w
+        b = b * w
+    M = _optimal_dft_size(a.shape[0])
+    N = _optimal_dft_size(a.shape[1])
+    pa = np.zeros((M, N))
+    pa[:a.shape[0], :a.shape[1]] = a
+    pb = np.zeros((M, N))
+    pb[:b.shape[0], :b.shape[1]] = b
+    P = np.fft.fft2(pa) * np.conj(np.fft.fft2(pb))
+    mag = np.abs(P)
+    C = np.fft.fftshift(np.real(np.fft.ifft2(
+        np.where(mag == 0, 0, P / np.where(mag == 0, 1, mag)))))
+    py, px = np.unravel_index(np.argmax(C), C.shape)
+    minr, maxr = max(0, py - 2), min(M - 1, py + 2)
+    minc, maxc = max(0, px - 2), min(N - 1, px + 2)
+    box = C[minr:maxr + 1, minc:maxc + 1]
+    ys = np.arange(minr, maxr + 1)[:, None]
+    xs = np.arange(minc, maxc + 1)[None, :]
+    s = float(box.sum())
+    se = s + np.finfo(np.float64).eps
+    return ((N / 2.0 - float((box * xs).sum()) / se,
+             M / 2.0 - float((box * ys).sum()) / se), s)
+
+
+def create_hanning_window(size_hw) -> np.ndarray:
+    """``cv2.createHanningWindow`` (CV_64F) — NOTE cv2's window is the
+    SQUARE ROOT of the separable Hann product (pinned: the plain
+    product is 0.25 off at the profile scale), i.e. the energy taper."""
+    h, w = int(size_hw[0]), int(size_hw[1])
+    wy = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(h) / (h - 1)))
+    wx = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(w) / (w - 1)))
+    return np.sqrt(np.outer(wy, wx))
