@@ -4270,3 +4270,87 @@ def create_hanning_window(size_hw) -> np.ndarray:
     wy = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(h) / (h - 1)))
     wx = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(w) / (w - 1)))
     return np.sqrt(np.outer(wy, wx))
+
+
+def moments(img: np.ndarray, binary_image: bool = False) -> dict:
+    """``cv2.moments`` on a grayscale image — EXACT (f64 polynomial
+    sums; raw m, central mu, normalized nu keys like cv2)."""
+    I = np.asarray(img, np.float64)
+    if I.ndim != 2:
+        raise ValueError("moments expects a single-channel image")
+    if binary_image:
+        I = (I != 0).astype(np.float64)
+    H, W = I.shape
+    x = np.arange(W, dtype=np.float64)
+    y = np.arange(H, dtype=np.float64)
+    m = {}
+    for p in range(4):
+        for q in range(4):
+            if p + q <= 3:
+                m[f"m{p}{q}"] = float(((x ** p)[None, :] * (y ** q)[:, None]
+                                       * I).sum())
+    m00 = m["m00"] if m["m00"] != 0 else np.finfo(np.float64).tiny
+    xb, yb = m["m10"] / m00, m["m01"] / m00
+    m["mu20"] = m["m20"] - xb * m["m10"]
+    m["mu11"] = m["m11"] - xb * m["m01"]
+    m["mu02"] = m["m02"] - yb * m["m01"]
+    m["mu30"] = m["m30"] - 3 * xb * m["m20"] + 2 * xb * xb * m["m10"]
+    m["mu21"] = (m["m21"] - 2 * xb * m["m11"] - yb * m["m20"]
+                 + 2 * xb * xb * m["m01"])
+    m["mu12"] = (m["m12"] - 2 * yb * m["m11"] - xb * m["m02"]
+                 + 2 * yb * yb * m["m10"])
+    m["mu03"] = m["m03"] - 3 * yb * m["m02"] + 2 * yb * yb * m["m01"]
+    s2 = m00 * m00
+    s3 = m00 ** 2.5
+    for k in ("mu20", "mu11", "mu02"):
+        m["nu" + k[2:]] = m[k] / s2
+    for k in ("mu30", "mu21", "mu12", "mu03"):
+        m["nu" + k[2:]] = m[k] / s3
+    return m
+
+
+def hu_moments(m) -> np.ndarray:
+    """``cv2.HuMoments`` — the seven invariants from normalized central
+    moments (exact closed forms)."""
+    if isinstance(m, np.ndarray):
+        raise TypeError("pass the moments dict from moments()")
+    n20, n11, n02 = m["nu20"], m["nu11"], m["nu02"]
+    n30, n21, n12, n03 = m["nu30"], m["nu21"], m["nu12"], m["nu03"]
+    t0 = n30 + n12
+    t1 = n21 + n03
+    q0 = t0 * t0
+    q1 = t1 * t1
+    h = np.empty(7)
+    h[0] = n20 + n02
+    h[1] = (n20 - n02) ** 2 + 4 * n11 * n11
+    h[2] = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    h[3] = q0 + q1
+    h[4] = ((n30 - 3 * n12) * t0 * (q0 - 3 * q1)
+            + (3 * n21 - n03) * t1 * (3 * q0 - q1))
+    h[5] = (n20 - n02) * (q0 - q1) + 4 * n11 * t0 * t1
+    h[6] = ((3 * n21 - n03) * t0 * (q0 - 3 * q1)
+            - (n30 - 3 * n12) * t1 * (3 * q0 - q1))
+    return h.reshape(7, 1)
+
+
+def match_shapes(a: np.ndarray, b: np.ndarray, method: str = "i1") -> float:
+    """``cv2.matchShapes`` on grayscale images — the log-Hu distances
+    (methods I1/I2/I3; cv2's eps gate ``|h| > 1e-5 … > eps`` model)."""
+    ha = hu_moments(moments(a)).ravel()
+    hb = hu_moments(moments(b)).ravel()
+    eps = 1.0e-5
+    total = 0.0
+    for va, vb in zip(ha, hb):
+        ama, amb = abs(va), abs(vb)
+        if ama > eps and amb > eps:
+            sa = -np.copysign(1.0, va) * np.log10(ama)
+            sb = -np.copysign(1.0, vb) * np.log10(amb)
+            if method == "i1":
+                total += abs(1.0 / sa - 1.0 / sb)
+            elif method == "i2":
+                total += abs(sa - sb)
+            elif method == "i3":
+                total = max(total, abs(sa - sb) / abs(sa))
+            else:
+                raise ValueError(f"method must be i1/i2/i3, got {method!r}")
+    return float(total)

@@ -1,0 +1,37 @@
+"""cv2.moments / HuMoments / matchShapes parity (exact closed forms,
+f64 — ≤1e-11 relative of cv2)."""
+
+import numpy as np
+
+from detseed import seed
+import pytest
+
+from imageenhancement_mp_tpu import ref
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+
+def test_moments_family_vs_cv2():
+    rng = np.random.default_rng(seed("moments"))
+    for t in range(6):
+        img = rng.integers(0, 256, (int(rng.integers(10, 90)),
+                                    int(rng.integers(10, 90)))).astype(np.uint8)
+        want = cv2.moments(img)
+        got = ref.moments(img)
+        for k, v in want.items():
+            assert abs(got[k] - v) <= max(abs(v), 1e-12) * 1e-9, k
+        hw = cv2.HuMoments(want).ravel()
+        hg = ref.hu_moments(got).ravel()
+        assert np.abs((hg - hw) / np.maximum(np.abs(hw), 1e-300)).max() <= 1e-9
+        img2 = rng.integers(0, 256, img.shape).astype(np.uint8)
+        for mi, ms in [(cv2.CONTOURS_MATCH_I1, "i1"),
+                       (cv2.CONTOURS_MATCH_I2, "i2"),
+                       (cv2.CONTOURS_MATCH_I3, "i3")]:
+            w = cv2.matchShapes(img, img2, mi, 0)
+            g = ref.match_shapes(img, img2, ms)
+            assert abs(w - g) <= max(abs(w), 1e-12) * 1e-9
+        # binary-image mode
+        want = cv2.moments(img, True)
+        got = ref.moments(img, binary_image=True)
+        assert abs(got["m00"] - want["m00"]) < 1e-9
