@@ -700,8 +700,12 @@ def remap(img, map_x, map_y, interpolation: str = "linear",
     compile per (interpolation, border) combination, any maps).
 
     Same budgets as ``warp_affine``: u8/f32 exact (razor ±1), u16/i16
-    ±1, NEAREST exact.  The maps are shared across every plane of a
-    batch (cv2 semantics for multi-channel images)."""
+    ±1, NEAREST exact.  CUBIC (INTER_CUBIC, all dtypes): u8 exact
+    (razor-tie ±1 class), u16/i16 ±1, f32 ~1 ulp vs cv2; on the CPU
+    backend the device may differ from the oracle by ±1 LSB (XLA FMA
+    contraction — TPU is strict per-op f32).  The maps are shared
+    across every plane of a batch (cv2 semantics for multi-channel
+    images)."""
     _check_image_dtype(img, allow_i16=True)
     return _remap_jit(str(interpolation), str(border), float(border_value),
                       bool(channels_last))(

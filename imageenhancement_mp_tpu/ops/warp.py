@@ -81,6 +81,37 @@ def _bilinear_tab_seq_device(sample, fx, fy):
     return acc + sample(1, 1) * w3
 
 
+def _cubic_w_dev(t):
+    """cv2's 4-tap bicubic weights (A=-0.75) at f32 fractions, in cv2's
+    evaluation order with w3 closing the partition of unity — the device
+    twin of ref/ops.py ``_cubic_w_f32``.  Every constant is f32-exact;
+    on XLA:TPU strict per-op f32 reproduces the oracle bitwise (XLA:CPU
+    may FMA-contract the chains — documented ±1 tier there)."""
+    f = jnp.float32
+    A = f(-0.75)
+    t1 = t + f(1)
+    w0 = ((A * t1 - f(5) * A) * t1 + f(8) * A) * t1 - f(4) * A
+    w1 = (((A + f(2)) * t - (A + f(3))) * t) * t + f(1)
+    u = f(1) - t
+    w2 = (((A + f(2)) * u - (A + f(3))) * u) * u + f(1)
+    w3 = ((f(1) - w0) - w1) - w2
+    return [w0, w1, w2, w3]
+
+
+def _cubic_16tap_device(sample, tx, ty):
+    """f32 4x4 separable accumulation in the oracle's order: rows inner
+    (``row += wx[b]·tap``), columns outer (``acc += wy[a]·row``)."""
+    wx = _cubic_w_dev(tx)
+    wy = _cubic_w_dev(ty)
+    acc = jnp.float32(0)
+    for a in range(4):
+        row = jnp.float32(0)
+        for b in range(4):
+            row = row + wx[b][None] * sample(a - 1, b - 1)
+        acc = acc + wy[a][None] * row
+    return acc
+
+
 def _gather(planes, iy, ix, H, W, border, border_value, minv, maxv):
     """4-tap-safe sample: clamp indices, mask constant-border taps."""
     cy = jnp.clip(iy, 0, H - 1)
@@ -169,13 +200,18 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
     Same contracts as the oracle (ref/ops.py ``remap``), BIT-EXACT:
     u8/u16/f32 LINEAR use the continuous f32 subpixels with the
     single-rounded FMA lerp (``fma32``); i16 uses the legacy quantized
-    coords with float tab weights; NEAREST cvRounds the map."""
+    coords with float tab weights; NEAREST cvRounds the map.  CUBIC
+    (all dtypes) is the continuous-f32 16-tap path: oracle-tier vs cv2
+    is u8 exact / u16+i16 ±1 / f32 ~1 ulp, and the device replays the
+    oracle's f32 sequence exactly on XLA:TPU (strict per-op f32;
+    XLA:CPU may FMA-contract the weight chains — ±1 LSB there)."""
     if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
         raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear"):
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if interpolation not in ("nearest", "linear", "cubic"):
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     H, W = planes.shape[-2], planes.shape[-1]
     mx = jnp.clip(map_x.astype(jnp.float32), -2e9, 2e9)   # int32-cast safety
     my = jnp.clip(map_y.astype(jnp.float32), -2e9, 2e9)
@@ -188,6 +224,17 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
         ix = jnp.round(mx).astype(jnp.int32)
         v = _gather(planes, iy, ix, H, W, border, border_value, minv, maxv)
         return v if is_f32 else v.astype(planes.dtype)
+    if interpolation == "cubic":
+        ixf, iyf = jnp.floor(mx), jnp.floor(my)
+        ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+        tx, ty = mx - ixf, my - iyf
+        acc = _cubic_16tap_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            tx, ty)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
     if planes.dtype == jnp.int16:
         X = jnp.round(jnp.clip(mx, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)
         Y = jnp.round(jnp.clip(my, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)

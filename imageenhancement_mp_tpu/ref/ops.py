@@ -2538,6 +2538,54 @@ def canny(img: np.ndarray, threshold1: float, threshold2: float,
     return np.where(out, np.uint8(255), np.uint8(0))
 
 
+def _cubic_w_f32(t: np.ndarray):
+    """cv2's 4-tap bicubic weights at f32 fraction arrays (A=-0.75),
+    in cv2's evaluation order (w3 closes the partition of unity)."""
+    f32 = np.float32
+    A = f32(_CUBIC_A)
+    t = t.astype(f32)
+    w0 = (((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A).astype(f32)
+    w1 = (((A + 2) * t - (A + 3)) * t * t + 1).astype(f32)
+    w2 = (((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1).astype(f32)
+    w3 = (f32(1.0) - w0 - w1 - w2).astype(f32)
+    return [w0, w1, w2, w3]
+
+
+def _remap_cubic(img, map_x, map_y, border, border_value):
+    """cv2.remap INTER_CUBIC with float maps — the continuous-f32 path
+    (like LINEAR): f32 fractional coords, cv2's cubic weights, f32
+    accumulation.  u8 bit-exact (razor-tie ±1 class), u16/i16 ±1,
+    f32 ~1 ulp (48-config matrix vs cv2)."""
+    f32 = np.float32
+    H, W = img.shape
+    kind = _img_kind(img, allow_i16=True)
+    ix = np.floor(map_x).astype(np.int64)
+    iy = np.floor(map_y).astype(np.int64)
+    fx = (map_x - ix).astype(f32)
+    fy = (map_y - iy).astype(f32)
+    wx = _cubic_w_f32(fx)
+    wy = _cubic_w_f32(fy)
+    acc = np.zeros(map_x.shape, f32)
+    for a in range(4):
+        row = np.zeros(map_x.shape, f32)
+        for b in range(4):
+            yy = iy + a - 1
+            xx = ix + b - 1
+            if border == "replicate":
+                v = img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)].astype(f32)
+            else:
+                inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+                v = np.where(inside, img[np.clip(yy, 0, H - 1),
+                                         np.clip(xx, 0, W - 1)],
+                             f32(border_value)).astype(f32)
+            row = (row + wx[b] * v).astype(f32)
+        acc = (acc + wy[a] * row).astype(f32)
+    if kind == "f32":
+        return acc
+    lo, hi = _int_minval(kind), _int_maxval(kind)
+    return np.clip(np.round(acc.astype(np.float64)), lo, hi).astype(img.dtype)
+
+
 def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
           interpolation: str = "linear", border: str = "constant",
           border_value: float = 0.0) -> np.ndarray:
@@ -2584,8 +2632,11 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
         if kind == "f32":
             return v.astype(np.float32)
         return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+    if interpolation == "cubic":
+        return _remap_cubic(img, map_x, map_y, border, fill)
     if interpolation != "linear":
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     if kind == "i16":
         X = np.round(map_x.astype(np.float64) * 32).astype(np.int64)
         Y = np.round(map_y.astype(np.float64) * 32).astype(np.int64)

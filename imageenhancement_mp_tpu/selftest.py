@@ -145,6 +145,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # runtime-map warp: bit-exact (fma32 lerp == cv2's FMA path)
         ("remap", lambda: ie.remap(img, *_swirl_maps(size)),
          lambda: ref.remap(img, *_swirl_maps(size)), 0),
+        # 16-tap cubic: TPU strict per-op f32 replays the oracle; the
+        # documented razor-tie class keeps budget 1
+        ("remap/cubic", lambda: ie.remap(img, *_swirl_maps(size), "cubic"),
+         lambda: ref.remap(img, *_swirl_maps(size), "cubic"), 1),
         # float-result op: compare at tolerance via the quantized trick
         ("match_tpl", lambda: _quant_mt(ie.match_template(img, img2[:7, :9], "ccoeff_normed")),
          lambda: _quant_mt(ref.match_template(img, img2[:7, :9], "ccoeff_normed")), 1),

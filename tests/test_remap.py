@@ -87,4 +87,45 @@ def test_api_batch_shares_maps_and_rejects():
     want = cv2.remap(img[0], mx, my, cv2.INTER_LINEAR)
     assert int(np.abs(out[0].astype(np.int64) - want.astype(np.int64)).max()) <= 1
     with pytest.raises(ValueError):
-        ie.remap(jnp.zeros((4, 4), jnp.uint8), mx, my, "cubic")
+        ie.remap(jnp.zeros((4, 4), jnp.uint8), mx, my, "area")
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_cubic_vs_cv2(dt):
+    rng = np.random.default_rng(seed("remapcubic", dt.__name__))
+    for t in range(20):
+        H, W = int(rng.integers(6, 50)), int(rng.integers(6, 50))
+        oh, ow = int(rng.integers(6, 50)), int(rng.integers(6, 50))
+        img = _img(rng, dt, (H, W))
+        mx, my = _maps(rng, H, W, oh, ow)
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 90))
+        want = cv2.remap(img, mx, my, cv2.INTER_CUBIC, borderMode=_B[bmode],
+                         borderValue=bval)
+        got = ref.remap(img, mx, my, "cubic", bmode, bval)
+        if dt is np.float32:
+            # ~1 ulp of the f32 weight chain at the value scale
+            d = float(np.abs(got - want).max())
+            assert d <= 2e-3, (H, W, oh, ow, d)
+        else:
+            # u8 exact bar the razor-tie class; u16/i16 pinned at ±1
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_device_cubic_vs_oracle(dt):
+    rng = np.random.default_rng(seed("remapcubicdev", dt.__name__))
+    for bmode in ("constant", "replicate"):
+        img = _img(rng, dt, (27, 31))
+        mx, my = _maps(rng, 27, 31, 19, 23)
+        want = ref.remap(img, mx, my, "cubic", bmode, 7.0)
+        got = np.asarray(remap_planes(jnp.asarray(img)[None], jnp.asarray(mx),
+                                      jnp.asarray(my), "cubic", bmode, 7.0))[0]
+        if dt is np.float32:
+            # XLA:CPU may FMA-contract the weight chain (TPU matches
+            # the oracle's strict per-op f32 sequence)
+            assert float(np.abs(got - want).max()) <= 2e-3
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (bmode, d)

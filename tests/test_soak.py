@@ -199,6 +199,16 @@ def test_soak_oracle_vs_cv2():
                 my = (rng.random((oh, ow)) * (H + 4) - 2).astype(np.float32)
                 want = cv2.remap(img, mx, my, cvf, borderMode=cvb, borderValue=bv)
                 ok = np.array_equal(ref.remap(img, mx, my, interp, bmode, bv), want)
+                # cubic rides the same coords: u8 razor ±1, u16/i16 ±1,
+                # f32 ~1 ulp of the weight chain (docs/PARITY.md)
+                wantc = cv2.remap(img, mx, my, cv2.INTER_CUBIC,
+                                  borderMode=cvb, borderValue=bv)
+                gotc = ref.remap(img, mx, my, "cubic", bmode, bv)
+                if dt is np.float32:
+                    ok = ok and float(np.abs(gotc - wantc).max()) <= 2e-3
+                else:
+                    dc = np.abs(gotc.astype(np.int64) - wantc.astype(np.int64))
+                    ok = ok and int(dc.max()) <= 1
             elif op == 16:  # Lab/XYZ round trips (round 3: exhaustively exact)
                 rgb = _img(rng, np.uint8, (H, W, 3))
                 code, fn = [
