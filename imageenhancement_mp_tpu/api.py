@@ -631,6 +631,9 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
     BIT-EXACT for every dtype (docs/PARITY.md round-3 re-pin): the
     hybrid f32 coordinate field + single-FMA lerp for u8/u16/f32, the
     legacy fixed-point coords with float tab weights for int16.
+    CUBIC (INTER_CUBIC, cv2 5.0's new warp kernel, pinned): u8/u16
+    BIT-EXACT, i16 razor +-1 (<0.05%), f32 bitwise on all interior +
+    partial-border pixels (fully-outside <=1 ulp).
     ``border``: constant (with ``border_value``, saturated like cv2) or
     replicate.  ``inverse_map`` = cv2's WARP_INVERSE_MAP."""
     _check_image_dtype(img, allow_i16=True)
@@ -653,7 +656,10 @@ def warp_perspective(img, M, dsize, interpolation: str = "linear",
     BIT-EXACT for every dtype (docs/PARITY.md): the perspective-divided
     hybrid f32 coordinate field + single-FMA lerp for u8/u16/f32 (the
     division happens at trace time in exactly cv2's f32 arithmetic);
-    int16 uses cv2's legacy per-pixel f64 quantized path.  Matrix
+    int16 uses cv2's legacy per-pixel f64 quantized path.  CUBIC
+    (cv2 5.0's new warp kernel): cv2 divides with a hardware-dependent
+    SIMD reciprocal, so the budgets are u8 +-1 on ~0.01% px, u16/i16
+    +-1 on ~1.5% px, f32 <=1e-5 relative (docs/PARITY.md).  Matrix
     inversion is cv2's f64 cofactor expansion.
     ``get_perspective_transform``/``get_affine_transform`` build
     matrices from point pairs like cv2."""

@@ -112,6 +112,38 @@ def _cubic_16tap_device(sample, tx, ty):
     return acc
 
 
+def _cubic_keys_w_dev(t):
+    """cv2 5.0's NEW warp-kernel cubic weights (ref/ops.py
+    ``_cubic_w_keys_f32``) on device: factored forms with ``fma32`` for
+    the single-rounded FMA in w1.  On XLA:TPU the strict per-op f32
+    sequence replays the oracle bitwise."""
+    f = jnp.float32
+    A = f(-0.75)
+    u = f(1) - t
+    tt = t * t
+    uu = u * u
+    w0 = A * (t * uu)
+    w1 = fma32(tt, fma32(t, A + f(2), -(A + f(3))), f(1))
+    w3 = A * (u * tt)
+    w2 = ((f(1) - w0) - w1) - w3
+    return [w0, w1, w2, w3]
+
+
+def _cubic_keys_16tap_device(sample, tx, ty):
+    """The pinned fma row-chain accumulation of cv2 5.0's cubic warp
+    kernel: ``row = fma(wx_b, v, row)`` inner, ``acc = fma(wy_a, row,
+    acc)`` outer (``_warp_cubic_sample``'s order, via ``fma32``)."""
+    wx = _cubic_keys_w_dev(tx)
+    wy = _cubic_keys_w_dev(ty)
+    acc = None
+    for a in range(4):
+        r = wx[0][None] * sample(a - 1, -1)
+        for b in range(1, 4):
+            r = fma32(wx[b][None], sample(a - 1, b - 1), r)
+        acc = wy[a][None] * r if acc is None else fma32(wy[a][None], r, acc)
+    return acc
+
+
 def _gather(planes, iy, ix, H, W, border, border_value, minv, maxv):
     """4-tap-safe sample: clamp indices, mask constant-border taps."""
     cy = jnp.clip(iy, 0, H - 1)
@@ -140,8 +172,9 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear"):
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if interpolation not in ("nearest", "linear", "cubic"):
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     H, W = planes.shape[-2], planes.shape[-1]
     Mi = (np.asarray(M, np.float64).reshape(2, 3) if inverse_map
           else invert_affine(np.asarray(M, np.float64)))
@@ -153,6 +186,24 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
         # the dtype cast inside _gather from wrapping
         border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
 
+    if interpolation == "cubic":
+        # cv2 5.0's new cubic kernel: plain-f32 coords (baked host-side,
+        # M is static), factored fma weights, fma row chains — oracle
+        # tier u8/u16 BIT-EXACT, i16 razor +-1, f32 exact except
+        # fully-outside pixels (<=1 ulp); same f32 path for ALL dtypes
+        from imageenhancement_mp_tpu.ref.ops import warp_affine_coords_cubic_f32
+
+        sx_np, sy_np = warp_affine_coords_cubic_f32(Mi, oh, ow)
+        sx, sy = jnp.asarray(sx_np), jnp.asarray(sy_np)
+        ixf, iyf = jnp.floor(sx), jnp.floor(sy)
+        ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+        acc = _cubic_keys_16tap_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            sx - ixf, sy - iyf)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
     if planes.dtype == jnp.int16:
         if interpolation == "nearest":
             niy, nix = warp_affine_nn_coords_int(Mi, oh, ow)   # oracle's maps
@@ -326,8 +377,9 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear"):
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if interpolation not in ("nearest", "linear", "cubic"):
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     H, W = planes.shape[-2], planes.shape[-1]
     Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
           else invert_perspective(M))
@@ -337,6 +389,24 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
         border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
 
     clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+    if interpolation == "cubic":
+        # same f32 cubic kernel for every dtype; perspective coords use
+        # cv2's fma-num / f32-div law (the SIMD reciprocal division is
+        # hardware-dependent): u8 +-1 ~0.01%, u16/i16 +-1 ~1.5%,
+        # f32 <=6e-3 at 655-scale vs cv2; device == oracle on TPU
+        from imageenhancement_mp_tpu.ref.ops import warp_perspective_coords_cubic_f32
+
+        sx_np, sy_np = warp_perspective_coords_cubic_f32(Mi, oh, ow)
+        sx, sy = jnp.asarray(sx_np), jnp.asarray(sy_np)
+        ixf, iyf = jnp.floor(sx), jnp.floor(sy)
+        ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+        acc = _cubic_keys_16tap_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
+                                   border_value, minv, maxv).astype(jnp.float32),
+            sx - ixf, sy - iyf)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
     if planes.dtype == jnp.int16:
         if interpolation == "nearest":
             niy, nix = warp_perspective_nn_coords_int(Mi, oh, ow)

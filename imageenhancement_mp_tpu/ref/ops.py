@@ -2175,8 +2175,15 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
         if kind == "f32":
             return v.astype(np.float32)
         return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
+    if interpolation == "cubic":
+        sx, sy = warp_affine_coords_cubic_f32(Mi, oh, ow)
+        acc = _warp_cubic_sample(img, sx, sy, border, fill)
+        if kind == "f32":
+            return acc
+        return np.clip(np.rint(acc.astype(np.float64)), lo, hi).astype(img.dtype)
     if interpolation != "linear":
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     if kind == "i16":
         X, Y = warp_affine_coords_int(Mi, oh, ow)
         T = (1 << _WARP_INTER_BITS) - 1
@@ -2195,6 +2202,117 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
     if kind == "f32":
         return acc
     return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
+
+
+
+
+def _cubic_w_keys_f32(t):
+    """cv2 5.0's NEW warp-kernel bicubic weights (warpAffine /
+    warpPerspective INTER_CUBIC; A=-0.75) — pinned bitwise by translation
+    probes (400/400 exact (t, weight-vector) samples): the FACTORED
+    forms with a single-rounded FMA, NOT the legacy Horner of
+    ``_cubic_w_f32`` (remap's float-map path keeps the old law):
+
+    * u = 1-t, tt = t*t, uu = u*u (each one f32 rounding)
+    * w0 = A*(t*uu)               (two roundings, right-assoc)
+    * w1 = fma(tt, fma(t, A+2, -(A+3)), 1)
+    * w3 = A*(u*tt)
+    * w2 = ((1 - w0) - w1) - w3   (sequential closure)
+    """
+    f32 = np.float32
+    A = f32(_CUBIC_A)
+    A2, A3 = A + f32(2), A + f32(3)
+    t = t.astype(f32)
+    u = (f32(1) - t).astype(f32)
+    tt = (t * t).astype(f32)
+    uu = (u * u).astype(f32)
+    w0 = (A * (t * uu)).astype(f32)
+    w1 = _fma32(tt, _fma32(t, A2, -A3), f32(1))
+    w3 = (A * (u * tt)).astype(f32)
+    w2 = (((f32(1) - w0).astype(f32) - w1).astype(f32) - w3).astype(f32)
+    return [w0, w1, w2, w3]
+
+
+def _warp_cubic_sample(img, sx, sy, border, fill):
+    """cv2 5.0's new warp INTER_CUBIC sampler at f32 coordinate fields:
+    floor coords, f32 fractions, ``_cubic_w_keys_f32`` weights, then the
+    fma row chains pinned bitwise on every all-taps-inside and partial
+    border pixel (0/312k body + 0/9.4k partial, both border modes):
+    ``row = fma(wx_b, v, row)`` inner, ``acc = fma(wy_a, row, acc)``
+    outer.  Fully-outside pixels go through cv2's block fill paths whose
+    arithmetic is SIMD-layout-dependent — they land within 1 ulp (f32)
+    and are bit-exact after integer rounding (u8/u16 0 LSB measured).
+    Returns the f32 accumulator (caller rounds/saturates)."""
+    f32 = np.float32
+    H, W = img.shape
+    ixm = np.floor(sx).astype(np.int64)
+    iym = np.floor(sy).astype(np.int64)
+    tx = (sx - ixm).astype(f32)
+    ty = (sy - iym).astype(f32)
+    wx = _cubic_w_keys_f32(tx)
+    wy = _cubic_w_keys_f32(ty)
+
+    def samp(a, b):
+        yy, xx = iym + a - 1, ixm + b - 1
+        v = img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)].astype(f32)
+        if border == "constant":
+            inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            v = np.where(inside, v, f32(fill)).astype(f32)
+        return v
+
+    acc = None
+    for a in range(4):
+        r = (wx[0] * samp(a, 0)).astype(f32)
+        for b in range(1, 4):
+            r = _fma32(wx[b], samp(a, b), r)
+        acc = (wy[a] * r).astype(f32) if acc is None else _fma32(wy[a], r, acc)
+    return acc
+
+
+def warp_affine_coords_cubic_f32(Mi: np.ndarray, oh: int, ow: int):
+    """cv2 5.0's new warp-kernel coordinate field (INTER_CUBIC path) —
+    plain f32 row-constant law, NO fma and NO SIMD body/tail split
+    (unlike the linear path's hybrid ``warp_affine_coords_f32``):
+    ``s = f32(f32(a*x) + f32(f32(b*y) + c))``.  Pinned bitwise through
+    the end-to-end cubic kernel (0 mismatches on all interior pixels
+    over 30 random warps x 2 border modes)."""
+    f32 = np.float32
+    Mf = np.asarray(Mi, np.float64).astype(f32)
+    xs = np.arange(ow, dtype=f32)
+    ys = np.arange(oh, dtype=f32)
+    out = []
+    for r in (0, 1):
+        a, b, c = Mf[r]
+        rc = ((b * ys).astype(f32) + c).astype(f32)
+        s = ((a * xs)[None, :].astype(f32) + rc[:, None]).astype(f32)
+        out.append(np.clip(s, -2e9, 2e9))
+    return out[0], out[1]
+
+
+def warp_perspective_coords_cubic_f32(Mi: np.ndarray, oh: int, ow: int):
+    """cv2 5.0's new warp-kernel perspective coordinates (INTER_CUBIC):
+    numerators/denominator via ``fma(m0, x, f32(f32(m1*y) + m2))`` and
+    an f32 division.  cv2's own division is a SIMD reciprocal +
+    Newton refinement (hardware-dependent, like log32f) — the IEEE f32
+    divide here lands within ~3 coordinate ulps, giving the measured
+    budgets: u8 +-1 on ~0.01% px, u16/i16 +-1 on ~1.5% px, f32 <=6e-3
+    absolute at 655-scale (~1e-5 relative)."""
+    f32 = np.float32
+    Mf = np.asarray(Mi, np.float64).reshape(3, 3).astype(f32)
+    xs = np.arange(ow, dtype=f32)
+    ys = np.arange(oh, dtype=f32)
+    planes = []
+    for r in range(3):
+        a, b, c = Mf[r]
+        rc = ((b * ys).astype(f32) + c).astype(f32)
+        planes.append(_fma32(xs[None, :], a, rc[:, None] * np.ones((1, ow), f32)))
+    nx, ny, dd = planes
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sx = np.nan_to_num((nx / dd).astype(f32))
+        sy = np.nan_to_num((ny / dd).astype(f32))
+    return np.clip(sx, -2e9, 2e9), np.clip(sy, -2e9, 2e9)
+
+
 
 
 def invert_perspective(M: np.ndarray) -> np.ndarray:
@@ -2400,8 +2518,9 @@ def warp_perspective(img: np.ndarray, M, dsize, interpolation: str = "linear",
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear"):
-        raise ValueError(f"unknown interpolation {interpolation!r} (nearest|linear)")
+    if interpolation not in ("nearest", "linear", "cubic"):
+        raise ValueError(
+            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
     H, W = img.shape
     Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
           else invert_perspective(M))
@@ -2416,6 +2535,14 @@ def warp_perspective(img: np.ndarray, M, dsize, interpolation: str = "linear",
             v = np.where(inside, v, np.float32(fill))
         return v
 
+    if interpolation == "cubic":
+        # cv2 5.0's new cubic kernel runs the SAME f32 path for every
+        # dtype (i16 included) — budgets in warp_perspective_coords_cubic_f32
+        sx, sy = warp_perspective_coords_cubic_f32(Mi, oh, ow)
+        acc = _warp_cubic_sample(img, sx, sy, border, fill)
+        if kind == "f32":
+            return acc
+        return np.clip(np.rint(acc.astype(np.float64)), lo, hi).astype(img.dtype)
     if kind == "i16":
         if interpolation == "nearest":
             iy, ix = warp_perspective_nn_coords_int(Mi, oh, ow)

@@ -159,6 +159,19 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.warp_affine(
             img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 30.0, 0.9),
             size), 0),
+        # cv2 5.0's new cubic warp kernel: u8 bit-exact (budget 0)
+        ("warp/cubic", lambda: ie.warp_affine(
+            img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 20.0, 1.1),
+            size, "cubic"),
+         lambda: ref.warp_affine(
+            img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), 20.0, 1.1),
+            size, "cubic"), 0),
+        # perspective cubic: the SIMD-reciprocal divide is hardware-
+        # dependent — oracle vs device is still exact on TPU (budget 1
+        # covers the CPU-backend contraction tier)
+        ("warp/pcubic", lambda: ie.warp_perspective(img, _persp_matrix(size), size,
+                                                    "cubic"),
+         lambda: ref.warp_perspective(img, _persp_matrix(size), size, "cubic"), 1),
         # perspective warp: bit-exact (hybrid f32 coords + f32 divide via fma32)
         ("warp/persp", lambda: ie.warp_perspective(img, _persp_matrix(size), size),
          lambda: ref.warp_perspective(img, _persp_matrix(size), size), 0),

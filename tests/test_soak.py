@@ -186,6 +186,17 @@ def test_soak_oracle_vs_cv2():
                                       borderMode=cvb, borderValue=bv)
                 got = ref.warp_affine(img, M, (oh, ow), interp, bmode, bv)
                 ok = np.array_equal(got, want)   # round 3: exact, all dtypes
+                # cubic (new 5.0 kernel): u8/u16 exact, i16 razor +-1,
+                # f32 fully-outside <=1 ulp (docs/PARITY.md)
+                wantc = cv2.warpAffine(img, M, (ow, oh), flags=cv2.INTER_CUBIC,
+                                       borderMode=cvb, borderValue=bv)
+                gotc = ref.warp_affine(img, M, (oh, ow), "cubic", bmode, bv)
+                if dt is np.float32:
+                    ok = ok and float(np.abs(gotc - wantc).max()) <= 2e-3
+                else:
+                    dc = np.abs(gotc.astype(np.int64) - wantc.astype(np.int64))
+                    budget = 1 if dt is np.int16 else 0
+                    ok = ok and int(dc.max()) <= budget
             elif op == 15:  # remap (round 3: exact, all dtypes)
                 dt = [np.uint8, np.uint16, np.int16, np.float32][trial % 4]
                 img = _img(rng, dt, (H, W))

@@ -114,6 +114,86 @@ def test_rejects():
     with pytest.raises(ValueError):
         ie.warp_affine(img, M, (0, 3))
     with pytest.raises(ValueError):
-        ie.warp_affine(img, M, (3, 3), "cubic")
+        ie.warp_affine(img, M, (3, 3), "area")
     with pytest.raises(ValueError):
         ie.warp_affine(img, M, (3, 3), "linear", "reflect")
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_cubic_vs_cv2(dt):
+    """cv2 5.0's new cubic warp kernel (docs/PARITY.md): u8/u16
+    bit-exact, i16 razor +-1, f32 bitwise interior / <=1 ulp outside."""
+    rng = np.random.default_rng(seed("warpcubic", dt.__name__))
+    for t in range(20):
+        H, W = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        oh, ow = int(rng.integers(6, 55)), int(rng.integers(6, 55))
+        img = _img(rng, dt, (H, W))
+        M = _mat(rng)
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 120))
+        want = cv2.warpAffine(img, M, (ow, oh), flags=cv2.INTER_CUBIC,
+                              borderMode=_B[bmode], borderValue=bval)
+        got = ref.warp_affine(img, M, (oh, ow), "cubic", bmode, bval)
+        if dt is np.float32:
+            d = float(np.abs(got - want).max())
+            assert d <= 2e-3, (H, W, oh, ow, d)
+        elif dt is np.int16:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+        else:
+            assert np.array_equal(got, want), (H, W, oh, ow)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_cubic_perspective_vs_cv2(dt):
+    """Perspective cubic: cv2's SIMD-reciprocal division is
+    hardware-dependent — +-1 LSB ints / ~1e-5 relative f32 budgets."""
+    rng = np.random.default_rng(seed("warpcubicp", dt.__name__))
+    for t in range(16):
+        H, W = int(rng.integers(12, 60)), int(rng.integers(12, 60))
+        oh, ow = int(rng.integers(10, 55)), int(rng.integers(10, 55))
+        img = _img(rng, dt, (H, W))
+        M = np.array([[rng.uniform(0.5, 1.5), rng.uniform(-0.2, 0.2), rng.uniform(-6, 6)],
+                      [rng.uniform(-0.2, 0.2), rng.uniform(0.5, 1.5), rng.uniform(-6, 6)],
+                      [rng.uniform(-2e-3, 2e-3), rng.uniform(-2e-3, 2e-3), 1.0]])
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 120))
+        want = cv2.warpPerspective(img, M, (ow, oh), flags=cv2.INTER_CUBIC,
+                                   borderMode=_B[bmode], borderValue=bval)
+        got = ref.warp_perspective(img, M, (oh, ow), "cubic", bmode, bval)
+        if dt is np.float32:
+            scale = max(1.0, float(np.abs(want).max()))
+            d = float(np.abs(got - want).max()) / scale
+            assert d <= 3e-5, (H, W, oh, ow, d)
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_device_cubic_vs_oracle(dt):
+    from imageenhancement_mp_tpu.ops.warp import warp_perspective_planes
+
+    rng = np.random.default_rng(seed("warpcubicdev", dt.__name__))
+    img = _img(rng, dt, (31, 35))
+    M = _mat(rng)
+    for bmode in ("constant", "replicate"):
+        want = ref.warp_affine(img, M, (24, 27), "cubic", bmode, 9.0)
+        got = np.asarray(warp_affine_planes(jnp.asarray(img)[None], M, (24, 27),
+                                            "cubic", bmode, 9.0))[0]
+        if dt is np.float32:
+            # XLA:CPU may contract the weight-product chains; TPU replays
+            # the oracle bitwise
+            assert float(np.abs(got - want).max()) <= 2e-3, bmode
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (bmode, d)
+    Mp = np.array([[1.07, 0.11, -3.0], [-0.08, 0.93, 2.0],
+                   [1.3e-3, -0.9e-3, 1.0]])
+    want = ref.warp_perspective(img, Mp, (24, 27), "cubic", "replicate", 0.0)
+    got = np.asarray(warp_perspective_planes(jnp.asarray(img)[None], Mp, (24, 27),
+                                             "cubic", "replicate", 0.0))[0]
+    if dt is np.float32:
+        assert float(np.abs(got - want).max()) <= 2e-3
+    else:
+        assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1

@@ -171,6 +171,6 @@ def test_rejects():
     with pytest.raises(ValueError):
         ie.warp_perspective(img, M, (0, 3))
     with pytest.raises(ValueError):
-        ie.warp_perspective(img, M, (3, 3), "cubic")
+        ie.warp_perspective(img, M, (3, 3), "area")
     with pytest.raises(ValueError):
         ie.warp_perspective(img, M, (3, 3), "linear", "reflect")
