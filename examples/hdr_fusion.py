@@ -44,6 +44,10 @@ def main(argv=None):
     radiance = ie.merge_debevec(stack, times)            # true HDR
     debevec_u8 = np.clip(np.round(
         np.asarray(ie.tonemap(radiance, 2.2)) * 255.0), 0, 255).astype(np.uint8)
+    drago_u8 = np.clip(np.round(
+        np.asarray(ie.tonemap_drago(radiance, 1.0, 1.0, 0.85)) * 255.0),
+        0, 255).astype(np.uint8)
+    np.save(f"{prefix}_drago.npy", drago_u8)
 
     np.save(f"{prefix}_mertens.npy", mertens_u8)
     np.save(f"{prefix}_debevec.npy", debevec_u8)

@@ -1364,6 +1364,51 @@ def tonemap(img, gamma: float = 1.0):
     return _tonemap_jit(float(gamma))(img)
 
 
+def _tonemap_reinhard_jit(gamma, intensity, light_adapt, color_adapt):
+    from imageenhancement_mp_tpu.ops.photo import tonemap_reinhard_nhwc
+
+    @jax.jit
+    def run(img):
+        return tonemap_reinhard_nhwc(img[None], gamma, intensity,
+                                     light_adapt, color_adapt)[0]
+
+    return run
+
+
+def tonemap_reinhard(img, gamma: float = 1.0, intensity: float = 0.0,
+                     light_adapt: float = 1.0, color_adapt: float = 0.0):
+    """``cv2.createTonemapReinhard(...).process`` — pinned ~2e-7 vs cv2
+    (ref/ops.py ``tonemap_reinhard``; the residual is the normalize
+    constants' unpinnable last bit + f32 transcendental ulps).
+    f32 ``[H,W,3]`` HDR in, f32 [0,1] out."""
+    if img.dtype != jnp.float32:
+        raise TypeError(f"tonemap_reinhard expects float32 HDR, got {img.dtype}")
+    return _tonemap_reinhard_jit(float(gamma), float(intensity),
+                                 float(light_adapt), float(color_adapt))(img)
+
+
+def _tonemap_drago_jit(gamma, saturation, bias):
+    from imageenhancement_mp_tpu.ops.photo import tonemap_drago_nhwc
+
+    @jax.jit
+    def run(img):
+        return tonemap_drago_nhwc(img[None], gamma, saturation, bias)[0]
+
+    return run
+
+
+def tonemap_drago(img, gamma: float = 1.0, saturation: float = 1.0,
+                  bias: float = 0.85):
+    """``cv2.createTonemapDrago(...).process`` — structure pinned exact
+    (ref/ops.py ``tonemap_drago``); ≤5e-7 vs cv2 when the global-min
+    pixel's normalize residue sign matches (cv2's fractional pow NaNs a
+    NEGATIVE residue — build-dependent last bit; when it flips, the
+    renormalization shifts globally by up to ~0.05).  f32 ``[H,W,3]``."""
+    if img.dtype != jnp.float32:
+        raise TypeError(f"tonemap_drago expects float32 HDR, got {img.dtype}")
+    return _tonemap_drago_jit(float(gamma), float(saturation), float(bias))(img)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

@@ -31,7 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dt_derivatives", "dt_rf", "dt_nc",
+from imageenhancement_mp_tpu.utils.fma import fma32
+
+__all__ = ["tonemap_reinhard_nhwc", "tonemap_drago_nhwc",
+           "dt_derivatives", "dt_rf", "dt_nc",
            "edge_preserving_filter_nhwc", "detail_enhance_nhwc",
            "stylization_nhwc"]
 
@@ -242,3 +245,85 @@ def merge_debevec_nhwc(stack: jnp.ndarray, times) -> jnp.ndarray:
     num = (wj * (gz - lt[:, None, None, None])).astype(_F32).sum(0)
     den = wj.sum(0)
     return jnp.exp((num / den).astype(_F32)).astype(_F32)
+
+
+def _norm_minmax_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.normalize MINMAX per batch element (ref/ops.py
+    ``_normalize_minmax_f32``): f32 fma with constants from the f64
+    1/(max-min).  No f64 on device — the f32-rounded constants sit in
+    the same unpinnable last-bit tier cv2's own builds occupy."""
+    f = jnp.float32
+    mn = x.min(axis=(1, 2, 3), keepdims=True)
+    mx = x.max(axis=(1, 2, 3), keepdims=True)
+    scale = jnp.where(mx - mn > f(1e-12), f(1) / (mx - mn), f(0))
+    return fma32(x, scale, -mn * scale)
+
+
+def _gray_f32(img: jnp.ndarray) -> jnp.ndarray:
+    f = jnp.float32
+    return (img[..., 0] * f(0.299) + img[..., 1] * f(0.587)
+            + img[..., 2] * f(0.114))
+
+
+def tonemap_reinhard_nhwc(img: jnp.ndarray, gamma: float = 1.0,
+                          intensity: float = 0.0, light_adapt: float = 1.0,
+                          color_adapt: float = 0.0) -> jnp.ndarray:
+    """``cv2.createTonemapReinhard`` on ``(N, H, W, 3)`` f32 HDR —
+    contract in ref/ops.py ``tonemap_reinhard`` (pinned ~2e-7 vs cv2).
+    Pure VPU reductions + elementwise map; everything fuses."""
+    f = jnp.float32
+    img = _norm_minmax_f32(img.astype(f))
+    gray = _gray_f32(img)
+    log_img = jnp.log(jnp.maximum(gray, f(1e-4)))
+    log_mean = log_img.mean(axis=(1, 2), keepdims=True)
+    log_min = log_img.min(axis=(1, 2), keepdims=True)
+    log_max = log_img.max(axis=(1, 2), keepdims=True)
+    key = (log_max - log_mean) / jnp.maximum(log_max - log_min, f(1e-30))
+    map_key = f(0.3) + f(0.7) * jnp.power(key, f(1.4))
+    inten = f(np.exp(-float(intensity)))
+    chan_mean = img.mean(axis=(1, 2), keepdims=True)          # (N,1,1,3)
+    gray_mean = gray.mean(axis=(1, 2), keepdims=True)[..., None]
+    ca, la = f(color_adapt), f(light_adapt)
+    glob = ca * chan_mean + (f(1) - ca) * gray_mean
+    adapt = ca * img + (f(1) - ca) * gray[..., None]
+    adapt = la * adapt + (f(1) - la) * glob
+    adapt = jnp.power(inten * adapt, map_key[..., None])
+    out = img * (f(1) / (adapt + img))
+    if gamma != 1.0:
+        out = jnp.power(_norm_minmax_f32(out), f(1.0 / gamma))
+    else:
+        out = _norm_minmax_f32(out)
+    return out
+
+
+def tonemap_drago_nhwc(img: jnp.ndarray, gamma: float = 1.0,
+                       saturation: float = 1.0,
+                       bias: float = 0.85) -> jnp.ndarray:
+    """``cv2.createTonemapDrago`` on ``(N, H, W, 3)`` f32 HDR —
+    contract in ref/ops.py ``tonemap_drago``.  The final normalize
+    masks non-finite values like cv2's minMaxLoc NaN skipping (the
+    fractional pow of a negative normalize residue NaNs the global-min
+    pixel — a pinned cv2 quirk)."""
+    f = jnp.float32
+    img = _norm_minmax_f32(img.astype(f))
+    gray = _gray_f32(img)
+    log_img = jnp.log(jnp.maximum(gray, f(1e-4)))
+    mean = jnp.exp(log_img.sum(axis=(1, 2), keepdims=True)
+                   / f(log_img.shape[1] * log_img.shape[2]))
+    grays = gray / mean
+    gmax = grays.max(axis=(1, 2), keepdims=True)
+    expo = f(float(np.log(np.float32(bias)) / np.log(np.float32(0.5))))
+    div = jnp.log(f(2) + f(8) * jnp.power(grays / gmax, expo))
+    mp = jnp.log(grays + f(1)) * (f(1) / div)
+    ratio = img / grays[..., None]
+    ch = ratio if saturation == 1.0 else jnp.power(ratio, f(saturation))
+    out = ch * mp[..., None]
+    fin = jnp.isfinite(out)
+    big = jnp.float32(3.4e38)
+    mn = jnp.where(fin, out, big).min(axis=(1, 2, 3), keepdims=True)
+    mx = jnp.where(fin, out, -big).max(axis=(1, 2, 3), keepdims=True)
+    scale = jnp.where(mx - mn > f(1e-12), f(1) / (mx - mn), f(0))
+    out = fma32(out, scale, -mn * scale)
+    if gamma != 1.0:
+        out = jnp.power(out, f(1.0 / gamma))
+    return out

@@ -4189,6 +4189,122 @@ def tonemap(img: np.ndarray, gamma: float = 1.0) -> np.ndarray:
     return np.power(x, f32(1.0 / gamma)).astype(f32)
 
 
+def _normalize_minmax_f32(img: np.ndarray, lo: float = 0.0,
+                          hi: float = 1.0) -> np.ndarray:
+    """``cv2.normalize(src, dst, lo, hi, NORM_MINMAX)`` on f32: f64
+    ``scale = (hi-lo)/(smax-smin)``, ``shift = lo - smin*scale``, then a
+    per-element single-rounded f32 FMA with the f32-cast constants
+    (pinned: 0 LSB on ~92 % of random images; on the rest cv2's own
+    double constants differ in the LAST BIT before the f32 cast —
+    an unpinnable 1-ulp constants tier, ≤2e-7 relative)."""
+    f32 = np.float32
+    img = np.asarray(img, f32)
+    smin, smax = float(img.min()), float(img.max())
+    if not smax - smin > np.finfo(np.float64).eps:
+        return np.full_like(img, f32(lo))
+    scale = (hi - lo) * (1.0 / (smax - smin))
+    shift = lo - smin * scale
+    return _fma32(img, f32(scale), f32(shift))
+
+
+def _pow_f32(x: np.ndarray, p: float) -> np.ndarray:
+    """cv2's elementwise ``pow`` semantics on f32 (probed): integer
+    exponents multiply (negative bases fine); fractional exponents go
+    through exp/log — 0 maps to 0 and NEGATIVE bases produce NaN (the
+    tonemap NaN quirk: a negative normalize residue at the global-min
+    pixel NaNs that pixel).  np.power reproduces both branches."""
+    f32 = np.float32
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.power(np.asarray(x, f32), f32(p)).astype(f32)
+
+
+def _gray_f32(img: np.ndarray) -> np.ndarray:
+    """``cv2.cvtColor(f32 RGB, COLOR_RGB2GRAY)``: the f32 BT.601 dot
+    product (R*0.299 + G*0.587 + B*0.114 with cv2's f32 constants)."""
+    f32 = np.float32
+    return (img[..., 0] * f32(0.299) + img[..., 1] * f32(0.587)
+            + img[..., 2] * f32(0.114)).astype(f32)
+
+
+def tonemap_reinhard(img: np.ndarray, gamma: float = 1.0,
+                     intensity: float = 0.0, light_adapt: float = 1.0,
+                     color_adapt: float = 0.0) -> np.ndarray:
+    """``cv2.createTonemapReinhard(...).process`` — pinned ~2e-7 vs cv2
+    (structure exact; residual = the normalize constants tier and f32
+    transcendental ulps):
+
+    normalize to [0,1] -> gray -> log stats (log of max(gray, 1e-4)) ->
+    ``map_key = 0.3 + 0.7*key^1.4`` with ``key = (logmax-logmean)/
+    (logmax-logmin)`` -> per channel ``adapt = light*(ca*c + (1-ca)*
+    gray) + (1-light)*(ca*mean_c + (1-ca)*mean_gray)``; out = c/(c +
+    (exp(-intensity)*adapt)^map_key) -> renormalize -> pow(1/gamma)."""
+    f32 = np.float32
+    img = _normalize_minmax_f32(img)
+    gray = _gray_f32(img)
+    log_img = np.log(np.maximum(gray, f32(1e-4)))
+    log_mean = float(log_img.mean())
+    log_min, log_max = float(log_img.min()), float(log_img.max())
+    key = (log_max - log_mean) / max(log_max - log_min, 1e-30)
+    map_key = f32(0.3 + 0.7 * key ** 1.4)
+    inten = f32(np.exp(-float(intensity)))
+    chan_mean = img.reshape(-1, 3).mean(0)
+    gray_mean = f32(gray.mean())
+    ca, la = f32(color_adapt), f32(light_adapt)
+    out = np.empty_like(img)
+    for c in range(3):
+        glob = ca * f32(chan_mean[c]) + (f32(1) - ca) * gray_mean
+        adapt = (ca * img[..., c] + (f32(1) - ca) * gray).astype(f32)
+        adapt = (la * adapt + (f32(1) - la) * glob).astype(f32)
+        adapt = _pow_f32(inten * adapt, float(map_key))
+        out[..., c] = img[..., c] * (f32(1) / (adapt + img[..., c]))
+    out = _normalize_minmax_f32(out)
+    if gamma != 1.0:
+        out = _pow_f32(out, 1.0 / gamma)
+    return out
+
+
+def tonemap_drago(img: np.ndarray, gamma: float = 1.0,
+                  saturation: float = 1.0, bias: float = 0.85) -> np.ndarray:
+    """``cv2.createTonemapDrago(...).process`` — pinned ~5e-7 vs cv2
+    when the normalize constants match (structure exact; see
+    ``_normalize_minmax_f32`` for the constants tier):
+
+    normalize -> gray -> divide by exp(mean log) -> Drago's adaptive
+    log map ``log(L+1)/log(2 + 8*(L/Lmax)^(log bias/log 0.5))`` ->
+    ``mapLuminance``: out_c = (c/L)^saturation * map -> renormalize +
+    pow(1/gamma).  NaN quirk: a NEGATIVE normalize residue at the
+    global-min pixel raises NaN through the fractional pow (cv2 does
+    the same; the residue sign is build-portable only when the
+    normalize constants match)."""
+    f32 = np.float32
+    img = _normalize_minmax_f32(img)
+    gray = _gray_f32(img)
+    log_img = np.log(np.maximum(gray, f32(1e-4)))
+    mean = np.exp(f32(log_img.sum()) / f32(log_img.size))
+    grays = (gray / mean).astype(f32)
+    gmax = float(grays.max())
+    expo = float(np.log(f32(bias)) / np.log(f32(0.5)))
+    div = np.log((f32(2) + f32(8) * _pow_f32(grays / f32(gmax), expo))
+                 ).astype(f32)
+    mp = (np.log(grays + f32(1)).astype(f32) * (f32(1) / div)).astype(f32)
+    out = np.empty_like(img)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for c in range(3):
+            ratio = (img[..., c] / grays).astype(f32)
+            ch = ratio if saturation == 1.0 else _pow_f32(ratio, float(saturation))
+            out[..., c] = ch * mp
+    fin = np.isfinite(out)
+    if fin.any():
+        sub = out[fin]
+        mn2, mx2 = float(sub.min()), float(sub.max())
+        if mx2 - mn2 > np.finfo(np.float64).eps:
+            scale = 1.0 / (mx2 - mn2)
+            out = _fma32(out, f32(scale), f32(-mn2 * scale))
+    if gamma != 1.0:
+        out = _pow_f32(out, 1.0 / gamma)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # cv2.AlignMTB (median-threshold-bitmap alignment for exposure stacks) —
 # pinned BIT-EXACT (24/24 + 40-config fuzz vs cv2, incl. the

@@ -203,3 +203,66 @@ def test_calibrate_debevec_vs_cv2():
     # bins are null-space (docs) — compare the central response range
     rel = np.abs(got[30:226] - want[30:226]) / np.maximum(np.abs(want[30:226]), 1e-6)
     assert float(rel.max()) <= 0.05, float(rel.max())
+
+
+def test_tonemap_reinhard_vs_cv2():
+    """Pinned ~2e-7 (docs/PARITY.md): normalize -> gray -> log stats ->
+    adaptation map -> renormalize -> gamma."""
+    rng = np.random.default_rng(seed("reinhard"))
+    for t in range(10):
+        hdr = (rng.random((16 + t, 21, 3)).astype(np.float32)
+               * float(rng.uniform(0.5, 40)) + float(rng.uniform(0, 0.1)))
+        g = float(rng.choice([1.0, 1.5, 2.2]))
+        i = float(rng.uniform(-4, 4))
+        l = float(rng.uniform(0, 1))
+        c = float(rng.uniform(0, 1))
+        want = cv2.createTonemapReinhard(g, i, l, c).process(hdr)
+        got = ref.tonemap_reinhard(hdr, g, i, l, c)
+        m = np.isfinite(want) & np.isfinite(got)
+        assert float(np.abs(got[m] - want[m]).max()) <= 1e-5, (t, g, i, l, c)
+
+
+def test_tonemap_drago_vs_cv2():
+    """Structure exact; the global-min pixel's normalize residue sign is
+    build-dependent (cv2's fractional pow NaNs negative residues) — when
+    it flips, the renormalization constants shift.  The affine-refit
+    residual proves the law either way (docs/PARITY.md)."""
+    rng = np.random.default_rng(seed("drago"))
+    for t in range(10):
+        hdr = (rng.random((16 + t, 21, 3)).astype(np.float32)
+               * float(rng.uniform(0.5, 40)) + float(rng.uniform(0, 0.1)))
+        g = float(rng.choice([1.0, 1.5, 2.2]))
+        s = float(rng.choice([0.6, 1.0, 1.3]))
+        b = float(rng.uniform(0.3, 0.99))
+        want = cv2.createTonemapDrago(g, s, b).process(hdr)
+        got = ref.tonemap_drago(hdr, g, s, b)
+        m = np.isfinite(want) & np.isfinite(got)
+        d = float(np.abs(got[m] - want[m]).max())
+        if d <= 1e-5:
+            continue
+        # residue-sign flip: undo the gamma, refit the affine
+        # normalization, and require the law residual to vanish
+        x = np.power(want[m].astype(np.float64), g)
+        y = np.power(got[m].astype(np.float64), g)
+        i1, i2 = np.argmin(x), np.argmax(x)
+        a = (y[i2] - y[i1]) / max(x[i2] - x[i1], 1e-30)
+        resid = np.abs(a * x + (y[i1] - a * x[i1]) - y).max()
+        assert resid <= 1e-5, (t, g, s, b, d, resid)
+
+
+def test_tonemap_device_vs_oracle():
+    rng = np.random.default_rng(seed("tonemapdev"))
+    hdr = (rng.random((19, 23, 3)).astype(np.float32) * 12.0 + 0.01)
+    for fn_d, fn_r, kw in (
+        (ie.tonemap_reinhard, ref.tonemap_reinhard,
+         dict(gamma=2.2, intensity=0.5, light_adapt=0.8, color_adapt=0.4)),
+        (ie.tonemap_drago, ref.tonemap_drago,
+         dict(gamma=1.5, saturation=1.2, bias=0.9)),
+    ):
+        got = np.asarray(fn_d(jnp.asarray(hdr), **kw))
+        want = fn_r(hdr, **kw)
+        m = np.isfinite(want) & np.isfinite(got)
+        # XLA's f32 transcendentals differ from libm by ulps; the
+        # normalize constants tier adds ~2e-7
+        assert float(np.abs(got[m] - want[m]).max()) <= 5e-5
+        assert m.mean() > 0.999
