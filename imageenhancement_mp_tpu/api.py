@@ -633,7 +633,8 @@ def warp_affine(img, M, dsize, interpolation: str = "linear",
     legacy fixed-point coords with float tab weights for int16.
     CUBIC (INTER_CUBIC, cv2 5.0's new warp kernel, pinned): u8/u16
     BIT-EXACT, i16 razor +-1 (<0.05%), f32 bitwise on all interior +
-    partial-border pixels (fully-outside <=1 ulp).
+    partial-border pixels (fully-outside <=1 ulp).  LANCZOS4 (legacy
+    quantized tabs): u8/u16/i16 +-1 on <0.3% px, f32 ~1 ulp.
     ``border``: constant (with ``border_value``, saturated like cv2) or
     replicate.  ``inverse_map`` = cv2's WARP_INVERSE_MAP."""
     _check_image_dtype(img, allow_i16=True)
@@ -659,7 +660,8 @@ def warp_perspective(img, M, dsize, interpolation: str = "linear",
     int16 uses cv2's legacy per-pixel f64 quantized path.  CUBIC
     (cv2 5.0's new warp kernel): cv2 divides with a hardware-dependent
     SIMD reciprocal, so the budgets are u8 +-1 on ~0.01% px, u16/i16
-    +-1 on ~1.5% px, f32 <=1e-5 relative (docs/PARITY.md).  Matrix
+    +-1 on ~1.5% px, f32 <=1e-5 relative (docs/PARITY.md).  LANCZOS4
+    (legacy quantized tabs): ints +-1 on <0.3% px, f32 ~1 ulp.  Matrix
     inversion is cv2's f64 cofactor expansion.
     ``get_perspective_transform``/``get_affine_transform`` build
     matrices from point pairs like cv2."""
@@ -709,7 +711,10 @@ def remap(img, map_x, map_y, interpolation: str = "linear",
     ±1, NEAREST exact.  CUBIC (INTER_CUBIC, all dtypes): u8 exact
     (razor-tie ±1 class), u16/i16 ±1, f32 ~1 ulp vs cv2; on the CPU
     backend the device may differ from the oracle by ±1 LSB (XLA FMA
-    contraction — TPU is strict per-op f32).  The maps are shared
+    contraction — TPU is strict per-op f32).  LANCZOS4: cv2's
+    quantized 1/32-cell tabs pinned bitwise — u8 through the 2^15 int
+    tab (device == oracle bitwise), u8/u16/i16 ±1 vs cv2 on ≲0.3 % px
+    (tab-correction ambiguity), f32 ~1 ulp.  The maps are shared
     across every plane of a batch (cv2 semantics for multi-channel
     images)."""
     _check_image_dtype(img, allow_i16=True)

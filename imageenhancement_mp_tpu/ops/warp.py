@@ -144,6 +144,43 @@ def _cubic_keys_16tap_device(sample, tx, ty):
     return acc
 
 
+def _lanczos4_tab_device(planes, X_np, Y_np, H, W, border, border_value,
+                         minv, maxv, is_f32, out_dtype):
+    """Shared device lanczos4 sampler for the static-M warps: baked
+    int32 quantized coords (host), pinned remap tabs, u8 integer path /
+    f32 factored rows (ref/ops.py ``_warp_lanczos4_sample``)."""
+    from imageenhancement_mp_tpu.ref.ops import _lanczos4_remap_tabs
+
+    w1_np, itab_np = _lanczos4_remap_tabs()
+    clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+    ix0 = jnp.asarray(clip32(X_np >> 5))
+    iy0 = jnp.asarray(clip32(Y_np >> 5))
+    fx = (X_np & 31).astype(np.int32)
+    fy = (Y_np & 31).astype(np.int32)
+    if out_dtype == jnp.uint8:
+        cellw = jnp.asarray(itab_np[fy, fx])                 # (oh, ow, 8, 8)
+        acc = jnp.zeros((planes.shape[0], *fx.shape), jnp.int32)
+        for a in range(8):
+            for b in range(8):
+                v = _gather(planes, iy0 + a - 3, ix0 + b - 3, H, W, border,
+                            border_value, minv, maxv).astype(jnp.int32)
+                acc = acc + v * cellw[..., a, b][None]
+        return jnp.clip((acc + (1 << 14)) >> 15, 0, 255).astype(out_dtype)
+    wx = jnp.asarray(w1_np[fx])                              # (oh, ow, 8)
+    wy = jnp.asarray(w1_np[fy])
+    acc = jnp.zeros((planes.shape[0], *fx.shape), jnp.float32)
+    for a in range(8):
+        row = jnp.zeros((planes.shape[0], *fx.shape), jnp.float32)
+        for b in range(8):
+            v = _gather(planes, iy0 + a - 3, ix0 + b - 3, H, W, border,
+                        border_value, minv, maxv).astype(jnp.float32)
+            row = row + wx[..., b][None] * v
+        acc = acc + wy[..., a][None] * row
+    if is_f32:
+        return acc
+    return jnp.clip(jnp.round(acc), minv, maxv).astype(out_dtype)
+
+
 def _gather(planes, iy, ix, H, W, border, border_value, minv, maxv):
     """4-tap-safe sample: clamp indices, mask constant-border taps."""
     cy = jnp.clip(iy, 0, H - 1)
@@ -172,9 +209,9 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear", "cubic"):
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+    if interpolation not in ("nearest", "linear", "cubic", "lanczos4"):
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     H, W = planes.shape[-2], planes.shape[-1]
     Mi = (np.asarray(M, np.float64).reshape(2, 3) if inverse_map
           else invert_affine(np.asarray(M, np.float64)))
@@ -186,6 +223,10 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
         # the dtype cast inside _gather from wrapping
         border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
 
+    if interpolation == "lanczos4":
+        X, Y = warp_affine_coords_int(Mi, oh, ow)      # legacy AB fixpoint
+        return _lanczos4_tab_device(planes, X, Y, H, W, border, border_value,
+                                    minv, maxv, is_f32, planes.dtype)
     if interpolation == "cubic":
         # cv2 5.0's new cubic kernel: plain-f32 coords (baked host-side,
         # M is static), factored fma weights, fma row chains — oracle
@@ -260,9 +301,9 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
         raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear", "cubic"):
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+    if interpolation not in ("nearest", "linear", "cubic", "lanczos4"):
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     H, W = planes.shape[-2], planes.shape[-1]
     mx = jnp.clip(map_x.astype(jnp.float32), -2e9, 2e9)   # int32-cast safety
     my = jnp.clip(map_y.astype(jnp.float32), -2e9, 2e9)
@@ -283,6 +324,43 @@ def remap_planes(planes: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
             lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W, border,
                                    border_value, minv, maxv).astype(jnp.float32),
             tx, ty)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+    if interpolation == "lanczos4":
+        # cv2's QUANTIZED lanczos path (1/32 fraction cells, pinned
+        # tabs — ref/ops.py _lanczos4_remap_tabs): u8 through the 2^15
+        # int tab, others through f32 factored row chains.  Budgets:
+        # u8/u16/i16 +-1 on <~0.3% px, f32 ~1 ulp (docs/PARITY.md)
+        from imageenhancement_mp_tpu.ref.ops import _lanczos4_remap_tabs
+
+        w1_np, itab_np = _lanczos4_remap_tabs()
+        X = jnp.round(jnp.clip(mx, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)
+        Y = jnp.round(jnp.clip(my, -6e7, 6e7) * jnp.float32(32)).astype(jnp.int32)
+        ix0, iy0 = X >> 5, Y >> 5
+        fx, fy = X & 31, Y & 31
+        if planes.dtype == jnp.uint8:
+            itab = jnp.asarray(itab_np.reshape(32 * 32, 64))
+            cellw = jnp.take(itab, fy * 32 + fx, axis=0)       # (oh, ow, 64)
+            acc = jnp.zeros((planes.shape[0], *fx.shape), jnp.int32)
+            for a in range(8):
+                for b in range(8):
+                    v = _gather(planes, iy0 + a - 3, ix0 + b - 3, H, W, border,
+                                border_value, minv, maxv).astype(jnp.int32)
+                    acc = acc + v * cellw[..., a * 8 + b][None]
+            out = (acc + (1 << 14)) >> 15
+            return jnp.clip(out, 0, 255).astype(planes.dtype)
+        w1 = jnp.asarray(w1_np)                                # (32, 8)
+        wx = jnp.take(w1, fx, axis=0)                          # (oh, ow, 8)
+        wy = jnp.take(w1, fy, axis=0)
+        acc = jnp.zeros((planes.shape[0], *fx.shape), jnp.float32)
+        for a in range(8):
+            row = jnp.zeros((planes.shape[0], *fx.shape), jnp.float32)
+            for b in range(8):
+                v = _gather(planes, iy0 + a - 3, ix0 + b - 3, H, W, border,
+                            border_value, minv, maxv).astype(jnp.float32)
+                row = row + wx[..., b][None] * v
+            acc = acc + wy[..., a][None] * row
         if is_f32:
             return acc
         return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
@@ -377,9 +455,9 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear", "cubic"):
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+    if interpolation not in ("nearest", "linear", "cubic", "lanczos4"):
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     H, W = planes.shape[-2], planes.shape[-1]
     Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
           else invert_perspective(M))
@@ -389,6 +467,12 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
         border_value = float(np.clip(np.round(float(border_value)), minv, maxv))
 
     clip32 = lambda a: np.clip(a, -2**31, 2**31 - 1).astype(np.int32)
+    if interpolation == "lanczos4":
+        from imageenhancement_mp_tpu.ref.ops import warp_perspective_coords_int
+
+        X, Y = warp_perspective_coords_int(Mi, oh, ow)
+        return _lanczos4_tab_device(planes, X, Y, H, W, border, border_value,
+                                    minv, maxv, is_f32, planes.dtype)
     if interpolation == "cubic":
         # same f32 cubic kernel for every dtype; perspective coords use
         # cv2's fma-num / f32-div law (the SIMD reciprocal division is

@@ -2181,9 +2181,14 @@ def warp_affine(img: np.ndarray, M, dsize, interpolation: str = "linear",
         if kind == "f32":
             return acc
         return np.clip(np.rint(acc.astype(np.float64)), lo, hi).astype(img.dtype)
+    if interpolation == "lanczos4":
+        # the legacy quantized path (cv2 5.0's new kernels cover
+        # linear/cubic only): AB fixed-point coords at 1/32 subpixels
+        X, Y = warp_affine_coords_int(Mi, oh, ow)
+        return _warp_lanczos4_sample(img, X, Y, border, fill)
     if interpolation != "linear":
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     if kind == "i16":
         X, Y = warp_affine_coords_int(Mi, oh, ow)
         T = (1 << _WARP_INTER_BITS) - 1
@@ -2518,9 +2523,9 @@ def warp_perspective(img: np.ndarray, M, dsize, interpolation: str = "linear",
         raise ValueError(f"invalid output size {(oh, ow)}")
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear", "cubic"):
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+    if interpolation not in ("nearest", "linear", "cubic", "lanczos4"):
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     H, W = img.shape
     Mi = (np.asarray(M, np.float64).reshape(3, 3) if inverse_map
           else invert_perspective(M))
@@ -2543,6 +2548,11 @@ def warp_perspective(img: np.ndarray, M, dsize, interpolation: str = "linear",
         if kind == "f32":
             return acc
         return np.clip(np.rint(acc.astype(np.float64)), lo, hi).astype(img.dtype)
+    if interpolation == "lanczos4":
+        # legacy quantized path: per-pixel f64 homography rounded to
+        # 1/32 subpixels (the i16-linear coords), shared lanczos tabs
+        X, Y = warp_perspective_coords_int(Mi, oh, ow)
+        return _warp_lanczos4_sample(img, X, Y, border, fill)
     if kind == "i16":
         if interpolation == "nearest":
             iy, ix = warp_perspective_nn_coords_int(Mi, oh, ow)
@@ -2713,6 +2723,152 @@ def _remap_cubic(img, map_x, map_y, border, border_value):
     return np.clip(np.round(acc.astype(np.float64)), lo, hi).astype(img.dtype)
 
 
+_LANCZOS4_REMAP_TABS = None
+
+
+def _lanczos4_remap_tabs():
+    """cv2's 32-cell lanczos4 remap tabs (initInterTab1D/2D), pinned
+    BITWISE by f32 delta-probe extraction (0/256 1-D entries):
+
+    * 1-D: ``interpolateLanczos4(i/32)`` — f64 sin/cos off one phase,
+      per-tap f64 ``(cs0*s0 + cs1*c0)/y²`` cast f32, then an f32
+      SEQUENTIAL sum whose f32 reciprocal scales every tap; fraction 0
+      short-circuits to the tap-3 delta.
+    * u8 int tab: ``saturate16(cvRound(wy*wx * 2^15))`` with the cell
+      sum corrected to 2^15 on ONE center-2x2 extremum — the corrected
+      ENTRY cv2 picks is ambiguous on ~10 % of cells (probe-measured),
+      worth ±1 LSB on ~0.3 % of output pixels (the documented budget).
+    Returns ``(w1, itab)``: f32 ``(32, 8)`` and int32 ``(32, 32, 8, 8)``.
+    """
+    global _LANCZOS4_REMAP_TABS
+    if _LANCZOS4_REMAP_TABS is not None:
+        return _LANCZOS4_REMAP_TABS
+    f32, f64 = np.float32, np.float64
+    T = 32
+    x = (np.arange(T) / f32(T)).astype(f32)
+    s45 = 0.70710678118654752440084436210485
+    cs = np.array([[1, 0], [-s45, -s45], [0, 1], [s45, -s45],
+                   [-1, 0], [s45, s45], [0, -1], [-s45, s45]], f64)
+    w1 = np.empty((T, 8), f32)
+    xd = x.astype(f64)
+    y0 = -(xd + 3) * np.pi * 0.25
+    s0, c0 = np.sin(y0), np.cos(y0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(8):
+            y = -(xd + 3 - i) * np.pi * 0.25
+            w1[:, i] = ((cs[i, 0] * s0 + cs[i, 1] * c0) / (y * y)).astype(f32)
+    ssum = np.zeros(T, f32)
+    for i in range(8):
+        ssum = (ssum + w1[:, i]).astype(f32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w1 = (w1 * (f32(1.0) / ssum)[:, None]).astype(f32)
+    w1[0] = 0
+    w1[0, 3] = 1
+    w2d = (w1[:, None, :, None] * w1[None, :, None, :]).astype(f32)
+    S = 1 << _WARP_REMAP_BITS
+    itab = np.clip(np.rint(w2d * f32(S)), -32768, 32767).astype(np.int64)
+    for fy in range(T):
+        for fx in range(T):
+            cell = itab[fy, fx]
+            diff = int(cell.sum()) - S
+            if diff:
+                mk = Mk = (3, 3)
+                for k1 in (3, 4):
+                    for k2 in (3, 4):
+                        if cell[k1, k2] < cell[mk]:
+                            mk = (k1, k2)
+                        elif cell[k1, k2] > cell[Mk]:
+                            Mk = (k1, k2)
+                if diff < 0:
+                    cell[Mk] -= diff
+                else:
+                    cell[mk] -= diff
+    _LANCZOS4_REMAP_TABS = (w1, itab.astype(np.int32))
+    return _LANCZOS4_REMAP_TABS
+
+
+def _remap_lanczos4(img, map_x, map_y, border, fill):
+    """cv2.remap INTER_LANCZOS4 with float maps — the QUANTIZED path
+    (cvRound(map*32) coords, 1/32 fraction cells, pinned tabs).  u8
+    runs the 2^15 int tab (``(Σ w·v + 2^14) >> 15``, saturate); other
+    dtypes the f32 factored row chains.  Budgets (8-run fuzz per
+    dtype x border): u8/u16/i16 ±1 on ≲0.3 % px, f32 ≤4e-4 at
+    655-scale (~1 ulp; cv2's SIMD accumulation order)."""
+    f32, f64 = np.float32, np.float64
+    H, W = img.shape
+    kind = _img_kind(img, allow_i16=True)
+    w1, itab = _lanczos4_remap_tabs()
+    X = np.rint(np.clip(map_x, -6e7, 6e7).astype(f64) * 32).astype(np.int64)
+    Y = np.rint(np.clip(map_y, -6e7, 6e7).astype(f64) * 32).astype(np.int64)
+    ix, iy = X >> 5, Y >> 5
+    fx, fy = (X & 31).astype(int), (Y & 31).astype(int)
+
+    def samp(a, b, asdt):
+        yy, xx = iy + a - 3, ix + b - 3
+        v = img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)].astype(asdt)
+        if border == "constant":
+            inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            v = np.where(inside, v, asdt(fill)).astype(asdt)
+        return v
+
+    if kind == "u8":
+        acc = np.zeros(map_x.shape, np.int64)
+        for a in range(8):
+            for b in range(8):
+                acc += samp(a, b, np.int64) * itab[fy, fx, a, b]
+        return np.clip((acc + (1 << 14)) >> 15, 0, 255).astype(img.dtype)
+    acc = np.zeros(map_x.shape, f32)
+    for a in range(8):
+        row = np.zeros(map_x.shape, f32)
+        for b in range(8):
+            row = (row + w1[fx, b] * samp(a, b, f32)).astype(f32)
+        acc = (acc + w1[fy, a] * row).astype(f32)
+    if kind == "f32":
+        return acc
+    lo, hi = _int_minval(kind), _int_maxval(kind)
+    return np.clip(np.rint(acc.astype(f64)), lo, hi).astype(img.dtype)
+
+
+def _warp_lanczos4_sample(img, X, Y, border, fill):
+    """Shared INTER_LANCZOS4 sampler for warpAffine/warpPerspective:
+    quantized 1/32 coords (``X = coords·32`` fixed point, any source)
+    through the pinned remap tabs (``_lanczos4_remap_tabs``).  u8 via
+    the 2^15 int tab; u16/i16/f32 via f32 factored row chains.
+    Budgets (8-run fuzz per dtype x border, affine + perspective):
+    u8/u16/i16 ±1 on ≲0.3 % px, f32 ~1 ulp (4e-4 at 655-scale)."""
+    f32, f64 = np.float32, np.float64
+    H, W = img.shape
+    kind = _img_kind(img, allow_i16=True)
+    w1, itab = _lanczos4_remap_tabs()
+    ix, iy = X >> 5, Y >> 5
+    fx, fy = (X & 31).astype(int), (Y & 31).astype(int)
+
+    def samp(a, b, asdt):
+        yy, xx = iy + a - 3, ix + b - 3
+        v = img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)].astype(asdt)
+        if border == "constant":
+            inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            v = np.where(inside, v, asdt(fill)).astype(asdt)
+        return v
+
+    if kind == "u8":
+        acc = np.zeros(X.shape, np.int64)
+        for a in range(8):
+            for b in range(8):
+                acc += samp(a, b, np.int64) * itab[fy, fx, a, b]
+        return np.clip((acc + (1 << 14)) >> 15, 0, 255).astype(img.dtype)
+    acc = np.zeros(X.shape, f32)
+    for a in range(8):
+        row = np.zeros(X.shape, f32)
+        for b in range(8):
+            row = (row + w1[fx, b] * samp(a, b, f32)).astype(f32)
+        acc = (acc + w1[fy, a] * row).astype(f32)
+    if kind == "f32":
+        return acc
+    lo, hi = _int_minval(kind), _int_maxval(kind)
+    return np.clip(np.rint(acc.astype(f64)), lo, hi).astype(img.dtype)
+
+
 def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
           interpolation: str = "linear", border: str = "constant",
           border_value: float = 0.0) -> np.ndarray:
@@ -2761,9 +2917,11 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
         return np.clip(np.round(v.astype(np.float64)), lo, hi).astype(img.dtype)
     if interpolation == "cubic":
         return _remap_cubic(img, map_x, map_y, border, fill)
+    if interpolation == "lanczos4":
+        return _remap_lanczos4(img, map_x, map_y, border, fill)
     if interpolation != "linear":
-        raise ValueError(
-            f"unknown interpolation {interpolation!r} (nearest|linear|cubic)")
+        raise ValueError(f"unknown interpolation {interpolation!r} "
+                         "(nearest|linear|cubic|lanczos4)")
     if kind == "i16":
         X = np.round(map_x.astype(np.float64) * 32).astype(np.int64)
         Y = np.round(map_y.astype(np.float64) * 32).astype(np.int64)

@@ -149,6 +149,9 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # documented razor-tie class keeps budget 1
         ("remap/cubic", lambda: ie.remap(img, *_swirl_maps(size), "cubic"),
          lambda: ref.remap(img, *_swirl_maps(size), "cubic"), 1),
+        # u8 int-tab lanczos: device == oracle bitwise (budget 0)
+        ("remap/lancz", lambda: ie.remap(img, *_swirl_maps(size), "lanczos4"),
+         lambda: ref.remap(img, *_swirl_maps(size), "lanczos4"), 0),
         # float-result op: compare at tolerance via the quantized trick
         ("match_tpl", lambda: _quant_mt(ie.match_template(img, img2[:7, :9], "ccoeff_normed")),
          lambda: _quant_mt(ref.match_template(img, img2[:7, :9], "ccoeff_normed")), 1),
@@ -172,6 +175,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("warp/pcubic", lambda: ie.warp_perspective(img, _persp_matrix(size), size,
                                                     "cubic"),
          lambda: ref.warp_perspective(img, _persp_matrix(size), size, "cubic"), 1),
+        # lanczos4 warp: u8 int-tab path — device == oracle bitwise
+        ("warp/lancz", lambda: ie.warp_affine(
+            img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), -25.0, 0.95),
+            size, "lanczos4"),
+         lambda: ref.warp_affine(
+            img, ref.get_rotation_matrix_2d((size[1] / 2, size[0] / 2), -25.0, 0.95),
+            size, "lanczos4"), 0),
         # perspective warp: bit-exact (hybrid f32 coords + f32 divide via fma32)
         ("warp/persp", lambda: ie.warp_perspective(img, _persp_matrix(size), size),
          lambda: ref.warp_perspective(img, _persp_matrix(size), size), 0),

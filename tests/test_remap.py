@@ -129,3 +129,45 @@ def test_device_cubic_vs_oracle(dt):
         else:
             d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
             assert d <= 1, (bmode, d)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_lanczos4_vs_cv2(dt):
+    """Quantized 1/32-cell tabs (docs/PARITY.md): ints +-1 on <~0.3% px
+    (tab-correction ambiguity), f32 ~1 ulp."""
+    rng = np.random.default_rng(seed("remapl4", dt.__name__))
+    for t in range(14):
+        H, W = int(rng.integers(10, 50)), int(rng.integers(10, 50))
+        oh, ow = int(rng.integers(8, 45)), int(rng.integers(8, 45))
+        img = _img(rng, dt, (H, W))
+        mx, my = _maps(rng, H, W, oh, ow)
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 90))
+        want = cv2.remap(img, mx, my, cv2.INTER_LANCZOS4, borderMode=_B[bmode],
+                         borderValue=bval)
+        got = ref.remap(img, mx, my, "lanczos4", bmode, bval)
+        if dt is np.float32:
+            d = float(np.abs(got - want).max())
+            assert d <= 2e-3, (H, W, oh, ow, d)
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (H, W, oh, ow, d)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_device_lanczos4_vs_oracle(dt):
+    rng = np.random.default_rng(seed("remapl4dev", dt.__name__))
+    for bmode in ("constant", "replicate"):
+        img = _img(rng, dt, (29, 33))
+        mx, my = _maps(rng, 29, 33, 21, 26)
+        want = ref.remap(img, mx, my, "lanczos4", bmode, 5.0)
+        got = np.asarray(remap_planes(jnp.asarray(img)[None], jnp.asarray(mx),
+                                      jnp.asarray(my), "lanczos4", bmode, 5.0))[0]
+        if dt is np.uint8:
+            # integer tab path: device == oracle bitwise on every backend
+            assert np.array_equal(got, want), bmode
+        elif dt is np.float32:
+            assert float(np.abs(got - want).max()) <= 2e-3, bmode
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (bmode, d)

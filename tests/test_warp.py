@@ -197,3 +197,65 @@ def test_device_cubic_vs_oracle(dt):
         assert float(np.abs(got - want).max()) <= 2e-3
     else:
         assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.int16, np.float32])
+def test_ref_lanczos4_vs_cv2(dt):
+    """Legacy quantized path (docs/PARITY.md): ints +-1 on <~0.3% px,
+    f32 ~1 ulp — affine AND perspective share the remap tabs."""
+    rng = np.random.default_rng(seed("warplancz", dt.__name__))
+    for t in range(12):
+        H, W = int(rng.integers(14, 55)), int(rng.integers(14, 55))
+        oh, ow = int(rng.integers(10, 50)), int(rng.integers(10, 50))
+        img = _img(rng, dt, (H, W))
+        bmode = ["constant", "replicate"][t % 2]
+        bval = float(rng.integers(0, 120))
+        M = _mat(rng)
+        want = cv2.warpAffine(img, M, (ow, oh), flags=cv2.INTER_LANCZOS4,
+                              borderMode=_B[bmode], borderValue=bval)
+        got = ref.warp_affine(img, M, (oh, ow), "lanczos4", bmode, bval)
+        if dt is np.float32:
+            assert float(np.abs(got - want).max()) <= 2e-3, (t, "affine")
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (t, "affine", d)
+        Mp = np.array([[rng.uniform(0.5, 1.5), rng.uniform(-0.2, 0.2), rng.uniform(-6, 6)],
+                       [rng.uniform(-0.2, 0.2), rng.uniform(0.5, 1.5), rng.uniform(-6, 6)],
+                       [rng.uniform(-2e-3, 2e-3), rng.uniform(-2e-3, 2e-3), 1.0]])
+        want = cv2.warpPerspective(img, Mp, (ow, oh), flags=cv2.INTER_LANCZOS4,
+                                   borderMode=_B[bmode], borderValue=bval)
+        got = ref.warp_perspective(img, Mp, (oh, ow), "lanczos4", bmode, bval)
+        if dt is np.float32:
+            assert float(np.abs(got - want).max()) <= 2e-3, (t, "persp")
+        else:
+            d = int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max())
+            assert d <= 1, (t, "persp", d)
+
+
+@pytest.mark.parametrize("dt", [np.uint8, np.uint16, np.float32])
+def test_device_lanczos4_vs_oracle(dt):
+    from imageenhancement_mp_tpu.ops.warp import warp_perspective_planes
+
+    rng = np.random.default_rng(seed("warplanczdev", dt.__name__))
+    img = _img(rng, dt, (31, 35))
+    M = _mat(rng)
+    want = ref.warp_affine(img, M, (24, 27), "lanczos4", "replicate", 0.0)
+    got = np.asarray(warp_affine_planes(jnp.asarray(img)[None], M, (24, 27),
+                                        "lanczos4", "replicate", 0.0))[0]
+    if dt is np.uint8:
+        assert np.array_equal(got, want)     # integer tab path: bitwise
+    elif dt is np.float32:
+        assert float(np.abs(got - want).max()) <= 2e-3
+    else:
+        assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
+    Mp = np.array([[1.07, 0.11, -3.0], [-0.08, 0.93, 2.0],
+                   [1.3e-3, -0.9e-3, 1.0]])
+    want = ref.warp_perspective(img, Mp, (24, 27), "lanczos4", "constant", 4.0)
+    got = np.asarray(warp_perspective_planes(jnp.asarray(img)[None], Mp, (24, 27),
+                                             "lanczos4", "constant", 4.0))[0]
+    if dt is np.uint8:
+        assert np.array_equal(got, want)
+    elif dt is np.float32:
+        assert float(np.abs(got - want).max()) <= 2e-3
+    else:
+        assert int(np.abs(got.astype(np.int64) - want.astype(np.int64)).max()) <= 1
