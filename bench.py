@@ -53,6 +53,11 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "resize/lanczos4 4K->1440p gray b2": 0.250,  # cv2 INTER_LANCZOS4
     "warp_polar 4K gray b2": 0.242,   # cv2.warpPolar linear fwd
     "cvt/hls 1080p rgb b8": 1.671,    # cv2.cvtColor RGB2HLS (elements/s)
+    "warp/cubic 4K gray b2": 0.111,   # cv2.warpAffine INTER_CUBIC
+    "warp/lanczos4 4K gray b2": 0.033,  # cv2.warpAffine INTER_LANCZOS4
+    "remap/cubic 4K gray b2": 0.113,  # cv2.remap INTER_CUBIC (swirl maps)
+    "tonemap/reinhard 1080p rgb": 0.021,  # cv2.createTonemapReinhard
+    "tonemap/drago 1080p rgb": 0.028,     # cv2.createTonemapDrago
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -114,6 +119,7 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     import imageenhancement_mp_tpu as ie
     from imageenhancement_mp_tpu import ref
@@ -308,6 +314,49 @@ def main() -> int:
                 lambda x: ie.cvt_color(x, "rgb2hls"),
                 rng.integers(0, 256, (8, 1080, 1920, 3), dtype=np.uint8),
                 lambda x: np.stack([ref.rgb_to_hls(np.asarray(f)) for f in x]),
+            ),
+        ]
+        # round-3 geometry/HDR additions
+        rotM = ref.get_rotation_matrix_2d((1920.0, 1080.0), 15.0, 1.0)
+        yy4, xx4 = np.mgrid[0:2160, 0:3840].astype(np.float32)
+        swirl_x = jnp.asarray((xx4 + 3.0 * np.sin(yy4 / 7.0)).astype(np.float32))
+        swirl_y = jnp.asarray((yy4 + 2.0 * np.cos(xx4 / 9.0)).astype(np.float32))
+        swirl_x_np = np.asarray(swirl_x)
+        swirl_y_np = np.asarray(swirl_y)
+        hdr1080 = (np.random.default_rng(5).random((1080, 1920, 3)).astype(np.float32)
+                   * 20 + 0.01)
+        suite += [
+            (
+                "warp/cubic 4K gray b2",
+                lambda x: ie.warp_affine(x, rotM, (2160, 3840), "cubic"),
+                b4k,
+                gray_oracle(lambda p: ref.warp_affine(p, rotM, (2160, 3840), "cubic")),
+            ),
+            (
+                "warp/lanczos4 4K gray b2",
+                lambda x: ie.warp_affine(x, rotM, (2160, 3840), "lanczos4"),
+                b4k,
+                gray_oracle(lambda p: ref.warp_affine(p, rotM, (2160, 3840), "lanczos4")),
+            ),
+            (
+                "remap/cubic 4K gray b2",
+                lambda x: ie.remap(x, swirl_x, swirl_y, "cubic"),
+                b4k,
+                gray_oracle(lambda p: ref.remap(p, swirl_x_np, swirl_y_np, "cubic")),
+            ),
+            # f32 HDR operators: parity covered by tests/selftest (f32
+            # outputs don't fit the int LSB check) — timing rows only
+            (
+                "tonemap/reinhard 1080p rgb",
+                lambda x: ie.tonemap_reinhard(x, 2.2),
+                hdr1080,
+                None,
+            ),
+            (
+                "tonemap/drago 1080p rgb",
+                lambda x: ie.tonemap_drago(x, 2.2),
+                hdr1080,
+                None,
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

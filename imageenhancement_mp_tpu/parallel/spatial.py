@@ -764,7 +764,12 @@ def warp_affine_spatial(local, M, dsize, interpolation: str = "linear",
 
     The input is ``all_gather``'d (an affine map can read rows from
     anywhere); each shard samples only its own output-row block with the
-    exact per-row coordinate tables, so compute scales n-ways."""
+    exact per-row coordinate tables, so compute scales n-ways.
+    cubic/lanczos4 ride the same row split (cubic through the warp
+    kernel's own law, lanczos4 through remap's tab path with exactly
+    re-quantizable maps) — u8 bit-identical to the single-chip op;
+    float accumulation chains may differ by the CPU backend's
+    contraction tier (strict/identical on TPU)."""
     from imageenhancement_mp_tpu.ops.warp import (_bilinear_tab_seq_device,
                                                   _gather, remap_planes)
     from imageenhancement_mp_tpu.ref.ops import (invert_affine,
@@ -776,11 +781,43 @@ def warp_affine_spatial(local, M, dsize, interpolation: str = "linear",
     W = local.shape[2]
     if border not in ("constant", "replicate"):
         raise ValueError(f"unknown border {border!r} (constant|replicate)")
-    if interpolation not in ("nearest", "linear"):
+    if interpolation not in ("nearest", "linear", "cubic", "lanczos4"):
         raise ValueError(f"unknown interpolation {interpolation!r}")
     Mi = (np.asarray(M, np.float64).reshape(2, 3) if inverse_map
           else invert_affine(np.asarray(M, np.float64)))
     full = jax.lax.all_gather(local, axis_name, axis=1, tiled=True)
+    if interpolation == "cubic":
+        # warp cubic's OWN law (plain-f32 coords + the keys kernel) —
+        # remap's cubic uses different weights, so don't delegate
+        from imageenhancement_mp_tpu.ops.warp import _cubic_keys_16tap_device
+        from imageenhancement_mp_tpu.ref.ops import warp_affine_coords_cubic_f32
+        from imageenhancement_mp_tpu.utils.ranges import int_bounds as _ib
+
+        is_f32 = local.dtype == jnp.float32
+        minv, maxv = (0, 0) if is_f32 else _ib(local.dtype)
+        bv = (float(border_value) if is_f32 else
+              float(np.clip(np.round(float(border_value)), minv, maxv)))
+        sx_np, sy_np = warp_affine_coords_cubic_f32(Mi, oh, ow)
+        sx = _row_slice(sx_np, idx, oloc)
+        sy = _row_slice(sy_np, idx, oloc)
+        ixf, iyf = jnp.floor(sx), jnp.floor(sy)
+        ix0, iy0 = ixf.astype(jnp.int32), iyf.astype(jnp.int32)
+        acc = _cubic_keys_16tap_device(
+            lambda dy, dx: _gather(full, iy0 + dy, ix0 + dx, H, W, border,
+                                   bv, minv, maxv).astype(jnp.float32),
+            sx - ixf, sy - iyf)
+        if is_f32:
+            return acc
+        return jnp.clip(jnp.round(acc), minv, maxv).astype(local.dtype)
+    if interpolation == "lanczos4":
+        # delegate to remap's lanczos path with exactly re-quantizable
+        # maps: X/32 is f32-exact, so remap's round(m*32) rebuilds X
+        X, Y = warp_affine_coords_int(Mi, oh, ow)
+        Xl = _row_slice(np.clip(X, -2**25, 2**25).astype(np.float32) / np.float32(32),
+                        idx, oloc)
+        Yl = _row_slice(np.clip(Y, -2**25, 2**25).astype(np.float32) / np.float32(32),
+                        idx, oloc)
+        return remap_planes(full, Xl, Yl, "lanczos4", border, border_value)
     if local.dtype == jnp.int16:
         minv, maxv = int_bounds(local.dtype)
         bv = float(np.clip(np.round(float(border_value)), minv, maxv))

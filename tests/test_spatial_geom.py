@@ -128,3 +128,22 @@ def test_warp_polar_spatial_bitexact():
         got = run_spatial(lambda p: sp.warp_polar_spatial(
             p, dsz, (23.5, 30.25), 28.0, log, inv), planes)
         assert np.array_equal(got, want), (log, inv)
+
+
+@pytest.mark.parametrize("interp", ["cubic", "lanczos4"])
+@pytest.mark.parametrize("dt", [np.uint8, np.float32])
+def test_warp_affine_spatial_cubic_lanczos(interp, dt):
+    rng = np.random.default_rng(seed("spatialwarp", interp, dt.__name__))
+    planes = _img(rng, dt, (2, 64, 72))
+    M = get_rotation_matrix_2d((36.0, 32.0), 25.0, 0.95)
+    want = np.asarray(warp_affine_planes(jnp.asarray(planes), M, (64, 72),
+                                         interp, "replicate"))
+    got = run_spatial(
+        lambda p: sp.warp_affine_spatial(p, M, (64, 72), interp, "replicate"),
+        planes)
+    if dt is np.uint8:
+        assert np.array_equal(got, want), interp
+    else:
+        # CPU-backend contraction tier; TPU strict per-op matches
+        d = float(np.abs(got.astype(np.float64) - want.astype(np.float64)).max())
+        assert d <= 1e-2 * max(1.0, float(np.abs(want).max())), (interp, d)
