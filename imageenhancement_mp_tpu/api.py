@@ -1007,6 +1007,23 @@ def _nlm_jit(h: float, t: int, s: int, channels_last: bool, norm: str = "l2"):
     return run
 
 
+@lru_cache(maxsize=None)
+def _nlm_u16_jit(h: float, t: int, s: int, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.nlmeans import fast_nl_means_u16_vec
+    from imageenhancement_mp_tpu.utils.shapes import as_vec
+
+    @jax.jit
+    def run(img):
+        batched, restore = as_vec(img, channels_last=channels_last)
+        return restore(fast_nl_means_u16_vec(batched, h, t, s))
+
+    def call(img):
+        with jax.enable_x64(True):
+            return run(img)
+
+    return call
+
+
 def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
                             search_window: int = 21, channels_last: bool = True,
                             norm_type: str = "l2"):
@@ -1017,13 +1034,22 @@ def fast_nl_means_denoising(img, h: float = 10.0, template_window: int = 7,
     Multichannel inputs follow cv2's VECTOR-pixel semantics: one joint
     SSD over the channels drives a shared weight (NOT per-plane
     denoising).  A 3-D input with last dim ≤ 4 is one [H,W,C] image
-    (the as_planes ambiguity rule)."""
-    _check_u8(img)
+    (the as_planes ambiguity rule).  uint16 input is supported with
+    norm_type='l1' (cv2's own 16U constraint) — BIT-EXACT through the
+    INT_MAX fixed-point LUT with s64 accumulation on device."""
     t, s = int(template_window), int(search_window)
     if t % 2 == 0 or s % 2 == 0:
         raise ValueError("window sizes must be odd")
     if norm_type not in ("l1", "l2"):
         raise ValueError(f"norm_type must be 'l1' or 'l2', got {norm_type!r}")
+    if img.dtype == jnp.uint16:
+        # cv2 supports 16U only with NORM_L1 (FPM = INT_MAX, 64-bit
+        # accumulators — docs/PARITY.md); s64 is TPU-lowerable
+        if norm_type != "l1":
+            raise ValueError("uint16 fastNlMeansDenoising requires norm_type='l1'"
+                             " (cv2's own constraint)")
+        return _nlm_u16_jit(float(h), t, s, bool(channels_last))(img)
+    _check_u8(img)
     return _nlm_jit(float(h), t, s, bool(channels_last), str(norm_type))(img)
 
 

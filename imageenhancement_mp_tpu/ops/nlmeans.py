@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from imageenhancement_mp_tpu.ref.ops import _nlm_weight_lut
 
 __all__ = ["fast_nl_means_planes", "fast_nl_means_vec",
-           "fast_nl_means_multi_vec"]
+           "fast_nl_means_multi_vec", "fast_nl_means_u16_vec"]
 
 
 def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
@@ -121,3 +121,57 @@ def fast_nl_means_planes(planes: jnp.ndarray, h: float = 10.0,
     out = fast_nl_means_vec(planes[..., None], h, template_window,
                             search_window)
     return out[..., 0]
+
+
+def fast_nl_means_u16_vec(img: jnp.ndarray, h: float = 10.0,
+                          template_window: int = 7,
+                          search_window: int = 21) -> jnp.ndarray:
+    """``cv2.fastNlMeansDenoising`` on ``(N, H, W, C)`` uint16 vector
+    pixels — cv2 supports 16U only with NORM_L1, where the pinned
+    fixed-point multiplier is INT_MAX itself and cv2 dispatches 64-bit
+    accumulators (ref/ops.py ``_nlm_weight_lut``).  MUST be traced and
+    called under ``jax.experimental.enable_x64`` (the api wrapper does
+    this): Σw ≤ s²·2³¹ and Σw·v ≤ s²·2⁴⁷ need int64, which XLA:TPU
+    lowers to emulated s64 — acceptable for this niche op.  The SAD
+    integral images stay int32 (the modular windowed-difference trick:
+    true t×t sums ≤ t²·4·65535 < 2³¹)."""
+    if img.dtype != jnp.uint16:
+        raise TypeError("fast_nl_means_u16_vec requires uint16 input")
+    t, s = int(template_window), int(search_window)
+    if t % 2 == 0 or s % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    N, H, W, C = img.shape
+    if C not in (1, 2, 3, 4):
+        raise ValueError(f"fastNlMeansDenoising supports 1-4 channels, got {C}")
+    th, sh = t // 2, s // 2
+    border = sh + th
+    w, bs, _ = _nlm_weight_lut(float(h), t, s, C, norm="l1", maxval=65535)
+    cut = len(w) - 1
+    lut = jnp.asarray(w.astype(np.int64))
+    p = jnp.pad(img.astype(jnp.int32),
+                ((0, 0), (border, border), (border, border), (0, 0)),
+                mode="reflect")
+    a = p[:, border - th:border + H + th, border - th:border + W + th]
+
+    def body(k, state):
+        est, wsum = state
+        dy = k // s
+        dx = k % s
+        b = jax.lax.dynamic_slice(
+            p, (0, border - th + dy - sh, border - th + dx - sh, 0),
+            (N, H + 2 * th, W + 2 * th, C))
+        sad = jnp.abs(a - b).sum(axis=-1)
+        c = jnp.cumsum(jnp.cumsum(sad, axis=1), axis=2)
+        c = jnp.pad(c, ((0, 0), (1, 0), (1, 0)))
+        win = (c[:, t:, t:] - c[:, :-t, t:] - c[:, t:, :-t] + c[:, :-t, :-t])
+        ww = jnp.take(lut, jnp.minimum(win >> bs, cut))
+        v = jax.lax.dynamic_slice(
+            p, (0, border + dy - sh, border + dx - sh, 0), (N, H, W, C))
+        return (est + ww[..., None] * v.astype(jnp.int64), wsum + ww)
+
+    est0 = jnp.zeros((N, H, W, C), jnp.int64)
+    ws0 = jnp.zeros((N, H, W), jnp.int64)
+    est, wsum = jax.lax.fori_loop(0, s * s, body, (est0, ws0))
+    ws = jnp.maximum(wsum, 1)
+    out = jnp.floor_divide(est + (wsum >> 1)[..., None], ws[..., None])
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)

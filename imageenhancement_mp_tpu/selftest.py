@@ -209,6 +209,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.fast_nl_means_denoising_colored(
             np.asarray(rgb)[:min(48, size[0]), :min(52, size[1])],
             10.0, 14.0, 3, 9), 0),
+        ("nlmeans/u16", lambda: ie.fast_nl_means_denoising(
+            (img.astype(np.uint16) * 257), 900.0, 5, 9, norm_type="l1"),
+         lambda: ref.fast_nl_means_denoising(
+            (img.astype(np.uint16) * 257), 900.0, 5, 9, "l1"), 0),
         ("nlmeans/multi", lambda: ie.fast_nl_means_denoising_multi(
             np.stack([img[:mh, :mw], img2[:mh, :mw], img[size[0] - mh:, size[1] - mw:]]),
             1, 3, 15.0, 3, 9),

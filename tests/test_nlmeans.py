@@ -60,8 +60,11 @@ def test_device_vs_cv2():
 
 
 def test_rejects():
+    # u16 is now supported, but only with cv2's NORM_L1 constraint
+    with pytest.raises(ValueError):
+        ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint16))  # l2 default
     with pytest.raises(TypeError):
-        ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint16))
+        ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.int16), norm_type="l1")
     with pytest.raises(ValueError):
         ie.fast_nl_means_denoising(jnp.zeros((8, 8), jnp.uint8), 10.0, 4, 21)
     with pytest.raises(TypeError):
@@ -232,3 +235,23 @@ def test_u16_l1_vs_cv2():
     assert worst <= 1, worst
     with pytest.raises(TypeError):   # u16 requires L1, like cv2
         ref.fast_nl_means_denoising(img, h, t, s, norm_type="l2")
+
+
+def test_device_u16_l1_bitexact():
+    """Device u16-L1 path (s64 accumulation under enable_x64) ==
+    oracle == cv2 bitwise."""
+    rng = np.random.default_rng(seed("nlmu16dev"))
+    for cn in (1, 3):
+        shape = (36, 40) if cn == 1 else (36, 40, cn)
+        img = rng.integers(0, 65536, shape).astype(np.uint16)
+        want = ref.fast_nl_means_denoising(img, 900.0, 5, 9, "l1")
+        got = np.asarray(ie.fast_nl_means_denoising(img, 900.0, 5, 9,
+                                                    norm_type="l1"))
+        assert np.array_equal(got, want), cn
+    img = np.clip(rng.normal(30000, 4000, (40, 44)), 0, 65535).astype(np.uint16)
+    want = cv2.fastNlMeansDenoising(img, [800.0], None, 5, 9, cv2.NORM_L1)
+    got = np.asarray(ie.fast_nl_means_denoising(img, 800.0, 5, 9,
+                                                norm_type="l1"))
+    assert np.array_equal(got, want)
+    with pytest.raises(ValueError):
+        ie.fast_nl_means_denoising(img, 800.0, 5, 9, norm_type="l2")
