@@ -157,6 +157,26 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
                 out, (int(ps[0]) if ps else w, int(ps[1]) if len(ps) > 1 else h),
                 (w / 2, h / 2),
                 float(ps[2]) if len(ps) > 2 else min(h, w) / 2)
+        elif name == "warprot":
+            h, w = out.shape[0], out.shape[1]
+            out = ie.warp_affine(
+                out, __import__('imageenhancement_mp_tpu.ref', fromlist=['ref']).get_rotation_matrix_2d((w / 2, h / 2),
+                                                   float(ps[0]) if ps else 15.0,
+                                                   float(ps[1]) if len(ps) > 1 else 1.0),
+                (h, w), ps[2] if len(ps) > 2 else "cubic")
+        elif name == "tonemap":
+            # HDR display map on a u8 frame treated as radiance
+            hdr = (out.astype("float32") / 255.0) if out.dtype != "float32" else out
+            import jax.numpy as _jnp
+            which = ps[0] if ps else "drago"
+            if which == "reinhard":
+                t = ie.tonemap_reinhard(_jnp.asarray(hdr),
+                                        float(ps[1]) if len(ps) > 1 else 1.0)
+            else:
+                t = ie.tonemap_drago(_jnp.asarray(hdr),
+                                     float(ps[1]) if len(ps) > 1 else 1.0)
+            import numpy as _np
+            out = _np.clip(_np.round(_np.asarray(t) * 255.0), 0, 255).astype("uint8")
         elif name == "pyrup":
             out = ie.pyr_up(out)
         elif name == "sobel":
@@ -302,7 +322,8 @@ def main(argv: list[str] | None = None) -> int:
         "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
         "sobel[:dx[:dy[:k]]] | pyrdown | pyrup | sharpen2d | "
         "epf[:flags[:ss[:sr]]] | detail[:ss[:sr]] | stylize[:ss[:sr]] | "
-        "nlmeans[:h[:t[:s]]] | warppolar[:dw[:dh[:maxr]]])",
+        "nlmeans[:h[:t[:s]]] | warppolar[:dw[:dh[:maxr]]] | "
+        "warprot[:deg[:scale[:interp]]] | tonemap[:drago|reinhard[:gamma]])",
     )
     args = p.parse_args(argv)
 
