@@ -505,3 +505,79 @@ def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb",
                      else jnp.right_shift(v * 255, 12))
     out = jnp.stack(chans, -1).astype(jnp.uint8)
     return out[..., ::-1] if order == "bgr" else out
+
+
+@lru_cache(maxsize=None)
+def _luv_host_tabs():
+    import numpy as np
+
+    from imageenhancement_mp_tpu.ref.ops import _luv_u8_tabs
+
+    tab, T = _luv_u8_tabs()
+    return tab.astype(np.int32), T.reshape(-1, 3).astype(np.int32)
+
+
+def rgb_to_luv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(RGB2Luv)`` on ``(N, H, W, 3)`` uint8 — the packed
+    trilinear path (ref/ops.py ``_luv_u8_tabs``; structure pinned,
+    budget ±1 LSB on ≲3.5 %/1.1 %/1.5 % px per channel).  Pure integer
+    VPU math around three LUT gathers; device == oracle bitwise."""
+    if img.dtype != jnp.uint8:
+        raise TypeError("rgb_to_luv_nhwc requires uint8 NHWC input")
+    if order == "bgr":
+        img = img[..., ::-1]
+    tab_np, T_np = _luv_host_tabs()
+    tab = jnp.asarray(tab_np)
+    T = jnp.asarray(T_np)                        # (33*33*33, 3)
+    c = jnp.take(tab, img.astype(jnp.int32))     # (N,H,W,3)
+    t = c >> 9
+    f = (c & 511).astype(jnp.int32)
+    t1 = jnp.minimum(t + 1, 32)
+    def corner(dp, dq, dr):
+        ix = t1[..., 0] if dp else t[..., 0]
+        iy = t1[..., 1] if dq else t[..., 1]
+        iz = t1[..., 2] if dr else t[..., 2]
+        return jnp.take(T, (ix * 33 + iy) * 33 + iz, axis=0)   # (...,3)
+    fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
+    R = jnp.asarray([256, 0, 256], jnp.int32)    # per-channel stage rounding
+    P = jnp.asarray([0, 32, 32], jnp.int32)      # per-channel post rounding
+    m = {}
+    for dq in (0, 1):
+        for dr in (0, 1):
+            m[dq, dr] = ((512 - fx) * corner(0, dq, dr)
+                         + fx * corner(1, dq, dr) + R) >> 9
+    my0 = ((512 - fy) * m[0, 0] + fy * m[1, 0] + R) >> 9
+    my1 = ((512 - fy) * m[0, 1] + fy * m[1, 1] + R) >> 9
+    val = ((512 - fz) * my0 + fz * my1 + R) >> 9
+    return jnp.clip((val + P) >> 6, 0, 255).astype(jnp.uint8)
+
+
+def luv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
+    """``cv2.cvtColor(Luv2RGB)`` on ``(N, H, W, 3)`` uint8 — unpack +
+    the f32 float path with the oracle's in-gamut u'/v' clamp
+    (ref/ops.py ``luv_to_rgb``), cvRound.  Device f32 transcendentals
+    vs the oracle's f64 emulation: ±1 LSB razor ties."""
+    from imageenhancement_mp_tpu.ref.ops import (_LUV_UN, _LUV_VN,
+                                                 _LUV_UP_RANGE, _LUV_VP_RANGE)
+
+    if img.dtype != jnp.uint8:
+        raise TypeError("luv_to_rgb_nhwc requires uint8 NHWC input")
+    f32 = jnp.float32
+    L = img[..., 0].astype(f32) * f32(100.0 / 255.0)
+    u = img[..., 1].astype(f32) * f32(354.0 / 255.0) - f32(134.0)
+    v = img[..., 2].astype(f32) * f32(262.0 / 255.0) - f32(140.0)
+    Y = jnp.where(L > 8.0, ((L + f32(16)) / f32(116)) ** 3, L / f32(903.3))
+    denom = jnp.maximum(f32(13) * L, f32(1e-6))
+    up = jnp.clip(u / denom + f32(_LUV_UN), *_LUV_UP_RANGE)
+    vp = jnp.clip(v / denom + f32(_LUV_VN), *_LUV_VP_RANGE)
+    X = f32(2.25) * Y * up / vp
+    Z = Y * (f32(3) - f32(0.75) * up - f32(5) * vp) / vp
+    r_ = f32(3.240479) * X - f32(1.53715) * Y - f32(0.498535) * Z
+    g_ = f32(-0.969256) * X + f32(1.875991) * Y + f32(0.041556) * Z
+    b_ = f32(0.055648) * X - f32(0.204043) * Y + f32(1.057311) * Z
+    rgb = jnp.clip(jnp.stack([r_, g_, b_], -1), 0.0, None)
+    rgb = jnp.where(rgb <= 0.0031308, f32(12.92) * rgb,
+                    f32(1.055) * jnp.maximum(rgb, f32(1e-12)) ** f32(1 / 2.4)
+                    - f32(0.055))
+    out = jnp.clip(jnp.round(rgb * f32(255.0)), 0, 255).astype(jnp.uint8)
+    return out[..., ::-1] if order == "bgr" else out

@@ -3940,6 +3940,156 @@ def _lab_tabs():
     return _LAB_TABS
 
 
+_LUV_TABS = None
+# cv2's D65 whitepoint (color_lab.cpp softfloat constants)
+_LUV_XN, _LUV_ZN = 0.950456, 1.088754
+_LUV_UN = 4 * _LUV_XN / (_LUV_XN + 15 + 3 * _LUV_ZN)
+_LUV_VN = 9 / (_LUV_XN + 15 + 3 * _LUV_ZN)
+
+
+def _luv_fwd_f64(rgb01):
+    """Exact f64 sRGB->Luv (cv2's formulas/whitepoint): L in [0,100],
+    u in [-134,220], v in [-140,122]."""
+    x = np.asarray(rgb01, np.float64)
+    g = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    r_, g_, b_ = g[..., 0], g[..., 1], g[..., 2]
+    X = 0.412453 * r_ + 0.357580 * g_ + 0.180423 * b_
+    Y = 0.212671 * r_ + 0.715160 * g_ + 0.072169 * b_
+    Z = 0.019334 * r_ + 0.119193 * g_ + 0.950227 * b_
+    L = np.where(Y > 0.008856, 116 * np.cbrt(Y) - 16, 903.3 * Y)
+    d = X + 15 * Y + 3 * Z
+    with np.errstate(divide="ignore", invalid="ignore"):
+        up = np.where(d > 0, 4 * X / d, 0.0)
+        vp = np.where(d > 0, 9 * Y / d, 0.0)
+    return np.stack([L, 13 * L * (up - _LUV_UN), 13 * L * (vp - _LUV_VN)], -1)
+
+
+# in-gamut u'/v' ranges over the sRGB cube (computed from the forward
+# grid; clamping here reproduces the saturation cv2's integer inverse
+# tables apply to out-of-gamut dark pixels)
+_LUV_UP_RANGE = (0.1250000109241298, 0.4507042715242644)
+_LUV_VP_RANGE = (0.15789450654274712, 0.5625000491585843)
+
+
+def _luv_inv_f64(luv, clamp_gamut: bool = False):
+    """Exact f64 Luv->sRGB (cv2's inverse matrix and gamma).
+    ``clamp_gamut`` clips u'/v' into the sRGB gamut range — the u8 path
+    uses it to mirror cv2's saturating integer inverse tables."""
+    luv = np.asarray(luv, np.float64)
+    L, u, v = luv[..., 0], luv[..., 1], luv[..., 2]
+    Y = np.where(L > 8.0, ((L + 16) / 116) ** 3, L / 903.3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        up = np.nan_to_num(u / (13 * L)) + _LUV_UN
+        vp = np.nan_to_num(v / (13 * L)) + _LUV_VN
+        if clamp_gamut:
+            up = np.clip(up, *_LUV_UP_RANGE)
+            vp = np.clip(vp, *_LUV_VP_RANGE)
+        X = 2.25 * Y * up / vp
+        Z = Y * (3 - 0.75 * up - 5 * vp) / vp
+    X = np.nan_to_num(X)
+    Z = np.nan_to_num(Z)
+    r_ = 3.240479 * X - 1.53715 * Y - 0.498535 * Z
+    g_ = -0.969256 * X + 1.875991 * Y + 0.041556 * Z
+    b_ = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+    rgb = np.stack([r_, g_, b_], -1)
+    rgb = np.clip(rgb, 0.0, None)
+    return np.where(rgb <= 0.0031308, 12.92 * rgb,
+                    1.055 * np.maximum(rgb, 1e-12) ** (1 / 2.4) - 0.055)
+
+
+def _luv_u8_tabs():
+    """cv2's packed RGB2Luv_b trilinear machinery, structure pinned by
+    constraint recovery (docs/PARITY.md "Luv"):
+
+    * input tab ``cx = round(v*16384/255)`` (linear in v — the 33-cube
+      grid lives in sRGB space, gamma is INSIDE the grid values);
+    * cell = cx>>9, fraction = cx & 511 (9-bit, NOT the 16-level
+      trilinearLUT granularity);
+    * staged per-axis interpolation ``((512-f)*a + f*b + r) >> 9``;
+    * per-channel post: L truncates (``val >> 6``), u/v round
+      (``(val+32) >> 6``).
+
+    Grid = round(packed_f64 * 64) + per-channel calibration offsets
+    (+2, -7, +3) pinned against cv2 (the softfloat LUT build's
+    per-entry residue remains: +-1 LSB on <=3.5 % / 1.1 % / 1.5 % px).
+    Returns (tab, T) with T int32 ``(33, 33, 33, 3)``."""
+    global _LUV_TABS
+    if _LUV_TABS is not None:
+        return _LUV_TABS
+    g1 = np.arange(33) / 32.0
+    R, G, B = np.meshgrid(g1, g1, g1, indexing="ij")
+    luv = _luv_fwd_f64(np.stack([R, G, B], -1))
+    TL = np.round(luv[..., 0] * (255.0 / 100.0) * 64) + 2
+    Tu = np.round((luv[..., 1] + 134.0) * (255.0 / 354.0) * 64) - 7
+    Tv = np.round((luv[..., 2] + 140.0) * (255.0 / 262.0) * 64) + 3
+    T = np.stack([TL, Tu, Tv], -1).astype(np.int32)
+    tab = np.rint(np.arange(256) * 16384 / 255).astype(np.int32)
+    _LUV_TABS = (tab, T)
+    return _LUV_TABS
+
+
+def rgb_to_luv(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(RGB2Luv)``.
+
+    * uint8: cv2's packed trilinear path (``_luv_u8_tabs``) — +-1 LSB
+      on <=3.5 % (L) / 1.1 % (u) / 1.5 % (v) of pixels, never more
+      (the softfloat grid-build residue; structure pinned exactly).
+    * float32: the f64-emulated float path — cv2's own f32
+      transcendentals sit ~1e-4 relative away."""
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"unknown channel order {order!r}")
+    img = img[..., ::-1] if order == "bgr" else img
+    if img.dtype == np.float32:
+        return _luv_fwd_f64(img).astype(np.float32)
+    if img.dtype != np.uint8:
+        raise TypeError("rgb_to_luv requires uint8 or float32 [..,3]")
+    tab, T = _luv_u8_tabs()
+    c = tab[img.astype(int)]
+    t, f = c >> 9, (c & 511).astype(np.int64)
+    t1 = np.minimum(t + 1, 32)
+    out = np.empty(img.shape, np.uint8)
+    for ch, (r, p) in enumerate(((256, 0), (0, 32), (256, 32))):
+        Tch = T[..., ch].astype(np.int64)
+        C = {}
+        for dp, ix in ((0, t[..., 0]), (1, t1[..., 0])):
+            for dq, iy in ((0, t[..., 1]), (1, t1[..., 1])):
+                for dr, iz in ((0, t[..., 2]), (1, t1[..., 2])):
+                    C[dp, dq, dr] = Tch[ix, iy, iz]
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        m = {}
+        for dq in (0, 1):
+            for dr in (0, 1):
+                m[dq, dr] = ((512 - fx) * C[0, dq, dr] + fx * C[1, dq, dr] + r) >> 9
+        my0 = ((512 - fy) * m[0, 0] + fy * m[1, 0] + r) >> 9
+        my1 = ((512 - fy) * m[0, 1] + fy * m[1, 1] + r) >> 9
+        val = ((512 - fz) * my0 + fz * my1 + r) >> 9
+        out[..., ch] = np.clip((val + p) >> 6, 0, 255).astype(np.uint8)
+    return out
+
+
+def luv_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
+    """``cv2.cvtColor(Luv2RGB)``.
+
+    * uint8: unpack + f64 float-path with IN-GAMUT u'/v' clamping
+      (mirrors cv2's saturating integer inverse tables) + round —
+      +-1 LSB with >1 on <=0.02 % px (worst 5, at dark out-of-gamut
+      boundary triples where both outputs clamp garbage).
+    * float32: f64-emulated float path (~1e-4 relative)."""
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"unknown channel order {order!r}")
+    if img.dtype == np.float32:
+        rgb = _luv_inv_f64(img).astype(np.float32)
+    elif img.dtype == np.uint8:
+        L = img[..., 0].astype(np.float64) * (100.0 / 255.0)
+        u = img[..., 1].astype(np.float64) * (354.0 / 255.0) - 134.0
+        v = img[..., 2].astype(np.float64) * (262.0 / 255.0) - 140.0
+        rgb01 = _luv_inv_f64(np.stack([L, u, v], -1), clamp_gamut=True)
+        rgb = np.clip(np.round(rgb01 * 255.0), 0, 255).astype(np.uint8)
+    else:
+        raise TypeError("luv_to_rgb requires uint8 or float32 [..,3]")
+    return rgb[..., ::-1] if order == "bgr" else rgb
+
+
 def rgb_to_lab(img: np.ndarray, order: str = "rgb", srgb: bool = True) -> np.ndarray:
     """``cv2.cvtColor(RGB2LAB)`` — u8 BIT-EXACT, verified on ALL 2^24
     inputs (0 LSB; round-3 exhaustive probe; ``srgb=False`` ==

@@ -188,6 +188,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         # round-3 wave 2: HLS (exhaustively pinned SIMD-body model),
         # Lanczos4 (centered int32 pipeline), polar warps (pinned
         # fastAtan2/magnitude maps), vector/temporal/colored NLMeans
+        # Luv packed-trilinear path: device == oracle bitwise (fwd);
+        # inverse's f32 transcendentals are razor +-1 vs the f64 oracle
+        ("luv/fwd", lambda: ie.cvt_color(rgb, "rgb2luv"),
+         lambda: ref.rgb_to_luv(rgb), 0),
+        ("luv/inv", lambda: ie.cvt_color(ref.rgb_to_luv(rgb), "luv2rgb"),
+         lambda: ref.luv_to_rgb(ref.rgb_to_luv(rgb)), 1),
         ("hls/fwd", lambda: ie.cvt_color(rgb, "rgb2hls"),
          lambda: ref.rgb_to_hls(rgb), 0),
         ("hls/inv", lambda: ie.cvt_color(ref.rgb_to_hls(rgb), "hls2rgb"),

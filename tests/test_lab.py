@@ -170,3 +170,52 @@ def test_hls_roundtrip_device_vs_oracle():
     assert np.array_equal(got[0], ref.rgb_to_hls(img[0]))
     back = np.asarray(ie.cvt_color(jnp.asarray(got), "hls2rgb"))
     assert np.array_equal(back[0], ref.hls_to_rgb(got[0]))
+
+
+def test_luv_u8_forward_vs_cv2():
+    """Packed trilinear path (docs/PARITY.md 'Luv'): +-1 LSB on
+    <=3.5/1.1/1.5 % px per channel, never more."""
+    rng = np.random.default_rng(seed("luvfwd"))
+    for t in range(6):
+        img = rng.integers(0, 256, (48, 52, 3), np.uint8)
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2Luv).astype(int)
+        got = ref.rgb_to_luv(img).astype(int)
+        d = np.abs(got - want)
+        assert d.max() <= 1, t
+        assert (d > 0).mean() < 0.06, (t, (d > 0).mean())
+
+
+def test_luv_u8_inverse_vs_cv2():
+    rng = np.random.default_rng(seed("luvinv"))
+    for t in range(6):
+        img = rng.integers(0, 256, (48, 52, 3), np.uint8)
+        lu8 = cv2.cvtColor(img, cv2.COLOR_RGB2Luv)
+        want = cv2.cvtColor(lu8, cv2.COLOR_Luv2RGB).astype(int)
+        got = ref.luv_to_rgb(lu8).astype(int)
+        d = np.abs(got - want)
+        # dark out-of-gamut boundary triples clamp differently (<=0.02%)
+        assert (d > 1).mean() < 5e-4, (t, (d > 1).mean())
+        assert d.max() <= 8, (t, d.max())
+
+
+def test_luv_f32_vs_cv2():
+    rng = np.random.default_rng(seed("luvf32"))
+    x = rng.random((32, 36, 3)).astype(np.float32)
+    want = cv2.cvtColor(x, cv2.COLOR_RGB2Luv)
+    got = ref.rgb_to_luv(x)
+    assert float(np.abs(got - want).max()) < 0.05   # cv2's f32 transcendentals
+    back = cv2.cvtColor(want, cv2.COLOR_Luv2RGB)
+    gotb = ref.luv_to_rgb(want)
+    assert float(np.abs(gotb - back).max()) < 1e-3
+
+
+def test_luv_device_vs_oracle():
+    rng = np.random.default_rng(seed("luvdev"))
+    img = rng.integers(0, 256, (2, 32, 36, 3), np.uint8)
+    got = np.asarray(ie.cvt_color(jnp.asarray(img), "rgb2luv"))
+    want = np.stack([ref.rgb_to_luv(f) for f in img])
+    assert np.array_equal(got, want)     # integer path: bitwise
+    got2 = np.asarray(ie.cvt_color(jnp.asarray(want), "luv2rgb"))
+    want2 = np.stack([ref.luv_to_rgb(f) for f in want])
+    # device f32 transcendentals vs oracle f64 emulation: razor ties
+    assert int(np.abs(got2.astype(int) - want2.astype(int)).max()) <= 1
