@@ -220,6 +220,15 @@ def test_soak_oracle_vs_cv2():
                 else:
                     dc = np.abs(gotc.astype(np.int64) - wantc.astype(np.int64))
                     ok = ok and int(dc.max()) <= 1
+                # lanczos4 (quantized tabs): ints +-1, f32 ~1 ulp
+                wantl = cv2.remap(img, mx, my, cv2.INTER_LANCZOS4,
+                                  borderMode=cvb, borderValue=bv)
+                gotl = ref.remap(img, mx, my, "lanczos4", bmode, bv)
+                if dt is np.float32:
+                    ok = ok and float(np.abs(gotl - wantl).max()) <= 2e-3
+                else:
+                    dl = np.abs(gotl.astype(np.int64) - wantl.astype(np.int64))
+                    ok = ok and int(dl.max()) <= 1
             elif op == 16:  # Lab/XYZ round trips (round 3: exhaustively exact)
                 rgb = _img(rng, np.uint8, (H, W, 3))
                 code, fn = [
@@ -229,6 +238,16 @@ def test_soak_oracle_vs_cv2():
                     (cv2.COLOR_XYZ2RGB, lambda a: ref.xyz_to_rgb(a)),
                 ][trial % 4]
                 ok = np.array_equal(fn(rgb), cv2.cvtColor(rgb, code))
+                # Luv (budget tier, docs/PARITY.md): fwd +-1 on <=6%,
+                # inverse >1 on <=0.1% of valid-gamut pixels
+                wluv = cv2.cvtColor(rgb, cv2.COLOR_RGB2Luv)
+                gluv = ref.rgb_to_luv(rgb)
+                dluv = np.abs(gluv.astype(np.int64) - wluv.astype(np.int64))
+                ok = ok and int(dluv.max()) <= 1 and float((dluv > 0).mean()) <= 0.08
+                winv = cv2.cvtColor(wluv, cv2.COLOR_Luv2RGB)
+                ginv = ref.luv_to_rgb(wluv)
+                dinv = np.abs(ginv.astype(np.int64) - winv.astype(np.int64))
+                ok = ok and float((dinv > 1).mean()) <= 2e-3 and int(dinv.max()) <= 12
             elif op == 17:  # canny
                 img = _img(rng, np.uint8, (H, W))
                 t1, t2 = sorted(rng.uniform(5, 300, 2))
