@@ -403,7 +403,8 @@ def cvt_color(img, code: str):
     differs ±1 — docs/PARITY.md).  HLS/XYZ/Lab: u8 EXHAUSTIVELY
     bit-exact both directions (all 2^24 inputs).  Luv: u8 via cv2's
     packed trilinear path (structure pinned; ±1 LSB on ≲3.5 % px fwd,
-    ≲0.02 % >1 inv — the softfloat LUT-build residue, docs/PARITY.md)."""
+    ≲0.02 % >1 inv — the softfloat LUT-build residue, docs/PARITY.md);
+    f32 both directions via the float formulas (~1e-4 relative)."""
     _check_image_dtype(img)
     code = str(code).lower()
     if code not in _CVT_CODES:

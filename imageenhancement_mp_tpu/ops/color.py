@@ -522,10 +522,29 @@ def rgb_to_luv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     trilinear path (ref/ops.py ``_luv_u8_tabs``; structure pinned,
     budget ±1 LSB on ≲3.5 %/1.1 %/1.5 % px per channel).  Pure integer
     VPU math around three LUT gathers; device == oracle bitwise."""
-    if img.dtype != jnp.uint8:
-        raise TypeError("rgb_to_luv_nhwc requires uint8 NHWC input")
     if order == "bgr":
         img = img[..., ::-1]
+    if img.dtype == jnp.float32:
+        # float path: device f32 transcendentals vs the oracle's f64
+        # emulation — ~1e-3 absolute on the [0,100]/[-134,220] scales
+        f = jnp.float32
+        x = img
+        g = jnp.where(x <= f(0.04045), x / f(12.92),
+                      ((x + f(0.055)) / f(1.055)) ** f(2.4))
+        r_, g_, b_ = g[..., 0], g[..., 1], g[..., 2]
+        X = f(0.412453)*r_ + f(0.357580)*g_ + f(0.180423)*b_
+        Y = f(0.212671)*r_ + f(0.715160)*g_ + f(0.072169)*b_
+        Z = f(0.019334)*r_ + f(0.119193)*g_ + f(0.950227)*b_
+        from imageenhancement_mp_tpu.ref.ops import _LUV_UN, _LUV_VN
+        L = jnp.where(Y > f(0.008856), f(116)*jnp.cbrt(Y) - f(16), f(903.3)*Y)
+        d = X + f(15)*Y + f(3)*Z
+        dd = jnp.maximum(d, f(1e-30))
+        up = jnp.where(d > 0, f(4)*X/dd, f(0))
+        vp = jnp.where(d > 0, f(9)*Y/dd, f(0))
+        return jnp.stack([L, f(13)*L*(up - f(_LUV_UN)),
+                          f(13)*L*(vp - f(_LUV_VN))], -1)
+    if img.dtype != jnp.uint8:
+        raise TypeError("rgb_to_luv_nhwc requires uint8/float32 NHWC input")
     tab_np, T_np = _luv_host_tabs()
     tab = jnp.asarray(tab_np)
     T = jnp.asarray(T_np)                        # (33*33*33, 3)
@@ -560,16 +579,26 @@ def luv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     from imageenhancement_mp_tpu.ref.ops import (_LUV_UN, _LUV_VN,
                                                  _LUV_UP_RANGE, _LUV_VP_RANGE)
 
-    if img.dtype != jnp.uint8:
-        raise TypeError("luv_to_rgb_nhwc requires uint8 NHWC input")
+    if img.dtype not in (jnp.uint8, jnp.float32):
+        raise TypeError("luv_to_rgb_nhwc requires uint8/float32 NHWC input")
     f32 = jnp.float32
-    L = img[..., 0].astype(f32) * f32(100.0 / 255.0)
-    u = img[..., 1].astype(f32) * f32(354.0 / 255.0) - f32(134.0)
-    v = img[..., 2].astype(f32) * f32(262.0 / 255.0) - f32(140.0)
+    isf = img.dtype == jnp.float32
+    if isf:
+        L, u, v = img[..., 0], img[..., 1], img[..., 2]
+    else:
+        L = img[..., 0].astype(f32) * f32(100.0 / 255.0)
+        u = img[..., 1].astype(f32) * f32(354.0 / 255.0) - f32(134.0)
+        v = img[..., 2].astype(f32) * f32(262.0 / 255.0) - f32(140.0)
     Y = jnp.where(L > 8.0, ((L + f32(16)) / f32(116)) ** 3, L / f32(903.3))
     denom = jnp.maximum(f32(13) * L, f32(1e-6))
-    up = jnp.clip(u / denom + f32(_LUV_UN), *_LUV_UP_RANGE)
-    vp = jnp.clip(v / denom + f32(_LUV_VN), *_LUV_VP_RANGE)
+    if isf:
+        # float path: no gamut clamp (cv2's f32 inverse doesn't clamp)
+        up = u / denom + f32(_LUV_UN)
+        vp = v / denom + f32(_LUV_VN)
+    else:
+        up = jnp.clip(u / denom + f32(_LUV_UN), *_LUV_UP_RANGE)
+        vp = jnp.clip(v / denom + f32(_LUV_VN), *_LUV_VP_RANGE)
+    vp = jnp.where(vp == 0, f32(1e-30), vp)
     X = f32(2.25) * Y * up / vp
     Z = Y * (f32(3) - f32(0.75) * up - f32(5) * vp) / vp
     r_ = f32(3.240479) * X - f32(1.53715) * Y - f32(0.498535) * Z
@@ -579,5 +608,7 @@ def luv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     rgb = jnp.where(rgb <= 0.0031308, f32(12.92) * rgb,
                     f32(1.055) * jnp.maximum(rgb, f32(1e-12)) ** f32(1 / 2.4)
                     - f32(0.055))
+    if isf:
+        return rgb[..., ::-1] if order == "bgr" else rgb
     out = jnp.clip(jnp.round(rgb * f32(255.0)), 0, 255).astype(jnp.uint8)
     return out[..., ::-1] if order == "bgr" else out

@@ -219,3 +219,14 @@ def test_luv_device_vs_oracle():
     want2 = np.stack([ref.luv_to_rgb(f) for f in want])
     # device f32 transcendentals vs oracle f64 emulation: razor ties
     assert int(np.abs(got2.astype(int) - want2.astype(int)).max()) <= 1
+
+
+def test_luv_f32_device_vs_cv2():
+    rng = np.random.default_rng(seed("luvf32dev"))
+    x = rng.random((24, 28, 3)).astype(np.float32)
+    want = cv2.cvtColor(x, cv2.COLOR_RGB2Luv)
+    got = np.asarray(ie.cvt_color(jnp.asarray(x), "rgb2luv"))
+    assert float(np.abs(got - want).max()) < 0.05
+    back = np.asarray(ie.cvt_color(jnp.asarray(want), "luv2rgb"))
+    want2 = cv2.cvtColor(want, cv2.COLOR_Luv2RGB)
+    assert float(np.abs(back - want2).max()) < 1e-3
