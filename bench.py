@@ -58,6 +58,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "remap/cubic 4K gray b2": 0.113,  # cv2.remap INTER_CUBIC (swirl maps)
     "tonemap/reinhard 1080p rgb": 0.021,  # cv2.createTonemapReinhard
     "tonemap/drago 1080p rgb": 0.028,     # cv2.createTonemapDrago
+    "cvt/luv 1080p rgb b8": 0.132,    # cv2.cvtColor RGB2Luv (packed path)
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -357,6 +358,12 @@ def main() -> int:
                 lambda x: ie.tonemap_drago(x, 2.2),
                 hdr1080,
                 None,
+            ),
+            (
+                "cvt/luv 1080p rgb b8",
+                lambda x: ie.cvt_color(x, "rgb2luv"),
+                rng.integers(0, 256, (8, 1080, 1920, 3), dtype=np.uint8),
+                lambda x: np.stack([ref.rgb_to_luv(np.asarray(f)) for f in x]),
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

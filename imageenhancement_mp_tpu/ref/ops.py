@@ -4072,8 +4072,9 @@ def luv_to_rgb(img: np.ndarray, order: str = "rgb") -> np.ndarray:
 
     * uint8: unpack + f64 float-path with IN-GAMUT u'/v' clamping
       (mirrors cv2's saturating integer inverse tables) + round —
-      +-1 LSB with >1 on <=0.02 % px (worst 5, at dark out-of-gamut
-      boundary triples where both outputs clamp garbage).
+      +-1 LSB with >1 on <=0.2 % px (worst ~30, at isolated dark
+      out-of-gamut boundary triples where both outputs clamp garbage;
+      40k-config soak calibration).
     * float32: f64-emulated float path (~1e-4 relative)."""
     if order not in ("rgb", "bgr"):
         raise ValueError(f"unknown channel order {order!r}")
