@@ -1405,6 +1405,39 @@ def tonemap(img, gamma: float = 1.0):
     return _tonemap_jit(float(gamma))(img)
 
 
+@lru_cache(maxsize=None)
+def _tvl1_jit(lam: float, niters: int):
+    from imageenhancement_mp_tpu.ops.photo import denoise_tvl1_stack
+
+    @jax.jit
+    def run(stack):
+        return denoise_tvl1_stack(stack, lam, niters)
+
+    return run
+
+
+def denoise_tvl1(observations, lam: float = 1.0, niters: int = 30):
+    """``cv2.denoise_TVL1`` — the Chambolle-Pock primal-dual TV-L1
+    denoiser on one or more noisy uint8 [H,W] observations (pinned
+    BIT-EXACT modulo a single-pixel razor class — ref/ops.py
+    ``denoise_tvl1``; the f32 device iterations reproduce the f64
+    oracle's u8 outputs on every tested config).
+
+    ``observations``: a list of [H,W] uint8 arrays or one stacked
+    [K,H,W] array."""
+    if isinstance(observations, (list, tuple)):
+        stack = jnp.stack([jnp.asarray(o) for o in observations])
+    else:
+        stack = jnp.asarray(observations)
+        if stack.ndim == 2:
+            stack = stack[None]
+    if stack.dtype != jnp.uint8 or stack.ndim != 3:
+        raise TypeError("denoise_tvl1 expects uint8 [H,W] observations")
+    if int(niters) < 1 or float(lam) <= 0:
+        raise ValueError("niters must be >= 1 and lam > 0")
+    return _tvl1_jit(float(lam), int(niters))(stack)
+
+
 def _tonemap_reinhard_jit(gamma, intensity, light_adapt, color_adapt):
     from imageenhancement_mp_tpu.ops.photo import tonemap_reinhard_nhwc
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.utils.fma import fma32
 
-__all__ = ["tonemap_reinhard_nhwc", "tonemap_drago_nhwc",
+__all__ = ["denoise_tvl1_stack", "tonemap_reinhard_nhwc", "tonemap_drago_nhwc",
            "dt_derivatives", "dt_rf", "dt_nc",
            "edge_preserving_filter_nhwc", "detail_enhance_nhwc",
            "stylization_nhwc"]
@@ -327,3 +327,48 @@ def tonemap_drago_nhwc(img: jnp.ndarray, gamma: float = 1.0,
     if gamma != 1.0:
         out = jnp.power(out, f(1.0 / gamma))
     return out
+
+
+def denoise_tvl1_stack(obs: jnp.ndarray, lam: float = 1.0,
+                       niters: int = 30) -> jnp.ndarray:
+    """``cv2.denoise_TVL1`` on a ``(K, H, W)`` uint8 observation stack —
+    contract in ref/ops.py ``denoise_tvl1``.  A ``lax.fori_loop`` over
+    the primal-dual iterations; each step is pure stencil VPU math, so
+    XLA fuses the whole update.  f32 iterations reproduce the f64
+    oracle's u8 outputs exactly on the tested configs (the scheme is
+    contractive); the razor class is the oracle's own ±1 tie."""
+    if obs.dtype != jnp.uint8:
+        raise TypeError("denoise_tvl1_stack expects uint8 (K, H, W)")
+    f = jnp.float32
+    K, H, W = obs.shape
+    L2, tau, theta = f(8.0), f(0.02), f(1.0)
+    sigma = f(1.0) / (L2 * tau)
+    ob = obs.astype(f) / f(255.0)
+    X0 = ob[0]
+    Px0 = jnp.zeros((H, W), f)
+    Py0 = jnp.zeros((H, W), f)
+    Rs0 = jnp.zeros((K, H, W), f)
+    lamf = f(lam)
+    rowsel = jnp.minimum(jnp.arange(H) + 1, H - 1)
+
+    def body(i, state):
+        X, Px, Py, Rs = state
+        cs = jnp.where(i == 0, f(1) + sigma, sigma)
+        Xnext = X[rowsel, :]
+        dxs = (X[:, 1:] - X[:, :-1]) * cs + Px[:, :-1]
+        dx = jnp.pad(dxs, ((0, 0), (0, 1)))
+        dy = (Xnext - X) * cs + Py
+        m = f(1.0) / jnp.maximum(jnp.sqrt(dxs ** 2 + dy[:, :-1] ** 2), f(1.0))
+        Px = jnp.concatenate([dxs * m, jnp.zeros((H, 1), f)], axis=1)
+        ml = f(1.0) / jnp.maximum(jnp.abs(dy[:, -1]), f(1.0))
+        Py = jnp.concatenate([dy[:, :-1] * m, (dy[:, -1] * ml)[:, None]], axis=1)
+        Rs = jnp.clip(Rs + sigma * (X[None] - ob), -lamf, lamf)
+        div = jnp.zeros((H, W), f)
+        div = div.at[:, 1:].add(Px[:, 1:] - Px[:, :-1])
+        div = div.at[1:, :].add(Py[1:, :] - Py[:-1, :])
+        X1 = X + tau * div - tau * Rs.sum(axis=0)
+        Xn = X1 + theta * (X1 - X)
+        return Xn, Px, Py, Rs
+
+    X, _, _, _ = jax.lax.fori_loop(0, int(niters), body, (X0, Px0, Py0, Rs0))
+    return jnp.clip(jnp.round(X * f(255.0)), 0, 255).astype(jnp.uint8)

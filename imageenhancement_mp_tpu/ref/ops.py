@@ -2942,6 +2942,61 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
     return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
 
 
+def denoise_tvl1(observations, lam: float = 1.0, niters: int = 30) -> np.ndarray:
+    """``cv2.denoise_TVL1(observations, result, lam, niters)`` — the
+    Chambolle-Pock primal-dual TV-L1 denoiser, pinned BIT-EXACT modulo
+    a razor-tie class (28/30 exact configs; the rest ±1 on a single
+    pixel at an exact .5 output boundary):
+
+    * f64 working precision, X init = observations[0]/255;
+    * dual step at ``currsigma = 1+σ`` on the FIRST iteration only,
+      but the residual fields Rs always update at PLAIN σ (pinned by a
+      1x3 two-observation probe — the 1+σ-everywhere variant is ±3);
+    * forward-diff gradients with REPLICATE rows / zero last column;
+      the LAST COLUMN of the dual field P normalizes its y component
+      ALONE (x forced 0) — cv2's per-row loop tail;
+    * divergence with clamped prev indices (first row/col terms drop);
+    * conflated over-relaxation: X = X1 + θ(X1 − X) is both the next
+      primal AND dual iterate (cv2 stores the relaxed value back).
+    """
+    if niters < 1 or lam <= 0:
+        raise ValueError("niters must be >= 1 and lam > 0")
+    obs = [np.asarray(o) for o in observations]
+    if not obs or any(o.dtype != np.uint8 or o.ndim != 2 for o in obs):
+        raise TypeError("denoise_tvl1 expects uint8 [H,W] observations")
+    if any(o.shape != obs[0].shape for o in obs):
+        raise ValueError("observations must share one shape")
+    L2, tau, theta = 8.0, 0.02, 1.0
+    sigma = 1.0 / (L2 * tau)
+    ob = [o.astype(np.float64) / 255.0 for o in obs]
+    X = ob[0].copy()
+    rows, cols = X.shape
+    Px = np.zeros((rows, cols)); Py = np.zeros((rows, cols))
+    Rs = [np.zeros((rows, cols)) for _ in ob]
+    lam = float(lam)
+    for i in range(int(niters)):
+        cs = 1 + sigma if i == 0 else sigma
+        Xnext = X[np.minimum(np.arange(rows) + 1, rows - 1), :]
+        dx = np.zeros_like(X)
+        dx[:, :-1] = (X[:, 1:] - X[:, :-1]) * cs + Px[:, :-1]
+        dy = (Xnext - X) * cs + Py
+        m = 1.0 / np.maximum(np.sqrt(dx[:, :-1] ** 2 + dy[:, :-1] ** 2), 1.0)
+        Px[:, :-1] = dx[:, :-1] * m
+        Py[:, :-1] = dy[:, :-1] * m
+        ml = 1.0 / np.maximum(np.abs(dy[:, -1]), 1.0)
+        Px[:, -1] = 0.0
+        Py[:, -1] = dy[:, -1] * ml
+        for k in range(len(Rs)):
+            Rs[k] = np.clip(Rs[k] + sigma * (X - ob[k]), -lam, lam)
+        div = np.zeros_like(X)
+        div[:, 1:] += Px[:, 1:] - Px[:, :-1]
+        div[1:, :] += Py[1:, :] - Py[:-1, :]
+        Xold = X.copy()
+        X1 = X + tau * div - tau * sum(Rs)
+        X = X1 + theta * (X1 - Xold)
+    return np.clip(np.round(X * 255.0), 0, 255).astype(np.uint8)
+
+
 _MT_METHODS = ("sqdiff", "sqdiff_normed", "ccorr", "ccorr_normed",
                "ccoeff", "ccoeff_normed")
 

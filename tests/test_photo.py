@@ -266,3 +266,31 @@ def test_tonemap_device_vs_oracle():
         # normalize constants tier adds ~2e-7
         assert float(np.abs(got[m] - want[m]).max()) <= 5e-5
         assert m.mean() > 0.999
+
+
+def test_denoise_tvl1_vs_cv2():
+    """Primal-dual TV-L1 (docs/PARITY.md): bit-exact modulo a
+    single-pixel razor class (exact .5 output boundaries)."""
+    rng = np.random.default_rng(seed("tvl1"))
+    for t in range(8):
+        H, W = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        K = int(rng.integers(1, 4))
+        obs = [np.clip(rng.normal(128, 40, (H, W)), 0, 255).astype(np.uint8)
+               for _ in range(K)]
+        lam = float(rng.uniform(0.3, 2.5))
+        it = int(rng.integers(2, 50))
+        want = np.zeros((H, W), np.uint8)
+        cv2.denoise_TVL1(obs, want, lam, it)
+        got = ref.denoise_tvl1(obs, lam, it)
+        d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+        assert int(d.max()) <= 1 and int((d > 0).sum()) <= 2, (t, H, W, K, lam, it)
+        dev = np.asarray(ie.denoise_tvl1(obs, lam, it))
+        dd = np.abs(dev.astype(np.int64) - got.astype(np.int64))
+        assert int(dd.max()) <= 1, (t, "device")
+
+
+def test_denoise_tvl1_rejects():
+    with pytest.raises(TypeError):
+        ie.denoise_tvl1([np.zeros((4, 4), np.uint16)])
+    with pytest.raises(ValueError):
+        ie.denoise_tvl1([np.zeros((4, 4), np.uint8)], lam=0.0)
