@@ -1405,6 +1405,64 @@ def tonemap(img, gamma: float = 1.0):
     return _tonemap_jit(float(gamma))(img)
 
 
+def _decolor_eval_jit():
+    from imageenhancement_mp_tpu.ops.color import lab_to_rgb_nhwc, rgb_to_lab_nhwc
+
+    @jax.jit
+    def run(rgb, wei):
+        f = jnp.float32
+        x = rgb.astype(f) * f(1.0 / 255.0)
+        R_, G_, B_ = x[..., 0], x[..., 1], x[..., 2]
+        idx = 0
+        gray = jnp.zeros_like(R_)
+        # the 9 degree-<=2 monomials in the oracle's comb order
+        for r in range(3):
+            for g in range(3):
+                for b in range(3):
+                    if 0 < r + g + b <= 2:
+                        gray = gray + wei[idx] * (R_ ** r) * (G_ ** g) * (B_ ** b)
+                        idx += 1
+        mn = gray.min()
+        mx = gray.max()
+        gray = jnp.where(mx > mn, (gray - mn) / (mx - mn), gray * 0)
+        g8 = jnp.clip(jnp.round(gray * f(255.0)), 0, 255).astype(jnp.uint8)
+        lab = rgb_to_lab_nhwc(rgb[None], "rgb")
+        lab = lab.at[..., 0].set(g8[None])
+        boost = lab_to_rgb_nhwc(lab, "rgb")[0]
+        return g8, boost
+
+    return run
+
+
+def decolor(img, order: str = "rgb"):
+    """``cv2.decolor`` — Lu/Xu/Jia contrast-preserving decolorization.
+    Returns ``(grayscale u8 [H,W], color_boost u8 [H,W,3])``.
+
+    Hybrid op: the 9 polynomial weights solve on host over the
+    <=800-sum work image (ref/ops.py ``decolor_weights`` — the EM loop
+    with cv2's pinned σ/σ² split); the full-resolution evaluation +
+    min-max normalize + u8 Lab L-replacement boost run on device (the
+    Lab legs are the exhaustively exact integer tables).  Budget: gray
+    ±1 LSB on ≲5 % px (the analytic-vs-interpolated f32 Lab leg in the
+    solver's contrast target); boost bit-exact GIVEN the gray (≤5
+    through the Lab roundtrip where the gray flips ±1); the device f32
+    polynomial is razor ±1 vs the f64 oracle."""
+    from imageenhancement_mp_tpu.ref.ops import decolor_weights
+
+    img = jnp.asarray(img)
+    if img.dtype != jnp.uint8 or img.ndim != 3 or img.shape[-1] != 3:
+        raise TypeError("decolor expects a uint8 [H,W,3] image")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"unknown channel order {order!r}")
+    rgb = img[..., ::-1] if order == "bgr" else img
+    rgb_np = np.asarray(rgb)
+    wei, _ = decolor_weights(rgb_np.astype(np.float32) / np.float32(255.0))
+    g8, boost = _decolor_eval_jit()(rgb, jnp.asarray(wei, jnp.float32))
+    if order == "bgr":
+        boost = boost[..., ::-1]
+    return g8, boost
+
+
 @lru_cache(maxsize=None)
 def _tvl1_jit(lam: float, niters: int):
     from imageenhancement_mp_tpu.ops.photo import denoise_tvl1_stack

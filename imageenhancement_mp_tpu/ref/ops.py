@@ -2942,6 +2942,122 @@ def remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
     return np.clip(np.rint(acc), lo, hi).astype(img.dtype)
 
 
+def _decolor_gradvec(ch: np.ndarray) -> np.ndarray:
+    """cv2 Decolor::gradvector — [1,-1] correlations (x then y), last
+    col/row zeroed, flattened via the TRANSPOSE (column-major), x block
+    then y block."""
+    f32 = np.float32
+    dx = np.zeros_like(ch, f32)
+    dx[:, :-1] = ch[:, :-1] - ch[:, 1:]
+    dy = np.zeros_like(ch, f32)
+    dy[:-1, :] = ch[:-1, :] - ch[1:, :]
+    return np.concatenate([dx.T.ravel(), dy.T.ravel()]).astype(np.float64)
+
+
+def decolor_weights(img_rgb01: np.ndarray):
+    """The Lu/Xu/Jia contrast-preserving decolorization solver exactly
+    as cv2.decolor runs it (pinned: with cv2's own f32 Lab the gray
+    output matches at ±1 on ~1e-4 of pixels):
+
+    * work image capped so h+w <= 800 (INTER_LINEAR resize);
+    * color contrast Cg = |∇Lab|/100 (f32 Lab legs — this repo's
+      ANALYTIC f32 Lab gives the documented ±1-on-≲4 % gray tier);
+    * 9 degree-≤2 monomials of (R,G,B); Mt = (PPᵀ)⁻¹(P·diag(Cg));
+    * weak order alf from per-channel gradient signs at level 0.05;
+    * EM loop: G-step gaussians at σ² = 4e-4, but the STOPPING energy
+      uses exp(−t²/σ) with σ = 0.02 and the MEAN over terms (pinned —
+      the σ²-energy variant runs to maxIter and mis-weights ~9 % of
+      pixels); tol 1e-4, maxIter 15.
+
+    Returns (wei, combs): 9 f64 weights and their (r,g,b) exponents."""
+    f32, f64 = np.float32, np.float64
+    img = np.asarray(img_rgb01, f32)
+    h, w = img.shape[:2]
+    if h + w > 800:
+        sf = 800.0 / (h + w)
+        img = resize(img, (int(round(h * sf)), int(round(w * sf))), "linear")
+    lab = rgb_to_lab(img.astype(f32))
+    Cgp = [_decolor_gradvec(np.ascontiguousarray(lab[..., c])) for c in range(3)]
+    Cg = np.sqrt(Cgp[0] ** 2 + Cgp[1] ** 2 + Cgp[2] ** 2) / 100.0
+    R_, G_, B_ = img[..., 0], img[..., 1], img[..., 2]
+    combs, pg = [], []
+    for r in range(3):
+        for g in range(3):
+            for b in range(3):
+                if 0 < r + g + b <= 2:
+                    pg.append(_decolor_gradvec(((R_ ** r) * (G_ ** g) * (B_ ** b)).astype(f32)))
+                    combs.append((r, g, b))
+    P = np.array(pg, f32)
+    A = (P @ P.T).astype(f32)
+    Bm = (P.astype(f64) * Cg[None, :]).astype(f32)
+    Mt = np.linalg.solve(A.astype(f64), Bm.astype(f64))
+    Rg = _decolor_gradvec(R_.astype(f32))
+    Gg = _decolor_gradvec(G_.astype(f32))
+    Bg = _decolor_gradvec(B_.astype(f32))
+    lv = 0.05
+    alf = (((Rg > lv) & (Gg > lv) & (Bg > lv)).astype(f64)
+           - ((Rg < -lv) & (Gg < -lv) & (Bg < -lv)).astype(f64))
+    wei = np.array([0.33 if sum(c) == 1 else 0.0 for c in combs], f64)
+    sigma = 0.02
+    E = 0.0
+    pre_E = np.inf
+    it = 0
+    Pd = P.astype(f64)
+    while abs(E - pre_E) > 1e-4:
+        it += 1
+        pre_E = E
+        val = wei @ Pd
+        Gp = ((1 + alf) / 2) * np.exp(-0.5 * (val - Cg) ** 2 / sigma ** 2)
+        Gn = ((1 - alf) / 2) * np.exp(-0.5 * (val + Cg) ** 2 / sigma ** 2)
+        s = Gp + Gn
+        expterm = (Gp - Gn) / (s + (s == 0))
+        wei = Mt @ expterm
+        val = wei @ Pd
+        en = -np.log(np.maximum(np.exp(-(val - Cg) ** 2 / sigma)
+                                + np.exp(-(val + Cg) ** 2 / sigma), 1e-300))
+        E = float(en.mean())
+        if it > 15:
+            break
+    return wei, combs
+
+
+def decolor(img: np.ndarray, order: str = "rgb"):
+    """``cv2.decolor(img)`` → (grayscale u8, color_boost u8).
+
+    Gray = the solved degree-2 polynomial of the channels, min-max
+    normalized — ±1 LSB on ≲4 % px vs cv2 (the analytic-vs-interpolated
+    f32 Lab leg feeding Cg; with cv2's own f32 Lab the law is exact to
+    ±1 on ~1e-4).  color_boost = the u8 Lab L-replacement roundtrip —
+    bit-exact GIVEN the gray (exhaustive u8 Lab tables)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise TypeError("decolor expects a uint8 [H,W,3] image")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"unknown channel order {order!r}")
+    rgb = img[..., ::-1] if order == "bgr" else img
+    # NOTE cv2 interprets its input as BGR; its "R" is our channel 2
+    # when fed RGB bytes.  The solver below works on true-RGB planes,
+    # which reproduces cv2.decolor run on the matching BGR bytes.
+    x = rgb.astype(np.float32) / np.float32(255.0)
+    wei, combs = decolor_weights(x[..., ::-1][..., ::-1])  # identity; clarity
+    R_, G_, B_ = (x[..., 0].astype(np.float64), x[..., 1].astype(np.float64),
+                  x[..., 2].astype(np.float64))
+    Gray = np.zeros(R_.shape, np.float64)
+    for w_, (r, g, b) in zip(wei, combs):
+        Gray += w_ * (R_ ** r) * (G_ ** g) * (B_ ** b)
+    mn, mx = float(Gray.min()), float(Gray.max())
+    if mx > mn:
+        Gray = (Gray - mn) / (mx - mn)
+    else:
+        Gray = Gray * 0
+    gray = np.clip(np.round(Gray * 255.0), 0, 255).astype(np.uint8)
+    lab = rgb_to_lab(rgb)
+    lab2 = lab.copy()
+    lab2[..., 0] = gray
+    boost = lab_to_rgb(lab2)
+    boost = boost[..., ::-1] if order == "bgr" else boost
+    return gray, boost
+
+
 def denoise_tvl1(observations, lam: float = 1.0, niters: int = 30) -> np.ndarray:
     """``cv2.denoise_TVL1(observations, result, lam, niters)`` — the
     Chambolle-Pock primal-dual TV-L1 denoiser, pinned BIT-EXACT modulo

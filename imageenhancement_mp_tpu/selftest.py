@@ -215,6 +215,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.fast_nl_means_denoising_colored(
             np.asarray(rgb)[:min(48, size[0]), :min(52, size[1])],
             10.0, 14.0, 3, 9), 0),
+        ("decolor", lambda: ie.decolor(rgb)[0],
+         lambda: ref.decolor(np.asarray(rgb))[0], 1),
         ("tvl1", lambda: ie.denoise_tvl1([img, img2], 1.0, 20),
          lambda: ref.denoise_tvl1([img, img2], 1.0, 20), 1),
         ("nlmeans/u16", lambda: ie.fast_nl_means_denoising(

@@ -294,3 +294,35 @@ def test_denoise_tvl1_rejects():
         ie.denoise_tvl1([np.zeros((4, 4), np.uint16)])
     with pytest.raises(ValueError):
         ie.denoise_tvl1([np.zeros((4, 4), np.uint8)], lam=0.0)
+
+
+def test_decolor_vs_cv2():
+    """Lu/Xu/Jia decolorization (docs/PARITY.md): gray +-1 on <=5% px
+    (the analytic f32 Lab leg in the contrast target); boost bit-exact
+    given the gray."""
+    rng = np.random.default_rng(seed("decolor"))
+    for t in range(4):
+        H, W = int(rng.integers(30, 300)), int(rng.integers(30, 300))
+        base = rng.normal(128, 60, (max(H // 8, 2), max(W // 8, 2), 3))
+        img = np.clip(cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+                      + rng.normal(0, 8, (H, W, 3)), 0, 255).astype(np.uint8)
+        want_g, want_b = cv2.decolor(img)
+        got_g, got_b = ref.decolor(img, order="bgr")
+        dg = np.abs(got_g.astype(np.int64) - want_g.astype(np.int64))
+        assert int(dg.max()) <= 1 and float((dg > 0).mean()) <= 0.08, t
+        db = np.abs(got_b.astype(np.int64) - want_b.astype(np.int64))
+        assert int(db.max()) <= 8, t
+        # device f32 polynomial vs the f64 oracle: razor +-1, which the
+        # Lab boost roundtrip can amplify a few LSB
+        dev_g, dev_b = ie.decolor(img, order="bgr")
+        assert int(np.abs(np.asarray(dev_g).astype(np.int64)
+                          - got_g.astype(np.int64)).max()) <= 1, t
+        assert int(np.abs(np.asarray(dev_b).astype(np.int64)
+                          - got_b.astype(np.int64)).max()) <= 8, t
+
+
+def test_decolor_rejects():
+    with pytest.raises(TypeError):
+        ie.decolor(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        ie.decolor(np.zeros((8, 8, 3), np.uint8), order="hsv")
