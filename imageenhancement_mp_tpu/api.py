@@ -31,6 +31,7 @@ __all__ = [
     "add_weighted",
     "apply_lut",
     "bilateral_filter",
+    "blend_linear",
     "box_blur",
     "convert_scale_abs",
     "cvt_color",
@@ -95,6 +96,8 @@ __all__ = [
     "laplacian_sharpen",
     "scharr",
     "sobel",
+    "spatial_gradient",
+    "sqr_box_filter",
     "threshold",
     "unsharp_mask",
     "median_blur",
@@ -1843,3 +1846,98 @@ def phase_correlate(src1, src2, window=None):
                       jnp.asarray(window, jnp.float32))
     sh = np.asarray(sh)
     return (float(sh[0]), float(sh[1])), float(resp)
+
+
+@lru_cache(maxsize=None)
+def _spatial_gradient_jit(border: str, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.filters import spatial_gradient_planes
+
+    @jax.jit
+    def run(img):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        dx, dy = spatial_gradient_planes(planes, border)
+        return restore(dx), restore(dy)
+
+    return run
+
+
+def spatial_gradient(img, border: str = "reflect101", channels_last: bool = True):
+    """``cv2.spatialGradient`` — exact: the (dx, dy) Sobel-3 pair in one
+    jitted program (uint8 in, int16 out; border reflect101 | replicate —
+    cv2's only two).  Probe: bitwise == the two cv2.Sobel calls."""
+    _check_u8(img)
+    if border not in ("reflect101", "replicate"):
+        raise ValueError("border must be 'reflect101' or 'replicate'")
+    return _spatial_gradient_jit(str(border), bool(channels_last))(img)
+
+
+@lru_cache(maxsize=None)
+def _sqr_box_jit(ksize, normalize: bool, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.filters import sqr_box_filter_planes
+
+    @jax.jit
+    def run(img):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(sqr_box_filter_planes(planes, ksize, normalize))
+
+    def call(img):
+        with jax.enable_x64(True):
+            return run(img)
+
+    return call
+
+
+def sqr_box_filter(img, ksize=3, normalize: bool = True,
+                   channels_last: bool = True):
+    """``cv2.sqrBoxFilter`` (ddepth → CV_32F) — REFLECT_101 window sums
+    of squares; s64/f64 on device (x64 scope, like the u16 NLMeans).
+    Bitwise vs cv2 everywhere except u8 ``normalize=True`` (±1 ulp on
+    ≲1 % px — cv2's IPP reciprocal kernel; docs/PARITY.md)."""
+    _check_image_dtype(img, allow_i16=True)
+    ks = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) else int(ksize)
+    return _sqr_box_jit(ks, bool(normalize), bool(channels_last))(img)
+
+
+@lru_cache(maxsize=None)
+def _blend_linear_jit(u8: bool):
+    @jax.jit
+    def run(a, b, w1, w2):
+        w1 = w1.astype(jnp.float32)
+        w2 = w2.astype(jnp.float32)
+        den = w1 + w2 + jnp.float32(1e-5)
+        if a.ndim == 3:
+            w1, w2, den = w1[..., None], w2[..., None], den[..., None]
+        # cv2 rounds each product separately; XLA:CPU's fast-math
+        # contracts mul+add into fma regardless of barriers/bitcasts
+        # (probed), leaving ±1 ulp on that backend only — XLA:TPU does
+        # not contract, so the chip is bitwise (selftest asserts it)
+        num = a.astype(jnp.float32) * w1 + b.astype(jnp.float32) * w2
+        # XLA's f32 divide is reciprocal-based (≤2 ulp); divide in f64
+        # instead — double rounding f64→f32 of a quotient of two f32s
+        # is provably exact (2p+2-bit innocuous-double-rounding bound)
+        out = (num.astype(jnp.float64) / den.astype(jnp.float64)
+               ).astype(jnp.float32)
+        if u8:
+            return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        return out
+
+    def call(a, b, w1, w2):
+        with jax.enable_x64(True):
+            return run(a, b, w1, w2)
+
+    return call
+
+
+def blend_linear(src1, src2, weights1, weights2):
+    """``cv2.blendLinear`` — bitwise-pinned f32 law
+    ``(src1·w1 + src2·w2)/(w1 + w2 + 1e-5)``; u8 rounds half-even and
+    saturates, f32 returns the raw quotient.  ``weights*`` are [H,W]
+    f32 shared across channels (ref/ops.py blend_linear).  Device:
+    bitwise on TPU (u8 and f32); the hermetic CPU backend's fast-math
+    fma contraction leaves ±1 ulp on the f32 tier (docs/PARITY.md)."""
+    if src1.shape != src2.shape:
+        raise ValueError("sources must share shape")
+    if src1.dtype not in (jnp.uint8, jnp.float32):
+        raise TypeError(f"blendLinear supports uint8/float32, got {src1.dtype}")
+    return _blend_linear_jit(src1.dtype == jnp.uint8)(
+        src1, src2, jnp.asarray(weights1), jnp.asarray(weights2))

@@ -480,3 +480,40 @@ def corner_harris_planes(planes: jnp.ndarray, block_size: int = 2,
     cxy = box_filter_planes(dx * dy, block_size, normalize=False)
     return (cxx * cyy - cxy * cxy - jnp.float32(k) * (cxx + cyy) ** 2
             ).astype(jnp.float32)
+
+
+def spatial_gradient_planes(planes: jnp.ndarray, border: str = "reflect101"):
+    """``cv2.spatialGradient`` per plane — exact integer Sobel-3 pair
+    (u8 → i16 dx, dy; REFLECT_101 or REPLICATE border, ref/ops.py)."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("spatialGradient requires uint8 input")
+    mode = "reflect" if border == "reflect101" else "edge"
+    H, W = planes.shape[-2], planes.shape[-1]
+    p = jnp.pad(planes.astype(jnp.int32), ((0, 0), (1, 1), (1, 1)), mode=mode)
+    sy = p[:, 0:H, :] + 2 * p[:, 1:H + 1, :] + p[:, 2:H + 2, :]
+    dx = (sy[:, :, 2:W + 2] - sy[:, :, 0:W]).astype(jnp.int16)
+    sx = p[:, :, 0:W] + 2 * p[:, :, 1:W + 1] + p[:, :, 2:W + 2]
+    dy = (sx[:, 2:H + 2, :] - sx[:, 0:H, :]).astype(jnp.int16)
+    return dx, dy
+
+
+def sqr_box_filter_planes(planes: jnp.ndarray, ksize=3,
+                          normalize: bool = True) -> jnp.ndarray:
+    """``cv2.sqrBoxFilter`` per plane (→ f32).  Must run under
+    ``jax.enable_x64`` (the api wrapper does): squares and window sums
+    in s64/f64, f64 ``1/area`` scale, one f32 cast — the pinned law
+    (ref/ops.py; u8 normalized is ±1 ulp vs cv2's IPP kernel)."""
+    if planes.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float32):
+        raise TypeError(f"expected uint8/uint16/int16/float32, got {planes.dtype}")
+    kh, kw = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    acc = jnp.float64 if planes.dtype == jnp.float32 else jnp.int64
+    sq = planes.astype(acc) ** 2
+    H, W = planes.shape[-2], planes.shape[-1]
+    p = jnp.pad(sq, ((0, 0), (kh // 2, kh - 1 - kh // 2),
+                     (kw // 2, kw - 1 - kw // 2)), mode="reflect")
+    s = sum(p[:, i:i + H, :] for i in range(kh))
+    s = sum(s[:, :, j:j + W] for j in range(kw))
+    if normalize:
+        return (s.astype(jnp.float64) * (1.0 / (kh * kw))).astype(jnp.float32)
+    return s.astype(jnp.float32)

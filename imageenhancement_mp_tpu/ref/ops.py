@@ -5128,3 +5128,66 @@ def match_shapes(a: np.ndarray, b: np.ndarray, method: str = "i1") -> float:
             else:
                 raise ValueError(f"method must be i1/i2/i3, got {method!r}")
     return float(total)
+
+
+def spatial_gradient(img: np.ndarray, border: str = "reflect101"):
+    """``cv2.spatialGradient`` — exact: the (Sobel dx, Sobel dy) pair,
+    ksize 3, uint8 in / int16 out (cv2 asserts CV_8UC1 and supports only
+    BORDER_DEFAULT=REFLECT_101 and BORDER_REPLICATE; probe: bitwise ==
+    the two ``cv2.Sobel(CV_16S, ·, ·, 3)`` calls under either border)."""
+    if img.dtype != np.uint8:
+        raise TypeError("spatialGradient requires uint8 input (cv2 constraint)")
+    if border not in ("reflect101", "replicate"):
+        raise ValueError("border must be 'reflect101' or 'replicate'")
+    mode = "reflect" if border == "reflect101" else "edge"
+    p = np.pad(img.astype(np.int64), 1, mode=mode)
+    H, W = img.shape
+    smooth_y = p[0:H, :] + 2 * p[1:H + 1, :] + p[2:H + 2, :]
+    dx = (smooth_y[:, 2:W + 2] - smooth_y[:, 0:W]).astype(np.int16)
+    smooth_x = p[:, 0:W] + 2 * p[:, 1:W + 1] + p[:, 2:W + 2]
+    dy = (smooth_x[2:H + 2, :] - smooth_x[0:H, :]).astype(np.int16)
+    return dx, dy
+
+
+def sqr_box_filter(img: np.ndarray, ksize=3, normalize: bool = True) -> np.ndarray:
+    """``cv2.sqrBoxFilter`` (default ddepth → CV_32F): REFLECT_101
+    window sums of squared pixels.  Pinned law (probes): squares and
+    sums exact (int64/f64), ``normalize`` multiplies by f64 ``1/area``,
+    ONE final cast to f32.  Bitwise vs cv2 for u16/f32 and for every
+    unnormalized path; u8 normalized rides cv2's IPP reciprocal kernel
+    and is ±1 ulp on ≲1 % px (documented budget)."""
+    kind = _img_kind(img, allow_i16=True)
+    kh, kw = (int(ksize[0]), int(ksize[1])) if isinstance(ksize, (tuple, list)) \
+        else (int(ksize), int(ksize))
+    sq = img.astype(np.float64 if kind == "f32" else np.int64) ** 2
+    p = np.pad(sq, ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
+               mode="reflect")
+    H, W = img.shape
+    s = sum(p[i:i + H, :] for i in range(kh))
+    s = sum(s[:, j:j + W] for j in range(kw))
+    if normalize:
+        return (s.astype(np.float64) * (1.0 / (kh * kw))).astype(np.float32)
+    return s.astype(np.float32)
+
+
+def blend_linear(a: np.ndarray, b: np.ndarray, w1: np.ndarray,
+                 w2: np.ndarray) -> np.ndarray:
+    """``cv2.blendLinear`` — bitwise-pinned f32 law
+    ``(a·w1 + b·w2) / (w1 + w2 + 1e-5)`` (weights f32, one channel,
+    shared across the image's channels).  uint8 input rounds half-even
+    and saturates; float32 returns the raw f32 quotient."""
+    if a.shape != b.shape:
+        raise ValueError("sources must share shape")
+    if w1.shape != a.shape[:2] or w2.shape != a.shape[:2]:
+        raise ValueError("weights must be [H,W] f32 matching the sources")
+    w1 = w1.astype(np.float32)
+    w2 = w2.astype(np.float32)
+    den = w1 + w2 + np.float32(1e-5)
+    if a.ndim == 3:
+        w1 = w1[..., None]
+        w2 = w2[..., None]
+        den = den[..., None]
+    out = (a.astype(np.float32) * w1 + b.astype(np.float32) * w2) / den
+    if a.dtype == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.astype(np.float32)

@@ -58,6 +58,8 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("median5", lambda: ie.median_blur(img, 5), lambda: ref.median_blur(img, 5), 0),
     ]
     img2 = rng.integers(0, 256, size, dtype=np.uint8)
+    wblend1 = (rng.random(size) * 4).astype(np.float32)
+    wblend2 = (rng.random(size) * 4).astype(np.float32)
     mh, mw = min(40, size[0]), min(44, size[1])  # temporal-NLMeans crop
     rgb = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
     checks += [
@@ -235,6 +237,20 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.edge_preserving_filter(np.asarray(rgb)[:mh, :mw], "recursive", 55.0, 0.35), 1),
         ("photo/styliz", lambda: ie.stylization(rgb[:mh, :mw], 60.0, 0.45),
          lambda: ref.stylization(np.asarray(rgb)[:mh, :mw], 60.0, 0.45), 1),
+        ("spatgrad", lambda: np.stack([np.asarray(a) for a in ie.spatial_gradient(img)]),
+         lambda: np.stack(ref.spatial_gradient(np.asarray(img))), 0),
+        # f32 outputs bit-viewed as i32: budget counts ulps, not LSBs
+        ("sqr_box5", lambda: np.asarray(ie.sqr_box_filter(img, 5)).view(np.int32),
+         lambda: ref.sqr_box_filter(np.asarray(img), 5).view(np.int32), 0),
+        ("blend/u8", lambda: ie.blend_linear(img, img2, wblend1, wblend2),
+         lambda: ref.blend_linear(np.asarray(img), np.asarray(img2),
+                                  wblend1, wblend2), 0),
+        ("blend/f32", lambda: np.asarray(ie.blend_linear(
+            img.astype(np.float32), img2.astype(np.float32),
+            wblend1, wblend2)).view(np.int32),
+         lambda: ref.blend_linear(img.astype(np.float32),
+                                  img2.astype(np.float32),
+                                  wblend1, wblend2).view(np.int32), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

@@ -3,6 +3,7 @@ cornerHarris (docs/PARITY.md)."""
 
 import numpy as np
 import pytest
+from detseed import seed
 
 import jax.numpy as jnp
 
@@ -27,7 +28,7 @@ def test_structuring_elements_bitexact():
 
 @pytest.mark.parametrize("shape", ["ellipse", "cross"])
 def test_masked_morphology_vs_cv2(shape):
-    rng = np.random.default_rng(hash(shape) % 2**31)
+    rng = np.random.default_rng(seed("masked_morphology", shape))
     ops = [("erode", None), ("dilate", None), ("open", cv2.MORPH_OPEN),
            ("close", cv2.MORPH_CLOSE), ("gradient", cv2.MORPH_GRADIENT),
            ("tophat", cv2.MORPH_TOPHAT), ("blackhat", cv2.MORPH_BLACKHAT)]

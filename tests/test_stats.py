@@ -53,7 +53,7 @@ def test_mean_std_dev():
     ("intersect", cv2.HISTCMP_INTERSECT),
     ("bhattacharyya", cv2.HISTCMP_BHATTACHARYYA)])
 def test_compare_hist(method, flag):
-    rng = np.random.default_rng(hash(method) % 2**31)
+    rng = np.random.default_rng(seed("compare_hist", method))
     for t in range(20):
         h1 = (rng.random(256) * 100).astype(np.float32)
         h2 = (rng.random(256) * 100).astype(np.float32)
