@@ -59,6 +59,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "tonemap/reinhard 1080p rgb": 0.021,  # cv2.createTonemapReinhard
     "tonemap/drago 1080p rgb": 0.028,     # cv2.createTonemapDrago
     "cvt/luv 1080p rgb b8": 0.132,    # cv2.cvtColor RGB2Luv (packed path)
+    "dist/l2m3 1080p gray": 0.0957,  # cv2.distanceTransform L2 mask3
     "clahe/u16 4K gray b2": 0.049,
     "median5/u16 4K gray b2": 0.395,
     "gaussian5/u16 4K gray b2": 0.497,
@@ -364,6 +365,17 @@ def main() -> int:
                 lambda x: ie.cvt_color(x, "rgb2luv"),
                 rng.integers(0, 256, (8, 1080, 1920, 3), dtype=np.uint8),
                 lambda x: np.stack([ref.rgb_to_luv(np.asarray(f)) for f in x]),
+            ),
+            (
+                # random u8 has ~0.4 % zero pixels — a realistic sparse
+                # source field; i32 bit views so max-LSB counts ulps
+                "dist/l2m3 1080p gray",
+                lambda x: jax.lax.bitcast_convert_type(
+                    ie.distance_transform(x, "l2", 3), jnp.int32),
+                rng.integers(0, 256, (1, 1080, 1920), dtype=np.uint8),
+                lambda x: np.stack(
+                    [ref.distance_transform(np.asarray(f), "l2", 3)
+                     for f in x]).view(np.int32),
             ),
         ]
         # uint16 tier (the headline extension; baselines measured BASELINE.md)

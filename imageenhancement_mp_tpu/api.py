@@ -37,6 +37,7 @@ __all__ = [
     "cvt_color",
     "cvt_gray",
     "dilate",
+    "distance_transform",
     "equalize_luma",
     "erode",
     "filter2d",
@@ -1941,3 +1942,37 @@ def blend_linear(src1, src2, weights1, weights2):
         raise TypeError(f"blendLinear supports uint8/float32, got {src1.dtype}")
     return _blend_linear_jit(src1.dtype == jnp.uint8)(
         src1, src2, jnp.asarray(weights1), jnp.asarray(weights2))
+
+
+@lru_cache(maxsize=None)
+def _distance_transform_jit(dt: str, mask: int, dst: str, channels_last: bool):
+    from imageenhancement_mp_tpu.ops.distance import distance_transform_planes
+
+    @jax.jit
+    def run(img):
+        planes, restore = as_planes(img, channels_last=channels_last)
+        return restore(distance_transform_planes(planes, dt, mask, dst))
+
+    return run
+
+
+def distance_transform(img, distance_type: str = "l2", mask_size: int = 3,
+                       dst_type: str = "f32", channels_last: bool = True):
+    """``cv2.distanceTransform`` — two-pass chamfer as a sheared-wavefront
+    ``lax.scan`` (O(2H+W) sequential steps, not O(H·W)).  Zero pixels are
+    sources.  BITWISE vs cv2 for L1 | C | L2-mask5; L2-mask3 follows
+    cv2's portable float law (default-build IPP route deviates ≤1e-6
+    relative — docs/PARITY.md).  ``dst_type='u8'`` (L1 only, like cv2)
+    saturate-casts the f32 field."""
+    _check_u8(img)
+    dt = str(distance_type).lower()
+    if dt not in ("l1", "l2", "c"):
+        raise ValueError(f"distance_type must be l1|l2|c, got {distance_type!r}")
+    if int(mask_size) not in (3, 5):
+        raise ValueError(f"mask_size must be 3 or 5, got {mask_size}")
+    if dst_type not in ("f32", "u8"):
+        raise ValueError(f"dst_type must be f32|u8, got {dst_type!r}")
+    if dst_type == "u8" and dt != "l1":
+        raise ValueError("dst_type='u8' requires distance_type='l1' (cv2)")
+    return _distance_transform_jit(dt, int(mask_size), str(dst_type),
+                                   bool(channels_last))(img)

@@ -5191,3 +5191,98 @@ def blend_linear(a: np.ndarray, b: np.ndarray, w1: np.ndarray,
     if a.dtype == np.uint8:
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# distanceTransform (chamfer masks 3/5)
+# ---------------------------------------------------------------------------
+
+_FLT_MAX = np.float32(3.4028235e38)
+
+_DIST_MASKS = {
+    ("l1", 3): (np.float32(1.0), np.float32(2.0), None),
+    ("c", 3): (np.float32(1.0), np.float32(1.0), None),
+    ("l2", 3): (np.float32(0.955), np.float32(1.3693), None),
+    ("l2", 5): (np.float32(1.0), np.float32(1.4), np.float32(2.1969)),
+}
+
+
+def _chamfer_neighbors(a, b, c):
+    """Forward-pass chamfer candidates as (rows_up, dj, weight) — cv2's
+    3x3 set {left, up, up-left, up-right} plus the 5x5 knight moves."""
+    n = [(0, -1, a), (1, 0, a), (1, -1, b), (1, 1, b)]
+    if c is not None:
+        n += [(1, -2, c), (1, 2, c), (2, -1, c), (2, 1, c)]
+    return n
+
+
+def _chamfer_pass(d: np.ndarray, neigh, shear: int) -> np.ndarray:
+    """One forward raster chamfer pass, evaluated as a sheared wavefront.
+
+    Cell (i, j) lives at column q = shear·i + j; with shear = 2 (mask 3)
+    or 3 (mask 5) every DP dependency sits at a strictly smaller q, so
+    sweeping columns left→right with vectorized row operations performs
+    the same single rounded f32 add per candidate as cv2's sequential
+    raster loop — and min() commutes with the (monotone) rounding, so
+    the result is bit-identical to the raster order."""
+    H, W = d.shape
+    Q = shear * (H - 1) + W
+    rows = np.arange(H)
+    cols = shear * rows[:, None] + np.arange(W)[None, :]
+    S = np.full((H, Q), _FLT_MAX, np.float32)
+    S[rows[:, None], cols] = d
+    valid = np.zeros((H, Q), bool)
+    valid[rows[:, None], cols] = True
+    for t in range(1, Q):
+        v = S[:, t]
+        for pi, dj, w in neigh:
+            dq = shear * pi - dj
+            if t - dq < 0:
+                continue
+            src = S[:, t - dq]
+            if pi:
+                src = np.concatenate(
+                    [np.full(pi, _FLT_MAX, np.float32), src[:-pi]])
+            v = np.minimum(v, (src + w).astype(np.float32))
+        S[:, t] = np.where(valid[:, t], v, _FLT_MAX)
+    return S[rows[:, None], cols]
+
+
+def distance_transform(img: np.ndarray, distance_type: str = "l2",
+                       mask_size: int = 3,
+                       dst_type: str = "f32") -> np.ndarray:
+    """``cv2.distanceTransform`` — two-pass chamfer, per-step f32 adds.
+
+    ``distance_type``: l1 | l2 | c; ``mask_size``: 3 | 5 (L1/C collapse
+    to the 3x3 mask — cv2's own behavior, the 3x3 chamfer is already
+    exact for those metrics).  Weights: L1 (1,2), C (1,1), L2 3x3
+    (0.955, 1.3693), L2 5x5 (1, 1.4, 2.1969).  Zero pixels are sources;
+    untouched pixels stay FLT_MAX (probe: an all-nonzero image returns
+    3.4028235e38 everywhere, like cv2).  BITWISE vs cv2 as installed for
+    L1, C and L2 mask 5; L2 mask 3 is bitwise vs cv2's portable float
+    law (``setUseOptimized(False)`` uses int16.16 weights instead) and
+    ≤1e-6 relative vs the default build's IPP route (docs/PARITY.md).
+    ``dst_type='u8'`` (DIST_L1 only, like cv2) saturate-casts."""
+    dt = str(distance_type).lower()
+    m = int(mask_size)
+    if dt not in ("l1", "l2", "c"):
+        raise ValueError(f"distance_type must be l1|l2|c, got {distance_type!r}")
+    if m not in (3, 5):
+        raise ValueError(f"mask_size must be 3 or 5, got {mask_size}")
+    if dst_type not in ("f32", "u8"):
+        raise ValueError(f"dst_type must be f32|u8, got {dst_type!r}")
+    if dst_type == "u8" and dt != "l1":
+        raise ValueError("dst_type='u8' requires distance_type='l1' (cv2)")
+    if img.dtype != np.uint8:
+        raise TypeError("distanceTransform requires uint8 input")
+    if dt in ("l1", "c"):
+        m = 3
+    a, b, c = _DIST_MASKS[(dt, m)]
+    shear = 2 if c is None else 3
+    neigh = _chamfer_neighbors(a, b, c)
+    d = np.where(img == 0, np.float32(0), _FLT_MAX).astype(np.float32)
+    d = _chamfer_pass(d, neigh, shear)
+    d = _chamfer_pass(d[::-1, ::-1], neigh, shear)[::-1, ::-1]
+    if dst_type == "u8":
+        return np.clip(d, 0, 255).astype(np.uint8)
+    return d

@@ -251,6 +251,14 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.blend_linear(img.astype(np.float32),
                                   img2.astype(np.float32),
                                   wblend1, wblend2).view(np.int32), 0),
+        ("dist/l2m3", lambda: np.asarray(ie.distance_transform(
+            (img > 12).astype(np.uint8), "l2", 3)).view(np.int32),
+         lambda: ref.distance_transform(
+            (np.asarray(img) > 12).astype(np.uint8), "l2", 3).view(np.int32), 0),
+        ("dist/l1u8", lambda: ie.distance_transform(
+            (img > 12).astype(np.uint8), "l1", dst_type="u8"),
+         lambda: ref.distance_transform(
+            (np.asarray(img) > 12).astype(np.uint8), "l1", 3, "u8"), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
