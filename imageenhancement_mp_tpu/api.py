@@ -46,6 +46,7 @@ __all__ = [
     "pyr_up",
     "resize",
     "flip",
+    "flood_fill",
     "rotate",
     "transpose",
     "warp_affine",
@@ -1976,3 +1977,73 @@ def distance_transform(img, distance_type: str = "l2", mask_size: int = 3,
         raise ValueError("dst_type='u8' requires distance_type='l1' (cv2)")
     return _distance_transform_jit(dt, int(mask_size), str(dst_type),
                                    bool(channels_last))(img)
+
+
+@lru_cache(maxsize=None)
+def _flood_region_jit(shape, conn: int, fixed: bool):
+    from imageenhancement_mp_tpu.ops.floodfill import flood_region
+
+    @jax.jit
+    def run(img, blocked, sy, sx, lo, up):
+        return flood_region(img, blocked, (sy, sx), lo, up, conn, fixed)
+
+    return run
+
+
+def flood_fill(img, seed_point, new_val, lo_diff=0, up_diff=0,
+               connectivity: int = 4, fixed_range: bool = False,
+               mask=None, mask_only: bool = False, mask_fill: int = 1):
+    """``cv2.floodFill`` — returns ``(n, image, mask, rect)`` exactly
+    like cv2 (filled count, filled image, (H+2, W+2) mask with the
+    border ring set to 1 and ``mask_fill`` in filled cells, (x, y, w, h)
+    rect).  ``seed_point`` is (x, y).  The region is grown on device as
+    a ``lax.while_loop`` fixpoint (schedule-independent — acceptance
+    depends only on original pixel values; ref/ops.py flood_fill pins
+    the semantics, 150-config fuzz exact incl. masks/blocked/color)."""
+    arr = np.asarray(img)
+    if arr.dtype not in (np.uint8, np.uint16, np.float32):
+        raise TypeError(f"floodFill supports uint8/uint16/float32, got {arr.dtype}")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] > 4):
+        raise ValueError(f"expected [H,W] or [H,W,C<=4], got {arr.shape}")
+    H, W = arr.shape[:2]
+    C = 1 if gray else arr.shape[2]
+    x0, y0 = int(seed_point[0]), int(seed_point[1])
+    if not (0 <= x0 < W and 0 <= y0 < H):
+        raise ValueError(f"seed {seed_point} outside {W}x{H} image")
+    conn = int(connectivity) or 4
+    if conn not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    out_mask = (np.zeros((H + 2, W + 2), np.uint8) if mask is None
+                else np.array(mask, np.uint8, copy=True))
+    if out_mask.shape != (H + 2, W + 2):
+        raise ValueError("mask must be (H+2, W+2) uint8")
+    blocked = out_mask[1:-1, 1:-1] != 0
+    out_mask[0, :] = 1
+    out_mask[-1, :] = 1
+    out_mask[:, 0] = 1
+    out_mask[:, -1] = 1
+    lo = np.broadcast_to(np.abs(np.asarray(lo_diff, np.float32)).reshape(-1), (C,))
+    up = np.broadcast_to(np.abs(np.asarray(up_diff, np.float32)).reshape(-1), (C,))
+    run = _flood_region_jit((H, W, C), conn, bool(fixed_range))
+    region, n, rect = run(
+        jnp.asarray(arr.reshape(H, W, C), jnp.float32),
+        jnp.asarray(blocked), jnp.int32(y0), jnp.int32(x0),
+        jnp.asarray(lo), jnp.asarray(up))
+    region = np.asarray(region)
+    n = int(n)
+    out = arr.copy()
+    if n == 0:
+        return 0, out, out_mask, (0, 0, 0, 0)
+    rect = tuple(int(v) for v in rect)
+    out_mask[1:-1, 1:-1][region] = np.uint8(mask_fill if mask_fill else 1)
+    if not mask_only:
+        nv = np.broadcast_to(np.asarray(new_val, np.float64).reshape(-1), (C,))
+        if arr.dtype == np.uint8:
+            fillv = np.clip(np.rint(nv), 0, 255).astype(np.uint8)
+        elif arr.dtype == np.uint16:
+            fillv = np.clip(np.rint(nv), 0, 65535).astype(np.uint16)
+        else:
+            fillv = nv.astype(arr.dtype)
+        out[region] = fillv[0] if gray else fillv
+    return n, out, out_mask, rect

@@ -5286,3 +5286,117 @@ def distance_transform(img: np.ndarray, distance_type: str = "l2",
     if dst_type == "u8":
         return np.clip(d, 0, 255).astype(np.uint8)
     return d
+
+
+# ---------------------------------------------------------------------------
+# floodFill
+# ---------------------------------------------------------------------------
+
+def flood_fill(img: np.ndarray, seed_point, new_val, lo_diff=0, up_diff=0,
+               connectivity: int = 4, fixed_range: bool = False,
+               mask: np.ndarray = None, mask_only: bool = False,
+               mask_fill: int = 1):
+    """``cv2.floodFill`` — returns ``(n, image, mask, rect)``.
+
+    Pinned semantics (probes): the filled set is the unique fixpoint of
+    "p joins via an in-region neighbor q when every channel of p lies in
+    [ref−lo, ref+up]" with ref = the SEED pixel (``fixed_range``) or q's
+    ORIGINAL value (floating) — acceptance depends only on original
+    pixel values, so the result is schedule-independent.  ``seed_point``
+    is (x, y) like cv2.  Nonzero mask cells block; a blocked/out-of-gamut
+    seed is a no-op returning n=0, rect (0,0,0,0).  cv2 writes
+    ``mask_fill`` (flags>>8, default 1) into filled mask cells and
+    unconditionally sets the mask's 1-px border ring to 1.  u8 newVal =
+    cvRound (half-even) + saturate; rect is (x, y, w, h)."""
+    x0, y0 = int(seed_point[0]), int(seed_point[1])
+    gray = img.ndim == 2
+    H, W = img.shape[:2]
+    C = 1 if gray else img.shape[2]
+    if not (0 <= x0 < W and 0 <= y0 < H):
+        raise ValueError(f"seed {seed_point} outside {W}x{H} image")
+    if connectivity not in (0, 4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    out_mask = (np.zeros((H + 2, W + 2), np.uint8) if mask is None
+                else mask.copy())
+    if out_mask.shape != (H + 2, W + 2):
+        raise ValueError("mask must be (H+2, W+2) uint8")
+    blocked = out_mask[1:-1, 1:-1] != 0
+    out_mask[0, :] = 1
+    out_mask[-1, :] = 1
+    out_mask[:, 0] = 1
+    out_mask[:, -1] = 1
+    # float images compare in f32 (cv2's CV_32F path); integer images in
+    # f64 (everything integral — exact either way)
+    cmp_t = np.float32 if img.dtype == np.float32 else np.float64
+    f = img.reshape(H, W, C).astype(cmp_t)
+    lo = np.broadcast_to(np.abs(np.asarray(lo_diff, cmp_t)).reshape(-1), (C,))
+    up = np.broadcast_to(np.abs(np.asarray(up_diff, cmp_t)).reshape(-1), (C,))
+    out = img.copy()
+    region = np.zeros((H, W), bool)
+    if not blocked[y0, x0]:
+        region[y0, x0] = True
+        nbrs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if connectivity == 8:
+            nbrs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        if fixed_range:
+            ref_v = f[y0, x0]
+            ok = np.all((f >= ref_v - lo) & (f <= ref_v + up), axis=2) & ~blocked
+            changed = True
+            while changed:
+                changed = False
+                for di, dj in nbrs:
+                    nb = _shift_bool(region, di, dj)
+                    cand = nb & ok & ~region
+                    if cand.any():
+                        region |= cand
+                        changed = True
+        else:
+            changed = True
+            while changed:
+                changed = False
+                for di, dj in nbrs:
+                    nb = _shift_bool(region, di, dj)
+                    nv = np.roll(f, (di, dj), (0, 1))
+                    okd = np.all((f >= nv - lo) & (f <= nv + up), axis=2)
+                    cand = nb & okd & ~blocked & ~region
+                    if cand.any():
+                        region |= cand
+                        changed = True
+    n = int(region.sum())
+    if n == 0:
+        return 0, out, out_mask, (0, 0, 0, 0)
+    ys, xs = np.nonzero(region)
+    rect = (int(xs.min()), int(ys.min()),
+            int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1))
+    out_mask[1:-1, 1:-1][region] = np.uint8(mask_fill if mask_fill else 1)
+    if not mask_only:
+        nv = np.asarray(new_val, np.float64).reshape(-1)
+        nv = np.broadcast_to(nv, (C,))
+        if img.dtype == np.uint8:
+            fillv = np.clip(_cv_round_arr(nv), 0, 255).astype(np.uint8)
+        elif img.dtype == np.uint16:
+            fillv = np.clip(_cv_round_arr(nv), 0, 65535).astype(np.uint16)
+        else:
+            fillv = nv.astype(img.dtype)
+        if gray:
+            out[region] = fillv[0]
+        else:
+            out[region] = fillv
+    return n, out, out_mask, rect
+
+
+def _shift_bool(a: np.ndarray, di: int, dj: int) -> np.ndarray:
+    out = np.roll(a, (di, dj), (0, 1))
+    if di == 1:
+        out[0, :] = False
+    elif di == -1:
+        out[-1, :] = False
+    if dj == 1:
+        out[:, 0] = False
+    elif dj == -1:
+        out[:, -1] = False
+    return out
+
+
+def _cv_round_arr(x: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, np.float64))

@@ -259,6 +259,10 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
             (img > 12).astype(np.uint8), "l1", dst_type="u8"),
          lambda: ref.distance_transform(
             (np.asarray(img) > 12).astype(np.uint8), "l1", 3, "u8"), 0),
+        ("floodfill", lambda: ie.flood_fill(
+            np.asarray(img), (size[1] // 2, size[0] // 2), 200, 35, 35)[1],
+         lambda: ref.flood_fill(
+            np.asarray(img), (size[1] // 2, size[0] // 2), 200, 35, 35)[1], 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
