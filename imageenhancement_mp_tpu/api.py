@@ -85,6 +85,8 @@ __all__ = [
     "get_structuring_element",
     "gabor_kernel",
     "corner_harris",
+    "corner_min_eigen_val",
+    "good_features_to_track",
     "get_rotation_matrix_2d",
     "histogram",
     "gamma",
@@ -2047,3 +2049,40 @@ def flood_fill(img, seed_point, new_val, lo_diff=0, up_diff=0,
             fillv = nv.astype(arr.dtype)
         out[region] = fillv[0] if gray else fillv
     return n, out, out_mask, rect
+
+
+def corner_min_eigen_val(img, block_size: int = 3, ksize: int = 3,
+                         channels_last: bool = True):
+    """``cv2.cornerMinEigenVal`` — f32 response at f32-ulp-class
+    tolerance (~5e-7 rel; the min-eigen subtraction cancels on edges so
+    absolute ulp counts are meaningless — docs/PARITY.md)."""
+    _check_u8(img)
+    return _apply("corner_min_eigen_val", img, channels_last,
+                  block_size=int(block_size), ksize=int(ksize))
+
+
+def good_features_to_track(img, max_corners: int = 0,
+                           quality_level: float = 0.01,
+                           min_distance: float = 10.0, mask=None,
+                           block_size: int = 3, gradient_size: int = 3,
+                           use_harris: bool = False, k: float = 0.04):
+    """``cv2.goodFeaturesToTrack`` — [N, 2] f32 (x, y) corners.
+
+    The response map (minEigenVal or Harris) runs on device; the pinned
+    selection chain (threshold → 3x3 NMS → stable response-desc sort →
+    grid min-distance greedy, 120-config fuzz EXACT given cv2's own
+    response) runs on host over the fetched map.  End-to-end parity is
+    f32-ulp-class: razor ties at threshold/NMS boundaries may flip vs
+    cv2 (docs/PARITY.md)."""
+    _check_u8(img)
+    if np.asarray(img).ndim != 2:
+        raise ValueError("goodFeaturesToTrack expects a single [H,W] image")
+    resp = np.asarray(
+        corner_harris(img, block_size, gradient_size, k) if use_harris
+        else corner_min_eigen_val(img, block_size, gradient_size))
+    from imageenhancement_mp_tpu.ref.ops import good_features_to_track as _gft
+
+    return _gft(np.asarray(img), int(max_corners), float(quality_level),
+                float(min_distance), None if mask is None else np.asarray(mask),
+                int(block_size), int(gradient_size), bool(use_harris),
+                float(k), response=resp)

@@ -7,6 +7,7 @@ from imageenhancement_mp_tpu.ops.filters import (
     box_blur_planes,
     box_filter_planes,
     corner_harris_planes,
+    corner_min_eigen_val_planes,
     gaussian_blur_planes,
     sobel_planes,
     laplacian_planes,
@@ -79,6 +80,7 @@ OP_REGISTRY = {
     "fast_nl_means": fast_nl_means_planes,
     "box_filter": box_filter_planes,
     "corner_harris": corner_harris_planes,
+    "corner_min_eigen_val": corner_min_eigen_val_planes,
     "calc_back_project": calc_back_project_planes,
     "filter2d": filter2d_planes,
     "pyr_up": pyr_up_planes,

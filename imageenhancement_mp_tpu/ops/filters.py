@@ -517,3 +517,22 @@ def sqr_box_filter_planes(planes: jnp.ndarray, ksize=3,
     if normalize:
         return (s.astype(jnp.float64) * (1.0 / (kh * kw))).astype(jnp.float32)
     return s.astype(jnp.float32)
+
+
+def corner_min_eigen_val_planes(planes: jnp.ndarray, block_size: int = 3,
+                                ksize: int = 3) -> jnp.ndarray:
+    """``cv2.cornerMinEigenVal`` per plane (u8 → f32): smaller
+    structure-tensor eigenvalue, cornerHarris scaling — f32-ulp parity
+    class (ref/ops.py corner_min_eigen_val)."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError("cornerMinEigenVal requires uint8 input")
+    f = planes.astype(jnp.float32)
+    dx = sobel_planes(f, 1, 0, ksize)
+    dy = sobel_planes(f, 0, 1, ksize)
+    sc = jnp.float32(1.0 / ((1 << (ksize - 1)) * block_size * 255))
+    dx = dx * sc
+    dy = dy * sc
+    a = box_filter_planes(dx * dx, block_size, normalize=False) * jnp.float32(0.5)
+    c = box_filter_planes(dy * dy, block_size, normalize=False) * jnp.float32(0.5)
+    b = box_filter_planes(dx * dy, block_size, normalize=False)
+    return ((a + c) - jnp.sqrt((a - c) * (a - c) + b * b)).astype(jnp.float32)

@@ -5400,3 +5400,107 @@ def _shift_bool(a: np.ndarray, di: int, dj: int) -> np.ndarray:
 
 def _cv_round_arr(x: np.ndarray) -> np.ndarray:
     return np.rint(np.asarray(x, np.float64))
+
+
+def corner_min_eigen_val(img: np.ndarray, block_size: int = 3,
+                         ksize: int = 3) -> np.ndarray:
+    """``cv2.cornerMinEigenVal`` — smaller structure-tensor eigenvalue:
+    ``(a+c) − sqrt((a−c)² + b²)`` with a = Σdx²/2, c = Σdy²/2, b = Σdxdy
+    over the block, Sobel derivatives scaled like cornerHarris.  f32-ulp
+    parity class (≤5e-7 relative vs cv2 — the subtraction cancels for
+    edge pixels, so per-pixel ulp counts are meaningless; same budget
+    family as corner_harris)."""
+    if img.dtype != np.uint8:
+        raise TypeError("cornerMinEigenVal (this port) requires uint8 input")
+    dx = sobel(img.astype(np.float32), 1, 0, ksize).astype(np.float64)
+    dy = sobel(img.astype(np.float32), 0, 1, ksize).astype(np.float64)
+    sc = 1.0 / ((1 << (ksize - 1)) * block_size * 255)
+    dx *= sc
+    dy *= sc
+    cxx = box_filter((dx * dx).astype(np.float32), block_size,
+                     normalize=False).astype(np.float64)
+    cyy = box_filter((dy * dy).astype(np.float32), block_size,
+                     normalize=False).astype(np.float64)
+    cxy = box_filter((dx * dy).astype(np.float32), block_size,
+                     normalize=False).astype(np.float64)
+    a = cxx * 0.5
+    c = cyy * 0.5
+    return ((a + c) - np.sqrt((a - c) ** 2 + cxy ** 2)).astype(np.float32)
+
+
+def good_features_to_track(img: np.ndarray, max_corners: int = 0,
+                           quality_level: float = 0.01,
+                           min_distance: float = 10.0,
+                           mask: np.ndarray = None, block_size: int = 3,
+                           gradient_size: int = 3,
+                           use_harris: bool = False,
+                           k: float = 0.04,
+                           response: np.ndarray = None) -> np.ndarray:
+    """``cv2.goodFeaturesToTrack`` — returns [N, 2] f32 (x, y).
+
+    Selection logic pinned (fuzz-exact when fed cv2's own response via
+    ``response=``): threshold = max(response)·quality (TOZERO), 3x3
+    dilate NMS with EQUALITY keep, candidates collected over the
+    1-px-inset interior in raster order, sorted by response descending
+    (stable — ties keep raster order), then greedy min-distance
+    rejection on a minDistance-sized grid with STRICT < minDistance²
+    euclidean test.  End-to-end vs cv2 the response map itself is the
+    f32-ulp-class re-derivation (corner_min_eigen_val / corner_harris),
+    so razor ties at the threshold/NMS/sort boundaries may differ —
+    docs/PARITY.md."""
+    if response is None:
+        response = (corner_harris(img, block_size, gradient_size, k)
+                    if use_harris else
+                    corner_min_eigen_val(img, block_size, gradient_size))
+    eig = response.astype(np.float32).copy()
+    # cv2 computes max/threshold/NMS on the UNMASKED response; the mask
+    # gates only candidate collection (probe: masked fuzz)
+    maxv = float(eig.max())
+    thr = np.float32(maxv * quality_level)
+    eig[eig <= thr] = 0.0
+    H, W = eig.shape
+    p = np.pad(eig, 1, mode="constant", constant_values=0)
+    dil = eig.copy()
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            dil = np.maximum(dil, p[1 + di:1 + di + H, 1 + dj:1 + dj + W])
+    keep = (eig != 0) & (eig == dil)
+    if mask is not None:
+        keep &= mask != 0
+    ys, xs = np.nonzero(keep)
+    inset = (ys >= 1) & (ys < H - 1) & (xs >= 1) & (xs < W - 1)
+    ys, xs = ys[inset], xs[inset]
+    vals = eig[ys, xs]
+    order = np.argsort(-vals, kind="stable")
+    ys, xs, vals = ys[order], xs[order], vals[order]
+    out = []
+    if min_distance >= 1:
+        cell = int(min_distance)
+        gw = (W + cell - 1) // cell
+        gh = (H + cell - 1) // cell
+        grid = [[] for _ in range(gw * gh)]
+        md2 = float(min_distance) * float(min_distance)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            gx, gy = x // cell, y // cell
+            good = True
+            for ny in range(max(0, gy - 1), min(gh, gy + 2)):
+                for nx in range(max(0, gx - 1), min(gw, gx + 2)):
+                    for (py, px) in grid[ny * gw + nx]:
+                        if (px - x) ** 2 + (py - y) ** 2 < md2:
+                            good = False
+                            break
+                    if not good:
+                        break
+                if not good:
+                    break
+            if good:
+                grid[gy * gw + gx].append((y, x))
+                out.append((x, y))
+                if max_corners > 0 and len(out) >= max_corners:
+                    break
+    else:
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            out.append((x, y))
+            if max_corners > 0 and len(out) >= max_corners:
+                break
+    return np.array(out, np.float32).reshape(-1, 2)

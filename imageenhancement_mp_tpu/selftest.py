@@ -263,6 +263,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
             np.asarray(img), (size[1] // 2, size[0] // 2), 200, 35, 35)[1],
          lambda: ref.flood_fill(
             np.asarray(img), (size[1] // 2, size[0] // 2), 200, 35, 35)[1], 0),
+        # corner features: compare the SELECTED corner list (device
+        # response + pinned host selection) vs the all-oracle chain —
+        # integer pixel coordinates, so budget 0 is meaningful
+        ("goodfeats", lambda: ie.good_features_to_track(
+            np.asarray(img), 25, 0.05, 7.0),
+         lambda: ref.good_features_to_track(
+            np.asarray(img), 25, 0.05, 7.0), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [

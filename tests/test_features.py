@@ -98,3 +98,51 @@ def test_harris_finds_corner():
     # and matches cv2's own peak location exactly
     wr = cv2.cornerHarris(img, 2, 3, 0.04)
     assert (mx, my) == cv2.minMaxLoc(wr)[3]
+
+
+def test_corner_min_eigen_val():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(seed("mineig"))
+    for bs, ks in ((2, 3), (3, 3), (5, 5), (4, 1)):
+        img = rng.integers(0, 256, (40, 44), np.uint8)
+        want = cv2.cornerMinEigenVal(img, bs, ksize=ks)
+        got = ref.corner_min_eigen_val(img, bs, ks)
+        rel = np.abs(got.astype(np.float64) - want.astype(np.float64)).max()
+        rel /= max(1e-12, np.abs(want).max())
+        assert rel <= 5e-7, (bs, ks, rel)
+        gdev = np.asarray(ie.corner_min_eigen_val(jnp.asarray(img), bs, ks))
+        reld = np.abs(gdev.astype(np.float64) - got.astype(np.float64)).max()
+        reld /= max(1e-12, np.abs(got).max())
+        assert reld <= 5e-7, (bs, ks, reld)
+
+
+def test_good_features_selection_exact():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(seed("gft"))
+    exact = 0
+    total = 40
+    for t in range(total):
+        H, W = int(rng.integers(12, 70)), int(rng.integers(12, 70))
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (H, W), np.uint8), (5, 5), 1.5)
+        mc = int(rng.integers(0, 25))
+        ql = float(rng.choice([0.01, 0.05, 0.2]))
+        md = float(rng.choice([1.0, 3.5, 7.0, 0.0]))
+        bs = int(rng.choice([2, 3, 5]))
+        harris = bool(t % 3 == 0)
+        mask = (rng.random((H, W)) > 0.3).astype(np.uint8) if t % 4 == 0 else None
+        w = cv2.goodFeaturesToTrack(img, mc, ql, md, mask=mask, blockSize=bs,
+                                    useHarrisDetector=harris, k=0.04)
+        w = np.zeros((0, 2), np.float32) if w is None else w.reshape(-1, 2)
+        resp = (cv2.cornerHarris(img, bs, 3, 0.04) if harris
+                else cv2.cornerMinEigenVal(img, bs, ksize=3))
+        g = ref.good_features_to_track(img, mc, ql, md, mask, bs, 3, harris,
+                                       0.04, response=resp)
+        # selection chain is pinned EXACT given cv2's own response map
+        assert g.shape == w.shape and np.array_equal(g, w), t
+        # end-to-end (our response): razor ties may flip — require the
+        # strong corners to agree as sets on most configs
+        ge = ie.good_features_to_track(img, mc, ql, md, mask, bs, 3, harris, 0.04)
+        if ge.shape == w.shape and np.array_equal(ge, w):
+            exact += 1
+    assert exact >= int(total * 0.8), exact
