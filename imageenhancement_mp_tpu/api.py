@@ -89,6 +89,7 @@ __all__ = [
     "good_features_to_track",
     "get_rotation_matrix_2d",
     "histogram",
+    "hough_lines",
     "gamma",
     "log_transform",
     "contrast_stretch",
@@ -2086,3 +2087,58 @@ def good_features_to_track(img, max_corners: int = 0,
                 float(min_distance), None if mask is None else np.asarray(mask),
                 int(block_size), int(gradient_size), bool(use_harris),
                 float(k), response=resp)
+
+
+@lru_cache(maxsize=None)
+def _hough_acc_jit(shape, tabkey, numrho: int):
+    from imageenhancement_mp_tpu.ops.hough import hough_accumulator
+    tabcos, tabsin = _HOUGH_TABS[tabkey]
+
+    @jax.jit
+    def run(img):
+        return hough_accumulator(img, tabcos, tabsin, numrho)
+
+    def call(img):
+        with jax.enable_x64(True):
+            return run(img)
+
+    return call
+
+
+_HOUGH_TABS = {}
+
+
+def hough_lines(img, rho: float = 1.0, theta: float = np.pi / 180,
+                threshold: int = 100, min_theta: float = 0.0,
+                max_theta: float = np.pi):
+    """``cv2.HoughLines`` (standard) — BIT-EXACT [N, 2] (rho, theta)
+    f32 lines (100-config fuzz 0 mismatches; full pinned law in
+    ref/ops.py hough_lines).  The vote accumulator runs on device; the
+    tiny threshold/NMS/sort selection runs on the fetched accumulator
+    via the same pinned host logic."""
+    from imageenhancement_mp_tpu.ref.ops import (_hough_numangle,
+                                                 _hough_select)
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise TypeError("HoughLines expects a single [H,W] uint8 image")
+    H, W = arr.shape
+    f32 = np.float32
+    numangle = _hough_numangle(float(min_theta), float(max_theta), float(theta))
+    numrho = int(np.rint(((W + H) * 2 + 1) / rho))
+    irho = 1.0 / float(rho)
+    ang = np.empty(numangle)
+    a = f32(min_theta)
+    step = f32(theta)
+    for i in range(numangle):
+        ang[i] = np.float64(a)
+        a = f32(a + step)
+    key = (round(float(min_theta), 12), round(float(theta), 12),
+           round(float(rho), 12), numangle)
+    _HOUGH_TABS[key] = ((np.cos(ang) * irho).astype(f32),
+                        (np.sin(ang) * irho).astype(f32))
+    acc = np.asarray(_hough_acc_jit((H, W), key, numrho)(jnp.asarray(arr)))
+    pad = np.zeros((numangle + 2, numrho + 2), np.int32)
+    pad[1:-1, 1:-1] = acc
+    return _hough_select(pad, numangle, numrho, int(threshold), float(rho),
+                         float(min_theta), float(theta))

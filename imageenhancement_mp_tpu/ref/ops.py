@@ -5504,3 +5504,80 @@ def good_features_to_track(img: np.ndarray, max_corners: int = 0,
             if max_corners > 0 and len(out) >= max_corners:
                 break
     return np.array(out, np.float32).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# HoughLines (standard)
+# ---------------------------------------------------------------------------
+
+def _hough_numangle(min_theta: float, max_theta: float, theta: float) -> int:
+    # cv2's computeNumangle: floor(span/step)+1, then drop the last bin
+    # when the span is ~pi (a line would otherwise be detected twice)
+    na = int(np.floor((max_theta - min_theta) / theta)) + 1
+    if na > 1 and abs(np.pi - (na - 1) * theta) < theta / 2:
+        na -= 1
+    return na
+
+
+def hough_lines(img: np.ndarray, rho: float = 1.0,
+                theta: float = np.pi / 180, threshold: int = 100,
+                min_theta: float = 0.0,
+                max_theta: float = np.pi) -> np.ndarray:
+    """``cv2.HoughLines`` (standard, srn=stn=0) — BIT-EXACT [N, 2]
+    (rho, theta) f32, 100-config fuzz 0 mismatches.  Pinned laws:
+
+    * numangle = floor(span/θ)+1 with the ~π wraparound trim;
+      numrho = cvRound(((W+H)·2+1)/ρ).
+    * Trig tables from an INCREMENTAL f32 angle (``ang += (float)θ``),
+      sin/cos evaluated on the f64-promoted f32 angle, × 1/ρ, cast f32.
+    * Vote r = cvRound(x·tabCos + y·tabSin) in f32 (half-even), offset
+      by the INTEGER center (numrho−1)//2.
+    * Candidate = votes STRICTLY > threshold and a 4-neighbor local max
+      (> left/up, ≥ right/down); sorted by votes desc with ascending
+      accumulator index as the tie-break (cv2's hough_cmp_gt).
+    * Output rho = (r − (numrho−1)//2)·ρ; output theta = f32 mul-add
+      ``f32(min_theta) + f32(n)·f32(θ)`` (NOT the table angle)."""
+    if img.dtype != np.uint8:
+        raise TypeError("HoughLines requires uint8 input")
+    f32 = np.float32
+    numangle = _hough_numangle(min_theta, max_theta, theta)
+    H, W = img.shape
+    numrho = int(np.rint(((W + H) * 2 + 1) / rho))
+    irho = 1.0 / rho
+    ang = np.empty(numangle)
+    a = f32(min_theta)
+    step = f32(theta)
+    for i in range(numangle):
+        ang[i] = np.float64(a)
+        a = f32(a + step)
+    tabsin = (np.sin(ang) * irho).astype(f32)
+    tabcos = (np.cos(ang) * irho).astype(f32)
+    acc = np.zeros((numangle + 2, numrho + 2), np.int32)
+    ys, xs = np.nonzero(img)
+    xf = xs.astype(f32)
+    yf = ys.astype(f32)
+    c0 = (numrho - 1) // 2
+    for n in range(numangle):
+        r = np.rint((xf * tabcos[n] + yf * tabsin[n]).astype(f32)).astype(int)
+        np.add.at(acc[n + 1], r + c0 + 1, 1)
+    return _hough_select(acc, numangle, numrho, int(threshold), rho,
+                         min_theta, theta)
+
+
+def _hough_select(acc: np.ndarray, numangle: int, numrho: int,
+                  threshold: int, rho: float, min_theta: float,
+                  theta: float) -> np.ndarray:
+    """Pinned HoughLines candidate selection over a padded accumulator."""
+    f32 = np.float32
+    cand = []
+    for n in range(numangle):
+        row = acc[n + 1]
+        v = row[1:-1]
+        keep = ((v > threshold) & (v > row[:-2]) & (v >= row[2:])
+                & (v > acc[n][1:-1]) & (v >= acc[n + 2][1:-1]))
+        for r in np.nonzero(keep)[0]:
+            cand.append((int(v[r]), n, int(r)))
+    cand.sort(key=lambda q: (-q[0], q[1] * numrho + q[2]))
+    c0 = (numrho - 1) // 2
+    return np.array([[(r - c0) * rho, f32(f32(min_theta) + f32(n) * f32(theta))]
+                     for _, n, r in cand], np.float32).reshape(-1, 2)

@@ -270,6 +270,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
             np.asarray(img), 25, 0.05, 7.0),
          lambda: ref.good_features_to_track(
             np.asarray(img), 25, 0.05, 7.0), 0),
+        ("houghlines", lambda: np.asarray(ie.hough_lines(
+            (np.asarray(img) > 200).astype(np.uint8) * 255,
+            1.0, np.pi / 180, 12)).view(np.int32),
+         lambda: ref.hough_lines(
+            (np.asarray(img) > 200).astype(np.uint8) * 255,
+            1.0, np.pi / 180, 12).view(np.int32), 0),
     ]
     img16 = rng.integers(0, 65536, size, dtype=np.uint16)
     checks += [
