@@ -1914,9 +1914,23 @@ def _blend_linear_jit(u8: bool):
             w1, w2, den = w1[..., None], w2[..., None], den[..., None]
         # cv2 rounds each product separately; XLA:CPU's fast-math
         # contracts mul+add into fma regardless of barriers/bitcasts
-        # (probed), leaving ±1 ulp on that backend only — XLA:TPU does
-        # not contract, so the chip is bitwise (selftest asserts it)
-        num = a.astype(jnp.float32) * w1 + b.astype(jnp.float32) * w2
+        # (probed), and it also elides plain f64→f32→f64 convert
+        # round-trips.  reduce_precision is the one rounding XLA must
+        # honor: the exact f64 product snapped to the f32 grid feeds an
+        # un-contractable add, making CPU bitwise too.  XLA:TPU never
+        # contracts f32 mul+add (selftest asserts the plain path is
+        # bitwise) and its X64-rewrite pass rejects f64
+        # reduce-precision, so the chip keeps the direct form.
+        if jax.default_backend() == "tpu":
+            num = a.astype(jnp.float32) * w1 + b.astype(jnp.float32) * w2
+        else:
+            p1 = jax.lax.reduce_precision(
+                a.astype(jnp.float64) * w1.astype(jnp.float64), 8, 23
+            ).astype(jnp.float32)
+            p2 = jax.lax.reduce_precision(
+                b.astype(jnp.float64) * w2.astype(jnp.float64), 8, 23
+            ).astype(jnp.float32)
+            num = p1 + p2
         # XLA's f32 divide is reciprocal-based (≤2 ulp); divide in f64
         # instead — double rounding f64→f32 of a quotient of two f32s
         # is provably exact (2p+2-bit innocuous-double-rounding bound)
