@@ -1269,6 +1269,40 @@ def stylization(img, sigma_s: float = 60.0, sigma_r: float = 0.45):
 
 
 @lru_cache(maxsize=None)
+def _pencil_jit(ss: float, sr: float, sf: float, order: str):
+    from imageenhancement_mp_tpu.ops import photo
+
+    @jax.jit
+    def run(img):
+        batched = img if img.ndim == 4 else img[None]
+        g, c = photo.pencil_sketch_nhwc(batched, ss, sr, sf, order)
+        return (g, c) if img.ndim == 4 else (g[0], c[0])
+
+    def call(img):
+        # x64 scope: the CPU backend's exact-derivative leg rounds its
+        # products through f64 reduce_precision (ops/photo.py)
+        with jax.enable_x64(True):
+            return run(img)
+
+    return call
+
+
+def pencil_sketch(img, sigma_s: float = 60.0, sigma_r: float = 0.07,
+                  shade_factor: float = 0.02, order: str = "rgb"):
+    """``cv2.pencilSketch`` — ``(gray, color)`` domain-transform pencil
+    drawing.  gray is BIT-EXACT vs cv2 (940 fuzz configs); color is
+    exact on cv2's SIMD body, ±1 on its build-dependent scalar row tail
+    (last ``W mod 8`` px — the HLS/HSV tail budget class,
+    docs/PARITY.md).  Full pinned law in ref/ops.py pencil_sketch.
+    uint8 ``[H,W,3]`` / ``[N,H,W,3]`` → ``(u8 [..H,W], u8 [..H,W,3])``."""
+    _check_rgb_u8(img, "pencilSketch")
+    if order not in ("rgb", "bgr"):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
+    return _pencil_jit(float(sigma_s), float(sigma_r), float(shade_factor),
+                       str(order))(img)
+
+
+@lru_cache(maxsize=None)
 def _accum_jit(op: str, alpha: float, masked: bool):
     from imageenhancement_mp_tpu.utils.fma import two_prod, two_sum
 

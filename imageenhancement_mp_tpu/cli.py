@@ -146,6 +146,12 @@ def _apply_ops(ie, out, specs, rgb_order: bool = True):
             out = ie.stylization(out,
                                  float(ps[0]) if ps else 60.0,
                                  float(ps[1]) if len(ps) > 1 else 0.45)
+        elif name == "pencil":
+            g, c = ie.pencil_sketch(out,
+                                    float(ps[0]) if ps else 60.0,
+                                    float(ps[1]) if len(ps) > 1 else 0.07,
+                                    float(ps[2]) if len(ps) > 2 else 0.02)
+            out = c if len(ps) > 3 and ps[3] == "color" else g
         elif name == "nlmeans":
             out = ie.fast_nl_means_denoising(
                 out, float(ps[0]) if ps else 10.0,
@@ -322,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
         "erode|dilate|open|close|gradient|tophat|blackhat[:k[:iters]] | "
         "sobel[:dx[:dy[:k]]] | pyrdown | pyrup | sharpen2d | "
         "epf[:flags[:ss[:sr]]] | detail[:ss[:sr]] | stylize[:ss[:sr]] | "
+        "pencil[:ss[:sr[:shade[:color]]]] | "
         "nlmeans[:h[:t[:s]]] | warppolar[:dw[:dh[:maxr]]] | "
         "warprot[:deg[:scale[:interp]]] | tonemap[:drago|reinhard[:gamma]])",
     )

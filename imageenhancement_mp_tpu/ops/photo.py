@@ -36,7 +36,7 @@ from imageenhancement_mp_tpu.utils.fma import fma32
 __all__ = ["denoise_tvl1_stack", "tonemap_reinhard_nhwc", "tonemap_drago_nhwc",
            "dt_derivatives", "dt_rf", "dt_nc",
            "edge_preserving_filter_nhwc", "detail_enhance_nhwc",
-           "stylization_nhwc"]
+           "stylization_nhwc", "pencil_sketch_nhwc"]
 
 _F32 = jnp.float32
 
@@ -176,6 +176,92 @@ def stylization_nhwc(img: jnp.ndarray, sigma_s: float = 60.0,
     mag = jnp.sqrt(acc).astype(_F32).sum(-1).astype(_F32)
     mag = (_F32(1.0) - mag).astype(_F32)
     return _to_u8(res * mag[..., None])
+
+
+def _seq_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Strictly sequential f32 cumsum (bitwise ``np.cumsum`` order).
+
+    ``jnp.cumsum`` lowers to a tree prefix whose rounding can differ
+    from the oracle's sequential chain by ulps — harmless for the NC
+    box MEANS (±1-class) but fatal for pencilSketch's pen COUNTS,
+    where one flipped ``searchsorted`` boundary moves gray by
+    ``round(255·shade_factor)``."""
+    xm = jnp.moveaxis(x, axis, 0)
+
+    def step(c, v):
+        c = (c + v).astype(_F32)
+        return c, c
+
+    _, out = jax.lax.scan(step, jnp.zeros(xm.shape[1:], _F32), xm)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _pen_axis(ct: jnp.ndarray, radius) -> jnp.ndarray:
+    """cv2 pencilSketch neighbour counts along the last axis of ``ct``
+    (ref/ops.py _dt_pen: searchsorted-left bounds, full-coverage
+    position-0 zero quirk)."""
+    n = ct.shape[-1]
+    flat = ct.reshape(-1, n)
+    lo = jax.vmap(lambda p: jnp.searchsorted(p, p - radius, side="left"))(flat)
+    hi = jax.vmap(lambda p: jnp.searchsorted(p, p + radius, side="left"))(flat)
+    hi = jnp.minimum(hi, n)
+    cnt = (hi - lo).astype(_F32)
+    cnt = cnt.at[:, 0].set(jnp.where(hi[:, 0] == n, _F32(0.0), cnt[:, 0]))
+    return cnt.reshape(ct.shape)
+
+
+def _dt_derivatives_exact(I: jnp.ndarray, sigma_s: float, sigma_r: float):
+    """`dt_derivatives` with the mul and add separately rounded on every
+    backend (XLA:CPU fast-math otherwise contracts ``1 + ratio·dIx``
+    into an fma — the blendLinear fix, api.py)."""
+    ratio = float(np.float32(float(sigma_s) / float(sigma_r)))
+    dIx = jnp.abs(jnp.diff(I, axis=2)).sum(-1)
+    dIy = jnp.abs(jnp.diff(I, axis=1)).sum(-1)
+    if jax.default_backend() == "tpu":
+        return (_F32(1.0) + _F32(ratio) * dIx), (_F32(1.0) + _F32(ratio) * dIy)
+
+    def leg(d):
+        p = jax.lax.reduce_precision(jnp.float64(ratio) * d.astype(jnp.float64),
+                                     8, 23)
+        return jax.lax.reduce_precision(np.float64(1.0) + p, 8, 23).astype(_F32)
+
+    with jax.enable_x64(True):
+        return leg(dIx), leg(dIy)
+
+
+def pencil_sketch_nhwc(img: jnp.ndarray, sigma_s: float = 60.0,
+                       sigma_r: float = 0.07, shade_factor: float = 0.02,
+                       order: str = "rgb"):
+    """``cv2.pencilSketch`` on uint8 ``[N,H,W,3]`` → ``(gray [N,H,W],
+    color [N,H,W,3])`` u8 (full pinned law: ref/ops.py pencil_sketch)."""
+    I = img.astype(_F32) * _F32(1.0 / 255.0)
+    N, H, W, _ = I.shape
+    dHdx, dVdy = _dt_derivatives_exact(I, sigma_s, sigma_r)
+    ctH = jnp.concatenate([jnp.zeros((N, H, 1), _F32),
+                           _seq_cumsum(dHdx, 2)], axis=2)
+    ctV = jnp.concatenate([jnp.zeros((N, 1, W), _F32),
+                           _seq_cumsum(dVdy, 1)], axis=1)
+    radius = _F32(_sigma_h(sigma_s, 0, 3) * np.sqrt(3.0))
+    penx = _pen_axis(ctH, radius)
+    peny = jnp.swapaxes(_pen_axis(jnp.swapaxes(ctV, 1, 2), radius), 1, 2)
+    sk = ((penx + peny) * _F32(float(np.float32(shade_factor)))).astype(_F32)
+    gray = jnp.clip(jnp.round(sk * _F32(255.0)), 0, 255).astype(jnp.uint8)
+    if order == "rgb":
+        R, G, B = I[..., 0], I[..., 1], I[..., 2]
+    else:
+        B, G, R = I[..., 0], I[..., 1], I[..., 2]
+    Y0 = fma32(B, _F32(0.114), fma32(G, _F32(0.587), R * _F32(0.299)))
+    Cr = fma32(R - Y0, _F32(0.713), _F32(0.5))
+    Cb = fma32(B - Y0, _F32(0.564), _F32(0.5))
+    crm = Cr - _F32(0.5)
+    cbm = Cb - _F32(0.5)
+    Rp = fma32(crm, _F32(1.403), sk)
+    Gp = fma32(crm, _F32(-0.714), fma32(cbm, _F32(-0.344), sk))
+    Bp = fma32(cbm, _F32(1.773), sk)
+    chans = [Rp, Gp, Bp] if order == "rgb" else [Bp, Gp, Rp]
+    color = jnp.clip(jnp.round(jnp.stack(chans, -1) * _F32(255.0)),
+                     0, 255).astype(jnp.uint8)
+    return gray, color
 
 
 def merge_mertens_nhwc(stack: jnp.ndarray, wcon: float, wsat: float,

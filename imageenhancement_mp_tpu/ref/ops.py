@@ -4509,6 +4509,93 @@ def detail_enhance(img: np.ndarray, sigma_s: float = 10.0,
     return np.clip(np.round(out.astype(np.float64) * 255.0), 0, 255).astype(np.uint8)
 
 
+def _dt_pen(dHdx: np.ndarray, dVdy: np.ndarray, sigma_s: float):
+    """Domain-transform neighbour COUNTS (cv2 pencilSketch's pen field).
+
+    For each pixel, the number of transformed-domain coordinates of its
+    row (resp. column) within the FIRST-iteration NC radius — computed
+    exactly like ``_dt_nc``'s box bounds (``searchsorted`` left on the
+    f32 ct), with one pinned cv2 quirk: when a line's position 0 covers
+    the whole line (``hi[0] == n``) its count is zeroed.  Pinned
+    2026-08-18 by S-field interval probes + 940-config fuzz."""
+    f32 = np.float32
+    H = dVdy.shape[0] + 1
+    W = dHdx.shape[1] + 1
+    ctH = np.concatenate([np.zeros((H, 1), f32),
+                          np.cumsum(dHdx, 1, dtype=f32)], 1).astype(f32)
+    ctV = np.concatenate([np.zeros((1, W), f32),
+                          np.cumsum(dVdy, 0, dtype=f32)], 0).astype(f32)
+    radius = f32(_dt_sigma_h(sigma_s, 0, 3) * np.sqrt(3.0))
+
+    def pen_1d(pos):
+        n = pos.shape[-1]
+        lo = np.searchsorted(pos, (pos - radius).astype(f32), side="left")
+        hi = np.minimum(
+            np.searchsorted(pos, (pos + radius).astype(f32), side="left"), n)
+        cnt = (hi - lo).astype(f32)
+        if hi[0] == n:
+            cnt[0] = 0.0
+        return cnt
+
+    penx = np.stack([pen_1d(ctH[y]) for y in range(H)], 0)
+    peny = np.stack([pen_1d(ctV[:, x]) for x in range(W)], 1)
+    return (penx + peny).astype(f32)
+
+
+def pencil_sketch(img: np.ndarray, sigma_s: float = 60.0,
+                  sigma_r: float = 0.07, shade_factor: float = 0.02,
+                  order: str = "rgb"):
+    """``cv2.pencilSketch`` — ``(gray, color)`` pair.
+
+    Pinned 2026-08-18 (S-field interval probes + 940 fuzz configs):
+
+    * ``sk = f32(pen · sf)`` where ``pen`` is the `_dt_pen` neighbour
+      count; ``gray = clip(cvRound(f32(sk · 255)))`` — the ×255 product
+      rounds through f32 (229.49999… snaps to exactly 229.5 there;
+      keeping it in f64 is off-by-one on such razor ties).  Bit-exact:
+      0/940 configs.
+    * ``color``: f32 YCrCb legs with Y replaced by the UNCLIPPED sk —
+      every step a single-rounded f32 FMA (cv2's SIMD body):
+      ``Y₀ = fma(B,.114, fma(G,.587, R·.299))``,
+      ``Cr = fma(R−Y₀,.713,.5)``, ``Cb = fma(B−Y₀,.564,.5)``, inverse
+      ``R' = fma(Cr−.5, 1.403, sk)``, ``B' = fma(Cb−.5, 1.773, sk)``,
+      ``G' = fma(Cr−.5, −.714, fma(Cb−.5, −.344, sk))``, then
+      ``clip(cvRound(f32(·255)))``.  Exact on cv2's SIMD body; cv2's
+      scalar row tail (last ``W mod 8`` pixels) double-rounds instead
+      of FMA-ing, so those pixels are ±1 and build-dependent — same
+      budget class as the HLS/HSV tails (docs/PARITY.md; 3/940 configs
+      showed 1–6 such tail px).
+    """
+    _check_u8(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3], got {img.shape}")
+    f32 = np.float32
+    I = (img.astype(f32) * f32(1.0 / 255.0)).astype(f32)
+    dHdx, dVdy = _dt_derivatives(I, sigma_s, sigma_r)
+    pen = _dt_pen(dHdx, dVdy, sigma_s)
+    sk = (pen * f32(shade_factor)).astype(f32)
+    gray = np.clip(np.rint((sk * f32(255.0)).astype(f32).astype(np.float64)),
+                   0, 255).astype(np.uint8)
+    if order == "rgb":
+        R, G, B = I[..., 0], I[..., 1], I[..., 2]
+    else:
+        B, G, R = I[..., 0], I[..., 1], I[..., 2]
+    Y0 = _fma32(B, f32(0.114), _fma32(G, f32(0.587),
+                                      (R * f32(0.299)).astype(f32)))
+    Cr = _fma32(R - Y0, f32(0.713), f32(0.5))
+    Cb = _fma32(B - Y0, f32(0.564), f32(0.5))
+    crm = (Cr - f32(0.5)).astype(f32)
+    cbm = (Cb - f32(0.5)).astype(f32)
+    Rp = _fma32(crm, f32(1.403), sk)
+    Gp = _fma32(crm, f32(-0.714), _fma32(cbm, f32(-0.344), sk))
+    Bp = _fma32(cbm, f32(1.773), sk)
+    chans = [Rp, Gp, Bp] if order == "rgb" else [Bp, Gp, Rp]
+    out = np.stack(chans, -1)
+    color = np.clip(np.rint((out * f32(255.0)).astype(f32).astype(np.float64)),
+                    0, 255).astype(np.uint8)
+    return gray, color
+
+
 def stylization(img: np.ndarray, sigma_s: float = 60.0,
                 sigma_r: float = 0.45) -> np.ndarray:
     """``cv2.stylization`` — NC filter + (1 − Σ|∇res|) edge darkening;

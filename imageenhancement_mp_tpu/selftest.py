@@ -237,6 +237,12 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: ref.edge_preserving_filter(np.asarray(rgb)[:mh, :mw], "recursive", 55.0, 0.35), 1),
         ("photo/styliz", lambda: ie.stylization(rgb[:mh, :mw], 60.0, 0.45),
          lambda: ref.stylization(np.asarray(rgb)[:mh, :mw], 60.0, 0.45), 1),
+        ("photo/pencil", lambda: np.concatenate(
+            [a[..., None] if a.ndim == 2 else a
+             for a in map(np.asarray, ie.pencil_sketch(rgb[:mh, :mw]))], -1),
+         lambda: np.concatenate(
+            [a[..., None] if a.ndim == 2 else a
+             for a in ref.pencil_sketch(np.asarray(rgb)[:mh, :mw])], -1), 0),
         ("spatgrad", lambda: np.stack([np.asarray(a) for a in ie.spatial_gradient(img)]),
          lambda: np.stack(ref.spatial_gradient(np.asarray(img))), 0),
         # f32 outputs bit-viewed as i32: budget counts ulps, not LSBs

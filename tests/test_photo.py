@@ -65,6 +65,64 @@ def test_stylization_ref_vs_cv2():
         assert (d > 0).mean() <= 0.02
 
 
+def test_pencil_sketch_ref_vs_cv2():
+    """gray bit-exact; color exact off cv2's scalar row tail (the last
+    W mod 8 px, where cv2 double-rounds instead of FMA-ing — the
+    HLS/HSV tail budget class, ±1 build-dependent)."""
+    rng = np.random.default_rng(seed("pencil"))
+    for t in range(12):
+        h, w = int(rng.integers(2, 90)), int(rng.integers(2, 90))
+        if t % 4 == 0:
+            img = np.zeros((h, w, 3), np.uint8)
+            img[h // 2:, w // 2:] = 255
+        else:
+            img = _img(rng, h, w)
+        if t % 3 == 0:
+            ss, sr, sf = 60.0, 0.07, 0.02
+        else:
+            ss = float(rng.uniform(1, 150))
+            sr = float(rng.uniform(0.01, 0.9))
+            sf = float(rng.uniform(0.0, 0.25))
+        want_g, want_c = cv2.pencilSketch(img, sigma_s=ss, sigma_r=sr,
+                                          shade_factor=sf)
+        got_g, got_c = ref.pencil_sketch(img, ss, sr, sf, order="bgr")
+        assert np.array_equal(got_g, want_g), (t, h, w, ss, sr, sf)
+        dc = np.abs(got_c.astype(int) - want_c.astype(int))
+        assert dc.max() <= 1, (t, h, w, ss, sr, sf, int(dc.max()))
+        body = dc[:, :w - (w % 8)]
+        assert body.max() == 0, (t, h, w, ss, sr, sf)
+
+
+def test_pencil_sketch_device_vs_oracle():
+    rng = np.random.default_rng(seed("pencildev"))
+    img = _img(rng, 41, 37)
+    got_g, got_c = ie.pencil_sketch(jnp.asarray(img), 60.0, 0.07, 0.02)
+    want_g, want_c = ref.pencil_sketch(img, 60.0, 0.07, 0.02)
+    assert np.array_equal(np.asarray(got_g), want_g)
+    assert np.array_equal(np.asarray(got_c), want_c)
+    got_g, got_c = ie.pencil_sketch(jnp.asarray(img), 23.0, 0.31, 0.11,
+                                    order="bgr")
+    want_g, want_c = ref.pencil_sketch(img, 23.0, 0.31, 0.11, order="bgr")
+    assert np.array_equal(np.asarray(got_g), want_g)
+    assert np.array_equal(np.asarray(got_c), want_c)
+    # batched path keeps per-frame results identical
+    two = np.stack([img, img[::-1, ::-1].copy()])
+    got_g, got_c = ie.pencil_sketch(jnp.asarray(two))
+    for i in range(2):
+        wg, wc = ref.pencil_sketch(two[i])
+        assert np.array_equal(np.asarray(got_g[i]), wg)
+        assert np.array_equal(np.asarray(got_c[i]), wc)
+
+
+def test_pencil_sketch_rejects():
+    with pytest.raises(TypeError):
+        ie.pencil_sketch(jnp.zeros((8, 8, 3), jnp.float32))
+    with pytest.raises(ValueError):
+        ie.pencil_sketch(jnp.zeros((8, 8), jnp.uint8))
+    with pytest.raises(ValueError):
+        ie.pencil_sketch(jnp.zeros((8, 8, 3), jnp.uint8), order="bogus")
+
+
 def test_device_vs_oracle():
     rng = np.random.default_rng(seed("photodev"))
     img = _img(rng, 30, 34)
