@@ -56,6 +56,7 @@ __all__ = [
     "remap",
     "match_template",
     "min_max_loc",
+    "get_rect_sub_pix",
     "add",
     "subtract",
     "absdiff",
@@ -955,6 +956,54 @@ def min_max_loc(arr):
     from imageenhancement_mp_tpu.ref.ops import min_max_loc as _mml
 
     return _mml(np.asarray(arr))
+
+
+@lru_cache(maxsize=None)
+def _subpix_jit(patch_w: int, patch_h: int, out_f32: bool):
+    from imageenhancement_mp_tpu.ops.subpix import get_rect_sub_pix_planes
+
+    @jax.jit
+    def run(img, centers):
+        return get_rect_sub_pix_planes(img, centers, patch_w, patch_h,
+                                       out_f32)
+
+    return run
+
+
+def get_rect_sub_pix(img, patch_size, centers, patch_type: str = None):
+    """``cv2.getRectSubPix``, batched over centers — extracts one patch
+    of static size ``(w, h)`` per row of ``centers`` ``[N, 2]`` (x, y)
+    from one ``[H, W]`` / ``[H, W, C]`` u8 or f32 image; returns
+    ``[N, h, w(, C)]`` (a single ``(cx, cy)`` pair returns one patch).
+
+    Parity is per-(channels, depth) kernel law (ref/ops.py
+    ``get_rect_sub_pix``): f32 and u8→f32 bit-exact; u8→u8 bit-exact
+    on OpenCV's own Q16 kernel (3ch default / 1ch IPP-off) with the
+    default build's 1ch IPP tie band documented ±1 (docs/PARITY.md).
+    Centers must lie inside the image (as cv2 requires)."""
+    if img.dtype not in (jnp.uint8, jnp.float32):
+        raise TypeError(f"getRectSubPix supports u8/f32, got {img.dtype}")
+    if img.ndim not in (2, 3):
+        raise ValueError("get_rect_sub_pix expects one [H,W] or [H,W,C] image")
+    if patch_type is None:
+        patch_type = "f32" if img.dtype == jnp.float32 else "u8"
+    if patch_type not in ("u8", "f32"):
+        raise ValueError(f"patch_type must be 'u8' or 'f32', got {patch_type!r}")
+    if img.dtype == jnp.float32 and patch_type == "u8":
+        raise ValueError("f32 source only extracts f32 patches (as cv2)")
+    w, h = int(patch_size[0]), int(patch_size[1])
+    c = jnp.asarray(centers, jnp.float32)
+    single = c.ndim == 1
+    if single:
+        c = c[None]
+    if patch_type == "f32" and jax.default_backend() != "tpu":
+        # the CPU path routes products through f64 reduce_precision
+        # (ops/subpix.py _prod32) — needs x64 enabled during trace
+        with jax.enable_x64(True):
+            out = _subpix_jit(w, h, True)(img, c)
+    else:
+        out = _subpix_jit(w, h, patch_type == "f32")(img, c)
+    return out[0] if single else out
 
 
 def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,

@@ -5668,3 +5668,93 @@ def _hough_select(acc: np.ndarray, numangle: int, numrho: int,
     c0 = (numrho - 1) // 2
     return np.array([[(r - c0) * rho, f32(f32(min_theta) + f32(n) * f32(theta))]
                      for _, n, r in cand], np.float32).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# getRectSubPix / cornerSubPix (sub-pixel samplers, cv2 samplers.cpp family)
+# ---------------------------------------------------------------------------
+
+def get_rect_sub_pix(img: np.ndarray, patch_size, center,
+                     patch_type: str = None) -> np.ndarray:
+    """``cv2.getRectSubPix`` — bilinear patch extraction at a sub-pixel
+    center (u8/f32 inputs, [H,W] / [H,W,3]).
+
+    Pinned 2026-08-18 against cv2 5.0.0 (interior fuzz 0/1427 per path;
+    docs/PARITY.md): ``x0 = f32(cx) − f32((w−1)/2)``, ``ip = floor(x0)``,
+    ``a = f32(x0 − ip)`` (same for y/b); weights ``a11 = f32((1−a)(1−b))``
+    etc.  cv2 5.0 dispatches by channel count AND output depth, and the
+    three kernels use three different summation orders:
+
+    * f32 → f32, 1ch (SIMD 32f body): the FMA chain
+      ``fma(p11,a22, fma(p10,a21, fma(p01,a12, p00·a11)))`` — bit-exact.
+    * u8 → f32, 1ch (``getRectSubPix_8u32f``): PAIRED plain-f32 sums
+      ``(p00·a11 + p01·a12) + (p10·a21 + p11·a22)`` — bit-exact.
+    * any → f32, 3ch (scalar ``getRectSubPix_Cn_`` template): plain
+      left-to-right f32 sums
+      ``((p00·a11 + p01·a12) + p10·a21) + p11·a22`` — bit-exact.
+    * u8 → u8 (``patch_type=None`` on a u8 source): OpenCV's own kernel
+      is Q16 fixed point — ``w_ij = cvRound(a_ij·2^16)`` (weights from
+      the f32 products above), ``out = sat((Σ p·w + 2^15) >> 16)``.
+      Bit-exact for 3ch, and for 1ch whenever IPP is disabled
+      (``OPENCV_IPP=disabled`` → 0/600).  The DEFAULT build routes 1ch
+      through ``ippiCopySubpixIntersect_8u_C1R``, whose SIMD fixed point
+      rounds a thin band of near-half ties (~|v−.5| ≲ 0.01) the other
+      way: ±1 LSB on ~11 % of random configs (≲0.3 % of pixels) — the
+      documented budget for 1ch u8→u8 under default cv2.
+    * Patches may cross the border: this model clamps source coords
+      (REPLICATE).  OpenCV's scalar border kernel agrees to ±1 LSB
+      (IPP-off 1ch: 1/1500 configs off by 1; default 3ch: 9/1500), and
+      f32 border pixels are the ±1-ulp class.  EXCEPTION: default-build
+      1ch u8→u8 border patches hit an IPP anomaly — in the x-overhang
+      region of the first row ``ippiCopySubpixIntersect_8u_C1R``
+      samples column W−2 instead of W−1 (probed 2026-08-18; deltas up
+      to ~200) — cv2's own output there contradicts its documented
+      replicate semantics, so that cell is excluded from the budget
+      (tests pin 3ch border and IPP-off behavior instead).  cv2
+      documents (and this model requires) the CENTER inside the image.
+    """
+    f32 = np.float32
+    if img.dtype not in (np.uint8, np.float32):
+        raise TypeError(f"getRectSubPix supports u8/f32, got {img.dtype}")
+    w, h = int(patch_size[0]), int(patch_size[1])
+    cx, cy = float(center[0]), float(center[1])
+    if patch_type is None:
+        patch_type = "f32" if img.dtype == np.float32 else "u8"
+    if patch_type not in ("u8", "f32"):
+        raise ValueError(f"patch_type must be 'u8' or 'f32', got {patch_type!r}")
+    if img.dtype == np.float32 and patch_type == "u8":
+        raise ValueError("f32 source only extracts f32 patches (as cv2)")
+    multi = img.ndim == 3 and img.shape[2] > 1
+    x0 = f32(f32(cx) - f32((w - 1) * 0.5))
+    y0 = f32(f32(cy) - f32((h - 1) * 0.5))
+    ix, iy = int(np.floor(x0)), int(np.floor(y0))
+    a, b = f32(x0 - ix), f32(y0 - iy)
+    H, W = img.shape[:2]
+    xs = np.clip(ix + np.arange(w + 1), 0, W - 1)
+    ys = np.clip(iy + np.arange(h + 1), 0, H - 1)
+    a11 = f32((f32(1) - a) * (f32(1) - b))
+    a12 = f32(a * (f32(1) - b))
+    a21 = f32((f32(1) - a) * b)
+    a22 = f32(a * b)
+    if patch_type == "u8":
+        # OpenCV Q16 fixed-point kernel (samplers.cpp scale_fixpt/cast_8u).
+        P = img[np.ix_(ys, xs)].astype(np.int64)
+        p00 = P[:h, :w]; p01 = P[:h, 1:]; p10 = P[1:, :w]; p11 = P[1:, 1:]
+        ws = [int(np.rint(np.float64(x) * 65536.0))
+              for x in (a11, a12, a21, a22)]
+        s = p00 * ws[0] + p01 * ws[1] + p10 * ws[2] + p11 * ws[3]
+        return np.clip((s + 32768) >> 16, 0, 255).astype(np.uint8)
+    P = img[np.ix_(ys, xs)].astype(f32)
+    p00 = P[:h, :w]; p01 = P[:h, 1:]; p10 = P[1:, :w]; p11 = P[1:, 1:]
+    if multi:
+        v = (((((p00 * a11).astype(f32) + (p01 * a12).astype(f32)).astype(f32)
+               + (p10 * a21).astype(f32)).astype(f32)
+              + (p11 * a22).astype(f32)).astype(f32))
+    elif img.dtype == np.float32:
+        v = _fma32(p11, a22, _fma32(p10, a21, _fma32(p01, a12,
+                                                     (p00 * a11).astype(f32))))
+    else:
+        v = ((((p00 * a11).astype(f32) + (p01 * a12).astype(f32)).astype(f32)
+              + ((p10 * a21).astype(f32)
+                 + (p11 * a22).astype(f32)).astype(f32)).astype(f32))
+    return v

@@ -353,6 +353,33 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
         ("equalize/pool", lambda: ie.equalize_hist(vid, per_frame=False), _pooled_oracle, 0),
     ]
 
+    # getRectSubPix: batched sub-pixel patches, all four kernel laws
+    sp_cs = np.stack([rng.uniform(4, size[1] - 5, 12),
+                      rng.uniform(4, size[0] - 5, 12)], axis=1).astype(np.float32)
+    sp_f = (rng.random(size) * 255).astype(np.float32)
+
+    def _subpix_oracle(src, pt):
+        return np.stack([
+            ref.get_rect_sub_pix(src, (5, 4), (float(cx), float(cy)),
+                                 patch_type=pt).reshape(
+                (4, 5) if src.ndim == 2 else (4, 5, 3))
+            for cx, cy in sp_cs])
+
+    checks += [
+        ("subpix/u8", lambda: ie.get_rect_sub_pix(img, (5, 4), sp_cs),
+         lambda: _subpix_oracle(img, "u8"), 0),
+        ("subpix/u8rgb", lambda: ie.get_rect_sub_pix(rgb, (5, 4), sp_cs),
+         lambda: _subpix_oracle(rgb, "u8"), 0),
+    ]
+
+    checks += [
+        # f32 patches compared as raw bit patterns: 0 = bit-identical
+        ("subpix/f32",
+         lambda: np.asarray(ie.get_rect_sub_pix(sp_f, (5, 4), sp_cs)
+                            ).view(np.int32),
+         lambda: _subpix_oracle(sp_f, "f32").view(np.int32), 0),
+    ]
+
     dev = jax.devices()[0]
     if verbose:
         print(f"selftest on {dev.device_kind} ({dev.platform}), image {size}", file=sys.stderr)
