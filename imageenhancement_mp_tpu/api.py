@@ -57,6 +57,7 @@ __all__ = [
     "match_template",
     "min_max_loc",
     "get_rect_sub_pix",
+    "corner_sub_pix",
     "add",
     "subtract",
     "absdiff",
@@ -1004,6 +1005,22 @@ def get_rect_sub_pix(img, patch_size, centers, patch_type: str = None):
     else:
         out = _subpix_jit(w, h, patch_type == "f32")(img, c)
     return out[0] if single else out
+
+
+def corner_sub_pix(img, corners, win_size, zero_zone=(-1, -1),
+                   max_count: int = 100, epsilon: float = 0.0):
+    """``cv2.cornerSubPix`` — sub-pixel corner refinement (host helper
+    over the pinned law, like ``min_max_loc``: a handful of corners ×
+    a tiny iterative 2×2 solve is latency-bound, not throughput work —
+    pair it with ``good_features_to_track`` for the detect→refine
+    chain).  Bitwise vs cv2 while the refinement window stays interior
+    (100 % of interior corners); a window that reaches the border can
+    settle on a neighbouring fixpoint, bounded by the drift gate
+    (ref/ops.py ``corner_sub_pix``, docs/PARITY.md)."""
+    from imageenhancement_mp_tpu.ref.ops import corner_sub_pix as _csp
+
+    return _csp(np.asarray(img), np.asarray(corners, np.float32),
+                win_size, zero_zone, max_count, epsilon)
 
 
 def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,

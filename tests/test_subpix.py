@@ -137,3 +137,78 @@ def test_device_single_center_and_vs_cv2():
     want = cv2.getRectSubPix(img, (7, 5), (12.37, 9.81))
     assert got.shape == (5, 7, 3)
     assert np.array_equal(got, want)
+
+
+def test_corner_sub_pix_interior_bitwise():
+    # Interior margin keeps every iterate's patch inside the image:
+    # refinement is bitwise vs cv2 (f64 tensor + pinned f32 patch laws).
+    rng = np.random.default_rng(seed("csp-interior"))
+    for _ in range(60):
+        H, W = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (H, W), np.uint8), (5, 5), 0)
+        ww, wh = int(rng.integers(2, 6)), int(rng.integers(2, 6))
+        mc = int(rng.integers(1, 40))
+        eps = float(rng.choice([0.0, 0.01, 0.03]))
+        mx, my = 3 * (ww + 1) + 2, 3 * (wh + 1) + 2
+        if W - 1 - mx <= mx or H - 1 - my <= my:
+            continue
+        pts = np.stack([rng.uniform(mx, W - 1 - mx, 8),
+                        rng.uniform(my, H - 1 - my, 8)], 1).astype(np.float32)
+        want = cv2.cornerSubPix(
+            img, pts.copy().reshape(-1, 1, 2), (ww, wh), (-1, -1),
+            (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, mc, eps)
+        ).reshape(-1, 2)
+        got = ie.corner_sub_pix(img, pts, (ww, wh), (-1, -1), mc, eps)
+        assert np.array_equal(got, want), (H, W, ww, wh, mc, eps)
+
+
+def test_corner_sub_pix_detect_refine_chain():
+    # goodFeaturesToTrack -> cornerSubPix, corners anywhere: interior
+    # corners are bitwise; a window that reaches the border may settle
+    # on a neighbouring fixpoint, bounded by the drift gate (~window).
+    rng = np.random.default_rng(seed("csp-chain"))
+    nbit = ntot = 0
+    for _ in range(30):
+        H, W = int(rng.integers(40, 100)), int(rng.integers(40, 100))
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (H, W), np.uint8), (5, 5), 0)
+        ww = wh = int(rng.integers(2, 7))
+        corners = cv2.goodFeaturesToTrack(img, 20, 0.01, 6)
+        if corners is None:
+            continue
+        corners = corners.reshape(-1, 2)
+        mc = int(rng.integers(5, 40))
+        want = cv2.cornerSubPix(
+            img, corners.copy().reshape(-1, 1, 2), (ww, wh), (-1, -1),
+            (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, mc, 0.01)
+        ).reshape(-1, 2)
+        got = ie.corner_sub_pix(img, corners, (ww, wh), (-1, -1), mc, 0.01)
+        m = max(ww, wh) + 2
+        for k in range(len(corners)):
+            eq = np.array_equal(got[k], want[k])
+            near = any(p[0] < m or p[1] < m or p[0] >= W - 1 - m
+                       or p[1] >= H - 1 - m
+                       for p in (corners[k], want[k], got[k]))
+            if not near:
+                assert eq, (H, W, ww, mc, tuple(corners[k]))
+            else:
+                assert eq or np.abs(got[k] - want[k]).max() <= 2 * max(ww, wh), \
+                    (H, W, ww, mc, tuple(corners[k]))
+            ntot += 1
+            nbit += int(eq)
+    assert nbit / ntot > 0.9, f"bitwise rate collapsed: {nbit}/{ntot}"
+
+
+def test_corner_sub_pix_refines_synthetic_corner():
+    # A synthetic checkerboard corner at a known sub-pixel location is
+    # recovered to sub-pixel accuracy from an integer-ish start.
+    xx, yy = np.meshgrid(np.arange(64, dtype=np.float64),
+                         np.arange(64, dtype=np.float64))
+    cx, cy = 31.63, 30.41
+    img = cv2.GaussianBlur(
+        (((xx < cx) ^ (yy < cy)) * 255).astype(np.uint8), (5, 5), 1.2)
+    got = ie.corner_sub_pix(img, np.array([[31.0, 31.0]], np.float32),
+                            (5, 5), (-1, -1), 50, 0.001)
+    assert abs(float(got[0, 0]) - cx) < 0.2
+    assert abs(float(got[0, 1]) - cy) < 0.2
