@@ -58,6 +58,7 @@ __all__ = [
     "min_max_loc",
     "get_rect_sub_pix",
     "corner_sub_pix",
+    "calc_optical_flow_pyr_lk",
     "add",
     "subtract",
     "absdiff",
@@ -1021,6 +1022,73 @@ def corner_sub_pix(img, corners, win_size, zero_zone=(-1, -1),
 
     return _csp(np.asarray(img), np.asarray(corners, np.float32),
                 win_size, zero_zone, max_count, epsilon)
+
+
+@lru_cache(maxsize=None)
+def _lk_jit(shape_a, shape_b, ww, wh, max_level, max_count, epsilon,
+            min_eig, exact):
+    from imageenhancement_mp_tpu.ops.lk import calc_optical_flow_pyr_lk_planes
+    from imageenhancement_mp_tpu.ops.pyramid import pyr_down_planes
+
+    def levels_of(shape):
+        # buildOpticalFlowPyramid clamp: stop when the NEXT level's
+        # width or height would be <= winSize (ref/ops.py)
+        lv = [shape]
+        for _ in range(max_level):
+            h, w = lv[-1]
+            nw, nh = (w + 1) // 2, (h + 1) // 2
+            if nw <= ww or nh <= wh:
+                break
+            lv.append((nh, nw))
+        return len(lv) - 1
+
+    ml = min(max_level, levels_of(shape_a), levels_of(shape_b))
+
+    @jax.jit
+    def run(prev_img, next_img, pts):
+        def pyramid(img):
+            levels = [img]
+            for _ in range(ml):
+                levels.append(pyr_down_planes(levels[-1][None])[0])
+            return levels
+
+        return calc_optical_flow_pyr_lk_planes(
+            pyramid(prev_img), pyramid(next_img), pts, (ww, wh), ml,
+            max_count, epsilon, min_eig, exact)
+
+    return run
+
+
+def calc_optical_flow_pyr_lk(prev_img, next_img, prev_pts,
+                             win_size=(21, 21), max_level: int = 3,
+                             max_count: int = 30, epsilon: float = 0.01,
+                             min_eig_threshold: float = 1e-4,
+                             exact: bool = True):
+    """``cv2.calcOpticalFlowPyrLK`` — pyramidal Lucas-Kanade sparse
+    tracking of N points between two grayscale u8 frames, one jitted
+    program (device pyramid + vmapped Q14 fixed-point tracker).
+    Returns ``(next_pts f32 [N,2], status u8 [N], err f32 [N])``.
+
+    ``exact=True`` reproduces cv2's SIMD lane accumulation: status
+    bitwise always, 99.6 % of points (and their err) bitwise, the rest
+    ≤ 1e-4 px (deep-iteration ulp ties — 200-config/3000-point sweep,
+    docs/PARITY.md); device == oracle bitwise everywhere.
+    ``exact=False`` uses free-order reductions — the TPU-speed path,
+    same algorithm, sub-0.1 px agreement (ops/lk.py)."""
+    _check_u8(prev_img)
+    _check_u8(next_img)
+    if prev_img.ndim != 2 or next_img.ndim != 2:
+        raise ValueError("calc_optical_flow_pyr_lk expects [H,W] grayscale")
+    pts = jnp.asarray(prev_pts, jnp.float32).reshape(-1, 2)
+    fn = _lk_jit(tuple(prev_img.shape), tuple(next_img.shape),
+                 int(win_size[0]), int(win_size[1]), int(max_level),
+                 int(max_count), float(epsilon), float(min_eig_threshold),
+                 bool(exact))
+    # exact delta.ddot and 1/D are f64 laws (ops/lk.py); without x64
+    # they silently demote to f32 and flip rare ties — on TPU too
+    # (the f64 scalars are per-point per-iteration only)
+    with jax.enable_x64(True):
+        return fn(jnp.asarray(prev_img), jnp.asarray(next_img), pts)
 
 
 def canny(img, threshold1: float, threshold2: float, aperture_size: int = 3,

@@ -5848,3 +5848,279 @@ def corner_sub_pix(img: np.ndarray, corners: np.ndarray, win_size,
             cI = cT
         out[k] = cI
     return out.reshape(np.asarray(corners, np.float32).shape)
+
+
+# ---------------------------------------------------------------------------
+# Pyramidal Lucas-Kanade optical flow (cv2 video/lkpyramid.cpp)
+# ---------------------------------------------------------------------------
+
+def scharr_deriv(img: np.ndarray) -> np.ndarray:
+    """cv2's ``calcSharrDeriv`` (lkpyramid.cpp) — int16 ``[H,W,2]``
+    (dx, dy) via the separable Scharr pair smooth=[3,10,3] /
+    diff=[-1,0,1], REFLECT_101 edge rows/cols.  Bit-exact vs the
+    derivative mats of ``cv2.buildOpticalFlowPyramid`` (40/40 fuzz)."""
+    H, W = img.shape[:2]
+    s = img.astype(np.int32)
+    up = np.roll(s, 1, 0)
+    up[0] = s[1] if H > 1 else s[0]
+    dn = np.roll(s, -1, 0)
+    dn[-1] = s[-2] if H > 1 else s[-1]
+    t0 = (up + dn) * 3 + s * 10
+    t1 = dn - up
+
+    def hshift(A):
+        l = np.roll(A, 1, 1)
+        l[:, 0] = A[:, 1] if W > 1 else A[:, 0]
+        r = np.roll(A, -1, 1)
+        r[:, -1] = A[:, -2] if W > 1 else A[:, -1]
+        return l, r
+
+    l0, r0 = hshift(t0)
+    l1, r1 = hshift(t1)
+    dx = (r0 - l0).astype(np.int16)
+    dy = ((l1 + r1) * 3 + t1 * 10).astype(np.int16)
+    return np.stack([dx, dy], -1)
+
+
+def build_optical_flow_pyramid(img: np.ndarray, win_size=(21, 21),
+                               max_level: int = 3):
+    """``cv2.buildOpticalFlowPyramid`` levels (images only, no border
+    allocation — the tracker pads on the fly).  Returns
+    ``(actual_max_level, [u8 levels])``; clamp rule pinned: after
+    building level L, stop if ``((w+1)//2, (h+1)//2)`` has width OR
+    height ≤ winSize (probed 5 size/win combos)."""
+    ww, wh = int(win_size[0]), int(win_size[1])
+    levels = [np.asarray(img)]
+    lvl = 0
+    for level in range(int(max_level)):
+        h, w = levels[-1].shape[:2]
+        nw, nh = (w + 1) // 2, (h + 1) // 2
+        if nw <= ww or nh <= wh:
+            break
+        levels.append(pyr_down(levels[-1]))
+        lvl += 1
+    return lvl, levels
+
+
+def _lk_pad(level_img: np.ndarray, ww: int, wh: int):
+    """Pad a pyramid level the way buildOpticalFlowPyramid allocates
+    it: image border REFLECT_101 (pyrBorder default), derivative
+    border CONSTANT 0 (derivBorder default); pad = winSize."""
+    H, W = level_img.shape[:2]
+    yi = np.clip(np.abs(np.arange(-wh, H + wh)), 0, None)
+    yi = np.where(yi >= H, 2 * (H - 1) - yi, yi)
+    xi = np.clip(np.abs(np.arange(-ww, W + ww)), 0, None)
+    xi = np.where(xi >= W, 2 * (W - 1) - xi, xi)
+    I = level_img[np.ix_(yi, xi)].astype(np.int32)
+    d = scharr_deriv(level_img).astype(np.int32)
+    D = np.zeros((H + 2 * wh, W + 2 * ww, 2), np.int32)
+    D[wh:wh + H, ww:ww + W] = d
+    return I, D
+
+
+def calc_optical_flow_pyr_lk(prev_img: np.ndarray, next_img: np.ndarray,
+                             prev_pts: np.ndarray, win_size=(21, 21),
+                             max_level: int = 3, max_count: int = 30,
+                             epsilon: float = 0.01,
+                             min_eig_threshold: float = 1e-4,
+                             next_pts: np.ndarray = None,
+                             use_initial_flow: bool = False,
+                             get_min_eigenvals: bool = False):
+    """``cv2.calcOpticalFlowPyrLK`` (grayscale u8) — pyramidal
+    Lucas-Kanade sparse tracking; lkpyramid.cpp's exact fixed-point
+    scheme.  Returns ``(next_pts f32 [N,2], status u8 [N], err f32
+    [N])``.
+
+    Pinned laws: Q14 bilinear taps (``iw = cvRound(w·2^14)``, last
+    weight closes the sum), patch DESCALE ``(s + 2^(14-5-1)) >> (14-5)``
+    into int16 <<5, derivative DESCALE ``>> 14``, structure tensor and
+    mismatch vector accumulated through cv2's SIMD lane structure
+    (``simd_sum``) scaled by ``FLT_SCALE = 2^-20``, plain-f32 delta
+    solve (``acctype`` IS float; an fma-contracted D flips ulps), the
+    0.01 flip-flop damper with its f32 sums (``nextPt -= delta·0.5``),
+    min-eigenvalue gate per window area, REFLECT_101 image /
+    CONSTANT-0 derivative padding (winSize) outside each level, and
+    the L1 error DIVIDED by f32(32·area).
+
+    Parity (200-config / 3000-point sweep, docs/PARITY.md): status
+    bitwise ALWAYS; 99.6 % of points bitwise with err bitwise wherever
+    the point is; the residual class is deep-iteration trajectories
+    (≥ ~25 solves) whose ulp ties amplify — ≤ 1e-4 px, with cv2's own
+    value build-dependent at that depth (every candidate SIMD
+    width/reduce/fma model agrees with THIS model on the probed
+    divergence steps, docs/PARITY.md).
+    """
+    f32 = np.float32
+    ww, wh = int(win_size[0]), int(win_size[1])
+    half = (f32((ww - 1) * 0.5), f32((wh - 1) * 0.5))
+    pts = np.asarray(prev_pts, np.float32).reshape(-1, 2)
+    N = pts.shape[0]
+    crit_cnt = min(max(int(max_count), 0), 100)
+    eps = min(max(float(epsilon), 0.0), 10.0)
+    eps *= eps
+    lvlA, pyrA = build_optical_flow_pyramid(prev_img, (ww, wh), max_level)
+    lvlB, pyrB = build_optical_flow_pyramid(next_img, (ww, wh), max_level)
+    max_level = min(int(max_level), min(lvlA, lvlB))
+    out = (np.asarray(next_pts, np.float32).reshape(-1, 2).copy()
+           if (use_initial_flow and next_pts is not None)
+           else np.zeros((N, 2), np.float32))
+    status = np.ones(N, np.uint8)
+    err = np.zeros(N, np.float32)
+    W_BITS = 14
+    FLT_SCALE = f32(1.0 / (1 << 20))
+
+    def descale(v, n):
+        return (v + (1 << (n - 1))) >> n
+
+    def simd_sum(A, B):
+        """cv2's universal-intrinsics accumulation of the product sum
+        ``Σ A·B`` (int windows [wh, ww]): 8-wide vector blocks feed a
+        4-lane f32 accumulator (lane l takes in-block positions l and
+        l+4, lo half then hi half) via ``v_muladd`` = hardware FMA
+        (single rounding: f64 emulation is exact for f32), leftover
+        columns accumulate as scalar f32 of the EXACT int product
+        row-major, and the total is ``tail + ((l0+l2) + (l1+l3))``
+        (SSE v_reduce_sum) — pinned via the GET_MIN_EIGENVALS probe
+        and the single-step iteration traces (docs/PARITY.md)."""
+        lanes = np.zeros(4, np.float64)
+        tail = f32(0.0)
+        h, w = A.shape
+        nb = w // 8 if w >= 8 else 0
+        vw = nb * 8
+        Af = A.astype(np.float64)
+        Bf = B.astype(np.float64)
+        P = (A * B).astype(f32)
+        for i in range(h):
+            for bkl in range(nb):
+                x = bkl * 8
+                for hf in (0, 1):
+                    for l in range(4):
+                        k = x + 4 * hf + l
+                        lanes[l] = np.float64(f32(Af[i, k] * Bf[i, k]
+                                                  + lanes[l]))
+            for x in range(vw, w):
+                tail = f32(tail + P[i, x])
+        lf = lanes.astype(f32)
+        red = f32(f32(lf[0] + lf[2]) + f32(lf[1] + lf[3]))
+        return f32(tail + red)
+
+    for level in range(max_level, -1, -1):
+        I, DI = _lk_pad(pyrA[level], ww, wh)
+        J, DJ = _lk_pad(pyrB[level], ww, wh)
+        H, W = pyrA[level].shape[:2]
+        HB, WB = pyrB[level].shape[:2]
+        for p in range(N):
+            prevPt = pts[p] * f32(1.0 / (1 << level))
+            if level == max_level:
+                nextPt = (out[p] * f32(1.0 / (1 << level))
+                          if use_initial_flow else prevPt.copy())
+            else:
+                nextPt = out[p] * f32(2.0)
+            out[p] = nextPt
+            pPt = prevPt - np.array(half, f32)
+            ipx, ipy = int(np.floor(pPt[0])), int(np.floor(pPt[1]))
+            if ipx < -ww or ipx >= W or ipy < -wh or ipy >= H:
+                if level == 0:
+                    status[p] = 0
+                    err[p] = 0
+                continue
+            a, b = f32(pPt[0] - ipx), f32(pPt[1] - ipy)
+            iw00 = int(np.rint((f32(1) - a) * (f32(1) - b) * (1 << W_BITS)))
+            iw01 = int(np.rint(a * (f32(1) - b) * (1 << W_BITS)))
+            iw10 = int(np.rint((f32(1) - a) * b * (1 << W_BITS)))
+            iw11 = (1 << W_BITS) - iw00 - iw01 - iw10
+            ys = ipy + wh
+            xs = ipx + ww
+            Iw = I[ys:ys + wh + 1, xs:xs + ww + 1]
+            Dw = DI[ys:ys + wh + 1, xs:xs + ww + 1]
+            ival = descale(Iw[:-1, :-1] * iw00 + Iw[:-1, 1:] * iw01
+                           + Iw[1:, :-1] * iw10 + Iw[1:, 1:] * iw11,
+                           W_BITS - 5).astype(np.int32)
+            dval = descale(Dw[:-1, :-1] * iw00 + Dw[:-1, 1:] * iw01
+                           + Dw[1:, :-1] * iw10 + Dw[1:, 1:] * iw11,
+                           W_BITS).astype(np.int32)
+            ixv = dval[..., 0]
+            iyv = dval[..., 1]
+            A11 = f32(simd_sum(ixv, ixv) * FLT_SCALE)
+            A12 = f32(simd_sum(ixv, iyv) * FLT_SCALE)
+            A22 = f32(simd_sum(iyv, iyv) * FLT_SCALE)
+            # acctype is FLOAT in lkpyramid.cpp: D, minEig and the delta
+            # solve are all plain f32 ops (probed; an fma-contracted D
+            # flips the iterate's last ulp)
+            D = f32(f32(A11 * A22) - f32(A12 * A12))
+            t = f32(A11 - A22)
+            minEig = f32(f32(f32(A22 + A11)
+                             - f32(np.sqrt(f32(f32(t * t)
+                                               + f32(f32(f32(4.0) * A12)
+                                                     * A12)))))
+                         / f32(2 * ww * wh))
+            if get_min_eigenvals and level == 0:
+                err[p] = f32(minEig)
+            if minEig < f32(min_eig_threshold) or D < np.finfo(f32).eps:
+                if level == 0:
+                    status[p] = 0
+                continue
+            D = f32(f32(1.0) / D)
+            nPt = nextPt - np.array(half, f32)
+            prevDelta = np.zeros(2, f32)
+            broke_outside = False
+            for j in range(crit_cnt):
+                inx, iny = int(np.floor(nPt[0])), int(np.floor(nPt[1]))
+                if inx < -ww or inx >= WB or iny < -wh or iny >= HB:
+                    if level == 0:
+                        status[p] = 0
+                    broke_outside = True
+                    break
+                a, b = f32(nPt[0] - inx), f32(nPt[1] - iny)
+                jw00 = int(np.rint((f32(1) - a) * (f32(1) - b) * (1 << W_BITS)))
+                jw01 = int(np.rint(a * (f32(1) - b) * (1 << W_BITS)))
+                jw10 = int(np.rint((f32(1) - a) * b * (1 << W_BITS)))
+                jw11 = (1 << W_BITS) - jw00 - jw01 - jw10
+                ysb = iny + wh
+                xsb = inx + ww
+                Jw = J[ysb:ysb + wh + 1, xsb:xsb + ww + 1]
+                jval = descale(Jw[:-1, :-1] * jw00 + Jw[:-1, 1:] * jw01
+                               + Jw[1:, :-1] * jw10 + Jw[1:, 1:] * jw11,
+                               W_BITS - 5).astype(np.int32)
+                diff = jval - ival
+                b1 = f32(simd_sum(diff, ixv) * FLT_SCALE)
+                b2 = f32(simd_sum(diff, iyv) * FLT_SCALE)
+                dx = f32(f32(f32(A12 * b2) - f32(A22 * b1)) * D)
+                dy = f32(f32(f32(A12 * b1) - f32(A11 * b2)) * D)
+                nPt = (nPt + np.array([dx, dy], f32)).astype(f32)
+                out[p] = nPt + np.array(half, f32)
+                if float(dx) * float(dx) + float(dy) * float(dy) <= eps:
+                    break
+                if (j > 0 and abs(float(f32(dx + prevDelta[0]))) < 0.01
+                        and abs(float(f32(dy + prevDelta[1]))) < 0.01):
+                    out[p] = (out[p]
+                              - np.array([dx, dy], f32) * f32(0.5)).astype(f32)
+                    break
+                prevDelta = np.array([dx, dy], f32)
+            if (status[p] and not broke_outside and level == 0
+                    and not get_min_eigenvals):
+                nPtE = (out[p] - np.array(half, f32)).astype(f32)
+                inx, iny = int(np.floor(nPtE[0])), int(np.floor(nPtE[1]))
+                if inx < -ww or inx >= WB or iny < -wh or iny >= HB:
+                    status[p] = 0
+                    err[p] = 0
+                    continue
+                a, b = f32(nPtE[0] - inx), f32(nPtE[1] - iny)
+                jw00 = int(np.rint((f32(1) - a) * (f32(1) - b) * (1 << W_BITS)))
+                jw01 = int(np.rint(a * (f32(1) - b) * (1 << W_BITS)))
+                jw10 = int(np.rint((f32(1) - a) * b * (1 << W_BITS)))
+                jw11 = (1 << W_BITS) - jw00 - jw01 - jw10
+                ysb = iny + wh
+                xsb = inx + ww
+                Jw = J[ysb:ysb + wh + 1, xsb:xsb + ww + 1]
+                jval = descale(Jw[:-1, :-1] * jw00 + Jw[:-1, 1:] * jw01
+                               + Jw[1:, :-1] * jw10 + Jw[1:, 1:] * jw11,
+                               W_BITS - 5).astype(np.int32)
+                diff = (jval - ival).astype(f32)
+                errval = f32(0.0)
+                for i in range(wh):
+                    for jj in range(ww):
+                        errval = f32(errval + abs(f32(diff[i, jj])))
+                # cv2: errval * 1.f/(32*w*h) parses as a DIVISION
+                err[p] = f32(errval / f32(32 * ww * wh))
+    return out, status, err

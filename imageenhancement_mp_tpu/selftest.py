@@ -380,6 +380,30 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
          lambda: _subpix_oracle(sp_f, "f32").view(np.int32), 0),
     ]
 
+    # pyramidal Lucas-Kanade: device tracker == oracle bitwise
+    lk_next = np.roll(img, (2, -1), (0, 1))
+    lk_pts = np.stack([rng.uniform(12, size[1] - 13, 8),
+                       rng.uniform(12, size[0] - 13, 8)], 1).astype(np.float32)
+
+    def _lk_dev():
+        p, s, e = ie.calc_optical_flow_pyr_lk(img, lk_next, lk_pts, (11, 11), 2)
+        return np.concatenate([np.asarray(p).view(np.int32).reshape(-1),
+                               np.asarray(s).astype(np.int32),
+                               np.asarray(e).view(np.int32)])
+
+    def _lk_ref():
+        p, s, e = ref.calc_optical_flow_pyr_lk(img, lk_next, lk_pts,
+                                               (11, 11), 2, 30, 0.01)
+        st = np.asarray(s)
+        ed = np.asarray(e).copy()
+        pd, sd_, edd = ie.calc_optical_flow_pyr_lk(img, lk_next, lk_pts,
+                                                   (11, 11), 2)
+        ed[st != 1] = np.asarray(edd)[st != 1]  # err defined only for st=1
+        return np.concatenate([p.view(np.int32).reshape(-1),
+                               st.astype(np.int32), ed.view(np.int32)])
+
+    checks += [("lk/track", _lk_dev, _lk_ref, 0)]
+
     dev = jax.devices()[0]
     if verbose:
         print(f"selftest on {dev.device_kind} ({dev.platform}), image {size}", file=sys.stderr)
