@@ -59,6 +59,7 @@ __all__ = [
     "get_rect_sub_pix",
     "corner_sub_pix",
     "calc_optical_flow_pyr_lk",
+    "hough_lines_p",
     "add",
     "subtract",
     "absdiff",
@@ -2288,6 +2289,23 @@ def _hough_acc_jit(shape, tabkey, numrho: int):
 
 
 _HOUGH_TABS = {}
+
+
+def hough_lines_p(img, rho: float = 1.0, theta: float = np.pi / 180,
+                  threshold: int = 100, min_line_length: int = 0,
+                  max_line_gap: int = 0, lines_max: int = 2 ** 31 - 1):
+    """``cv2.HoughLinesP`` — probabilistic Hough segments, BIT-EXACT
+    [N, 4] int32 (x1, y1, x2, y2) incl. cv2's local RNG stream and
+    erase-as-you-walk accumulator (160-config fuzz, 0 mismatches).
+
+    Host helper by design: the algorithm is inherently sequential —
+    each random candidate mutates the mask and accumulator the next
+    candidate reads (ref/ops.py ``hough_lines_p``; the standard
+    ``hough_lines`` keeps the device-accumulator path)."""
+    from imageenhancement_mp_tpu.ref.ops import hough_lines_p as _hlp
+
+    return _hlp(np.asarray(img), float(rho), float(theta), int(threshold),
+                int(min_line_length), int(max_line_gap), int(lines_max))
 
 
 def hough_lines(img, rho: float = 1.0, theta: float = np.pi / 180,

@@ -6124,3 +6124,135 @@ def calc_optical_flow_pyr_lk(prev_img: np.ndarray, next_img: np.ndarray,
                 # cv2: errval * 1.f/(32*w*h) parses as a DIVISION
                 err[p] = f32(errval / f32(32 * ww * wh))
     return out, status, err
+
+
+class _CvRNG:
+    """cv2::RNG — the exact MWC generator (state·4164903690 + carry)."""
+
+    def __init__(self, state=2 ** 64 - 1):
+        self.state = state & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        s = self.state
+        self.state = ((s & 0xFFFFFFFF) * 4164903690 + (s >> 32)) \
+            & 0xFFFFFFFFFFFFFFFF
+        return self.state & 0xFFFFFFFF
+
+    def uniform_int(self, a: int, b: int) -> int:
+        return a + self.next() % (b - a) if b > a else a
+
+
+def hough_lines_p(img: np.ndarray, rho: float = 1.0,
+                  theta: float = np.pi / 180, threshold: int = 100,
+                  min_line_length: int = 0,
+                  max_line_gap: int = 0,
+                  lines_max: int = 2 ** 31 - 1) -> np.ndarray:
+    """``cv2.HoughLinesP`` — probabilistic Hough with cv2's
+    erase-as-you-walk algorithm, BIT-EXACT (the routine seeds a LOCAL
+    ``RNG((uint64)-1)`` per call, so it is deterministic; the exact MWC
+    stream is reproduced by :class:`_CvRNG`).
+
+    Pinned laws: ``numangle = cvRound(π/θ)``, ``numrho =
+    cvRound(((W+H)·2+1)/ρ)``; trig table ``f32(cos(n·θ)·1/ρ)`` on the
+    f64 product (unlike standard HoughLines' incremental-f32 angle);
+    vote ``r = cvRound(f32(f32(x·tcos) + f32(y·tsin))) + (numrho-1)/2``;
+    line walk in Q16 fixed point with ``cvRound(b·2^16/|a|)`` slope,
+    gap counter reset on every hit; good = |Δx| ≥ len OR |Δy| ≥ len;
+    second walk un-votes and clears the mask up to the recorded ends.
+    Returns ``[N, 4]`` int32 (x1, y1, x2, y2).
+    """
+    if img.dtype != np.uint8:
+        raise TypeError("HoughLinesP requires uint8 input")
+    f32 = np.float32
+    H, W = img.shape
+    numangle = int(np.rint(np.pi / theta))
+    numrho = int(np.rint(((W + H) * 2 + 1) / rho))
+    irho = 1.0 / rho
+    ns = np.arange(numangle, dtype=np.float64)
+    tcos = (np.cos(ns * theta) * irho).astype(f32)
+    tsin = (np.sin(ns * theta) * irho).astype(f32)
+    mask = (img != 0)
+    ys, xs = np.nonzero(img)
+    # row-major collection order (cv2 scans rows)
+    nz = list(zip(xs.tolist(), ys.tolist()))
+    acc = np.zeros((numangle, numrho), np.int32)
+    rng = _CvRNG()
+    out = []
+    SHIFT = 16
+    count = len(nz)
+    c0 = (numrho - 1) // 2
+    while count > 0:
+        idx = rng.uniform_int(0, count)
+        j, i = nz[idx]
+        nz[idx] = nz[count - 1]
+        count -= 1
+        if not mask[i, j]:
+            continue
+        rr = (np.rint((f32(j) * tcos + f32(i) * tsin).astype(f32))
+              .astype(np.int64) + c0)
+        acc[np.arange(numangle), rr] += 1
+        vals = acc[np.arange(numangle), rr]
+        max_n = int(np.argmax(vals))
+        max_val = int(vals[max_n])
+        if max_val < threshold:
+            continue
+        a = -float(tsin[max_n])
+        b = float(tcos[max_n])
+        x0, y0 = j, i
+        if abs(a) > abs(b):
+            xflag = True
+            dx0 = 1 if a > 0 else -1
+            dy0 = int(np.rint(b * (1 << SHIFT) / abs(a)))
+            y0 = (y0 << SHIFT) + (1 << (SHIFT - 1))
+        else:
+            xflag = False
+            dy0 = 1 if b > 0 else -1
+            dx0 = int(np.rint(a * (1 << SHIFT) / abs(b)))
+            x0 = (x0 << SHIFT) + (1 << (SHIFT - 1))
+        line_end = [[0, 0], [0, 0]]
+        for k in (0, 1):
+            gap = 0
+            x, y = x0, y0
+            dx, dy = (dx0, dy0) if k == 0 else (-dx0, -dy0)
+            while True:
+                if xflag:
+                    j1, i1 = x, y >> SHIFT
+                else:
+                    j1, i1 = x >> SHIFT, y
+                if j1 < 0 or j1 >= W or i1 < 0 or i1 >= H:
+                    break
+                if mask[i1, j1]:
+                    gap = 0
+                    line_end[k] = [j1, i1]
+                else:
+                    gap += 1
+                    if gap > max_line_gap:
+                        break
+                x += dx
+                y += dy
+        good = (abs(line_end[1][0] - line_end[0][0]) >= min_line_length
+                or abs(line_end[1][1] - line_end[0][1]) >= min_line_length)
+        for k in (0, 1):
+            x, y = x0, y0
+            dx, dy = (dx0, dy0) if k == 0 else (-dx0, -dy0)
+            while True:
+                if xflag:
+                    j1, i1 = x, y >> SHIFT
+                else:
+                    j1, i1 = x >> SHIFT, y
+                if mask[i1, j1]:
+                    if good:
+                        r2 = (np.rint((f32(j1) * tcos + f32(i1) * tsin)
+                                      .astype(f32)).astype(np.int64) + c0)
+                        acc[np.arange(numangle), r2] -= 1
+                    mask[i1, j1] = False
+                if i1 == line_end[k][1] and j1 == line_end[k][0]:
+                    break
+                x += dx
+                y += dy
+        if good:
+            out.append([line_end[0][0], line_end[0][1],
+                        line_end[1][0], line_end[1][1]])
+            if len(out) >= lines_max:
+                break
+    return np.asarray(out, np.int32).reshape(-1, 4)

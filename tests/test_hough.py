@@ -57,3 +57,36 @@ def test_empty_and_simple():
     g = ie.hough_lines(img, 1.0, np.pi / 180, 10)
     w = _cv(img, 1.0, np.pi / 180, 10, 0.0, np.pi)
     assert np.array_equal(g.view(np.int32), w.view(np.int32))
+
+
+class TestHoughLinesP:
+    def test_vs_cv2_bitwise(self):
+        rng = np.random.default_rng(seed("houghp"))
+        for trial in range(60):
+            H, W = int(rng.integers(20, 110)), int(rng.integers(20, 110))
+            img = np.zeros((H, W), np.uint8)
+            for _ in range(int(rng.integers(0, 6))):
+                p1 = (int(rng.integers(0, W)), int(rng.integers(0, H)))
+                p2 = (int(rng.integers(0, W)), int(rng.integers(0, H)))
+                cv2.line(img, p1, p2, 255, int(rng.integers(1, 3)))
+            img[rng.random((H, W)) < float(rng.choice([0.0, 0.02]))] = 255
+            rho = float(rng.choice([0.5, 1.0, 2.0]))
+            theta = float(rng.choice([np.pi / 180, np.pi / 90]))
+            th = int(rng.integers(3, 50))
+            ll = int(rng.integers(0, 40))
+            lg = int(rng.integers(0, 15))
+            want = cv2.HoughLinesP(img, rho, theta, th,
+                                   minLineLength=ll, maxLineGap=lg)
+            want = (want.reshape(-1, 4) if want is not None
+                    else np.zeros((0, 4), np.int32))
+            got = ie.hough_lines_p(img, rho, theta, th, ll, lg)
+            assert np.array_equal(got, want), (H, W, rho, theta, th, ll, lg)
+
+    def test_finds_drawn_segment(self):
+        img = np.zeros((80, 80), np.uint8)
+        cv2.line(img, (10, 20), (70, 60), 255, 1)
+        got = ie.hough_lines_p(img, 1, np.pi / 180, 30,
+                               min_line_length=30, max_line_gap=2)
+        assert len(got) >= 1
+        x1, y1, x2, y2 = got[0]
+        assert abs((y2 - y1) * 60 - (x2 - x1) * 40) <= 60 * 4  # same slope
