@@ -60,6 +60,15 @@ __all__ = [
     "corner_sub_pix",
     "calc_optical_flow_pyr_lk",
     "hough_lines_p",
+    "find_contours",
+    "contour_area",
+    "arc_length",
+    "bounding_rect",
+    "contour_moments",
+    "convex_hull",
+    "is_contour_convex",
+    "point_polygon_test",
+    "convexity_defects",
     "add",
     "subtract",
     "absdiff",
@@ -2289,6 +2298,79 @@ def _hough_acc_jit(shape, tabkey, numrho: int):
 
 
 _HOUGH_TABS = {}
+
+
+def find_contours(img, mode: str = "list", method: str = "simple"):
+    """``cv2.findContours`` — (contours, hierarchy); content, ORDER and
+    hierarchy bit-exact vs cv2 for all four modes x both methods
+    (0/640 fuzz).  Host helper: Suzuki-Abe border following is an
+    inherently sequential erase-as-you-walk scan (ref/ops.py
+    ``find_contours``); pair it with device thresholds/morphology for
+    the segmentation front."""
+    from imageenhancement_mp_tpu.ref.ops import find_contours as _fc
+
+    return _fc(np.asarray(img), mode, method)
+
+
+def contour_area(points, oriented: bool = False):
+    """``cv2.contourArea`` — bit-exact Green's-theorem area."""
+    from imageenhancement_mp_tpu.ref.ops import contour_area as _f
+
+    return _f(points, oriented)
+
+
+def arc_length(points, closed: bool):
+    """``cv2.arcLength`` — bit-exact (f32-sqrt buffered law)."""
+    from imageenhancement_mp_tpu.ref.ops import arc_length as _f
+
+    return _f(points, closed)
+
+
+def bounding_rect(points):
+    """``cv2.boundingRect`` — (x, y, w, h), exact."""
+    from imageenhancement_mp_tpu.ref.ops import bounding_rect as _f
+
+    return _f(points)
+
+
+def contour_moments(points):
+    """``cv2.moments`` on a point-list contour (Green closed forms;
+    ≤1e-11 rel — cv2's fp-contract class, docs/PARITY.md)."""
+    from imageenhancement_mp_tpu.ref.ops import contour_moments as _f
+
+    return _f(points)
+
+
+def convex_hull(points, clockwise: bool = False,
+                return_points: bool = True):
+    """``cv2.convexHull`` — bit-exact for distinct points (indices and
+    order); duplicate points: same polygon, tie order build-dependent
+    (docs/PARITY.md)."""
+    from imageenhancement_mp_tpu.ref.ops import convex_hull as _f
+
+    return _f(points, clockwise, return_points)
+
+
+def is_contour_convex(points):
+    """``cv2.isContourConvex`` — exact."""
+    from imageenhancement_mp_tpu.ref.ops import is_contour_convex as _f
+
+    return _f(points)
+
+
+def point_polygon_test(contour, pt, measure_dist: bool = False):
+    """``cv2.pointPolygonTest`` — exact crossing test / signed f64
+    distance."""
+    from imageenhancement_mp_tpu.ref.ops import point_polygon_test as _f
+
+    return _f(contour, pt, measure_dist)
+
+
+def convexity_defects(contour, hull_indices):
+    """``cv2.convexityDefects`` — bit-exact [N,4] defects."""
+    from imageenhancement_mp_tpu.ref.ops import convexity_defects as _f
+
+    return _f(contour, hull_indices)
 
 
 def hough_lines_p(img, rho: float = 1.0, theta: float = np.pi / 180,

@@ -5150,23 +5150,27 @@ def moments(img: np.ndarray, binary_image: bool = False) -> dict:
             if p + q <= 3:
                 m[f"m{p}{q}"] = float(((x ** p)[None, :] * (y ** q)[:, None]
                                        * I).sum())
-    m00 = m["m00"] if m["m00"] != 0 else np.finfo(np.float64).tiny
-    xb, yb = m["m10"] / m00, m["m01"] / m00
-    m["mu20"] = m["m20"] - xb * m["m10"]
-    m["mu11"] = m["m11"] - xb * m["m01"]
-    m["mu02"] = m["m02"] - yb * m["m01"]
-    m["mu30"] = m["m30"] - 3 * xb * m["m20"] + 2 * xb * xb * m["m10"]
-    m["mu21"] = (m["m21"] - 2 * xb * m["m11"] - yb * m["m20"]
-                 + 2 * xb * xb * m["m01"])
-    m["mu12"] = (m["m12"] - 2 * yb * m["m11"] - xb * m["m02"]
-                 + 2 * yb * yb * m["m10"])
-    m["mu03"] = m["m03"] - 3 * yb * m["m02"] + 2 * yb * yb * m["m01"]
-    s2 = m00 * m00
-    s3 = m00 ** 2.5
+    # cv2 Moments completion (inv_m00 = 0 on degenerate contours)
+    inv_m00 = 0.0
+    cx = cy = 0.0
+    if abs(m["m00"]) > np.finfo(np.float64).eps:
+        inv_m00 = 1.0 / m["m00"]
+        cx, cy = m["m10"] * inv_m00, m["m01"] * inv_m00
+    m["mu20"] = m["m20"] - m["m10"] * cx
+    m["mu11"] = m["m11"] - m["m10"] * cy
+    m["mu02"] = m["m02"] - m["m01"] * cy
+    m["mu30"] = m["m30"] - cx * (3 * m["mu20"] + cx * m["m10"])
+    m["mu21"] = (m["m21"] - cx * (2 * m["mu11"] + cx * m["m01"])
+                 - cy * m["mu20"])
+    m["mu12"] = (m["m12"] - cy * (2 * m["mu11"] + cy * m["m10"])
+                 - cx * m["mu02"])
+    m["mu03"] = m["m03"] - cy * (3 * m["mu02"] + cy * m["m01"])
+    s2 = inv_m00 * inv_m00
+    s3 = s2 * np.sqrt(abs(inv_m00))
     for k in ("mu20", "mu11", "mu02"):
-        m["nu" + k[2:]] = m[k] / s2
+        m["nu" + k[2:]] = m[k] * s2
     for k in ("mu30", "mu21", "mu12", "mu03"):
-        m["nu" + k[2:]] = m[k] / s3
+        m["nu" + k[2:]] = m[k] * s3
     return m
 
 
@@ -6255,4 +6259,589 @@ def hough_lines_p(img: np.ndarray, rho: float = 1.0,
                         line_end[1][0], line_end[1][1]])
             if len(out) >= lines_max:
                 break
+    return np.asarray(out, np.int32).reshape(-1, 4)
+
+
+# ---------------------------------------------------------------------------
+# findContours (Suzuki-Abe border following) + contour descriptors
+# ---------------------------------------------------------------------------
+
+_CONTOUR_DELTAS = ((1, 0), (1, -1), (0, -1), (-1, -1),
+                   (-1, 0), (-1, 1), (0, 1), (1, 1))  # CCW from E
+_CONTOUR_DIR = {d: i for i, d in enumerate(_CONTOUR_DELTAS)}
+
+
+def _trace_contours(img: np.ndarray):
+    """Suzuki-Abe 8-connected border following (the algorithm behind
+    ``cv2.findContours``), paper-exact: 3.1 scans CLOCKWISE from the
+    zero neighbour that triggered the start, 3.3 scans COUNTER-
+    clockwise from the previous border pixel, marking -NBD when the
+    east neighbour was examined and zero.  Returns discovery-ordered
+    ``(points [(x,y)], is_hole, parent_nbd, nbd)`` (frame = NBD 1);
+    point sequences are bit-exact vs cv2 (fuzz 0/60 random blobs)."""
+    H, W = img.shape
+    f = (img != 0).astype(np.int32)
+    NBD = 1
+    info = {1: (True, None)}
+    out = []
+    for i in range(H):
+        LNBD = 1
+        for j in range(W):
+            fij = f[i, j]
+            if fij == 0:
+                continue
+            outer = fij == 1 and (j == 0 or f[i, j - 1] == 0)
+            hole = fij >= 1 and (j == W - 1 or f[i, j + 1] == 0)
+            if outer or hole:
+                NBD += 1
+                if outer:
+                    d_from = _CONTOUR_DIR[(-1, 0)]
+                    is_hole = False
+                else:
+                    d_from = _CONTOUR_DIR[(1, 0)]
+                    if fij > 1:
+                        LNBD = fij
+                    is_hole = True
+                parent = (info[LNBD][1] if is_hole == info[LNBD][0]
+                          else LNBD)
+                info[NBD] = (is_hole, parent)
+                found = None
+                for t in range(8):
+                    d = (d_from - t) % 8
+                    dx, dy = _CONTOUR_DELTAS[d]
+                    x2, y2 = j + dx, i + dy
+                    if 0 <= x2 < W and 0 <= y2 < H and f[y2, x2] != 0:
+                        found = (x2, y2)
+                        break
+                pts = [(j, i)]
+                if found is None:
+                    f[i, j] = -NBD
+                    out.append((pts, is_hole, parent, NBD))
+                else:
+                    x1, y1 = found
+                    x2, y2 = x1, y1
+                    x3, y3 = j, i
+                    while True:
+                        d_start = _CONTOUR_DIR[(x2 - x3, y2 - y3)]
+                        east_zero = False
+                        for t in range(1, 9):
+                            d = (d_start + t) % 8
+                            dx, dy = _CONTOUR_DELTAS[d]
+                            x4, y4 = x3 + dx, y3 + dy
+                            if (0 <= x4 < W and 0 <= y4 < H
+                                    and f[y4, x4] != 0):
+                                break
+                            if (dx, dy) == (1, 0):
+                                east_zero = True
+                        if east_zero:
+                            f[y3, x3] = -NBD
+                        elif f[y3, x3] == 1:
+                            f[y3, x3] = NBD
+                        if (x4, y4) == (j, i) and (x3, y3) == (x1, y1):
+                            break
+                        pts.append((x4, y4))
+                        x2, y2 = x3, y3
+                        x3, y3 = x4, y4
+                    out.append((pts, is_hole, parent, NBD))
+            if abs(f[i, j]) > 1:
+                LNBD = abs(f[i, j])
+    return out
+
+
+def _chain_simple(pts):
+    """CHAIN_APPROX_SIMPLE: the cyclic direction-change corners, in
+    traversal order — the start pixel is DROPPED when its incoming and
+    outgoing directions agree (probed: cv2 starts such contours at the
+    first corner after the scan hit)."""
+    n = len(pts)
+    if n == 1:
+        return list(pts)
+    keep = []
+    for k in range(n):
+        pp = pts[(k - 1) % n]
+        p = pts[k]
+        pn = pts[(k + 1) % n]
+        if (p[0] - pp[0], p[1] - pp[1]) != (pn[0] - p[0], pn[1] - p[1]):
+            keep.append(p)
+    return keep if keep else [pts[0]]
+
+
+def find_contours(img: np.ndarray, mode: str = "list",
+                  method: str = "simple"):
+    """``cv2.findContours`` — returns ``(contours, hierarchy)`` with
+    contours a list of int32 ``[N, 2]`` (x, y) arrays and hierarchy
+    int32 ``[M, 4]`` (next, prev, first_child, parent), bit-exact
+    vs cv2 5.0 in content, ORDER and hierarchy (fuzz per mode/method).
+
+    Pinned structure: contours discovered in raster order; every
+    sibling list is emitted in REVERSE discovery order; ``list`` is the
+    flat reverse, ``tree`` a preorder DFS, ``ccomp`` flattens to two
+    levels (every outer border at level 0 in reverse discovery, each
+    followed by its holes), ``external`` keeps only frame-child outers.
+    ``method``: "none" (every boundary pixel) or "simple" (cyclic
+    direction-change corners, start kept).
+    """
+    if img.dtype != np.uint8:
+        raise TypeError("findContours requires uint8 input")
+    mode = mode.lower()
+    method = method.lower()
+    if mode not in ("list", "external", "ccomp", "tree"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if method not in ("none", "simple"):
+        raise ValueError(f"unknown method {method!r}")
+    traced = _trace_contours(img)
+    items = []   # (points, is_hole, parent_nbd, nbd)
+    for pts, is_hole, parent, nbd in traced:
+        if method == "simple":
+            pts = _chain_simple(pts)
+        items.append((pts, is_hole, parent, nbd))
+    by_nbd = {it[3]: it for it in items}
+    children = {}
+    for it in items:
+        children.setdefault(it[2], []).append(it[3])
+    for k in children:
+        children[k] = children[k][::-1]  # reverse discovery
+    order = []
+    parent_of = {}
+    if mode == "list":
+        order = [it[3] for it in items][::-1]
+        parent_of = {nbd: None for nbd in order}
+    elif mode == "external":
+        order = children.get(1, [])
+        order = [n for n in order if not by_nbd[n][1]]
+        parent_of = {nbd: None for nbd in order}
+    elif mode == "tree":
+        def dfs(nbd):
+            order.append(nbd)
+            for c in children.get(nbd, []):
+                parent_of[c] = nbd
+                dfs(c)
+        for top in children.get(1, []):
+            parent_of[top] = None
+            dfs(top)
+    else:  # ccomp: all outers level 0 (reverse discovery), then holes
+        outers = [it[3] for it in items if not it[1]][::-1]
+        for o in outers:
+            parent_of[o] = None
+            order.append(o)
+            for h in children.get(o, []):
+                if by_nbd[h][1]:
+                    parent_of[h] = o
+                    order.append(h)
+    idx = {nbd: k for k, nbd in enumerate(order)}
+    M = len(order)
+    hier = np.full((M, 4), -1, np.int32)
+    # sibling chains per parent, in output order
+    sib = {}
+    for nbd in order:
+        sib.setdefault(parent_of.get(nbd), []).append(nbd)
+    for plist in sib.values():
+        for a, b in zip(plist, plist[1:]):
+            hier[idx[a], 0] = idx[b]
+            hier[idx[b], 1] = idx[a]
+    for nbd in order:
+        p = parent_of.get(nbd)
+        if p is not None:
+            hier[idx[nbd], 3] = idx[p]
+            if hier[idx[p], 2] < 0:
+                hier[idx[p], 2] = idx[nbd]
+    contours = [np.asarray(by_nbd[n][0], np.int32).reshape(-1, 2)
+                for n in order]
+    return contours, hier.reshape(M, 4)
+
+
+def contour_area(points, oriented: bool = False) -> float:
+    """``cv2.contourArea`` — Green's-theorem signed area, f64 edge
+    cross products accumulated sequentially, ×0.5; |·| unless
+    ``oriented`` (bit-exact vs cv2, int and f32 contours)."""
+    pts = np.asarray(points).reshape(-1, 2)
+    n = len(pts)
+    if n == 0:
+        return 0.0
+    a00 = 0.0
+    px, py = float(pts[-1, 0]), float(pts[-1, 1])
+    for k in range(n):
+        x, y = float(pts[k, 0]), float(pts[k, 1])
+        a00 += px * y - py * x
+        px, py = x, y
+    a00 *= 0.5
+    return a00 if oriented else abs(a00)
+
+
+def arc_length(points, closed: bool) -> float:
+    """``cv2.arcLength`` — per edge ``s = f32(f32(dx·dx) + f32(dy·dy))``
+    on Point2f-cast coords, the square root taken in FLOAT (cv2 runs
+    ``cv::sqrt`` over a buffered f32 array), f64 sum — bit-exact
+    (0/100 probe configs)."""
+    f32 = np.float32
+    pts = np.asarray(points).reshape(-1, 2).astype(np.float32)
+    n = len(pts)
+    if n < 2:
+        return 0.0
+    total = 0.0
+    rng_last = n if closed else n - 1
+    for k in range(rng_last):
+        p = pts[k]
+        q = pts[(k + 1) % n]
+        dx = f32(q[0] - p[0])
+        dy = f32(q[1] - p[1])
+        s = f32(f32(dx * dx) + f32(dy * dy))
+        total += float(f32(np.sqrt(np.float64(s))))
+    return total
+
+
+def bounding_rect(points):
+    """``cv2.boundingRect`` — (x, y, w, h); ints exact, floats via
+    cvFloor/cvCeil per cv2."""
+    pts = np.asarray(points).reshape(-1, 2)
+    if np.issubdtype(pts.dtype, np.integer):
+        x0, y0 = int(pts[:, 0].min()), int(pts[:, 1].min())
+        x1, y1 = int(pts[:, 0].max()), int(pts[:, 1].max())
+    else:
+        x0 = int(np.floor(pts[:, 0].min()))
+        y0 = int(np.floor(pts[:, 1].min()))
+        x1 = int(np.ceil(pts[:, 0].max()))
+        y1 = int(np.ceil(pts[:, 1].max()))
+    return (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+
+
+def contour_moments(points):
+    """``cv2.moments`` on a CONTOUR (point list) — cv2's Green-formula
+    closed forms (moments.cpp contourMoments), sequential f64 edge
+    accumulation with the 1/2·1/6·1/12·1/20 scalings and the
+    negative-area sign flip; central/normalized moments via the
+    ``moments``-style completion.  Returns the dict of 24 cv2 keys."""
+    pts = np.asarray(points).reshape(-1, 2).astype(np.float64)
+    n = len(pts)
+    a00 = a10 = a01 = a20 = a11 = a02 = a30 = a21 = a12 = a03 = 0.0
+    xi_1, yi_1 = pts[-1]
+    xi_12, yi_12 = xi_1 * xi_1, yi_1 * yi_1
+    for k in range(n):
+        xi, yi = pts[k]
+        xi2, yi2 = xi * xi, yi * yi
+        dxy = xi_1 * yi - xi * yi_1
+        xii_1, yii_1 = xi_1 + xi, yi_1 + yi
+        a00 += dxy
+        a10 += dxy * xii_1
+        a01 += dxy * yii_1
+        a20 += dxy * (xi_1 * xii_1 + xi2)
+        a11 += dxy * (xi_1 * (yii_1 + yi_1) + xi * (yii_1 + yi))
+        a02 += dxy * (yi_1 * yii_1 + yi2)
+        a30 += dxy * xii_1 * (xi_12 + xi2)
+        a03 += dxy * yii_1 * (yi_12 + yi2)
+        a21 += dxy * (xi_12 * (3 * yi_1 + yi) + 2 * xi * xi_1 * yii_1
+                      + xi2 * (yi_1 + 3 * yi))
+        a12 += dxy * (yi_12 * (3 * xi_1 + xi) + 2 * yi * yi_1 * xii_1
+                      + yi2 * (xi_1 + 3 * xi))
+        xi_1, yi_1 = xi, yi
+        xi_12, yi_12 = xi2, yi2
+    if abs(a00) > 1.19209289550781250000e-7:
+        sgn = 1.0 if a00 > 0 else -1.0
+        db1_2, db1_6, db1_12 = sgn * 0.5, sgn / 6, sgn / 12
+        db1_20, db1_24, db1_60 = sgn * 0.05, sgn / 24, sgn / 60
+        m = {
+            "m00": a00 * db1_2,
+            "m10": a10 * db1_6, "m01": a01 * db1_6,
+            "m20": a20 * db1_12, "m11": a11 * db1_24,
+            "m02": a02 * db1_12,
+            "m30": a30 * db1_20, "m21": a21 * db1_60,
+            "m12": a12 * db1_60, "m03": a03 * db1_20,
+        }
+    else:
+        m = {k: 0.0 for k in ("m00", "m10", "m01", "m20", "m11", "m02",
+                              "m30", "m21", "m12", "m03")}
+    # cv2 Moments completion (inv_m00 = 0 on degenerate contours)
+    inv_m00 = 0.0
+    cx = cy = 0.0
+    if abs(m["m00"]) > np.finfo(np.float64).eps:
+        inv_m00 = 1.0 / m["m00"]
+        cx, cy = m["m10"] * inv_m00, m["m01"] * inv_m00
+    m["mu20"] = m["m20"] - m["m10"] * cx
+    m["mu11"] = m["m11"] - m["m10"] * cy
+    m["mu02"] = m["m02"] - m["m01"] * cy
+    m["mu30"] = m["m30"] - cx * (3 * m["mu20"] + cx * m["m10"])
+    m["mu21"] = (m["m21"] - cx * (2 * m["mu11"] + cx * m["m01"])
+                 - cy * m["mu20"])
+    m["mu12"] = (m["m12"] - cy * (2 * m["mu11"] + cy * m["m10"])
+                 - cx * m["mu02"])
+    m["mu03"] = m["m03"] - cy * (3 * m["mu02"] + cy * m["m01"])
+    s2 = inv_m00 * inv_m00
+    s3 = s2 * np.sqrt(abs(inv_m00))
+    for k in ("mu20", "mu11", "mu02"):
+        m["nu" + k[2:]] = m[k] * s2
+    for k in ("mu30", "mu21", "mu12", "mu03"):
+        m["nu" + k[2:]] = m[k] * s3
+    return m
+
+
+def _sklansky(ptr, pts, start, end, nsign, sign2):
+    """cv2 ``Sklansky_`` — one hull chain over x-sorted point order."""
+    incr = 1 if end > start else -1
+    pprev, pcur, pnext = start, start + incr, start + 2 * incr
+    if start == end or pts[ptr[start]] == pts[ptr[end]]:
+        return [start]
+    stack = [pprev, pcur, pnext]
+    end2 = end + incr
+
+    def sign(v):
+        return int(v > 0) - int(v < 0)
+
+    while pnext != end2:
+        cury = pts[ptr[pcur]][1]
+        nexty = pts[ptr[pnext]][1]
+        by = nexty - cury
+        if sign(by) != nsign:
+            ax = pts[ptr[pcur]][0] - pts[ptr[pprev]][0]
+            bx = pts[ptr[pnext]][0] - pts[ptr[pcur]][0]
+            ay = cury - pts[ptr[pprev]][1]
+            convexity = ay * bx - ax * by
+            if sign(convexity) == sign2 and (ax != 0 or ay != 0):
+                pprev, pcur, pnext = pcur, pnext, pnext + incr
+                stack.append(pnext)
+            else:
+                if pprev == start:
+                    pcur = pnext
+                    stack[1] = pcur
+                    pnext += incr
+                    stack[2] = pnext
+                else:
+                    stack[-2] = pnext
+                    pcur = pprev
+                    pprev = stack[-4]
+                    stack.pop()
+        else:
+            pnext += incr
+            stack[-1] = pnext
+    return stack[:-1]
+
+
+def convex_hull(points, clockwise: bool = False,
+                return_points: bool = True):
+    """``cv2.convexHull`` — Sklansky chains over the x-then-y sorted
+    order, cv2's upper/lower assembly with the pre-swap collinearity
+    stop/check, and the ascending/descending cyclic rotation
+    (``ascending ⇔ (max_idx+1) mod n == min_idx``).
+
+    BIT-EXACT (indices and order) for point sets with DISTINCT points
+    (0/~500 fuzz configs); with exactly duplicated points the output is
+    the same hull polygon up to a cyclic rotation — the index choice
+    among equal points follows the build's unstable ``std::sort``
+    (docs/PARITY.md).  Integer and f32 point arrays."""
+    arr = np.asarray(points).reshape(-1, 2)
+    if np.issubdtype(arr.dtype, np.integer):
+        pts = [(int(p[0]), int(p[1])) for p in arr]
+    else:
+        pts = [(np.float32(p[0]), np.float32(p[1])) for p in arr]
+    total = len(pts)
+    if total == 0:
+        return (np.zeros((0, 2), arr.dtype) if return_points
+                else np.zeros((0,), np.int32))
+    ptr = sorted(range(total), key=lambda k: (pts[k][0], pts[k][1]))
+    miny = maxy = 0
+    for i in range(1, total):
+        y = pts[ptr[i]][1]
+        if pts[ptr[miny]][1] > y:
+            miny = i
+        if pts[ptr[maxy]][1] < y:
+            maxy = i
+    if pts[ptr[0]] == pts[ptr[total - 1]]:
+        out = [ptr[0]]
+    else:
+        out = []
+        tl0 = _sklansky(ptr, pts, 0, maxy, -1, 1)
+        tr0 = _sklansky(ptr, pts, total - 1, maxy, -1, -1)
+        tl, tr = (tr0, tl0) if not clockwise else (tl0, tr0)
+        for i in range(len(tl) - 1):
+            out.append(ptr[tl[i]])
+        for i in range(len(tr) - 1, 0, -1):
+            out.append(ptr[tr[i]])
+        stop_idx = (tr0[1] if len(tr0) > 2 else
+                    (tl0[len(tl0) - 2] if len(tl0) + len(tr0) > 2 else -1))
+        bl0 = _sklansky(ptr, pts, 0, miny, 1, -1)
+        br0 = _sklansky(ptr, pts, total - 1, miny, 1, 1)
+        if stop_idx >= 0:
+            check_idx = (bl0[1] if len(bl0) > 2 else
+                         (br0[2 - len(bl0)]
+                          if len(bl0) + len(br0) > 2 else -1))
+            if check_idx == stop_idx or (
+                    check_idx >= 0
+                    and pts[ptr[check_idx]] == pts[ptr[stop_idx]]):
+                # all points on one line: bottom part is empty
+                bl0 = bl0[:2]
+                br0 = br0[:2]
+        bl, br = (br0, bl0) if clockwise else (bl0, br0)
+        for i in range(len(bl) - 1):
+            out.append(ptr[bl[i]])
+        for i in range(len(br) - 1, 0, -1):
+            out.append(ptr[br[i]])
+        nout = len(out)
+        if nout >= 3:
+            min_idx = max_idx = 0
+            lt = 0
+            for i in range(1, nout):
+                idx = out[i]
+                lt += out[i - 1] < idx
+                if out[min_idx] > idx:
+                    min_idx = i
+                if out[max_idx] < idx:
+                    max_idx = i
+            mm = abs(max_idx - min_idx)
+            if (mm == 1 or mm == nout - 1) and (lt <= 1 or lt >= nout - 2):
+                ascending = (max_idx + 1) % nout == min_idx
+                i0 = min_idx if ascending else max_idx
+                if i0 > 0:
+                    j = i0
+                    rot = []
+                    ok = True
+                    for i in range(nout):
+                        rot.append(out[j])
+                        nj = j + 1 if j + 1 < nout else 0
+                        if i < nout - 1 and (ascending != (out[j] < out[nj])):
+                            ok = False
+                            break
+                        j = nj
+                    if ok:
+                        out = rot
+    if return_points:
+        return arr[np.asarray(out, np.int64)].reshape(-1, 2)
+    return np.asarray(out, np.int32)
+
+
+def is_contour_convex(points) -> bool:
+    """``cv2.isContourConvex`` — orientation-flip scan over the closed
+    curve (both cross-product signs seen → not convex)."""
+    pts = np.asarray(points).reshape(-1, 2)
+    n = len(pts)
+    if n == 0:
+        return False
+    if np.issubdtype(pts.dtype, np.integer):
+        P = [(int(p[0]), int(p[1])) for p in pts]
+    else:
+        P = [(np.float32(p[0]), np.float32(p[1])) for p in pts]
+    prev = P[n - 2] if n >= 2 else P[0]
+    cur = P[n - 1]
+    dx0 = cur[0] - prev[0]
+    dy0 = cur[1] - prev[1]
+    orientation = 0
+    for i in range(n):
+        prev = cur
+        cur = P[i]
+        dx = cur[0] - prev[0]
+        dy = cur[1] - prev[1]
+        dxdy0 = dx * dy0
+        dydx0 = dy * dx0
+        orientation |= 2 if dydx0 > dxdy0 else (1 if dydx0 < dxdy0 else 3)
+        if orientation == 3:
+            return False
+        dx0 = dx
+        dy0 = dy
+    return True
+
+
+def point_polygon_test(contour, pt, measure_dist: bool = False) -> float:
+    """``cv2.pointPolygonTest`` — exact crossing counter (+1/-1/0) for
+    the no-distance form; signed min edge distance (f64) otherwise."""
+    pts = np.asarray(contour).reshape(-1, 2)
+    n = len(pts)
+    is_int = (np.issubdtype(pts.dtype, np.integer)
+              and float(pt[0]) == int(pt[0]) and float(pt[1]) == int(pt[1]))
+    if not measure_dist and is_int:
+        ipx, ipy = int(pt[0]), int(pt[1])
+        P = [(int(p[0]), int(p[1])) for p in pts]
+        counter = 0
+        v0 = P[n - 1]
+        for i in range(n):
+            v = P[i]
+            if (v0[1] <= ipy < v[1]) or (v[1] <= ipy < v0[1]):
+                dist = ((ipy - v0[1]) * (v[0] - v0[0])
+                        - (ipx - v0[0]) * (v[1] - v0[1]))
+                if dist == 0:
+                    return 0.0
+                if (dist > 0) != (v[1] > v0[1]):
+                    counter += 1
+            elif v0[1] == ipy and v[1] == ipy:
+                if ((v0[0] <= ipx <= v[0]) or (v[0] <= ipx <= v0[0])):
+                    return 0.0
+            elif (v0[1] == ipy and v0[0] == ipx) or \
+                    (v[1] == ipy and v[0] == ipx):
+                return 0.0
+            v0 = v
+        return -1.0 if counter % 2 == 0 else 1.0
+    P = pts.astype(np.float64)
+    px, py = float(pt[0]), float(pt[1])
+    min_dist_sq = np.inf
+    counter = 0
+    v0 = P[n - 1]
+    for i in range(n):
+        v = P[i]
+        if (v0[1] <= py < v[1]) or (v[1] <= py < v0[1]):
+            dist = ((py - v0[1]) * (v[0] - v0[0])
+                    - (px - v0[0]) * (v[1] - v0[1]))
+            if (dist > 0) != (v[1] > v0[1]) and dist != 0:
+                counter += 1
+        dx, dy = v[0] - v0[0], v[1] - v0[1]
+        dx1, dy1 = px - v0[0], py - v0[1]
+        dx2, dy2 = px - v[0], py - v[1]
+        if dx1 * dx + dy1 * dy <= 0:
+            d = dx1 * dx1 + dy1 * dy1
+        elif dx2 * dx + dy2 * dy >= 0:
+            d = dx2 * dx2 + dy2 * dy2
+        else:
+            t = dx1 * dy - dy1 * dx
+            d = t * t / (dx * dx + dy * dy)
+        min_dist_sq = min(min_dist_sq, d)
+        v0 = v
+    dist = np.sqrt(min_dist_sq)
+    if dist == 0:
+        return 0.0
+    inside = counter % 2 == 1
+    if not measure_dist:
+        return 1.0 if inside else -1.0
+    return dist if inside else -dist
+
+
+def convexity_defects(contour, hull_indices) -> np.ndarray:
+    """``cv2.convexityDefects`` — [N, 4] int32
+    (start_idx, end_idx, farthest_idx, fixpt_depth = cvRound(d·256)).
+    cv2's exact convention: hull/contour co-orientation via
+    ``((h1>h0)+(h2>h1)+(h0>h2)) != 2``, cyclic edge pairs starting at
+    the ascending-order last vertex, STRICT depth maxima in f64 with
+    the 1/sqrt edge normalization (bit-exact, 1661-contour fuzz)."""
+    pts = np.asarray(contour).reshape(-1, 2).astype(np.int64)
+    hull = [int(v) for v in np.asarray(hull_indices).reshape(-1)]
+    n = len(pts)
+    m = len(hull)
+    if m < 3:
+        return np.zeros((0, 4), np.int32)
+    rev = ((hull[1] > hull[0]) + (hull[2] > hull[1])
+           + (hull[0] > hull[2])) != 2
+    out = []
+    hcurr = hull[0] if rev else hull[m - 1]
+    for i in range(m):
+        hnext = hull[m - i - 1] if rev else hull[i]
+        x0, y0 = pts[hcurr]
+        x1, y1 = pts[hnext]
+        dx0 = float(x1 - x0)
+        dy0 = float(y1 - y0)
+        scale = 0.0 if dx0 == 0 and dy0 == 0 else \
+            1.0 / np.sqrt(dx0 * dx0 + dy0 * dy0)
+        deepest = -1
+        depth = 0.0
+        is_defect = False
+        j = hcurr
+        while True:
+            j = (j + 1) % n
+            if j == hnext:
+                break
+            dx = float(pts[j][0] - x0)
+            dy = float(pts[j][1] - y0)
+            dist = abs(-dy0 * dx + dx0 * dy) * scale
+            if dist > depth:
+                depth = dist
+                deepest = j
+                is_defect = True
+        if is_defect:
+            out.append([hcurr, hnext, deepest,
+                        int(np.rint(depth * 256.0))])
+        hcurr = hnext
     return np.asarray(out, np.int32).reshape(-1, 4)

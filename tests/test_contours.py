@@ -1,0 +1,133 @@
+"""cv2.findContours + contour descriptor parity
+(docs/PARITY.md "Contours")."""
+
+import numpy as np
+
+from detseed import seed
+import pytest
+
+import imageenhancement_mp_tpu as ie
+from imageenhancement_mp_tpu import ref
+
+cv2 = pytest.importorskip("cv2")
+cv2.setNumThreads(1)
+
+_MODES = {"list": cv2.RETR_LIST, "external": cv2.RETR_EXTERNAL,
+          "ccomp": cv2.RETR_CCOMP, "tree": cv2.RETR_TREE}
+_METH = {"none": cv2.CHAIN_APPROX_NONE, "simple": cv2.CHAIN_APPROX_SIMPLE}
+
+
+def _blob(rng, lo=8, hi=70):
+    H, W = int(rng.integers(lo, hi)), int(rng.integers(lo, hi))
+    k = int(rng.choice([3, 5, 9]))
+    return (cv2.GaussianBlur(rng.integers(0, 256, (H, W), np.uint8),
+                             (k, k), 0)
+            > int(rng.integers(100, 160))).astype(np.uint8) * 255
+
+
+@pytest.mark.parametrize("mode", sorted(_MODES))
+@pytest.mark.parametrize("method", sorted(_METH))
+def test_find_contours_bitwise(mode, method):
+    rng = np.random.default_rng(seed("fc", mode, method))
+    for _ in range(25):
+        img = _blob(rng)
+        cs, h = cv2.findContours(img, _MODES[mode], _METH[method])
+        h = h.reshape(-1, 4) if h is not None else np.zeros((0, 4), np.int32)
+        gc, gh = ie.find_contours(img, mode, method)
+        assert len(gc) == len(cs)
+        assert np.array_equal(gh, h)
+        for a, b in zip(cs, gc):
+            assert np.array_equal(a.reshape(-1, 2), b)
+
+
+def test_descriptors_bitwise():
+    rng = np.random.default_rng(seed("fc-desc"))
+    n_def = 0
+    for _ in range(30):
+        img = _blob(rng)
+        cs, _ = cv2.findContours(img, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+        for c in cs:
+            c2 = c.reshape(-1, 2)
+            assert ie.contour_area(c2) == cv2.contourArea(c)
+            assert ie.contour_area(c2, True) == cv2.contourArea(c, True)
+            for closed in (True, False):
+                assert ie.arc_length(c2, closed) == cv2.arcLength(c, closed)
+            assert ie.bounding_rect(c2) == tuple(cv2.boundingRect(c))
+            assert ie.is_contour_convex(c2) == bool(cv2.isContourConvex(c))
+            mw = cv2.moments(c)
+            mg = ie.contour_moments(c2)
+            for k, v in mw.items():
+                assert abs(mg[k] - v) <= max(1e-8, 1e-11 * abs(v)), (k, v)
+            for _ in range(3):
+                p = (int(rng.integers(0, img.shape[1])),
+                     int(rng.integers(0, img.shape[0])))
+                assert (ie.point_polygon_test(c2, p, False)
+                        == cv2.pointPolygonTest(c, p, False))
+                dw = cv2.pointPolygonTest(c, p, True)
+                assert abs(ie.point_polygon_test(c2, p, True) - dw) \
+                    <= 1e-9 * max(1, abs(dw))
+            if len(c2) >= 4:
+                hull = cv2.convexHull(c, returnPoints=False)
+                try:
+                    w = cv2.convexityDefects(c, hull)
+                except cv2.error:
+                    continue
+                w = (w.reshape(-1, 4) if w is not None
+                     else np.zeros((0, 4), np.int32))
+                g = ie.convexity_defects(c2, hull.reshape(-1))
+                assert np.array_equal(g, w)
+                n_def += len(w)
+    assert n_def > 50  # the fuzz actually exercised defects
+
+
+@pytest.mark.parametrize("dt", ["int", "float"])
+def test_convex_hull_distinct_bitwise(dt):
+    rng = np.random.default_rng(seed("fc-hull", dt))
+    for _ in range(60):
+        n = int(rng.integers(3, 80))
+        if dt == "int":
+            base = rng.permutation(400 * 400)[:n]
+            pts = np.stack([base % 400, base // 400], 1).astype(np.int32)
+        else:
+            pts = (rng.random((n, 2)) * 300).astype(np.float32)
+        for cw in (False, True):
+            want_i = cv2.convexHull(pts.reshape(-1, 1, 2), clockwise=cw,
+                                    returnPoints=False).reshape(-1)
+            want_p = cv2.convexHull(pts.reshape(-1, 1, 2),
+                                    clockwise=cw).reshape(-1, 2)
+            got_i = ie.convex_hull(pts, cw, return_points=False)
+            got_p = ie.convex_hull(pts, cw)
+            assert np.array_equal(got_i, want_i), (n, cw)
+            assert np.array_equal(got_p, want_p), (n, cw)
+
+
+def test_convex_hull_duplicates_same_polygon():
+    # exact duplicates: index tie order is the build's unstable sort —
+    # the output is the same polygon up to cyclic rotation
+    rng = np.random.default_rng(seed("fc-hull-dup"))
+    for _ in range(40):
+        n = int(rng.integers(4, 60))
+        pts = rng.integers(0, 8, (n, 2)).astype(np.int32)
+        for cw in (False, True):
+            want = cv2.convexHull(pts.reshape(-1, 1, 2),
+                                  clockwise=cw).reshape(-1, 2).tolist()
+            got = ie.convex_hull(pts, cw).tolist()
+            assert len(got) == len(want)
+            assert any(got[k:] + got[:k] == want for k in range(len(got)))
+
+
+def test_segmentation_chain():
+    # threshold (device) -> findContours -> descriptors end-to-end
+    rng = np.random.default_rng(seed("fc-chain"))
+    img = cv2.GaussianBlur(rng.integers(0, 256, (60, 80), np.uint8),
+                           (9, 9), 0)
+    import jax.numpy as jnp
+    _, binary = ie.threshold(jnp.asarray(img), method="otsu")
+    binary = np.asarray(binary)
+    want_cs, _ = cv2.findContours(binary, cv2.RETR_EXTERNAL,
+                                  cv2.CHAIN_APPROX_SIMPLE)
+    got_cs, _ = ie.find_contours(binary, "external", "simple")
+    assert len(got_cs) == len(want_cs) > 0
+    for a, b in zip(want_cs, got_cs):
+        assert np.array_equal(a.reshape(-1, 2), b)
+        assert ie.contour_area(b) == cv2.contourArea(a)
