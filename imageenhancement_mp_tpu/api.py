@@ -69,6 +69,7 @@ __all__ = [
     "is_contour_convex",
     "point_polygon_test",
     "convexity_defects",
+    "approx_poly_dp",
     "add",
     "subtract",
     "absdiff",
@@ -2371,6 +2372,14 @@ def convexity_defects(contour, hull_indices):
     from imageenhancement_mp_tpu.ref.ops import convexity_defects as _f
 
     return _f(contour, hull_indices)
+
+
+def approx_poly_dp(curve, epsilon, closed: bool):
+    """``cv2.approxPolyDP`` — BIT-EXACT polygon simplification (cv2
+    5.0's distance-to-segment law; 0/11784 fuzz, int + f32 curves)."""
+    from imageenhancement_mp_tpu.ref.ops import approx_poly_dp as _f
+
+    return _f(curve, float(epsilon), bool(closed))
 
 
 def hough_lines_p(img, rho: float = 1.0, theta: float = np.pi / 180,

@@ -131,3 +131,25 @@ def test_segmentation_chain():
     for a, b in zip(want_cs, got_cs):
         assert np.array_equal(a.reshape(-1, 2), b)
         assert ie.contour_area(b) == cv2.contourArea(a)
+
+
+@pytest.mark.parametrize("dt", ["int", "float"])
+def test_approx_poly_dp_bitwise(dt):
+    rng = np.random.default_rng(seed("fc-approx", dt))
+    for _ in range(25):
+        if dt == "int":
+            img = _blob(rng)
+            cs, _ = cv2.findContours(img, cv2.RETR_LIST,
+                                     cv2.CHAIN_APPROX_SIMPLE)
+            curves = [c.reshape(-1, 2) for c in cs]
+        else:
+            n = int(rng.integers(3, 50))
+            curves = [(rng.random((n, 2)) * 100).astype(np.float32)]
+        for c in curves:
+            for ep in (0.5, 1.0, 3.0, 8.0):
+                for cl in (True, False):
+                    want = cv2.approxPolyDP(
+                        c.reshape(-1, 1, 2), ep, cl).reshape(-1, 2)
+                    got = ie.approx_poly_dp(c, ep, cl)
+                    assert np.array_equal(
+                        got.astype(want.dtype), want), (dt, ep, cl)
