@@ -7006,3 +7006,285 @@ def approx_poly_dp(curve, epsilon, closed):
         return np.asarray(np.rint(arr), np.int32)
     return arr.astype(np.float32)
 
+
+
+def min_area_rect(points):
+    """``cv2.minAreaRect`` — rotating calipers over the convex hull
+    (f64 re-derivation).  Returns ``((cx, cy), (w, h), angle)`` in
+    cv2's convention (angle ∈ (-90, 0] measured from the horizontal to
+    the first box edge, width = that edge's extent).  Float-tolerance
+    tier: the rectangle agrees with cv2 to ≤1e-3 px on corners (cv2
+    computes the caliper chain in f32; docs/PARITY.md)."""
+    hull = convex_hull(points).astype(np.float64)
+    n = len(hull)
+    if n == 0:
+        return ((0.0, 0.0), (0.0, 0.0), 0.0)
+    if n == 1:
+        return ((float(hull[0, 0]), float(hull[0, 1])), (0.0, 0.0), 0.0)
+    if n == 2:
+        c = hull.mean(0)
+        d = hull[1] - hull[0]
+        w = float(np.hypot(*d))
+        ang = float(np.degrees(np.arctan2(d[1], d[0])))
+        return ((float(c[0]), float(c[1])), (w, 0.0), ang)
+    best = None
+    for i in range(n):
+        a = hull[i]
+        b = hull[(i + 1) % n]
+        e = b - a
+        L = np.hypot(*e)
+        if L == 0:
+            continue
+        ux, uy = e / L
+        # project hull on (u, perp)
+        px = hull[:, 0] * ux + hull[:, 1] * uy
+        py = -hull[:, 0] * uy + hull[:, 1] * ux
+        w = px.max() - px.min()
+        h = py.max() - py.min()
+        area = w * h
+        if best is None or area < best[0]:
+            cx_r = (px.max() + px.min()) * 0.5
+            cy_r = (py.max() + py.min()) * 0.5
+            cx = cx_r * ux - cy_r * uy
+            cy = cx_r * uy + cy_r * ux
+            best = (area, cx, cy, w, h, np.degrees(np.arctan2(uy, ux)))
+    _, cx, cy, w, h, ang = best
+    # canonicalize to cv2's convention: angle in (-90, 0]
+    ang = ang % 180.0
+    if ang > 90.0:
+        ang -= 180.0
+    if ang > 0.0:
+        ang -= 90.0
+        w, h = h, w
+    if ang <= -90.0:
+        ang += 90.0
+        w, h = h, w
+    if ang == 0.0:
+        ang = -90.0
+        w, h = h, w
+    return ((float(cx), float(cy)), (float(w), float(h)), float(ang))
+
+
+def box_points(rect):
+    """``cv2.boxPoints`` — the 4 corners of a rotated rect, cv2's
+    corner order (starting from the 'lowest' corner, clockwise in
+    image coords)."""
+    (cx, cy), (w, h), ang = rect
+    a = np.deg2rad(ang)
+    b_cos, b_sin = np.cos(a) * 0.5, np.sin(a) * 0.5
+    pts = np.array([
+        [cx - b_sin * h - b_cos * w, cy + b_cos * h - b_sin * w],
+        [cx + b_sin * h - b_cos * w, cy - b_cos * h - b_sin * w],
+        [cx + b_sin * h + b_cos * w, cy - b_cos * h + b_sin * w],
+        [cx - b_sin * h + b_cos * w, cy + b_cos * h + b_sin * w],
+    ], np.float32)
+    return pts
+
+
+def min_enclosing_circle(points):
+    """``cv2.minEnclosingCircle`` — Welzl's exact minimal disc in f64.
+    Float-tolerance tier (cv2 runs a f32 support-point scheme; center/
+    radius agree to ≤1e-3; docs/PARITY.md)."""
+    pts = np.asarray(points).reshape(-1, 2).astype(np.float64)
+    n = len(pts)
+    if n == 0:
+        return ((0.0, 0.0), 0.0)
+
+    def circ2(a, b):
+        c = (a + b) * 0.5
+        return c, np.hypot(*(a - c))
+
+    def circ3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by)
+              * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by)
+              * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
+        cen = np.array([ux, uy])
+        return cen, np.hypot(*(a - cen))
+
+    def inside(c, r, p, eps=1e-7):
+        return np.hypot(*(p - c)) <= r + eps * max(1.0, r)
+
+    # deterministic Welzl (move-to-front, fixed order)
+    def md(ps, boundary):
+        if len(boundary) == 3:
+            res = circ3(*boundary)
+            if res is not None:
+                return res
+        c, r = (np.array([0.0, 0.0]), -1.0)
+        if len(boundary) == 1:
+            c, r = boundary[0].copy(), 0.0
+        elif len(boundary) == 2:
+            c, r = circ2(*boundary)
+        for i, p in enumerate(ps):
+            if r < 0 or not inside(c, r, p):
+                if len(boundary) < 3:
+                    c, r = md(ps[:i], boundary + [p])
+        return c, r
+
+    c, r = md(list(pts), [])
+    return ((float(c[0]), float(c[1])), float(r))
+
+
+def _fitline_wods(pts, w):
+    x = float((w * pts[:, 0]).sum())
+    y = float((w * pts[:, 1]).sum())
+    x2 = float((w * pts[:, 0] * pts[:, 0]).sum())
+    y2 = float((w * pts[:, 1] * pts[:, 1]).sum())
+    xy = float((w * pts[:, 0] * pts[:, 1]).sum())
+    ws = float(w.sum())
+    x /= ws
+    y /= ws
+    x2 /= ws
+    y2 /= ws
+    xy /= ws
+    dx2 = x2 - x * x
+    dy2 = y2 - y * y
+    dxy = xy - x * y
+    t = np.float32(np.arctan2(2 * dxy, dx2 - dy2)) / np.float32(2)
+    return np.array([np.float32(np.cos(t)), np.float32(np.sin(t)),
+                     np.float32(x), np.float32(y)], np.float32)
+
+
+def fit_line(points, dist_type: str = "l2", param: float = 0.0,
+             reps: float = 0.01, aeps: float = 0.01):
+    """``cv2.fitLine`` (2-D).  L2 is the closed-form weighted-moments
+    fit — agrees with cv2 to ~1e-6.  Robust types run the same
+    20-attempt scheme as fitline.cpp (10 random support points from a
+    local deterministic MWC stream, ≤30 IRLS rounds with cv2's weight
+    laws, keep the min-L1 attempt); on well-conditioned near-linear
+    data the result agrees with cv2 to ≤~0.3 in direction/anchor, but
+    on MULTI-MODAL scatter the IRLS may settle in a different local
+    fixpoint than cv2's (probed: no candidate start reproduces cv2's
+    basin — some fitline.cpp micro-detail remains unpinned;
+    docs/PARITY.md documents this as an approximation row).
+    Returns (vx, vy, x0, y0) f32."""
+    pts = np.asarray(points).reshape(-1, 2).astype(np.float32)
+    n = len(pts)
+    d = dist_type.lower()
+    dists = {"l2": 2, "l1": 1, "l12": 4, "fair": 5, "welsch": 6,
+             "huber": 7}
+    if d not in dists:
+        raise ValueError(f"unknown dist_type {dist_type!r}")
+    ptsd = pts.astype(np.float64)
+    if d == "l2":
+        line = _fitline_wods(ptsd, np.ones(n))
+        return tuple(np.float32(v) for v in line)
+    C = {"l1": 0.0, "l12": 0.0,
+         "fair": param if param > 0 else 1.3998,
+         "welsch": param if param > 0 else 2.9846,
+         "huber": param if param > 0 else 1.345}[d]
+
+    def calc_w(r):
+        r = r.astype(np.float64)
+        if d == "l1":
+            return (1.0 / np.maximum(r, np.finfo(np.float64).eps)
+                    ).astype(np.float32)
+        if d == "l12":
+            return (1.0 / np.sqrt(1 + r * r * 0.5)).astype(np.float32)
+        if d == "fair":
+            return (1.0 / (1 + r / C)).astype(np.float32)
+        if d == "welsch":
+            return np.exp(-r * r / (2 * C * C)).astype(np.float32)
+        return np.where(r < C, 1.0, C / np.maximum(r, 1e-300)
+                        ).astype(np.float32)
+
+    EPS = n * np.finfo(np.float32).eps
+    rdelta = reps if reps != 0 else 1.0
+    adelta = aeps if aeps != 0 else 0.01
+    rng = _CvRNG()
+    min_err = np.inf
+    best = np.zeros(4, np.float32)
+    for k in range(20):
+        w = np.zeros(n, np.float32)
+        i = 0
+        while i < min(n, 10):
+            j = rng.uniform_int(0, n)
+            if w[j] < np.finfo(np.float32).eps:
+                w[j] = 1.0
+                i += 1
+        line = _fitline_wods(ptsd, w.astype(np.float64))
+        lineprev = line.copy()
+        first = True
+        err = 0.0
+        for it in range(30):
+            if not first:
+                t = float(line[0]) * float(lineprev[0]) \
+                    + float(line[1]) * float(lineprev[1])
+                t = min(max(t, -1.0), 1.0)
+                if abs(np.arccos(t)) < adelta:
+                    dx = abs(np.float32(line[2] - lineprev[2]))
+                    dy = abs(np.float32(line[3] - lineprev[3]))
+                    if max(dx, dy) < rdelta:
+                        break
+            first = False
+            nx, ny = np.float32(line[1]), np.float32(-line[0])
+            r = np.abs(nx * (pts[:, 0] - np.float32(line[2]))
+                       + ny * (pts[:, 1] - np.float32(line[3])))
+            err = float(r.astype(np.float64).sum())
+            if err < EPS:
+                break
+            w = calc_w(r)
+            sw = float(w.astype(np.float64).sum())
+            if abs(sw) > np.finfo(np.float32).eps:
+                w = (w.astype(np.float64) / sw).astype(np.float32)
+            else:
+                w = np.ones(n, np.float32)
+            lineprev = line.copy()
+            line = _fitline_wods(ptsd, w.astype(np.float64))
+        if err < min_err:
+            min_err = err
+            best = line.copy()
+            if err < EPS:
+                break
+    return tuple(np.float32(v) for v in best)
+
+
+def fit_ellipse(points):
+    """``cv2.fitEllipse`` — cv2's normalized direct least squares
+    (centered/scaled design matrix, SVD solve).  Float-tolerance tier:
+    center/axes ≤1e-2 px, angle ≤0.1° mod 180 on non-degenerate
+    samples (docs/PARITY.md).  Returns ((cx, cy), (w, h), angle)."""
+    pts = np.asarray(points).reshape(-1, 2).astype(np.float64)
+    n = len(pts)
+    if n < 5:
+        raise ValueError("fitEllipse needs >= 5 points")
+    c = pts.mean(0)
+    s = np.abs(pts - c).mean() or 1.0
+    q = (pts - c) / s
+    x, y = q[:, 0], q[:, 1]
+    A = np.stack([x * x, x * y, y * y, x, y, np.ones(n)], 1)
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    a, b, cc, dd, ee, ff = vt[-1]
+    # unscale: x = (X-cx)/s
+    A2 = a
+    B2 = b
+    C2 = cc
+    D2 = (dd * s - 2 * a * c[0] - b * c[1])
+    E2 = (ee * s - 2 * cc * c[1] - b * c[0])
+    F2 = (a * c[0] ** 2 + b * c[0] * c[1] + cc * c[1] ** 2
+          - dd * s * c[0] - ee * s * c[1] + ff * s * s)
+    den = 4 * A2 * C2 - B2 * B2
+    if den == 0:
+        raise ValueError("degenerate ellipse")
+    cx = (B2 * E2 - 2 * C2 * D2) / den
+    cy = (B2 * D2 - 2 * A2 * E2) / den
+    Fc = (A2 * cx * cx + B2 * cx * cy + C2 * cy * cy
+          + D2 * cx + E2 * cy + F2)
+    M = np.array([[A2, B2 / 2], [B2 / 2, C2]]) / (-Fc)
+    evals, evecs = np.linalg.eigh(M)
+    axes = 2.0 / np.sqrt(np.abs(evals))
+    # cv2 convention: (width, height) with angle of the SECOND axis
+    v = evecs[:, 1]
+    ang = np.degrees(np.arctan2(v[1], v[0])) % 180.0
+    w_ax, h_ax = float(axes[1]), float(axes[0])
+    if w_ax > h_ax:
+        w_ax, h_ax = h_ax, w_ax
+        ang = (ang + 90.0) % 180.0
+    return ((float(cx), float(cy)), (w_ax, h_ax), float(ang))

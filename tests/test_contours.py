@@ -153,3 +153,73 @@ def test_approx_poly_dp_bitwise(dt):
                     got = ie.approx_poly_dp(c, ep, cl)
                     assert np.array_equal(
                         got.astype(want.dtype), want), (dt, ep, cl)
+
+
+def test_min_area_rect_and_circle():
+    rng = np.random.default_rng(seed("fc-fit1"))
+    for _ in range(50):
+        n = int(rng.integers(3, 40))
+        pts = (rng.random((n, 2)) * 100).astype(np.float32)
+        wr = cv2.minAreaRect(pts.reshape(-1, 1, 2))
+        gr = ie.min_area_rect(pts)
+        wb = np.sort(cv2.boxPoints(wr), axis=0)
+        gb = np.sort(ie.box_points(gr), axis=0)
+        assert np.abs(wb - gb).max() <= 1e-3
+        (wc, wrad) = cv2.minEnclosingCircle(pts.reshape(-1, 1, 2))
+        (gc, grad) = ie.min_enclosing_circle(pts)
+        assert abs(wrad - grad) <= 1e-3
+        assert abs(wc[0] - gc[0]) <= 1e-3 and abs(wc[1] - gc[1]) <= 1e-3
+
+
+def test_box_points_matches_cv2():
+    rng = np.random.default_rng(seed("fc-boxpts"))
+    for _ in range(40):
+        rect = ((float(rng.uniform(0, 100)), float(rng.uniform(0, 100))),
+                (float(rng.uniform(1, 50)), float(rng.uniform(1, 50))),
+                float(rng.uniform(-90, 90)))
+        assert np.abs(ie.box_points(rect) - cv2.boxPoints(rect)).max() \
+            <= 1e-3
+
+
+def test_fit_line_l2_tight_and_robust_budget():
+    rng = np.random.default_rng(seed("fc-fitline"))
+    for _ in range(30):
+        n = int(rng.integers(10, 50))
+        th = rng.uniform(0, np.pi)
+        t = rng.uniform(-50, 50, n)
+        base = np.stack([50 + t * np.cos(th), 50 + t * np.sin(th)], 1)
+        noise = rng.normal(0, 0.5, (n, 2))
+        noise[:max(1, n // 8)] = rng.normal(0, 8, (max(1, n // 8), 2))
+        pts = (base + noise).astype(np.float32)
+        wl = cv2.fitLine(pts.reshape(-1, 1, 2), cv2.DIST_L2,
+                         0, 0.01, 0.01).reshape(-1)
+        gl = np.array(ie.fit_line(pts, "l2"))
+        assert min(np.abs(gl - wl).max(),
+                   np.abs(np.concatenate([-gl[:2], gl[2:]]) - wl).max()) \
+            <= 1e-5
+        for dt, cvd in [("l1", cv2.DIST_L1), ("huber", cv2.DIST_HUBER),
+                        ("welsch", cv2.DIST_WELSCH)]:
+            wl = cv2.fitLine(pts.reshape(-1, 1, 2), cvd,
+                             0, 0.01, 0.01).reshape(-1)
+            gl = np.array(ie.fit_line(pts, dt))
+            ddir = min(np.abs(gl[:2] - wl[:2]).max(),
+                       np.abs(gl[:2] + wl[:2]).max())
+            assert ddir <= 0.5, (dt, ddir)  # documented approximation
+
+
+def test_fit_ellipse():
+    rng = np.random.default_rng(seed("fc-fitell"))
+    for _ in range(40):
+        t = rng.uniform(0, 2 * np.pi, 24)
+        a, b = rng.uniform(10, 40), rng.uniform(5, 25)
+        th = rng.uniform(0, np.pi)
+        ex = 50 + a * np.cos(t) * np.cos(th) - b * np.sin(t) * np.sin(th)
+        ey = 50 + a * np.cos(t) * np.sin(th) + b * np.sin(t) * np.cos(th)
+        pts = (np.stack([ex, ey], 1)
+               + rng.normal(0, 0.05, (24, 2))).astype(np.float32)
+        we = cv2.fitEllipse(pts.reshape(-1, 1, 2))
+        ge = ie.fit_ellipse(pts)
+        agg = (abs(we[0][0] - ge[0][0]) + abs(we[0][1] - ge[0][1])
+               + abs(we[1][0] - ge[1][0]) + abs(we[1][1] - ge[1][1])
+               + abs(((we[2] - ge[2]) + 90) % 180 - 90))
+        assert agg <= 0.1, agg
