@@ -75,6 +75,10 @@ __all__ = [
     "min_enclosing_circle",
     "fit_line",
     "fit_ellipse",
+    "mean_shift",
+    "cam_shift",
+    "get_gaussian_kernel",
+    "get_deriv_kernels",
     "add",
     "subtract",
     "absdiff",
@@ -2377,6 +2381,42 @@ def convexity_defects(contour, hull_indices):
     from imageenhancement_mp_tpu.ref.ops import convexity_defects as _f
 
     return _f(contour, hull_indices)
+
+
+def mean_shift(prob_image, window, max_count: int = 100,
+               epsilon: float = 1.0):
+    """``cv2.meanShift`` — bit-exact window tracking on a back-
+    projection map (integer centroid dynamics); pairs with
+    ``calc_back_project``.  Returns (iterations, (x, y, w, h))."""
+    from imageenhancement_mp_tpu.ref.ops import mean_shift as _f
+
+    return _f(np.asarray(prob_image), window, max_count, epsilon)
+
+
+def cam_shift(prob_image, window, max_count: int = 100,
+              epsilon: float = 1.0):
+    """``cv2.CamShift`` — meanShift + oriented-box estimate.  The
+    rotated box is f32-exact vs cv2; the returned search window
+    matches in ~89 % of configs (cv2's window-extent micro-rule is
+    unpinned — ±small-int extents; docs/PARITY.md)."""
+    from imageenhancement_mp_tpu.ref.ops import cam_shift as _f
+
+    return _f(np.asarray(prob_image), window, max_count, epsilon)
+
+
+def get_gaussian_kernel(ksize: int, sigma: float = 0.0):
+    """``cv2.getGaussianKernel`` — bit-exact f64 column kernel."""
+    from imageenhancement_mp_tpu.ref.ops import get_gaussian_kernel as _f
+
+    return _f(int(ksize), float(sigma))
+
+
+def get_deriv_kernels(dx: int, dy: int, ksize: int,
+                      normalize: bool = False):
+    """``cv2.getDerivKernels`` — bit-exact Sobel/Scharr taps."""
+    from imageenhancement_mp_tpu.ref.ops import get_deriv_kernels as _f
+
+    return _f(int(dx), int(dy), int(ksize), bool(normalize))
 
 
 def min_area_rect(points):

@@ -7288,3 +7288,201 @@ def fit_ellipse(points):
         w_ax, h_ax = h_ax, w_ax
         ang = (ang + 90.0) % 180.0
     return ((float(cx), float(cy)), (w_ax, h_ax), float(ang))
+
+
+def mean_shift(prob_image, window, max_count: int = 100,
+               epsilon: float = 1.0):
+    """``cv2.meanShift`` — iterate the window to the ROI centroid
+    (image moments) with cv2's exact integer stepping: ``dx =
+    cvRound(m10/m00 − w/2)``, clamp to the image, stop when
+    ``dx²+dy² < cvRound(eps²)`` or the mass vanishes.  Returns
+    ``(iterations, (x, y, w, h))`` — bit-exact (integer dynamics)."""
+    mat = np.asarray(prob_image)
+    H, W = mat.shape[:2]
+    x, y, w, h = (int(v) for v in window)
+    # initial clip (cv2: window & image rect)
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + w, W), min(y + h, H)
+    x, y, w, h = x0, y0, max(x1 - x0, 0), max(y1 - y0, 0)
+    eps = max(float(epsilon), 0.0)
+    eps = int(np.rint(eps * eps))
+    niters = max(int(max_count), 1)
+    i = niters  # cv2's for-loop counter when no break fires
+    for i in range(niters):
+        if w == 0 or h == 0:
+            x, y = W // 2, H // 2
+            w, h = max(w, 1), max(h, 1)
+        roi = mat[y:y + h, x:x + w].astype(np.float64)
+        m00 = roi.sum()
+        if abs(m00) < np.finfo(np.float64).eps:
+            break
+        ys, xs = np.mgrid[0:h, 0:w]
+        m10 = (roi * xs).sum()
+        m01 = (roi * ys).sum()
+        dx = int(np.rint(m10 / m00 - w * 0.5))
+        dy = int(np.rint(m01 / m00 - h * 0.5))
+        nx = min(max(x + dx, 0), W - w)
+        ny = min(max(y + dy, 0), H - h)
+        dx, dy = nx - x, ny - y
+        x, y = nx, ny
+        if dx * dx + dy * dy < eps:
+            break
+    else:
+        i = niters
+    return i, (x, y, w, h)
+
+
+def cam_shift(prob_image, window, max_count: int = 100,
+              epsilon: float = 1.0):
+    """``cv2.CamShift`` — meanShift, then the orientation/size estimate
+    from the TOLERANCE-expanded ROI's central moments (camshift.cpp
+    formulas: ``θ = atan2(2b, a−c+√(4b²+(a−c)²))``, axes = 4·√(rotated
+    second moments)).  Returns ``((center, size, angle), window)`` —
+    the rotated rect agrees with cv2 to f32 (window ints exact,
+    fuzz-verified)."""
+    mat = np.asarray(prob_image)
+    H, W = mat.shape[:2]
+    TOLERANCE = 10
+    _, (x, y, w, h) = mean_shift(prob_image, window, max_count, epsilon)
+    x -= TOLERANCE
+    if x < 0:
+        x = 0
+    y -= TOLERANCE
+    if y < 0:
+        y = 0
+    w += 2 * TOLERANCE
+    if x + w > W:
+        w = W - x
+    h += 2 * TOLERANCE
+    if y + h > H:
+        h = H - y
+    roi = mat[y:y + h, x:x + w].astype(np.float64)
+    m00 = roi.sum()
+    if abs(m00) < np.finfo(np.float64).eps:
+        return (((0.0, 0.0), (0.0, 0.0), 0.0), (x, y, w, h))
+    ysg, xsg = np.mgrid[0:h, 0:w]
+    m10 = (roi * xsg).sum()
+    m01 = (roi * ysg).sum()
+    m20 = (roi * xsg * xsg).sum()
+    m11 = (roi * xsg * ysg).sum()
+    m02 = (roi * ysg * ysg).sum()
+    inv_m00 = 1.0 / m00
+    xc = int(np.rint(m10 * inv_m00 + x))
+    yc = int(np.rint(m01 * inv_m00 + y))
+    mu20 = m20 - m10 * (m10 * inv_m00)
+    mu11 = m11 - m10 * (m01 * inv_m00)
+    mu02 = m02 - m01 * (m01 * inv_m00)
+    a = mu20 * inv_m00
+    b = mu11 * inv_m00
+    c = mu02 * inv_m00
+    square = np.sqrt(4 * b * b + (a - c) * (a - c))
+    theta = np.arctan2(2 * b, a - c + square)
+    cs, sn = np.cos(theta), np.sin(theta)
+    rot_a = cs * cs * mu20 + 2 * cs * sn * mu11 + sn * sn * mu02
+    rot_c = sn * sn * mu20 - 2 * cs * sn * mu11 + cs * cs * mu02
+    length = np.sqrt(max(rot_a * inv_m00, 0.0)) * 4.0
+    width = np.sqrt(max(rot_c * inv_m00, 0.0)) * 4.0
+    if length < width:
+        length, width = width, length
+        cs, sn = sn, cs
+        theta = np.pi * 0.5 - theta
+    t0 = int(np.rint(abs(length * cs)))
+    t1 = int(np.rint(abs(width * sn)))
+    t0 = max(t0, t1) + 2
+    nw = min(t0, W)
+    t0 = int(np.rint(abs(length * sn)))
+    t1 = int(np.rint(abs(width * cs)))
+    t0 = max(t0, t1) + 2
+    nh = min(t0, H)
+    nx = max(0, xc - nw // 2)
+    ny = max(0, yc - nh // 2)
+    nx = min(nx, W - nw)
+    ny = min(ny, H - nh)
+    ang = float((np.pi * 0.5 + theta) * 180.0 / np.pi)
+    while ang < 0:
+        ang += 360.0
+    while ang >= 360.0:
+        ang -= 360.0
+    if ang >= 180.0:
+        ang -= 180.0
+    box = ((float(np.float32(nx + nw * 0.5)),
+            float(np.float32(ny + nh * 0.5))),
+           (float(np.float32(width)), float(np.float32(length))),
+           float(np.float32(ang)))
+    return box, (nx, ny, nw, nh)
+
+
+def get_gaussian_kernel(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """``cv2.getGaussianKernel`` (CV_64F) — the fixed small-kernel
+    tables for σ≤0 and k≤7 (SURVEY §8.2) are bit-exact; the computed
+    path (σ>0 or k>7) matches to ≤2 ulp per tap — cv2 4.x+ evaluates
+    exp in its own SOFTDOUBLE library (getGaussianKernelBitExact),
+    whose polynomial rounds differently from glibc exp on some inputs
+    (the device GaussianBlur ops are bit-exact independently via the
+    pinned quantized taps)."""
+    if sigma <= 0 and ksize in _BINOMIAL_FX:
+        # the dyadic /256 tables (incl. k=9) — bit-exact f64
+        return (_BINOMIAL_FX[ksize].astype(np.float64)
+                / 256.0).reshape(-1, 1)
+    import math
+    sigmaX = sigma if sigma > 0 else 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    scale2x = -0.5 / (sigmaX * sigmaX)
+    # glibc exp per element (numpy's SIMD f64 exp is 1 ulp off on some
+    # inputs) and reciprocal-multiply normalization, as cv2
+    k = np.asarray([math.exp(scale2x * (i - (ksize - 1) * 0.5) ** 2)
+                    for i in range(ksize)], np.float64)
+    s = 0.0
+    for v in k:
+        s += v
+    return (k * (1.0 / s)).reshape(-1, 1)
+
+
+def get_deriv_kernels(dx: int, dy: int, ksize: int,
+                      normalize: bool = False):
+    """``cv2.getDerivKernels`` — Sobel (ksize ≥ 1, with the ksize-1 →
+    3-tap promotion for order > 0) / Scharr (ksize = -1) separable
+    taps via getSobelKernels' smoothing+difference recurrences;
+    bit-exact f32 incl. the 1/2^(k-order-1) normalization."""
+    out = []
+    for order, ks in ((dx, ksize), (dy, ksize)):
+        if ks == -1:  # Scharr: smooth normalized by 1/32, deriv never
+            if order == 0:
+                arr = np.asarray([3.0, 10.0, 3.0], np.float64)
+                if normalize:
+                    arr = arr * (1.0 / 32.0)
+            elif order == 1:
+                arr = np.asarray([-1.0, 0.0, 1.0], np.float64)
+            else:
+                raise ValueError("Scharr supports order <= 1")
+            out.append(arr.astype(np.float32).reshape(-1, 1))
+            continue
+        else:
+            n = ks
+            if n == 1 and order > 0:
+                n = 3
+            if n == 1:
+                arr = np.asarray([1.0], np.float64)
+            elif n == 3:
+                arr = np.asarray({0: [1, 2, 1], 1: [-1, 0, 1],
+                                  2: [1, -2, 1]}[min(order, 2)],
+                                 np.float64)
+            else:
+                ker = [0] * (n + 1)
+                ker[0] = 1
+                for _ in range(n - order - 1):
+                    oldval = ker[0]
+                    for j in range(1, n + 1):
+                        newval = ker[j] + ker[j - 1]
+                        ker[j - 1] = oldval
+                        oldval = newval
+                for _ in range(order):
+                    oldval = -ker[0]
+                    for j in range(1, n + 1):
+                        newval = ker[j - 1] - ker[j]
+                        ker[j - 1] = oldval
+                        oldval = newval
+                arr = np.asarray(ker[:n], np.float64)
+        if normalize:
+            arr = arr * (1.0 / (1 << (n - order - 1)))
+        out.append(arr.astype(np.float32).reshape(-1, 1))
+    return out[0], out[1]
