@@ -7486,3 +7486,136 @@ def get_deriv_kernels(dx: int, dy: int, ksize: int,
             arr = arr * (1.0 / (1 << (n - order - 1)))
         out.append(arr.astype(np.float32).reshape(-1, 1))
     return out[0], out[1]
+
+
+def _ms_window_chunk(src, y0, x0, sp, isr2, K, max_count, eps):
+    """Mean-shift iterations for one chunk of start pixels (vectorized).
+
+    ``src`` is ``[H,W,3]`` int64; returns the converged colors
+    ``[P,3]`` following cv2's exact integer dynamics (segmentation.cpp):
+    window ``cvRound(p ± sp)`` clamped, membership ``Σ Δc² ≤ isr2``,
+    update ``cvRound(sum · (1./count))`` (one f64 product rounding),
+    stop on same-point or ``|Δx|+|Δy|+Σ Δc² ≤ eps``.
+    """
+    H, W = src.shape[:2]
+    P = y0.size
+    x = x0.astype(np.int64).copy()
+    y = y0.astype(np.int64).copy()
+    c = src[y, x].copy()
+    active = np.ones(P, bool)
+    offs = np.arange(K, dtype=np.int64)
+    for _ in range(max_count):
+        ax = np.nonzero(active)[0]
+        if ax.size == 0:
+            break
+        X, Y, C = x[ax], y[ax], c[ax]
+        minx = np.maximum(np.rint(X - sp).astype(np.int64), 0)
+        miny = np.maximum(np.rint(Y - sp).astype(np.int64), 0)
+        maxx = np.minimum(np.rint(X + sp).astype(np.int64), W - 1)
+        maxy = np.minimum(np.rint(Y + sp).astype(np.int64), H - 1)
+        xs = minx[:, None] + offs[None, :]
+        ys = miny[:, None] + offs[None, :]
+        vx = xs <= maxx[:, None]
+        vy = ys <= maxy[:, None]
+        win = src[np.minimum(ys, H - 1)[:, :, None],
+                  np.minimum(xs, W - 1)[:, None, :]]
+        d = win - C[:, None, None, :]
+        sel = ((d * d).sum(-1) <= isr2) & vy[:, :, None] & vx[:, None, :]
+        cnt = sel.sum((1, 2))
+        s = np.where(sel[..., None], win, 0).sum((1, 2))
+        sx = np.where(sel, xs[:, None, :], 0).sum((1, 2))
+        sy = np.where(sel, ys[:, :, None], 0).sum((1, 2))
+        ic = 1.0 / np.maximum(cnt, 1)
+        x1 = np.rint(sx * ic).astype(np.int64)
+        y1 = np.rint(sy * ic).astype(np.int64)
+        c1 = np.rint(s * ic[:, None]).astype(np.int64)
+        dc = c1 - C
+        stop = ((x1 == X) & (y1 == Y)) | \
+            ((np.abs(x1 - X) + np.abs(y1 - Y) + (dc * dc).sum(-1)) <= eps)
+        alive = cnt > 0
+        upd = ax[alive]
+        x[upd], y[upd], c[upd] = x1[alive], y1[alive], c1[alive]
+        active[ax[~alive]] = False
+        active[ax[alive & stop]] = False
+    return c
+
+
+def pyr_mean_shift_filtering(img, sp, sr, max_level=1,
+                             max_count=5, epsilon=1.0):
+    """``cv2.pyrMeanShiftFiltering`` — color mean-shift segmentation
+    over a Gaussian pyramid.  BIT-EXACT vs cv2 5.0 (probes + fuzz,
+    docs/PARITY.md "Mean-shift segmentation"):
+
+    * per-level radius ``sp_l = max(sp/2^level, 1)``; color radius
+      ``isr2 = cvRound(sr²)``; termcrit clamps: count → [1,100],
+      eps → ≥0 (cv2 defaults COUNT+EPS, 5, 1.0);
+    * mean-shift window rows/cols ``cvRound(p ± sp_l)`` clamped to the
+      image; membership ``Σ (Δc)² ≤ isr2`` against the CURRENT mean
+      color; update = ``cvRound(sum · (1./count))`` per coordinate and
+      channel (f64 reciprocal-product chain, reproduced verbatim);
+      stop when the point repeats or ``|Δx|+|Δy|+Σ(Δc)² ≤ eps``;
+    * pyramid: per-channel :func:`pyr_down`; going down, the previous
+      (smaller) RESULT is per-channel :func:`pyr_up`-expanded into the
+      level's output; a pixel is re-processed (from the level's SOURCE
+      color) only under a mask — flag(i,j) = any of the 8 neighbours
+      of small-image pixel (i,j) at color-distance² ≥ max(isr2, 16),
+      written at (2i+1, 2j−1), then 3×3-dilated (zero border); all
+      other pixels keep the pyrUp color.
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("pyrMeanShiftFiltering expects uint8 [H,W,3]")
+    max_level = int(max_level)
+    if not 0 <= max_level <= 8:
+        raise ValueError("max_level must be in [0, 8]")
+    sr = float(sr)
+    isr2 = int(np.rint(sr * sr))
+    isr22 = max(isr2, 16)
+    max_count = min(max(int(max_count), 1), 100)
+    eps = max(float(epsilon), 0.0)
+    src_pyr = [img]
+    for _ in range(max_level):
+        a = src_pyr[-1]
+        src_pyr.append(np.stack([pyr_down(a[..., ch]) for ch in range(3)],
+                                axis=-1))
+    dst = None
+    for level in range(max_level, -1, -1):
+        src = src_pyr[level].astype(np.int64)
+        H, W = src.shape[:2]
+        sp_l = max(float(sp) / (1 << level), 1.0)
+        if level < max_level:
+            h1, w1 = dst.shape[:2]
+            out = np.stack([pyr_up(dst[..., ch])[:H, :W] for ch in range(3)],
+                           axis=-1).astype(np.int64)
+            m = np.zeros((H, W), np.uint8)
+            if h1 > 2 and w1 > 2:
+                u = dst.astype(np.int64)
+                t = u[1:-1, 1:-1]
+                flag = np.zeros((h1 - 2, w1 - 2), bool)
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        if di == 0 and dj == 0:
+                            continue
+                        dd = u[1 + di:h1 - 1 + di, 1 + dj:w1 - 1 + dj] - t
+                        flag |= (dd * dd).sum(-1) >= isr22
+                m[np.ix_(2 * np.arange(1, h1 - 1) + 1,
+                         2 * np.arange(1, w1 - 1) - 1)] = flag
+                p = np.pad(m, 1)
+                for di in range(3):
+                    for dj in range(3):
+                        np.maximum(m, p[di:di + H, dj:dj + W], out=m)
+            sel_idx = np.nonzero(m.ravel())[0]
+        else:
+            out = src.copy()
+            sel_idx = np.arange(H * W)
+        if sel_idx.size:
+            K = 2 * int(np.ceil(sp_l)) + 1
+            step = max(1, (1 << 22) // (K * K))
+            of = out.reshape(-1, 3)
+            ys0, xs0 = sel_idx // W, sel_idx % W
+            for a in range(0, sel_idx.size, step):
+                of[sel_idx[a:a + step]] = _ms_window_chunk(
+                    src, ys0[a:a + step], xs0[a:a + step],
+                    sp_l, isr2, K, max_count, eps)
+        dst = out.astype(np.uint8)
+    return dst
