@@ -76,6 +76,7 @@ __all__ = [
     "fit_line",
     "fit_ellipse",
     "mean_shift",
+    "pyr_mean_shift_filtering",
     "cam_shift",
     "get_gaussian_kernel",
     "get_deriv_kernels",
@@ -2402,6 +2403,37 @@ def cam_shift(prob_image, window, max_count: int = 100,
     from imageenhancement_mp_tpu.ref.ops import cam_shift as _f
 
     return _f(np.asarray(prob_image), window, max_count, epsilon)
+
+
+@lru_cache(maxsize=None)
+def _pms_jit(sp: float, sr: float, max_level: int, max_count: int,
+             epsilon: float, batched: bool):
+    from imageenhancement_mp_tpu.ops.meanshift import pyr_mean_shift_planes
+
+    def run(img):
+        return pyr_mean_shift_planes(img, sp, sr, max_level, max_count,
+                                     epsilon)
+
+    return jax.jit(jax.vmap(run) if batched else run)
+
+
+def pyr_mean_shift_filtering(img, sp: float, sr: float, max_level: int = 1,
+                             max_count: int = 5, epsilon: float = 1.0):
+    """``cv2.pyrMeanShiftFiltering`` — color mean-shift segmentation,
+    BIT-EXACT on device (dense masked-lane iteration, int32-resolved
+    ``cvRound(sum/count)`` razor ties; ops/meanshift.py, docs/PARITY.md
+    "Mean-shift segmentation").  ``img`` is u8 ``[H,W,3]`` or batched
+    ``[N,H,W,3]``; termcrit mirrors cv2 (COUNT+EPS, 5, 1.0)."""
+    img = jnp.asarray(img)
+    _check_u8(img)
+    if img.ndim not in (3, 4) or img.shape[-1] != 3:
+        raise ValueError("pyr_mean_shift_filtering expects [H,W,3] or "
+                         "[N,H,W,3] uint8")
+    if not 0 <= int(max_level) <= 8:
+        raise ValueError("max_level must be in [0, 8]")
+    fn = _pms_jit(float(sp), float(sr), int(max_level), int(max_count),
+                  float(epsilon), img.ndim == 4)
+    return fn(img)
 
 
 def get_gaussian_kernel(ksize: int, sigma: float = 0.0):

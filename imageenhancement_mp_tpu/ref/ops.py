@@ -7582,7 +7582,10 @@ def pyr_mean_shift_filtering(img, sp, sr, max_level=1,
     for level in range(max_level, -1, -1):
         src = src_pyr[level].astype(np.int64)
         H, W = src.shape[:2]
-        sp_l = max(float(sp) / (1 << level), 1.0)
+        # cv2 stores the level radius as FLOAT32 (segmentation.cpp's
+        # `float sp`); the window arithmetic then promotes it back to
+        # f64, where int − f32 is exact — so round through f32 here.
+        sp_l = max(float(np.float32(float(sp) / (1 << level))), 1.0)
         if level < max_level:
             h1, w1 = dst.shape[:2]
             out = np.stack([pyr_up(dst[..., ch])[:H, :W] for ch in range(3)],

@@ -404,6 +404,13 @@ def run_selftest(size=(128, 131), seed=0, verbose=True) -> bool:
 
     checks += [("lk/track", _lk_dev, _lk_ref, 0)]
 
+    # pyrMeanShiftFiltering: dense device mean-shift == oracle bitwise
+    checks += [
+        ("meanshift/pyr",
+         lambda: ie.pyr_mean_shift_filtering(rgb, 3.0, 20.0, 1),
+         lambda: ref.pyr_mean_shift_filtering(rgb, 3.0, 20.0, 1), 0),
+    ]
+
     dev = jax.devices()[0]
     if verbose:
         print(f"selftest on {dev.device_kind} ({dev.platform}), image {size}", file=sys.stderr)

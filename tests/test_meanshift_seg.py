@@ -70,3 +70,33 @@ def test_ref_rejects_bad_input():
     with pytest.raises(ValueError):
         ref.pyr_mean_shift_filtering(np.zeros((8, 8, 3), np.uint8), 2, 10,
                                      max_level=9)
+
+
+def test_device_vs_oracle_bitwise():
+    rng = np.random.default_rng(seed("pms-dev"))
+    for _ in range(6):
+        img = _img(rng, lo=10, hi=44)
+        sp, sr, ml, mc, eps = _params(rng)
+        want = ref.pyr_mean_shift_filtering(img, sp, sr, ml, mc, eps)
+        got = np.asarray(ie.pyr_mean_shift_filtering(img, sp, sr, ml,
+                                                     mc, eps))
+        assert np.array_equal(got, want), (img.shape, sp, sr, ml, mc, eps)
+
+
+def test_device_batch_and_razor_ties():
+    rng = np.random.default_rng(seed("pms-batch"))
+    # quantized images force equal-count windows → exercises the exact
+    # cvRound(sum·(1./count)) tie path on device
+    imgs = np.stack([(rng.integers(0, 256, (26, 30, 3), np.uint8)
+                      // 32 * 32).astype(np.uint8) for _ in range(3)])
+    got = np.asarray(ie.pyr_mean_shift_filtering(imgs, 2.0, 24.0, 1))
+    for i in range(3):
+        want = cv2.pyrMeanShiftFiltering(imgs[i], 2.0, 24.0, maxLevel=1)
+        assert np.array_equal(got[i], want), i
+
+
+def test_device_rejects_bad_input():
+    with pytest.raises(ValueError):
+        ie.pyr_mean_shift_filtering(np.zeros((8, 8, 4), np.uint8), 2, 10)
+    with pytest.raises(TypeError):
+        ie.pyr_mean_shift_filtering(np.zeros((8, 8, 3), np.int16), 2, 10)
