@@ -65,6 +65,9 @@ __all__ = [
     "arc_length",
     "bounding_rect",
     "contour_moments",
+    "moments",
+    "hu_moments",
+    "match_shapes",
     "convex_hull",
     "is_contour_convex",
     "point_polygon_test",
@@ -2350,6 +2353,30 @@ def contour_moments(points):
     from imageenhancement_mp_tpu.ref.ops import contour_moments as _f
 
     return _f(points)
+
+
+def moments(img, binary_image: bool = False):
+    """``cv2.moments`` on a grayscale image — exact f64 polynomial sums
+    (raw m, central mu, normalized nu keys like cv2)."""
+    from imageenhancement_mp_tpu.ref.ops import moments as _f
+
+    return _f(np.asarray(img), binary_image)
+
+
+def hu_moments(m):
+    """``cv2.HuMoments`` — the seven invariants from a ``moments()`` /
+    ``contour_moments()`` dict (exact closed forms)."""
+    from imageenhancement_mp_tpu.ref.ops import hu_moments as _f
+
+    return _f(m)
+
+
+def match_shapes(a, b, method: str = "i1"):
+    """``cv2.matchShapes`` on grayscale images — log-Hu distances for
+    methods I1/I2/I3 with cv2's 1e-5/eps significance gates."""
+    from imageenhancement_mp_tpu.ref.ops import match_shapes as _f
+
+    return _f(np.asarray(a), np.asarray(b), method)
 
 
 def convex_hull(points, clockwise: bool = False,

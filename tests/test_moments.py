@@ -35,3 +35,16 @@ def test_moments_family_vs_cv2():
         want = cv2.moments(img, True)
         got = ref.moments(img, binary_image=True)
         assert abs(got["m00"] - want["m00"]) < 1e-9
+
+
+def test_api_exposure():
+    import imageenhancement_mp_tpu as ie
+
+    rng = np.random.default_rng(seed("moments-api"))
+    img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    m = ie.moments(img)
+    assert m == ref.moments(img)
+    assert np.array_equal(ie.hu_moments(m), ref.hu_moments(m))
+    img2 = rng.integers(0, 256, img.shape).astype(np.uint8)
+    for ms in ("i1", "i2", "i3"):
+        assert ie.match_shapes(img, img2, ms) == ref.match_shapes(img, img2, ms)
