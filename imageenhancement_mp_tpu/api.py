@@ -2356,8 +2356,10 @@ def contour_moments(points):
 
 
 def moments(img, binary_image: bool = False):
-    """``cv2.moments`` on a grayscale image — exact f64 polynomial sums
-    (raw m, central mu, normalized nu keys like cv2)."""
+    """``cv2.moments`` on a grayscale image (raw m, central mu,
+    normalized nu keys like cv2).  Raw m are bitwise-equal to cv2;
+    mu/nu/Hu land within ~1e-12 relative (cv2 builds use FMA contraction
+    in the completion formulas — docs/PARITY.md evaluation-order class)."""
     from imageenhancement_mp_tpu.ref.ops import moments as _f
 
     return _f(np.asarray(img), binary_image)

@@ -5200,13 +5200,21 @@ def hu_moments(m) -> np.ndarray:
 
 def match_shapes(a: np.ndarray, b: np.ndarray, method: str = "i1") -> float:
     """``cv2.matchShapes`` on grayscale images — the log-Hu distances
-    (methods I1/I2/I3; cv2's eps gate ``|h| > 1e-5 … > eps`` model)."""
+    (methods I1/I2/I3; cv2's eps gate ``|h| > 1e-5 … > eps`` model,
+    including matchcontours.cpp's anyA!=anyB → DBL_MAX degenerate rule:
+    if exactly one side has all-zero Hu moments the shapes are maximally
+    dissimilar, not a perfect match)."""
+    if method not in ("i1", "i2", "i3"):
+        raise ValueError(f"method must be i1/i2/i3, got {method!r}")
     ha = hu_moments(moments(a)).ravel()
     hb = hu_moments(moments(b)).ravel()
     eps = 1.0e-5
     total = 0.0
+    any_a = any_b = False
     for va, vb in zip(ha, hb):
         ama, amb = abs(va), abs(vb)
+        any_a = any_a or ama > eps
+        any_b = any_b or amb > eps
         if ama > eps and amb > eps:
             sa = -np.copysign(1.0, va) * np.log10(ama)
             sb = -np.copysign(1.0, vb) * np.log10(amb)
@@ -5214,10 +5222,10 @@ def match_shapes(a: np.ndarray, b: np.ndarray, method: str = "i1") -> float:
                 total += abs(1.0 / sa - 1.0 / sb)
             elif method == "i2":
                 total += abs(sa - sb)
-            elif method == "i3":
-                total = max(total, abs(sa - sb) / abs(sa))
             else:
-                raise ValueError(f"method must be i1/i2/i3, got {method!r}")
+                total = max(total, abs(sa - sb) / abs(sa))
+    if any_a != any_b:
+        return float(np.finfo(np.float64).max)  # cv2: DBL_MAX
     return float(total)
 
 

@@ -37,6 +37,26 @@ def test_moments_family_vs_cv2():
         assert abs(got["m00"] - want["m00"]) < 1e-9
 
 
+def test_match_shapes_degenerate_vs_cv2():
+    """cv2's matchcontours.cpp anyA!=anyB rule: exactly one all-zero-Hu side
+    (e.g. an all-black image vs a real shape) is maximally dissimilar
+    (DBL_MAX), never a perfect 0.0 match (ADVICE r03)."""
+    rng = np.random.default_rng(seed("moments-degen"))
+    black = np.zeros((32, 32), np.uint8)
+    shape = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    for mi, ms in [(cv2.CONTOURS_MATCH_I1, "i1"),
+                   (cv2.CONTOURS_MATCH_I2, "i2"),
+                   (cv2.CONTOURS_MATCH_I3, "i3")]:
+        w = cv2.matchShapes(black, shape, mi, 0)
+        g = ref.match_shapes(black, shape, ms)
+        assert g == w  # DBL_MAX, bitwise
+        # both-degenerate: cv2 returns 0.0 (no pair passes the eps gate)
+        assert ref.match_shapes(black, black, ms) == cv2.matchShapes(
+            black, black, mi, 0) == 0.0
+    with pytest.raises(ValueError):
+        ref.match_shapes(black, black, "bogus")
+
+
 def test_api_exposure():
     import imageenhancement_mp_tpu as ie
 
