@@ -17,7 +17,7 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["time_op", "throughput_gpixs"]
+__all__ = ["time_op", "time_op_chained", "throughput_gpixs"]
 
 
 def time_op(
@@ -44,3 +44,117 @@ def time_op(
 def throughput_gpixs(shape, secs: float) -> float:
     """Pixels/second in GPix/s for an array of ``shape`` processed in ``secs``."""
     return float(np.prod(shape)) / secs / 1e9
+
+
+def _chain_program(fn: Callable, x, n: int):
+    """Jitted program applying ``fn`` ``n`` times as a data-dependent chain.
+
+    Each scan iteration's input depends on the previous iteration's full
+    output, so XLA must execute the ``n`` applications sequentially — it
+    cannot parallelise, elide, or batch them.  The program returns a wrap-
+    around full reduction of the final carry, so every element of every
+    intermediate result is live (no dead-code slice-through for pointwise
+    ops).  See docs/DESIGN.md §9b (chain clock).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.eval_shape(fn, x)
+    same = out.shape == x.shape and out.dtype == x.dtype
+    floating = jnp.issubdtype(x.dtype, jnp.floating)
+
+    if same:
+
+        def body(c, _):
+            return fn(c), None
+
+    else:
+        # Shape/dtype-changing op: fold one data-dependent bit of the FULL
+        # output back into the carry.  The reduction over y keeps all of y
+        # live; the single-element update keeps per-iteration overhead at
+        # ~one fused reduce pass (documented in the probe artifacts).
+        def body(c, _):
+            y = fn(c)
+            if jnp.issubdtype(y.dtype, jnp.floating):
+                t = jnp.sum(y.astype(jnp.float32))
+                bit = jax.lax.bitcast_convert_type(t, jnp.int32) & 1
+            else:
+                bit = (jnp.sum(y.astype(jnp.uint32)) & jnp.uint32(1)).astype(
+                    jnp.int32
+                )
+            flat = c.reshape(-1)
+            if floating:
+                # data-dependent, hence not constant-foldable; small enough
+                # (<=1e-30) to never change the op's performance profile
+                upd = flat[0] + bit.astype(c.dtype) * c.dtype.type(1e-30)
+            else:
+                upd = flat[0] ^ bit.astype(c.dtype)
+            flat = flat.at[0].set(upd)
+            return flat.reshape(c.shape), None
+
+    def run(x0):
+        import jax.lax as lax
+
+        c, _ = lax.scan(body, x0, None, length=n)
+        if jnp.issubdtype(c.dtype, jnp.floating):
+            return jnp.sum(c.astype(jnp.float32))
+        return jnp.sum(c.astype(jnp.uint32))  # wraparound sum: all elems live
+
+    import jax
+
+    return jax.jit(run)
+
+
+def time_op_chained(
+    fn: Callable,
+    x,
+    *,
+    n_lo: int = 2,
+    n_hi: int | None = None,
+    target_secs: float = 1.0,
+    repeats: int = 3,
+) -> float:
+    """Tunnel-independent seconds per call of ``fn(x)`` (the chain clock).
+
+    On tunneled TPU platforms ``block_until_ready`` can ACK before the
+    device finishes (docs/PHYSICS_r04.json measured 40-80x over v5e spec
+    with the wall clock), so wall-clock-per-blocked-call is meaningless.
+    This clock instead:
+
+    1. chains ``n`` applications of ``fn`` on-device via ``lax.scan`` with a
+       hard data dependence between iterations (``_chain_program``);
+    2. fences by fetching the program's scalar result to the host with
+       ``np.asarray`` — the host must receive the real bytes, and the bytes
+       only exist after the whole chain has executed, so the fetch cannot
+       early-ack;
+    3. times two chain lengths ``n_lo < n_hi`` and returns
+       ``(t_hi - t_lo) / (n_hi - n_lo)``, cancelling every per-call constant
+       (dispatch latency — including the post-d2h degraded mode — transfer
+       time, and tunnel round trips).
+
+    ``n_hi`` is auto-sized so the differenced device time is ~``target_secs``
+    (default 1 s), which dominates dispatch jitter by orders of magnitude.
+    ``repeats`` takes the min wall time per chain length: real device
+    execution is the physical floor; noise only ever inflates.
+    """
+    import jax
+
+    def t_of(n: int) -> float:
+        g = _chain_program(fn, x, n)
+        np.asarray(g(x))  # compile + warm (also fences)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(g(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if n_hi is None:
+        # probe with a short chain to size the long one
+        probe_n = max(n_lo + 1, 4)
+        t_probe = t_of(probe_n)
+        per = max(t_probe / probe_n, 1e-7)
+        n_hi = int(np.clip(target_secs / per, n_lo + 8, 4096))
+    t_lo = t_of(n_lo)
+    t_hi = t_of(n_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-12)

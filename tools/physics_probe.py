@@ -32,17 +32,35 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--clock",
+        choices=("wall", "chain"),
+        default="wall",
+        help="wall = block_until_ready wall clock (lies under the tunnel's "
+        "early-ack mode — docs/PHYSICS_r04.json measured 40-80x over spec); "
+        "chain = tunnel-independent lax.scan chain + d2h fence "
+        "(profiling.time_op_chained)",
+    )
+    ap.add_argument(
+        "--target-secs", type=float, default=1.0,
+        help="chain clock: differenced device time to aim for per row")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     import imageenhancement_mp_tpu as ie
-    from imageenhancement_mp_tpu.profiling import time_op
+    from imageenhancement_mp_tpu.profiling import time_op, time_op_chained
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    print(f"device: {dev.device_kind} ({dev.platform}), clock={args.clock}",
+          file=sys.stderr)
     rng = np.random.default_rng(0)
+
+    def measure(fn, x, iters) -> float:
+        if args.clock == "chain":
+            return time_op_chained(fn, x, target_secs=args.target_secs)
+        return time_op(fn, x, iters=iters, reduce="median")
 
     # -------- canary (same op + bound as bench.py:429) --------
     canary_x = jax.device_put(
@@ -51,8 +69,8 @@ def main() -> int:
     def canary_gpix() -> float:
         if dev.platform == "cpu":
             return 0.0
-        secs = time_op(lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
-                       canary_x, iters=3, reduce="median")
+        secs = measure(lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
+                       canary_x, 3)
         return float(np.prod(canary_x.shape) / secs / 1e9)
 
     rows: dict[str, dict] = {}
@@ -63,7 +81,7 @@ def main() -> int:
     n_f32 = 256 * 1024 * 1024  # 1 GiB in, 1 GiB out
     xf = jax.device_put(jnp.zeros((n_f32,), jnp.float32), dev)
     add1 = jax.jit(lambda x: x + 1.0)
-    secs = time_op(add1, xf, iters=args.iters, reduce="median")
+    secs = measure(add1, xf, args.iters)
     bw_f32 = 2.0 * n_f32 * 4 / secs / 1e9  # GB/s, read+write
     rows["hbm_f32_copyadd"] = {"gbps": round(bw_f32, 1), "secs": secs,
                                "bytes_moved": 2 * n_f32 * 4}
@@ -73,7 +91,7 @@ def main() -> int:
     n_u8 = 1024 * 1024 * 1024
     xu = jax.device_put(jnp.zeros((n_u8,), jnp.uint8), dev)
     xor1 = jax.jit(lambda x: x ^ np.uint8(1))
-    secs = time_op(xor1, xu, iters=args.iters, reduce="median")
+    secs = measure(xor1, xu, args.iters)
     bw_u8 = 2.0 * n_u8 / secs / 1e9
     rows["hbm_u8_xor"] = {"gbps": round(bw_u8, 1), "secs": secs,
                           "bytes_moved": 2 * n_u8}
@@ -85,7 +103,7 @@ def main() -> int:
     b = jax.device_put(rng.integers(-4, 4, (m, m), dtype=np.int8), dev)
     mm = jax.jit(lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
-    secs = time_op(mm, a, b, iters=args.iters, reduce="median")
+    secs = measure(lambda a: mm(a, b), a, args.iters)
     tops_i8 = 2.0 * m ** 3 / secs / 1e12
     rows["mxu_int8_8192"] = {"tops": round(tops_i8, 1), "secs": secs,
                              "flops": 2 * m ** 3}
@@ -97,7 +115,7 @@ def main() -> int:
     mmb = jax.jit(lambda a, b: jnp.dot(a.astype(jnp.bfloat16),
                                        b.astype(jnp.bfloat16),
                                        preferred_element_type=jnp.float32))
-    secs = time_op(mmb, ab, bb, iters=args.iters, reduce="median")
+    secs = measure(lambda a: mmb(a, bb), ab, args.iters)
     tflops_bf16 = 2.0 * m ** 3 / secs / 1e12
     rows["mxu_bf16_8192"] = {"tflops": round(tflops_bf16, 1), "secs": secs}
     print(f"MXU bf16 8192^3:  {tflops_bf16:.1f} TFLOP/s", file=sys.stderr)
@@ -118,6 +136,7 @@ def main() -> int:
         "v5e_spec": V5E_SPEC,
         "over_spec": over_spec,
         "timing_suspect": suspect,
+        "clock": args.clock,
         "rows": rows,
     }
     print(json.dumps(out))
