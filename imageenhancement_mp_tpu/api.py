@@ -932,26 +932,85 @@ def apply_color_map(img, colormap: str = "jet", channels_last: bool = True):
     return _colormap_jit(str(colormap), bool(channels_last))(img)
 
 
-def psnr(a, b, max_val: float = 255.0):
-    """``cv2.PSNR`` (host f64 helper; inf on identical inputs)."""
-    from imageenhancement_mp_tpu.ref.ops import psnr as _p
+@lru_cache(maxsize=None)
+def _stats_jit(kind: str, **static):
+    from imageenhancement_mp_tpu.ops import stats as _st
 
-    return _p(np.asarray(a), np.asarray(b), max_val)
+    if kind == "psnr":
+
+        @jax.jit
+        def run(a, b):
+            return _st.psnr_planes(
+                a.reshape(1, 1, -1), b.reshape(1, 1, -1), static["max_val"]
+            )
+
+    elif kind == "norm1":
+
+        @jax.jit
+        def run(a):
+            return _st.norm_planes(a.reshape(1, 1, -1), static["norm_type"])[0]
+
+    elif kind == "norm2":
+
+        @jax.jit
+        def run(a, b):
+            return _st.norm_planes(
+                a.reshape(1, 1, -1), static["norm_type"], b.reshape(1, 1, -1)
+            )[0]
+
+    elif kind == "msd":
+
+        @jax.jit
+        def run(a):
+            m, s = _st.mean_std_dev_planes(a.reshape(1, 1, -1))
+            return m[0], s[0]
+
+    elif kind == "mml":
+
+        @jax.jit
+        def run(a):
+            return _st.min_max_loc_plane(a)
+
+    else:  # moments
+
+        @jax.jit
+        def run(a):
+            return _st.moments_plane(a, static["binary_image"])
+
+    return run
+
+
+def psnr(a, b, max_val: float = 255.0):
+    """``cv2.PSNR`` — DEVICE reduction returning a 0-d f32 jax scalar
+    (``inf`` on identical inputs, like cv2).  The squared-error sum is
+    exact (double-float, ops/stats.py); the final log10 rounds once to
+    f32 (~1e-6 relative of the f64 oracle ``ref.psnr``).  No d2h — safe
+    inside streaming loops (docs/DESIGN.md §9 d2h poison)."""
+    if a.shape != b.shape:
+        raise ValueError("inputs must share shape")
+    return _stats_jit("psnr", max_val=float(max_val))(a, b)
 
 
 def norm(a, norm_type: str = "l2", b=None):
-    """``cv2.norm(a[, b])`` — l1 | l2 | inf (host f64 helper)."""
-    from imageenhancement_mp_tpu.ref.ops import norm as _n
-
-    return _n(np.asarray(a), norm_type, None if b is None else np.asarray(b))
+    """``cv2.norm(a[, b])`` — l1 | l2 | inf as a DEVICE reduction → 0-d
+    f32 jax scalar.  l1/l2 sums are exact double-float for u8 (u16/f32
+    within ~2^-45); sqrt rounds once to f32.  ``inf`` is exact.  The f64
+    host oracle remains ``ref.norm``."""
+    if norm_type not in ("l1", "l2", "inf"):
+        raise ValueError(f"unknown norm {norm_type!r} (l1|l2|inf)")
+    if b is None:
+        return _stats_jit("norm1", norm_type=str(norm_type))(a)
+    if a.shape != b.shape:
+        raise ValueError("inputs must share shape")
+    return _stats_jit("norm2", norm_type=str(norm_type))(a, b)
 
 
 def mean_std_dev(img):
-    """``cv2.meanStdDev`` (host helper, f64 exact): (mean, population
-    std) over the array."""
-    from imageenhancement_mp_tpu.ref.ops import mean_std_dev as _msd
-
-    return _msd(np.asarray(img))
+    """``cv2.meanStdDev`` — DEVICE reduction → (mean, population std) 0-d
+    f32 jax scalars.  Pixel/pixel² sums are exact double-float for
+    u8/u16; the mean/variance completion rounds once to f32 (~1e-6
+    relative of the f64 oracle ``ref.mean_std_dev``).  No d2h."""
+    return _stats_jit("msd")(img)
 
 
 def compare_hist(h1, h2, method: str = "correl"):
@@ -977,11 +1036,13 @@ def match_template(img, templ, method: str = "ccoeff_normed",
 
 
 def min_max_loc(arr):
-    """``cv2.minMaxLoc`` on a 2-D response map (host helper; returns
-    ``(min_val, max_val, (min_x, min_y), (max_x, max_y))``)."""
-    from imageenhancement_mp_tpu.ref.ops import min_max_loc as _mml
-
-    return _mml(np.asarray(arr))
+    """``cv2.minMaxLoc`` on a 2-D response map — DEVICE reduction
+    returning ``(min_val, max_val, (min_x, min_y), (max_x, max_y))``
+    where every entry is a 0-d jax scalar (f32 values, i32 coords, cv2's
+    first-occurrence tie rule and (x, y) point order).  No d2h; the f64
+    host oracle remains ``ref.min_max_loc``."""
+    mn, mx, ix, iy, ax, ay = _stats_jit("mml")(arr)
+    return mn, mx, (ix, iy), (ax, ay)
 
 
 @lru_cache(maxsize=None)
@@ -2359,10 +2420,26 @@ def moments(img, binary_image: bool = False):
     """``cv2.moments`` on a grayscale image (raw m, central mu,
     normalized nu keys like cv2).  Raw m are bitwise-equal to cv2;
     mu/nu/Hu land within ~1e-12 relative (cv2 builds use FMA contraction
-    in the completion formulas — docs/PARITY.md evaluation-order class)."""
+    in the completion formulas — docs/PARITY.md evaluation-order class).
+
+    Host f64 form (it feeds the exact hu_moments/match_shapes chain);
+    inside device pipelines use :func:`moments_device` — this one
+    fetches the image to the host (d2h poison, docs/DESIGN.md §9)."""
     from imageenhancement_mp_tpu.ref.ops import moments as _f
 
     return _f(np.asarray(img), binary_image)
+
+
+def moments_device(img, binary_image: bool = False):
+    """``cv2.moments`` as a DEVICE reduction → dict of 0-d f32 jax
+    scalars (same 24 keys as cv2/:func:`moments`).  All x^p·y^q·I sums
+    run in double-float (~2^-45 relative of the f64 oracle — within
+    cv2's own build-to-build mu/nu FMA budget class); each returned
+    entry rounds once to f32.  No d2h — safe inside streaming loops."""
+    from imageenhancement_mp_tpu.ops.stats import MOMENT_KEYS
+
+    v = _stats_jit("moments", binary_image=bool(binary_image))(img)
+    return {k: v[i] for i, k in enumerate(MOMENT_KEYS)}
 
 
 def hu_moments(m):

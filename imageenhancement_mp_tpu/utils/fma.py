@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["two_prod", "two_sum", "fma32"]
+__all__ = [
+    "two_prod", "two_sum", "fma32", "df_add", "df_mul", "df_div", "df_sqrt",
+]
 
 
 def two_prod(x, y):
@@ -43,3 +45,56 @@ def fma32(x, scale, shift):
     p, pe = two_prod(x, scale)
     s, se = two_sum(p, shift)
     return s + (pe + se)
+
+
+def _quick_two_sum(a, b):
+    """Dekker fast two-sum: exact ``a + b = s + e`` given ``|a| >= |b|``."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def df_add(ah, al, bh, bl):
+    """Accurate double-float addition (IEEE-style dd-add).
+
+    Exact for integer-valued operands whose sum stays under ~2^48 — the
+    basis of the device-side exact reductions in ``ops/stats.py``; for
+    general floats the result is within ~2^-47 relative."""
+    s, e = two_sum(ah, bh)
+    t, f = two_sum(al, bl)
+    e = e + t
+    s, e = _quick_two_sum(s, e)
+    e = e + f
+    return _quick_two_sum(s, e)
+
+
+def df_mul(ah, al, bh, bl):
+    """Double-float product (~2^-47 relative; al·bl term dropped)."""
+    p, e = two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return _quick_two_sum(p, e)
+
+
+def df_div(ah, al, bh, bl):
+    """Double-float division ``a / b`` (~2^-45 relative).
+
+    One f32 reciprocal seed + a df Newton correction
+    ``q ← q0 + q0·(1 − b·q0)``: the residual is formed with exact
+    two_prod error terms so the correction removes the seed's full f32
+    error.  Division by a df zero follows f32 semantics (±inf/nan)."""
+    q0 = ah / bh
+    # r = a − b·q0 exactly in df
+    ph, pl = df_mul(bh, bl, q0, jnp.zeros_like(q0))
+    rh, rl = df_add(ah, al, -ph, -pl)
+    return df_add(q0, jnp.zeros_like(q0), rh / bh, rl / bh)
+
+
+def df_sqrt(ah, al):
+    """Double-float square root (~2^-45 relative; ``a >= 0``).
+
+    f32 seed + one Heron step with exact residual:
+    ``y ← y0 + (a − y0²) / (2·y0)``."""
+    y0 = jnp.sqrt(ah)
+    p, pe = two_prod(y0, y0)
+    rh, rl = df_add(ah, al, -p, -pe)
+    d = jnp.where(y0 > 0, jnp.float32(0.5) / y0, jnp.zeros_like(y0))
+    return df_add(y0, jnp.zeros_like(y0), rh * d, rl * d)
