@@ -68,9 +68,26 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
 }
 
 
-def _time(fn, x, iters, warmup=2):
-    from imageenhancement_mp_tpu.profiling import time_op
+# rows whose device program iterates data-dependently (hysteresis
+# fixpoints etc.): the chain clock must re-feed the ORIGINAL input each
+# iteration instead of chaining outputs, or the data degenerates and the
+# iteration count drifts (profiling._chain_program mode="refeed")
+DATA_DEPENDENT_ROWS = {"canny 4K gray b2"}
 
+
+def _time(fn, x, iters, warmup=2, clock="wall", refeed=False):
+    from imageenhancement_mp_tpu.profiling import time_op, time_op_chained
+
+    if clock == "chain":
+        # tunnel-independent (docs/DESIGN.md §9b): scan-chained executions
+        # fenced by a real d2h scalar fetch, two chain lengths differenced
+        # — cancels dispatch latency, transfer time, AND any early-ack
+        # floor, because the fetched bytes only exist after the whole
+        # chain has run.  This is the certifying clock whenever the
+        # tunnel's wall clock is in a degraded or lying state.
+        return time_op_chained(
+            fn, x, mode="refeed" if refeed else "auto",
+            repeats=max(2, min(iters, 4)))
     # median-of-iters: the tunnel has TWO lying modes (docs/DESIGN.md §9)
     # — slow dispatch spikes (inflate the mean) and, mid-sweep, EARLY
     # ACKS where block_until_ready returns before the device finishes
@@ -110,6 +127,19 @@ def main() -> int:
         "tunnel's state noise spans 300-750 on identical code, so a tight "
         "floor false-alarms — structural fusion regressions are caught "
         "deterministically by tests/test_fusion_guard.py instead",
+    )
+    ap.add_argument(
+        "--clock",
+        choices=("wall", "chain"),
+        default="chain",
+        help="chain (default): the tunnel-independent chain clock "
+        "(profiling.time_op_chained): scan-chained executions fenced by a "
+        "real d2h fetch, two lengths differenced — immune to dispatch "
+        "degradation and early acks (docs/DESIGN.md §9b); equals the wall "
+        "clock when the tunnel is honest and stays truthful when it is "
+        "not.  wall: blocked wall-clock median (kept for comparison; "
+        "meaningless whenever the tunnel degrades — r04 measured a "
+        "~25 ms–1 s per-dispatch mode active from the first execution)",
     )
     ap.add_argument(
         "--profile",
@@ -444,7 +474,7 @@ def main() -> int:
         if dev.platform == "cpu":
             return 0.0  # hermetic CI: no tunnel, no lying states
         secs = _time(lambda x: ie.bilateral_filter(x, 9, 75.0, 75.0),
-                     canary_x, iters=3)
+                     canary_x, iters=3, clock=args.clock)
         return float(np.prod(canary_x.shape) / secs / 1e9)
 
     canary_pre = _canary_gpix()
@@ -458,7 +488,8 @@ def main() -> int:
         # headline gets full iters; later rows fewer, to keep the sweep
         # under the tunnel's ~150-execution degradation cliff
         iters = args.iters if row_i == 0 else max(3, args.iters // 2)
-        secs = _time(fn, xd, iters)
+        secs = _time(fn, xd, iters, clock=args.clock,
+                     refeed=name in DATA_DEPENDENT_ROWS)
         g = np.prod(x.shape) / secs / 1e9
         results[name] = g
         base = BASELINES.get(name)
@@ -519,6 +550,7 @@ def main() -> int:
             json.dump(
                 {
                     "device": f"{dev.device_kind} ({dev.platform})",
+                    "clock": args.clock,
                     "timing_suspect": timing_suspect,
                     "canary_pre_gpix": round(canary_pre, 2),
                     "canary_post_gpix": round(canary_post, 2),
@@ -550,6 +582,7 @@ def main() -> int:
                     "value": round(float(headline), 4),
                     "unit": "GPix/s/chip",
                     "vs_baseline": round(float(headline) / BASELINES["histeq+unsharp 1080p gray b8"], 2),
+                    "clock": args.clock,
                     "timing_suspect": timing_suspect,
                     "canary_pre_gpix": round(canary_pre, 2),
                     "canary_post_gpix": round(canary_post, 2),

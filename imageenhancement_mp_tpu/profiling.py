@@ -46,7 +46,7 @@ def throughput_gpixs(shape, secs: float) -> float:
     return float(np.prod(shape)) / secs / 1e9
 
 
-def _chain_program(fn: Callable, x, n: int):
+def _chain_program(fn: Callable, x, n: int, mode: str = "auto"):
     """Jitted program applying ``fn`` ``n`` times as a data-dependent chain.
 
     Each scan iteration's input depends on the previous iteration's full
@@ -55,6 +55,17 @@ def _chain_program(fn: Callable, x, n: int):
     around full reduction of the final carry, so every element of every
     intermediate result is live (no dead-code slice-through for pointwise
     ops).  See docs/DESIGN.md §9b (chain clock).
+
+    ``mode``: "auto" chains outputs directly when ``fn`` preserves
+    shape/dtype (honest HBM traffic: each output is the next carry);
+    "refeed" forces the carry-bit variant — ``fn`` is applied to the
+    ORIGINAL input with one data-dependent element folded in, so the data
+    statistics stay realistic every iteration.  Use "refeed" for
+    data-dependent ops (e.g. Canny's hysteresis fixpoint) whose timing
+    would drift as the chained data degenerates.  The refeed output is
+    pinned behind an ``optimization_barrier`` so XLA cannot elide the
+    output write into the liveness reduction; the extra full read of the
+    output makes refeed a slightly CONSERVATIVE (over-) estimate.
     """
     import jax
     import jax.numpy as jnp
@@ -63,7 +74,7 @@ def _chain_program(fn: Callable, x, n: int):
     same = out.shape == x.shape and out.dtype == x.dtype
     floating = jnp.issubdtype(x.dtype, jnp.floating)
 
-    if same:
+    if same and mode != "refeed":
 
         def body(c, _):
             return fn(c), None
@@ -74,7 +85,10 @@ def _chain_program(fn: Callable, x, n: int):
         # live; the single-element update keeps per-iteration overhead at
         # ~one fused reduce pass (documented in the probe artifacts).
         def body(c, _):
-            y = fn(c)
+            # barrier: y must be materialized as the op would materialize
+            # it — without this XLA fuses the reduction into the producer
+            # and the op's output write is elided from the measurement
+            y = jax.lax.optimization_barrier(fn(c))
             if jnp.issubdtype(y.dtype, jnp.floating):
                 t = jnp.sum(y.astype(jnp.float32))
                 bit = jax.lax.bitcast_convert_type(t, jnp.int32) & 1
@@ -113,6 +127,8 @@ def time_op_chained(
     n_hi: int | None = None,
     target_secs: float = 1.0,
     repeats: int = 3,
+    mode: str = "auto",
+    max_chain: int = 16384,
 ) -> float:
     """Tunnel-independent seconds per call of ``fn(x)`` (the chain clock).
 
@@ -137,10 +153,8 @@ def time_op_chained(
     ``repeats`` takes the min wall time per chain length: real device
     execution is the physical floor; noise only ever inflates.
     """
-    import jax
-
     def t_of(n: int) -> float:
-        g = _chain_program(fn, x, n)
+        g = _chain_program(fn, x, n, mode)
         np.asarray(g(x))  # compile + warm (also fences)
         best = float("inf")
         for _ in range(repeats):
@@ -149,12 +163,31 @@ def time_op_chained(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    if n_hi is None:
-        # probe with a short chain to size the long one
+    auto_size = n_hi is None
+    if auto_size:
+        # probe with a short chain to size the long one.  t_probe/probe_n
+        # still contains dispatch overhead/probe_n, so this FIRST estimate
+        # only bounds n_hi from below — the differenced re-size loop after
+        # the first (t_lo, t_hi) pair removes the overhead term and grows
+        # the chain until the differenced device time dominates jitter.
         probe_n = max(n_lo + 1, 4)
         t_probe = t_of(probe_n)
         per = max(t_probe / probe_n, 1e-7)
-        n_hi = int(np.clip(target_secs / per, n_lo + 8, 4096))
+        n_hi = int(np.clip(target_secs / per, n_lo + 8, max_chain))
     t_lo = t_of(n_lo)
     t_hi = t_of(n_hi)
+    if auto_size:
+        for _ in range(3):
+            diff = t_hi - t_lo
+            if diff >= 0.25 * target_secs or n_hi >= max_chain:
+                break
+            if diff <= 0:  # pure noise — grow geometrically
+                n_next = min(n_hi * 8, max_chain)
+            else:
+                per_op = max(diff / (n_hi - n_lo), 1e-9)
+                n_next = int(np.clip(target_secs / per_op, n_hi + 1, max_chain))
+            if n_next <= n_hi:
+                break
+            n_hi = n_next
+            t_hi = t_of(n_hi)
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-12)

@@ -70,12 +70,14 @@ def chunk_regex(names: list[str]) -> str:
     return "^(?:" + "|".join(re.escape(n) for n in names) + ")$"
 
 
-def run_chunk(names: list[str], iters: int, timeout: float) -> dict | None:
+def run_chunk(names: list[str], iters: int, timeout: float,
+              clock: str = "chain") -> dict | None:
     """One fresh-process bench run over ``names``; parsed JSON or None."""
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out_path = tf.name
     cmd = [sys.executable, str(REPO / "bench.py"), "--rows", chunk_regex(names),
-           "--iters", str(iters), "--gate", "0", "--json-out", out_path]
+           "--iters", str(iters), "--gate", "0", "--clock", clock,
+           "--json-out", out_path]
     try:
         proc = subprocess.run(cmd, cwd=REPO, timeout=timeout,
                               capture_output=True, text=True)
@@ -101,7 +103,10 @@ def main() -> int:
     ap.add_argument("--retries", type=int, default=3,
                     help="max attempts per chunk before accepting a "
                     "timing_suspect window (parity is still valid)")
-    ap.add_argument("--chunk-timeout", type=float, default=1500.0)
+    ap.add_argument("--clock", choices=("wall", "chain"), default="chain",
+                    help="bench.py clock (chain = tunnel-independent, the "
+                    "certifying default; docs/DESIGN.md §9b)")
+    ap.add_argument("--chunk-timeout", type=float, default=2400.0)
     ap.add_argument("--cooldown", type=float, default=20.0,
                     help="seconds between retry attempts (lets the tunnel "
                     "leave a lying state)")
@@ -116,7 +121,8 @@ def main() -> int:
         print(f"=== chunk {ci + 1}/{len(chunks)}: {names}", file=sys.stderr)
         best = None
         for attempt in range(args.retries):
-            data = run_chunk(names, args.iters, args.chunk_timeout)
+            data = run_chunk(names, args.iters, args.chunk_timeout,
+                             args.clock)
             if data is None:
                 continue
             best = data
@@ -149,6 +155,7 @@ def main() -> int:
                       c["status"] == "failed" for c in chunk_meta)
     out = {
         "device": device,
+        "clock": args.clock,
         "method": "chunked fresh-process sweep, per-chunk canary sandwich "
                   "(tools/certified_sweep.py; docs/DESIGN.md §9)",
         "timing_suspect": suspect,

@@ -109,16 +109,20 @@ def main() -> int:
                              "flops": 2 * m ** 3}
     print(f"MXU int8 8192^3:  {tops_i8:.1f} TOPS", file=sys.stderr)
 
-    # bf16 variant (spec 197 TFLOP/s on v5e)
-    ab = jax.device_put(rng.standard_normal((m, m)).astype(np.float32), dev)
-    bb = jax.device_put(rng.standard_normal((m, m)).astype(np.float32), dev)
-    mmb = jax.jit(lambda a, b: jnp.dot(a.astype(jnp.bfloat16),
-                                       b.astype(jnp.bfloat16),
-                                       preferred_element_type=jnp.float32))
+    # bf16 variant (spec 197 TFLOP/s on v5e).  mb=4096 keeps the chained
+    # program's closure-captured B constant at 32 MB — the tunnel's
+    # remote_compile rejects request bodies much past ~64 MB (HTTP 413)
+    mb = 4096
+    ab = jax.device_put(
+        rng.standard_normal((mb, mb)).astype(jnp.bfloat16), dev)
+    bb = jax.device_put(
+        rng.standard_normal((mb, mb)).astype(jnp.bfloat16), dev)
+    mmb = jax.jit(lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
     secs = measure(lambda a: mmb(a, bb), ab, args.iters)
-    tflops_bf16 = 2.0 * m ** 3 / secs / 1e12
-    rows["mxu_bf16_8192"] = {"tflops": round(tflops_bf16, 1), "secs": secs}
-    print(f"MXU bf16 8192^3:  {tflops_bf16:.1f} TFLOP/s", file=sys.stderr)
+    tflops_bf16 = 2.0 * mb ** 3 / secs / 1e12
+    rows["mxu_bf16_4096"] = {"tflops": round(tflops_bf16, 1), "secs": secs}
+    print(f"MXU bf16 4096^3:  {tflops_bf16:.1f} TFLOP/s", file=sys.stderr)
 
     canary_post = canary_gpix()
     print(f"canary post: {canary_post:.2f} GPix/s (bound 20)", file=sys.stderr)
