@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--size", default="1080x1920")
     ap.add_argument("--batch", type=int, default=2, help="frames per device batch")
     ap.add_argument("--outdir", default=None, help="write enhanced frames here (PGM)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the pipeline sharded over an N-device mesh "
+                    "(batch DP or --shard spatial).  On a single-chip host, "
+                    "test with JAX_PLATFORMS=cpu XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=8")
+    ap.add_argument("--shard", choices=("batch", "spatial"), default="batch")
     args = ap.parse_args()
     h, w = (int(v) for v in args.size.split("x"))
 
@@ -63,17 +69,33 @@ def main() -> int:
         if buf:
             yield np.stack(buf)
 
-    pipe = get_preset("denoise_clahe_sharpen")
-
-    # warm up the compile cache so the timing below reflects steady state
     import jax
 
+    mesh = None
+    if args.mesh:
+        from imageenhancement_mp_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.mesh, axis_name="batch" if args.shard == "batch"
+                         else "y")
+        if args.shard == "batch" and args.batch % args.mesh:
+            ap.error(f"--batch {args.batch} must be divisible by --mesh {args.mesh}")
+        if args.shard == "batch" and args.frames % args.batch:
+            ap.error(f"--frames {args.frames} must be divisible by --batch "
+                     f"{args.batch} under batch sharding (no partial batches)")
+        if args.shard == "spatial" and h % args.mesh:
+            ap.error(f"frame height {h} must be divisible by --mesh {args.mesh}")
+        print(f"mesh: {args.mesh} devices, {args.shard}-sharded "
+              f"({[d.platform for d in jax.devices()][0]})")
+    pipe = get_preset("denoise_clahe_sharpen", mesh=mesh, shard=args.shard)
+
+    # warm up the compile cache so the timing below reflects steady state
     jax.block_until_ready(pipe(np.zeros((args.batch, h, w), np.uint8)))
 
     t0 = time.perf_counter()
     n_px = 0
     outs = []
-    for out in stream_frames(pipe, batches(), depth=2):
+    for out in stream_frames(pipe, batches(), depth=2, mesh=mesh,
+                             shard=args.shard):
         outs.append(out)  # keep on device; d2h transfers are deferred
         n_px += int(np.prod(out.shape))
     jax.block_until_ready(outs[-1])

@@ -35,8 +35,15 @@ PRESETS: dict[str, list] = {
 }
 
 
-def get_preset(name: str):
-    """Build the jitted pipeline for a named preset."""
+def get_preset(name: str, mesh=None, shard: str = "batch",
+               axis_name: str | None = None):
+    """Build the jitted pipeline for a named preset.
+
+    ``mesh``/``shard``/``axis_name`` pass through to
+    ``pipeline.make_pipeline`` — the same preset compiles into one
+    shard_map program over a multi-chip mesh (batch DP or row-sharded
+    spatial; bit-identical to the single-device program)."""
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
-    return make_pipeline(PRESETS[name])
+    return make_pipeline(PRESETS[name], mesh=mesh, shard=shard,
+                         axis_name=axis_name)

@@ -41,6 +41,16 @@ def _tile_hists(
     half = 16 if hist_size == 256 else 256
     shift = 4 if hist_size == 256 else 8
     tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
+    if hist_size == 256:
+        from imageenhancement_mp_tpu.config import pallas_enabled
+
+        if pallas_enabled():
+            # Pallas stripe kernel, tiles as the batch dim: one-hots stay
+            # in VMEM (the XLA path below materializes them in HBM —
+            # ~370× slower on chip, docs/DESIGN.md §9c)
+            from imageenhancement_mp_tpu.kernels.hist import hist256_pallas
+
+            return hist256_pallas(tiles)
     v = tiles.astype(jnp.int32)
     if hist_size == 65536 and jax.default_backend() != "tpu":
         # the byte-split one-hots are [T, P, 256] ×2 — on TPU XLA streams
@@ -164,6 +174,15 @@ def clahe_planes(
 
     y0, y1, fy = _interp_coords(H, th, gh)
     x0, x1, fx = _interp_coords(W, tw, gw)
+
+    if hist_size == 256 and pad_h == 0 and pad_w == 0:
+        from imageenhancement_mp_tpu.config import pallas_enabled
+
+        if pallas_enabled():
+            return _clahe_pallas(
+                planes, clip_limit, gh, gw, th, tw, y0, y1, fy, x0, x1, fx
+            )
+
     y0 = jnp.asarray(y0)
     y1 = jnp.asarray(y1)
     x0 = jnp.asarray(x0)
@@ -183,3 +202,83 @@ def clahe_planes(
         return blend_tile_luts(img, flat, y0, y1, fy, x0, x1, fx, gw, hist_size)
 
     return jax.vmap(one)(planes)
+
+
+def _clahe_pallas(planes, clip_limit, gh, gw, th, tw,
+                  y0g, y1g, fyg, x0g, x1g, fxg):
+    """u8 CLAHE, divisible geometry, Pallas kernels end to end.
+
+    Stage A+B run batched over ALL B·gh·gw tiles (one hist kernel call,
+    no vmap); stage C replaces the four per-pixel XLA gathers — a scalar
+    loop on TPU, docs/DESIGN.md §9c — with ONE multi-LUT kernel pass
+    applying each tile's 9 neighbor LUTs (kernels/hist.py), then selects
+    l00..l11 with STATIC half-masks and reuses blend_tile_luts' exact f32
+    association.  Bit-identical to the gather path (same values, same
+    arithmetic order).
+    """
+    from imageenhancement_mp_tpu.kernels.hist import (
+        apply_luts_multi_pallas,
+        hist256_pallas,
+    )
+
+    B, H, W = planes.shape
+    T = gh * gw
+    # [B, H, W] → [B·T, th, tw] tile planes
+    tiles = (
+        planes.reshape(B, gh, th, gw, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B * T, th, tw)
+    )
+    hists = hist256_pallas(tiles)  # [B·T, 256]
+    luts = clahe_tile_luts(hists, th * tw, clip_limit, 256)  # [B·T, 256] u8
+
+    # static 3×3 neighbor shuffle (indices clipped like cv2's blend)
+    rr, cc = np.mgrid[0:gh, 0:gw]
+    idx9 = np.stack(
+        [
+            (np.clip(rr + dq, 0, gh - 1) * gw + np.clip(cc + dc, 0, gw - 1)).ravel()
+            for dq in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ],
+        axis=1,
+    )  # [T, 9]
+    luts9 = luts.reshape(B, T, 256)[:, jnp.asarray(idx9), :].reshape(B * T, 9, 256)
+    g = apply_luts_multi_pallas(tiles, luts9)  # 9 × [B·T, th, tw] u8
+
+    # static per-tile-local tables: which local 3×3 table (0..2) the
+    # CLIPPED y0/y1/x0/x1 point at (cv2 clips y1 from the UNCLIPPED
+    # floor, so at grid edges y1 == y0 — never assume q1 = q0+1), and
+    # the f32 fracs — sliced from the exact global _interp_coords tables
+    # so every frac bit matches the gather path
+    yy = np.arange(planes.shape[1]) // th
+    xx = np.arange(planes.shape[2]) // tw
+    q0 = jnp.asarray((y0g - yy + 1).reshape(gh, th))[None, :, None, :, None]
+    q1 = jnp.asarray((y1g - yy + 1).reshape(gh, th))[None, :, None, :, None]
+    c0 = jnp.asarray((x0g - xx + 1).reshape(gw, tw))[None, None, :, None, :]
+    c1 = jnp.asarray((x1g - xx + 1).reshape(gw, tw))[None, None, :, None, :]
+    fyb = jnp.asarray(fyg.reshape(gh, th))[None, :, None, :, None]
+    fxb = jnp.asarray(fxg.reshape(gw, tw))[None, None, :, None, :]
+
+    gt = [gk.reshape(B, gh, gw, th, tw).astype(jnp.float32) for gk in g]
+
+    def pick(qloc, cloc):
+        # 3×3 static-mask select of l(qloc, cloc), qloc/cloc ∈ {0, 1, 2}
+        rows = [
+            jnp.where(cloc == 0, gt[q * 3],
+                      jnp.where(cloc == 1, gt[q * 3 + 1], gt[q * 3 + 2]))
+            for q in range(3)
+        ]
+        return jnp.where(qloc == 0, rows[0],
+                         jnp.where(qloc == 1, rows[1], rows[2]))
+
+    l00 = pick(q0, c0)
+    l01 = pick(q0, c1)
+    l10 = pick(q1, c0)
+    l11 = pick(q1, c1)
+    # blend_tile_luts' exact association (the shared exactness-critical
+    # f32 ordering — see its docstring for the XLA:CPU contraction caveat)
+    top = (1.0 - fxb) * l00 + fxb * l01
+    bot = (1.0 - fxb) * l10 + fxb * l11
+    out = (1.0 - fyb) * top + fyb * bot
+    out = jnp.clip(jnp.round(out), 0, 255).astype(planes.dtype)
+    return out.transpose(0, 1, 3, 2, 4).reshape(B, H, W)

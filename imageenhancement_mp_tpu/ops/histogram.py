@@ -56,15 +56,35 @@ def _hist_scatter(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((nbins,), jnp.int32).at[v].add(1)
 
 
+def _hist_pallas(plane: jnp.ndarray) -> jnp.ndarray:
+    # vmap-compatible shim: the kernel itself is already batched
+    from imageenhancement_mp_tpu.kernels.hist import hist256_pallas
+
+    return hist256_pallas(plane[None])[0]
+
+
 def histogram_256(planes: jnp.ndarray, method: str | None = None) -> jnp.ndarray:
     """Per-plane exact histogram: u8 → ``[B, 256]``, u16 → ``[B, 65536]`` i32.
 
-    Default method: the MXU one-hot matmul for u8 (docs/DESIGN.md §1), but
-    scatter for u16 — the byte-split one-hots would materialize 512 B/pixel
-    ([P,256] ×2), which OOMs on full-resolution planes.
+    Default u8 method: the Pallas stripe kernel (kernels/hist.py) — the
+    one-hots live only in VMEM, one MXU dot per stripe, HBM traffic = one
+    image read (chain-clock measured 35.7 GPix/s on v5e).  The XLA
+    nibble-matmul fallback materializes its one-hots in HBM and is ~370×
+    slower ON CHIP (docs/DESIGN.md §9c) — kept for non-Pallas backends.
+    u16 uses scatter — the byte-split one-hots would materialize
+    512 B/pixel ([P,256] ×2), which OOMs on full-resolution planes.
     """
     if method is None:
-        method = "scatter" if planes.dtype == jnp.uint16 else "nibble_matmul"
+        if planes.dtype == jnp.uint16:
+            method = "scatter"
+        else:
+            from imageenhancement_mp_tpu.config import pallas_enabled
+
+            method = "pallas" if pallas_enabled() else "nibble_matmul"
+    if method == "pallas":
+        from imageenhancement_mp_tpu.kernels.hist import hist256_pallas
+
+        return hist256_pallas(planes)
     fn = {"nibble_matmul": _hist_nibble_matmul, "scatter": _hist_scatter}[method]
     return jax.vmap(fn)(planes)
 
@@ -91,15 +111,7 @@ def equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
     return jnp.where(h0 == total, identity, lut)
 
 
-def _equalize_global_group(
-    planes: jnp.ndarray, method: str, axis_name: str | None
-) -> jnp.ndarray:
-    """One pooled LUT over a ``[B, H, W]`` group (psum-pooled across shards)."""
-    total = planes.shape[0] * planes.shape[-1] * planes.shape[-2]
-    hist = histogram_256(planes, method).sum(axis=0)
-    if axis_name is not None:
-        total = total * jax.lax.axis_size(axis_name)
-        hist = jax.lax.psum(hist, axis_name)
+def _check_pool_total(total: int) -> None:
     # the pooled cdf lives in int32: past 2^31 pixels the LUT silently wraps
     if total > jnp.iinfo(jnp.int32).max:
         raise ValueError(
@@ -107,13 +119,27 @@ def _equalize_global_group(
             "int32 cdf (max 2^31-1 ≈ 1040 1080p frames across the mesh); "
             "split the batch into smaller pooling groups"
         )
+
+
+def _equalize_global_group(
+    planes: jnp.ndarray, method: str | None, axis_name: str | None
+) -> jnp.ndarray:
+    """One pooled LUT over a ``[B, H, W]`` group (psum-pooled across shards)."""
+    total = planes.shape[0] * planes.shape[-1] * planes.shape[-2]
+    hist = histogram_256(planes, method).sum(axis=0)
+    if axis_name is not None:
+        total = total * jax.lax.axis_size(axis_name)
+        hist = jax.lax.psum(hist, axis_name)
+    _check_pool_total(total)
     lut = equalize_lut(hist, total)
-    return lut[planes.astype(jnp.int32)]
+    from imageenhancement_mp_tpu.ops.pointwise import apply_lut_planes
+
+    return apply_lut_planes(planes, lut)
 
 
 def equalize_hist_global_planes(
     planes: jnp.ndarray,
-    method: str = "nibble_matmul",
+    method: str | None = None,
     axis_name: str | None = None,
     channels: int = 1,
 ) -> jnp.ndarray:
@@ -138,14 +164,26 @@ def equalize_hist_global_planes(
     b, h, w = planes.shape
     if b % channels:
         raise ValueError(f"plane count {b} not divisible by channels={channels}")
-    # [N·C, H, W] -> [C, N, H, W]: pool per channel across frames
-    grouped = planes.reshape(b // channels, channels, h, w).transpose(1, 0, 2, 3)
-    out = jax.vmap(lambda g: _equalize_global_group(g, method, axis_name))(grouped)
-    return out.transpose(1, 0, 2, 3).reshape(b, h, w)
+    # per-channel pooling WITHOUT vmapping the histogram (keeps the Pallas
+    # stripe kernel un-batched): one [B, 256] pass, then group-sum — plane
+    # i belongs to channel i % C in the frame-major canonical layout
+    n = b // channels
+    total = n * h * w
+    hists = histogram_256(planes, method)  # [B, 256]
+    per_ch = hists.reshape(n, channels, 256).sum(axis=0)  # [C, 256]
+    if axis_name is not None:
+        total = total * jax.lax.axis_size(axis_name)
+        per_ch = jax.lax.psum(per_ch, axis_name)
+    _check_pool_total(total)
+    luts = jax.vmap(functools.partial(equalize_lut, total=total))(per_ch)
+    plane_luts = luts[jnp.arange(b) % channels]  # [B, 256]
+    from imageenhancement_mp_tpu.ops.pointwise import apply_lut_planes
+
+    return apply_lut_planes(planes, plane_luts)
 
 
 def equalize_hist_planes(
-    planes: jnp.ndarray, method: str = "nibble_matmul"
+    planes: jnp.ndarray, method: str | None = None
 ) -> jnp.ndarray:
     """``cv2.equalizeHist`` on a stack of planes ``[B, H, W] u8`` — exact."""
     if planes.dtype != jnp.uint8:
@@ -153,4 +191,6 @@ def equalize_hist_planes(
     total = planes.shape[-1] * planes.shape[-2]
     hists = histogram_256(planes, method)
     luts = jax.vmap(functools.partial(equalize_lut, total=total))(hists)
-    return jax.vmap(lambda lut, p: lut[p.astype(jnp.int32)])(luts, planes)
+    from imageenhancement_mp_tpu.ops.pointwise import apply_lut_planes
+
+    return apply_lut_planes(planes, luts)

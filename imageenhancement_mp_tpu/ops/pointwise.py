@@ -35,7 +35,19 @@ def apply_lut_planes(planes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     """``cv2.LUT`` ≡ gather (SURVEY.md §8.6).
 
     ``lut``: [S] shared or [B, S] per plane; S = 256 (u8 planes) or 65536
-    (u16).  Output dtype = table dtype."""
+    (u16).  Output dtype = table dtype.
+
+    u8 planes dispatch to the Pallas bilinear-form kernel on TPU —
+    XLA's native per-pixel gather lowers to a scalar loop there (~370×
+    slower, docs/DESIGN.md §9c).  Exact for u8/u16/f32 tables and any
+    integer table with |values| < 2^24."""
+    if planes.dtype == jnp.uint8 and lut.shape[-1] == 256 and planes.ndim >= 2:
+        from imageenhancement_mp_tpu.config import pallas_enabled
+
+        if pallas_enabled():
+            from imageenhancement_mp_tpu.kernels.hist import apply_lut256_pallas
+
+            return apply_lut256_pallas(planes, lut)
     idx = planes.astype(jnp.int32)
     if lut.ndim == 1:
         return lut[idx]
@@ -185,6 +197,8 @@ def contrast_stretch_planes(
     lo = jnp.min(planes, axis=(-2, -1)).astype(jnp.int32)
     hi = jnp.max(planes, axis=(-2, -1)).astype(jnp.int32)
     luts = stretch_luts_from_minmax(lo, hi, a, b, maxv, planes.dtype, minv)
+    if planes.dtype == jnp.uint8:
+        return apply_lut_planes(planes, luts)  # Pallas path on TPU
     return jax.vmap(lambda l, p: l[p.astype(jnp.int32) - minv])(luts, planes)
 
 

@@ -347,13 +347,14 @@ def laplacian_sharpen_spatial(local: jnp.ndarray, axis_name: str = "y") -> jnp.n
 
 
 def equalize_hist_spatial(
-    local: jnp.ndarray, method: str = "nibble_matmul", axis_name: str = "y"
+    local: jnp.ndarray, method: str | None = None, axis_name: str = "y"
 ) -> jnp.ndarray:
     """``cv2.equalizeHist`` per frame on row-sharded planes.
 
-    Each shard histograms its rows (the MXU one-hot matmul), a ``psum``
-    pools the 256 bins across the mesh, and every shard maps its rows
-    through the identical full-frame LUT — 1 KB over ICI per plane.
+    Each shard histograms its rows (the Pallas stripe kernel on TPU,
+    kernels/hist.py), a ``psum`` pools the 256 bins across the mesh, and
+    every shard maps its rows through the identical full-frame LUT —
+    1 KB over ICI per plane.
     """
     from imageenhancement_mp_tpu.ops.histogram import equalize_lut, histogram_256
 
@@ -368,7 +369,9 @@ def equalize_hist_spatial(
         )
     hists = jax.lax.psum(histogram_256(local, method), axis_name)
     luts = jax.vmap(partial(equalize_lut, total=total))(hists)
-    return jax.vmap(lambda l, p: l[p.astype(jnp.int32)])(luts, local)
+    from imageenhancement_mp_tpu.ops.pointwise import apply_lut_planes
+
+    return apply_lut_planes(local, luts)
 
 
 def contrast_stretch_spatial(
@@ -458,20 +461,21 @@ def clahe_spatial(
     # for the bilinear blend near the shard boundary
     luts = jax.lax.all_gather(luts, axis_name, axis=1, tiled=True)  # [B, gh*gw, S]
 
-    # blend coords: x is static host-side; y must be GLOBAL row indices,
-    # computed on device with cv2's exact f32 convention (y·(1/th) − 0.5)
+    # blend coords: BOTH axes static host-side in strict NumPy f32 —
+    # computing y·(1/th)−0.5 on device flips razor fracs on backends with
+    # excess f32 precision (XLA:CPU, docs/DESIGN.md §12) whenever 1/th is
+    # inexact (any th ∉ powers of 2).  axis_size is static under
+    # shard_map, so the GLOBAL row table is host-computable; each shard
+    # dynamic-slices its h rows at axis_index·h.
     x0, x1, fx = _interp_coords(W, tw, gw)
     x0 = jnp.asarray(x0)
     x1 = jnp.asarray(x1)
     fx = jnp.asarray(fx)[None, :]
-    inv = np.float32(1.0) / np.float32(th)
+    y0g, y1g, fyg = _interp_coords(h * n, th, gh)
     row0 = jax.lax.axis_index(axis_name) * h
-    yg = (row0 + jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
-    f = yg * inv - np.float32(0.5)
-    i0f = jnp.floor(f)
-    fy = (f - i0f)[:, None]
-    y0 = jnp.clip(i0f.astype(jnp.int32), 0, gh - 1)
-    y1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, gh - 1)
+    y0 = jax.lax.dynamic_slice(jnp.asarray(y0g, jnp.int32), (row0,), (h,))
+    y1 = jax.lax.dynamic_slice(jnp.asarray(y1g, jnp.int32), (row0,), (h,))
+    fy = jax.lax.dynamic_slice(jnp.asarray(fyg), (row0,), (h,))[:, None]
 
     return jax.vmap(
         lambda img, lt: blend_tile_luts(

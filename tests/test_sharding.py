@@ -105,3 +105,81 @@ def test_global_histeq_per_channel_sharded(rng):
         lut = ref_ops._equalize_lut(hist, stack.size)
         want[idx] = lut[stack]
     assert maxdiff(got, want) == 0
+
+
+# ---------------------------------------------------------------------------
+# Mesh-aware front door (round 4, VERDICT r03 item 6): make_pipeline(mesh=),
+# get_preset(mesh=), stream_frames(mesh=) — scale-out reachable from the
+# documented API, bit-identical to the single-device programs.
+# ---------------------------------------------------------------------------
+
+
+def test_make_pipeline_mesh_batch_bitwise(rng):
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+
+    stages = [("median_blur", {"ksize": 3}),
+              ("clahe", {"clip_limit": 2.0, "tile_grid": (2, 2)}),
+              ("unsharp_mask", {"amount": 1.0, "ksize": 5})]
+    mesh = make_mesh(8)
+    single = make_pipeline(stages)
+    sharded = make_pipeline(stages, mesh=mesh)
+    batch = rng.integers(0, 256, (8, 48, 56), dtype=np.uint8)
+    want = np.asarray(single(batch))
+    got = np.asarray(sharded(device_put_sharded_batch(batch, mesh)))
+    assert maxdiff(got, want) == 0
+    # unsharded host input works too (XLA inserts the scatter)
+    assert maxdiff(np.asarray(sharded(batch)), want) == 0
+    # rgb batch: planes count N*C = 24 divisible by 8
+    rgb = rng.integers(0, 256, (8, 48, 56, 3), dtype=np.uint8)
+    assert maxdiff(np.asarray(sharded(rgb)), np.asarray(single(rgb))) == 0
+
+
+def test_make_pipeline_mesh_spatial_bitwise(rng):
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+
+    stages = [("median_blur", {"ksize": 3}),
+              ("clahe", {"clip_limit": 2.0, "tile_grid": (8, 8)}),
+              ("unsharp_mask", {"amount": 1.0, "ksize": 5})]
+    mesh = make_mesh(8, axis_name="y")
+    single = make_pipeline(stages)
+    sharded = make_pipeline(stages, mesh=mesh, shard="spatial")
+    img = rng.integers(0, 256, (2, 64, 56), dtype=np.uint8)
+    assert maxdiff(np.asarray(sharded(img)), np.asarray(single(img))) == 0
+
+
+def test_make_pipeline_mesh_divisibility_errors(rng):
+    import pytest
+
+    from imageenhancement_mp_tpu.pipeline import make_pipeline
+
+    mesh = make_mesh(8)
+    pipe = make_pipeline([("gamma", {"gamma": 2.2})], mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        pipe(np.zeros((3, 16, 16), np.uint8))
+    meshy = make_mesh(8, axis_name="y")
+    spipe = make_pipeline([("gamma", {"gamma": 2.2})], mesh=meshy, shard="spatial")
+    with pytest.raises(ValueError, match="divisible"):
+        spipe(np.zeros((2, 36, 16), np.uint8))
+
+
+def test_get_preset_mesh_and_stream_frames(rng):
+    from imageenhancement_mp_tpu.models.presets import get_preset
+    from imageenhancement_mp_tpu.pipeline import stream_frames
+
+    mesh = make_mesh(8)
+    pipe = get_preset("denoise_clahe_sharpen", mesh=mesh)
+    single = get_preset("denoise_clahe_sharpen")
+    frames = [rng.integers(0, 256, (8, 40, 48), dtype=np.uint8)
+              for _ in range(3)]
+    outs = list(stream_frames(pipe, frames, depth=2, mesh=mesh))
+    assert len(outs) == 3
+    for f, o in zip(frames, outs):
+        assert maxdiff(np.asarray(o), np.asarray(single(f))) == 0
+
+    # spatial variant through the same front door
+    meshy = make_mesh(8, axis_name="y")
+    spipe = get_preset("denoise_clahe_sharpen", mesh=meshy, shard="spatial")
+    souts = list(stream_frames(spipe, frames, depth=2, mesh=meshy,
+                               shard="spatial"))
+    for f, o in zip(frames, souts):
+        assert maxdiff(np.asarray(o), np.asarray(single(f))) == 0
