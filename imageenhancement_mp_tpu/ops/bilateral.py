@@ -62,16 +62,24 @@ def bilateral_offsets(d: int, sigma_color: float, sigma_space: float, cn: int = 
 
 
 def _accumulate(p, c, offs, cw, r, H, W, joint: bool):
+    from imageenhancement_mp_tpu.ops.pointwise import apply_lut_planes
+
     num = jnp.zeros(c.shape, jnp.float32)
     den = jnp.zeros(c.shape[:-1] if joint else c.shape, jnp.float32)
     for i, j, w0 in offs:
         v = p[..., r + i : r + i + H, r + j : r + j + W, :] if joint else (
             p[..., r + i : r + i + H, r + j : r + j + W])
         if joint:
+            # joint diff spans 0..255·3: stays on the XLA gather (the
+            # Pallas LUT kernel is 256-entry); color bilateral keeps the
+            # docs/DESIGN.md §2 slow-gather caveat for now
             diff = jnp.abs(v - c).sum(axis=-1).astype(jnp.int32)
+            w = jnp.float32(w0) * cw[diff]
         else:
-            diff = jnp.abs(v - c).astype(jnp.int32)
-        w = jnp.float32(w0) * cw[diff]
+            # gray diff is u8 → the Pallas bilinear-form LUT kernel on
+            # TPU (XLA's per-pixel gather is a scalar loop there — §9c)
+            diff = jnp.abs(v - c).astype(jnp.uint8)
+            w = jnp.float32(w0) * apply_lut_planes(diff, cw)
         num = num + v * (w[..., None] if joint else w)
         den = den + w
     return num, den
