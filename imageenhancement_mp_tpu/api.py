@@ -2678,3 +2678,14 @@ def inpaint(img, mask, inpaint_radius: float = 3.0, flags: str = "telea"):
 
     return inpaint_telea(np.asarray(img), np.asarray(mask),
                          float(inpaint_radius))
+
+
+def stack_blur(img, ksize, channels_last: bool = True):
+    """``cv2.stackBlur`` — u8, ``ksize`` int or (rows, cols), odd.
+
+    DEVICE op (two integer running-sum passes per axis + the pinned
+    fixed-point descale).  Budgeted: cv2's row edges are SIMD-lane
+    scheduled (docs/PARITY.md); interior ±1, edge columns up to ~±5 at
+    large radii.  Kernel dims must not exceed the image dims."""
+    kh, kw = (ksize, ksize) if isinstance(ksize, int) else (int(ksize[0]), int(ksize[1]))
+    return _apply("stack_blur", img, channels_last, ksize=(kh, kw))

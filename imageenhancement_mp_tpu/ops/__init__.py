@@ -12,6 +12,7 @@ from imageenhancement_mp_tpu.ops.filters import (
     sobel_planes,
     laplacian_planes,
     laplacian_sharpen_planes,
+    stack_blur_planes,
     unsharp_mask_planes,
 )
 from imageenhancement_mp_tpu.ops.histogram import (
@@ -87,6 +88,7 @@ OP_REGISTRY = {
     "laplacian_sharpen": laplacian_sharpen_planes,
     "unsharp_mask": unsharp_mask_planes,
     "median_blur": median_blur_planes,
+    "stack_blur": stack_blur_planes,
 }
 
 __all__ = [

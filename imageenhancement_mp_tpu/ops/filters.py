@@ -536,3 +536,45 @@ def corner_min_eigen_val_planes(planes: jnp.ndarray, block_size: int = 3,
     c = box_filter_planes(dy * dy, block_size, normalize=False) * jnp.float32(0.5)
     b = box_filter_planes(dx * dy, block_size, normalize=False)
     return ((a + c) - jnp.sqrt((a - c) * (a - c) + b * b)).astype(jnp.float32)
+
+
+def stack_blur_planes(planes, ksize) -> "jnp.ndarray":
+    """``cv2.stackBlur`` on u8 planes ``[B, H, W]`` (budgeted op).
+
+    Triangle kernel per axis = box(r+1) ∘ box(r+1): two integer running
+    sums per axis (O(1) per radius, the stackBlur trick), REPLICATE
+    border, then the pinned per-pass descale (Klingemann truncation
+    tables for r ≤ 4, half-even rounding for r ≥ 5) — the same law as
+    the oracle ref/stackblur.py; cv2's SIMD edge-scheduling deltas are
+    the documented budget (docs/PARITY.md "stackBlur")."""
+    from imageenhancement_mp_tpu.ref.stackblur import _MUL, _SHR
+
+    kh, kw = (ksize, ksize) if isinstance(ksize, int) else (int(ksize[0]), int(ksize[1]))
+    if kh < 1 or kw < 1 or kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError("ksize dims must be odd and >= 1")
+    if kh // 2 > 63 or kw // 2 > 63:
+        raise ValueError("radius > 63 not supported (fixed-point table)")
+    if planes.dtype != jnp.uint8:
+        raise TypeError("stack_blur is uint8 only (budgeted op)")
+
+    def descale(S, r):
+        if r <= 4:
+            return (S * _MUL[r]) >> _SHR[r]
+        den = (r + 1) * (r + 1)
+        q = (2 * S + den) // (2 * den)
+        tie = (2 * S + den) % (2 * den) == 0
+        return jnp.where(tie & (q % 2 == 1), q - 1, q)
+
+    def pass_last(x, r):
+        if r == 0:
+            return x.astype(jnp.uint8)
+        p = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, 0), (r, r)), mode="edge")
+        c = jnp.pad(jnp.cumsum(p, axis=-1), ((0, 0), (0, 0), (1, 0)))
+        b1 = c[..., r + 1 :] - c[..., : -(r + 1)]
+        c2 = jnp.pad(jnp.cumsum(b1, axis=-1), ((0, 0), (0, 0), (1, 0)))
+        S = c2[..., r + 1 :] - c2[..., : -(r + 1)]
+        return jnp.clip(descale(S, r), 0, 255).astype(jnp.uint8)
+
+    out = pass_last(planes, kw // 2)
+    out = pass_last(out.transpose(0, 2, 1), kh // 2)
+    return out.transpose(0, 2, 1)
