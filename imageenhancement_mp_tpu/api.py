@@ -2689,3 +2689,51 @@ def stack_blur(img, ksize, channels_last: bool = True):
     large radii.  Kernel dims must not exceed the image dims."""
     kh, kw = (ksize, ksize) if isinstance(ksize, int) else (int(ksize[0]), int(ksize[1]))
     return _apply("stack_blur", img, channels_last, ksize=(kh, kw))
+
+
+def seamless_clone(src, dst, mask, p, flags: str = "normal"):
+    """``cv2.seamlessClone`` (NORMAL_CLONE) — Poisson image editing.
+
+    DEVICE op: the Dirichlet Poisson solve runs as type-1 sine
+    transforms (odd-extension FFTs) over the separable 5-point-Laplacian
+    eigenvalues — one jitted program per patch shape; geometry (mask
+    bbox, paste rect at center ``p`` (x, y)) is host-static.
+
+    Contract: cv2's own seamlessClone is NONDETERMINISTIC (repeated
+    identical calls differ by up to ~75 LSB over the ROI —
+    docs/PARITY.md), so parity is defined against the op's MATHEMATICAL
+    definition: the f64 oracle ``ref.seamless.seamless_clone`` solves
+    known fields to ~1e-13, cloning src onto itself is the identity,
+    and the device path tracks the oracle to ~1 LSB; agreement with
+    cv2's outputs lands within cv2's own run-to-run spread."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    m = np.asarray(mask) != 0
+    if src.dtype != np.uint8 or dst.dtype != np.uint8:
+        raise TypeError("seamless_clone: uint8 images only")
+    if flags != "normal":
+        raise ValueError("only NORMAL_CLONE is implemented (flags='normal')")
+    ys, xs = np.nonzero(m)
+    if ys.size == 0:
+        return jnp.asarray(dst)
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    h, w = y1 - y0, x1 - x0
+    cx, cy = int(p[0]), int(p[1])
+    dy0, dx0 = cy - h // 2, cx - w // 2
+    if dy0 < 0 or dx0 < 0 or dy0 + h > dst.shape[0] or dx0 + w > dst.shape[1]:
+        raise ValueError("pasted ROI falls outside dst")
+    from imageenhancement_mp_tpu.ops.seamless import seamless_clone_patch
+
+    def planes(a, sl_y, sl_x):
+        a = a[sl_y, sl_x]
+        return a[None] if a.ndim == 2 else np.moveaxis(a, -1, 0)
+
+    sp = planes(src, slice(y0, y1), slice(x0, x1))
+    dp = planes(dst, slice(dy0, dy0 + h), slice(dx0, dx0 + w))
+    blended = np.asarray(seamless_clone_patch(
+        jnp.asarray(sp), jnp.asarray(dp), m[y0:y1, x0:x1]))
+    out = dst.copy()
+    patch = blended[0] if src.ndim == 2 else np.moveaxis(blended, 0, -1)
+    out[dy0:dy0 + h, dx0:dx0 + w] = patch
+    return jnp.asarray(out)
