@@ -33,7 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
 
-__all__ = ["hist256_pallas", "apply_lut256_pallas", "apply_luts_multi_pallas"]
+__all__ = [
+    "hist256_pallas",
+    "apply_lut256_pallas",
+    "apply_luts_multi_pallas",
+    "equalize_hist_pallas",
+]
 
 _LANES = 128
 _S = 1024  # stripe sublane rows: 1024·128 px → [16, 2^17] f32 one-hots ≤ 8 MB
@@ -255,3 +260,108 @@ def apply_luts_multi_pallas(
     return tuple(
         o.reshape(B, rpad * _LANES)[:, :n].reshape(planes.shape) for o in outs
     )
+
+
+def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
+                     total: int):
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    s, lanes = x_ref.shape[1], x_ref.shape[2]
+    pt = s * lanes
+    x = x_ref[...].astype(jnp.int32).reshape(1, pt)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (16, pt), 0)
+    oh_lo = jnp.where(bins == (x & 15), 1.0, 0.0)
+
+    @pl.when((ph == 0) & (t == 0))
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    @pl.when(ph == 0)
+    def _():
+        pix = t * pt + jax.lax.broadcasted_iota(jnp.int32, (16, pt), 1)
+        oh_hi_m = jnp.where((bins == (x >> 4)) & (pix < n_valid), 1.0, 0.0)
+        h = jax.lax.dot_general(
+            oh_hi_m, oh_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hist_ref[...] += h
+        out_ref[...] = x_ref[...]  # placeholder; phase 1 rewrites the block
+
+    @pl.when((ph == 1) & (t == 0))
+    def _():
+        # cv2 equalize LUT, entirely in VMEM (ops/histogram.equalize_lut's
+        # law): cdf via triangular dots, i0 = #(cdf == 0), f32 scale
+        # 255/(N − hist[i0]), one half-even round per entry
+        hist = hist_ref[...]  # [16,16] f32 (counts ≤ 2^24: exact)
+        li = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+        upper = jnp.where(li <= lj, 1.0, 0.0)   # U[l', l]: l' ≤ l
+        strict = jnp.where(li > lj, 1.0, 0.0)   # L[h, h']: h' < h
+        rowcum = jax.lax.dot_general(
+            hist, upper, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [16,16] prefix along lanes
+        rowsum = rowcum[:, 15:16]  # [16,1]
+        rowpref = jax.lax.dot_general(
+            strict, rowsum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [16,1] exclusive prefix of row sums
+        cdf = rowcum + rowpref  # [16,16] = cdf over flat v = h·16+l
+        fi = (li * 16 + lj).astype(jnp.float32)
+        i0n = jnp.sum(jnp.where(cdf == 0.0, 1.0, 0.0))  # = i0 (first nonzero)
+        h0 = jnp.sum(jnp.where(fi == i0n, hist, 0.0))   # hist[i0] = cdf[i0]
+        denom = jnp.maximum(jnp.float32(total) - h0, 1.0)
+        scale = jnp.float32(255.0) / denom
+        lut = jnp.clip(jnp.round((cdf - h0) * scale), 0.0, 255.0)
+        identity = fi
+        lut_ref[...] = jnp.where(h0 == jnp.float32(total), identity, lut)
+
+    @pl.when(ph == 1)
+    def _():
+        m = jax.lax.dot_general(
+            lut_ref[...], oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
+        out = jnp.sum(oh_hi * m, axis=0, keepdims=True).reshape(s, lanes)
+        out_ref[...] = out.astype(jnp.int32).astype(jnp.uint8)[None]
+
+
+def equalize_hist_pallas(planes: jnp.ndarray,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """``cv2.equalizeHist`` as ONE Pallas kernel per batch: histogram
+    accumulation, the cv2 LUT build (triangular-dot cumsums + the f32
+    lutScale law), and the bilinear-form LUT apply share a single
+    pallas_call — two image reads, one write, no XLA round trips (the
+    config-1 small-image dispatch fix, VERDICT r03 item 7)."""
+    if planes.dtype != jnp.uint8:
+        raise TypeError(f"equalize_hist_pallas expects uint8, got {planes.dtype}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, H, W = planes.shape[0], planes.shape[-2], planes.shape[-1]
+    n = H * W
+    rows = _round_up(n, _LANES) // _LANES
+    s = min(_S, _round_up(rows, 8))
+    rpad = _round_up(rows, s)
+    flat = planes.reshape(B, n)
+    if rpad * _LANES != n:
+        flat = jnp.pad(flat, ((0, 0), (0, rpad * _LANES - n)))
+    x3 = flat.reshape(B, rpad, _LANES)
+    blk = pl.BlockSpec((1, s, _LANES), lambda b, ph, t: (b, t, 0))
+    out = pl.pallas_call(
+        functools.partial(_equalize_kernel, n_valid=n, total=n),
+        grid=(B, 2, rpad // s),
+        out_shape=jax.ShapeDtypeStruct((B, rpad, _LANES), jnp.uint8),
+        in_specs=[blk],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((16, 16), jnp.float32),
+            pltpu.VMEM((16, 16), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3)
+    return out.reshape(B, rpad * _LANES)[:, :n].reshape(planes.shape)

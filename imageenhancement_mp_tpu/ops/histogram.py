@@ -185,9 +185,20 @@ def equalize_hist_global_planes(
 def equalize_hist_planes(
     planes: jnp.ndarray, method: str | None = None
 ) -> jnp.ndarray:
-    """``cv2.equalizeHist`` on a stack of planes ``[B, H, W] u8`` — exact."""
+    """``cv2.equalizeHist`` on a stack of planes ``[B, H, W] u8`` — exact.
+
+    On TPU the whole op (histogram → cv2 LUT build → apply) is ONE fused
+    Pallas kernel (kernels/hist.py equalize_hist_pallas): two image
+    reads, one write, no XLA round trips — the small-image dispatch fix."""
     if planes.dtype != jnp.uint8:
         raise TypeError(f"equalizeHist is 8-bit only (cv2 parity), got {planes.dtype}")
+    if method is None:
+        from imageenhancement_mp_tpu.config import pallas_enabled
+
+        if pallas_enabled():
+            from imageenhancement_mp_tpu.kernels.hist import equalize_hist_pallas
+
+            return equalize_hist_pallas(planes)
     total = planes.shape[-1] * planes.shape[-2]
     hists = histogram_256(planes, method)
     luts = jax.vmap(functools.partial(equalize_lut, total=total))(hists)

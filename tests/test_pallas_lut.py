@@ -125,3 +125,17 @@ def test_pallas_vs_xla_paths_agree():
     a = np.asarray(histogram_256(x, "pallas"))
     b = np.asarray(histogram_256(x, "nibble_matmul"))
     assert np.array_equal(a, b)
+
+
+def test_equalize_fused_kernel_vs_oracle():
+    from imageenhancement_mp_tpu.kernels.hist import equalize_hist_pallas
+
+    rng = np.random.default_rng(seed("eq_fused"))
+    for shape in [(2, 64, 80), (1, 100, 131), (3, 33, 41), (1, 8, 8)]:
+        x = rng.integers(0, 256, shape, np.uint8)
+        got = np.asarray(jax.jit(equalize_hist_pallas)(jnp.asarray(x)))
+        want = np.stack([ref.equalize_hist(p) for p in x])
+        assert np.array_equal(got, want), shape
+    c = np.full((1, 20, 20), 77, np.uint8)  # constant → identity LUT
+    got = np.asarray(jax.jit(equalize_hist_pallas)(jnp.asarray(c)))
+    assert np.array_equal(got, c)
