@@ -216,10 +216,7 @@ def _clahe_pallas(planes, clip_limit, gh, gw, th, tw,
     association.  Bit-identical to the gather path (same values, same
     arithmetic order).
     """
-    from imageenhancement_mp_tpu.kernels.hist import (
-        apply_luts_multi_pallas,
-        hist256_pallas,
-    )
+    from imageenhancement_mp_tpu.kernels.hist import hist256_pallas
 
     B, H, W = planes.shape
     T = gh * gw
@@ -243,42 +240,13 @@ def _clahe_pallas(planes, clip_limit, gh, gw, th, tw,
         axis=1,
     )  # [T, 9]
     luts9 = luts.reshape(B, T, 256)[:, jnp.asarray(idx9), :].reshape(B * T, 9, 256)
-    g = apply_luts_multi_pallas(tiles, luts9)  # 9 × [B·T, th, tw] u8
+    from imageenhancement_mp_tpu.kernels.clahe_blend import clahe_blend_pallas
 
-    # static per-tile-local tables: which local 3×3 table (0..2) the
-    # CLIPPED y0/y1/x0/x1 point at (cv2 clips y1 from the UNCLIPPED
-    # floor, so at grid edges y1 == y0 — never assume q1 = q0+1), and
-    # the f32 fracs — sliced from the exact global _interp_coords tables
-    # so every frac bit matches the gather path
-    yy = np.arange(planes.shape[1]) // th
-    xx = np.arange(planes.shape[2]) // tw
-    q0 = jnp.asarray((y0g - yy + 1).reshape(gh, th))[None, :, None, :, None]
-    q1 = jnp.asarray((y1g - yy + 1).reshape(gh, th))[None, :, None, :, None]
-    c0 = jnp.asarray((x0g - xx + 1).reshape(gw, tw))[None, None, :, None, :]
-    c1 = jnp.asarray((x1g - xx + 1).reshape(gw, tw))[None, None, :, None, :]
-    fyb = jnp.asarray(fyg.reshape(gh, th))[None, :, None, :, None]
-    fxb = jnp.asarray(fxg.reshape(gw, tw))[None, None, :, None, :]
-
-    gt = [gk.reshape(B, gh, gw, th, tw).astype(jnp.float32) for gk in g]
-
-    def pick(qloc, cloc):
-        # 3×3 static-mask select of l(qloc, cloc), qloc/cloc ∈ {0, 1, 2}
-        rows = [
-            jnp.where(cloc == 0, gt[q * 3],
-                      jnp.where(cloc == 1, gt[q * 3 + 1], gt[q * 3 + 2]))
-            for q in range(3)
-        ]
-        return jnp.where(qloc == 0, rows[0],
-                         jnp.where(qloc == 1, rows[1], rows[2]))
-
-    l00 = pick(q0, c0)
-    l01 = pick(q0, c1)
-    l10 = pick(q1, c0)
-    l11 = pick(q1, c1)
-    # blend_tile_luts' exact association (the shared exactness-critical
-    # f32 ordering — see its docstring for the XLA:CPU contraction caveat)
-    top = (1.0 - fxb) * l00 + fxb * l01
-    bot = (1.0 - fxb) * l10 + fxb * l11
-    out = (1.0 - fyb) * top + fyb * bot
-    out = jnp.clip(jnp.round(out), 0, 255).astype(planes.dtype)
-    return out.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+    blended = clahe_blend_pallas(
+        tiles, luts9, gh, gw, th, tw, y0g, y1g, fyg, x0g, x1g, fxg
+    )  # [B·T, th, tw] u8: LUT-apply + exact bilinear blend, one kernel
+    return (
+        blended.reshape(B, gh, gw, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, planes.shape[1], planes.shape[2])
+    )
