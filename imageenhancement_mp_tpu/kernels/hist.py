@@ -35,6 +35,8 @@ from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
 
 __all__ = [
     "hist256_pallas",
+    "take_table_pallas",
+    "gather_width_supported",
     "apply_lut256_pallas",
     "apply_luts_multi_pallas",
     "equalize_hist_pallas",
@@ -42,6 +44,46 @@ __all__ = [
 
 _LANES = 128
 _S = 1024  # stripe sublane rows: 1024·128 px → [16, 2^17] f32 one-hots ≤ 8 MB
+
+# ---------------------------------------------------------------------------
+# tpu.dynamic_gather capability probe (round 4): Mosaic lowers
+# jnp.take_along_axis on 2D VMEM operands to the hardware per-lane
+# shuffle — orders of magnitude cheaper than the one-hot bilinear form
+# when available.  Probed lazily ON DEVICE once per process; interpret
+# mode always supports it (pure NumPy semantics).
+# ---------------------------------------------------------------------------
+_DG_OK: bool | None = None
+
+
+def _dg_supported() -> bool:
+    global _DG_OK
+    if _DG_OK is None:
+        if jax.devices()[0].platform != "tpu":
+            _DG_OK = True  # interpret mode
+        else:
+            try:
+                def k(t_ref, i_ref, o_ref):
+                    o_ref[...] = jnp.take_along_axis(
+                        t_ref[...], i_ref[...], axis=1,
+                        mode="promise_in_bounds")
+
+                t = jnp.arange(8 * 256, dtype=jnp.int32).reshape(8, 256)
+                ix = (t * 7 + 3) % 256
+                r = pl.pallas_call(
+                    k, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
+                )(t, ix)
+                import numpy as _np
+
+                tn = _np.asarray(t)
+                _DG_OK = bool(
+                    _np.array_equal(
+                        _np.asarray(r),
+                        tn[_np.arange(8)[:, None], _np.asarray(ix)],
+                    )
+                )
+            except Exception:
+                _DG_OK = False
+    return _DG_OK
 
 
 def _hist_kernel(x_ref, out_ref, *, n_valid: int):
@@ -138,6 +180,48 @@ def _lut_kernel(x_ref, lut_ref, out_ref, *, out_int: bool):
     out_ref[...] = out.astype(out_ref.dtype)[None]
 
 
+def _lut_dg_kernel(x_ref, lut_ref, out_ref, *, out_int: bool):
+    s = x_ref.shape[1]
+    v = x_ref[...][0].astype(jnp.int32)  # [s, 256] pixel block
+    lut = lut_ref[...][0]  # [1, 256]
+    if jnp.issubdtype(lut.dtype, jnp.integer) and lut.dtype != jnp.int32:
+        lut = lut.astype(jnp.int32)
+    lutb = jnp.broadcast_to(lut, v.shape)
+    g = jnp.take_along_axis(lutb, v, axis=1, mode="promise_in_bounds")
+    out_ref[...] = g.astype(out_ref.dtype)[None]
+
+
+def _apply_lut_dg(planes, luts, interpret):
+    """LUT apply on the hardware shuffle: pixels blocked [s, 256] lanes,
+    one ``tpu.dynamic_gather`` per block (~2 ops/px vs the bilinear
+    form's ~100)."""
+    B = planes.shape[0]
+    n = 1
+    for d in planes.shape[1:]:
+        n *= int(d)
+    lanes = 256
+    rows = _round_up(n, lanes) // lanes
+    s = min(512, _round_up(rows, 8))
+    rpad = _round_up(rows, s)
+    flat = planes.reshape(B, n)
+    if rpad * lanes != n:
+        flat = jnp.pad(flat, ((0, 0), (0, rpad * lanes - n)))
+    x3 = flat.reshape(B, rpad, lanes)
+    out_int = jnp.issubdtype(luts.dtype, jnp.integer)
+    out = pl.pallas_call(
+        functools.partial(_lut_dg_kernel, out_int=out_int),
+        grid=(B, rpad // s),
+        out_shape=jax.ShapeDtypeStruct((B, rpad, lanes), luts.dtype),
+        in_specs=[
+            pl.BlockSpec((1, s, lanes), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, 1, 256), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, lanes), lambda b, t: (b, t, 0)),
+        interpret=interpret,
+    )(x3, luts.reshape(B, 1, 256))
+    return out.reshape(B, rpad * lanes)[:, :n].reshape(planes.shape)
+
+
 def apply_lut256_pallas(
     planes: jnp.ndarray, luts: jnp.ndarray, interpret: bool | None = None
 ) -> jnp.ndarray:
@@ -162,6 +246,8 @@ def apply_lut256_pallas(
     B = planes.shape[0]
     if luts.ndim == 1:
         luts = jnp.broadcast_to(luts, (B, 256))
+    if _dg_supported():
+        return _apply_lut_dg(planes, luts, interpret)
     lut3 = luts.reshape(B, 16, 16)
     n = 1
     for d in planes.shape[1:]:
@@ -260,6 +346,86 @@ def apply_luts_multi_pallas(
     return tuple(
         o.reshape(B, rpad * _LANES)[:, :n].reshape(planes.shape) for o in outs
     )
+
+
+def _take_kernel(i_ref, tab_ref, out_ref):
+    idx = i_ref[...][0]  # [s, L] i32
+    tab = tab_ref[...][0]  # [1, L]
+    if jnp.issubdtype(tab.dtype, jnp.integer) and tab.dtype != jnp.int32:
+        tab = tab.astype(jnp.int32)
+    tb = jnp.broadcast_to(tab, idx.shape)
+    g = jnp.take_along_axis(tb, idx, axis=1, mode="promise_in_bounds")
+    out_ref[...] = g.astype(out_ref.dtype)[None]
+
+
+def take_table_pallas(idx: jnp.ndarray, table: jnp.ndarray,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """Generic per-pixel table gather on the hardware shuffle:
+    ``out[...] = table[..., idx[...]]``.
+
+    ``idx``: ``[B, ...]`` int32 (values in ``[0, L)``); ``table``:
+    ``[L]`` shared or ``[B, L]`` per plane, ``L`` a multiple of 128.
+    XLA lowers this gather to a per-element scalar loop on TPU
+    (docs/DESIGN.md §9c); ``tpu.dynamic_gather`` does it at VPU speed.
+    The maximum supported ``L`` is hardware/Mosaic-dependent — callers
+    gate on :func:`gather_width_supported`.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B = idx.shape[0]
+    if table.ndim == 1:
+        table = jnp.broadcast_to(table, (B,) + table.shape)
+    L = table.shape[-1]
+    if L % _LANES:
+        raise ValueError(f"table width {L} must be a multiple of {_LANES}")
+    n = 1
+    for d in idx.shape[1:]:
+        n *= int(d)
+    rows = _round_up(n, L) // L
+    smax = max(8, (1 << 19) // L // 8 * 8)  # ≤ 0.5M-elem blocks
+    s = min(smax, _round_up(rows, 8))
+    rpad = _round_up(rows, s)
+    flat = idx.reshape(B, n).astype(jnp.int32)
+    if rpad * L != n:
+        flat = jnp.pad(flat, ((0, 0), (0, rpad * L - n)))
+    x3 = flat.reshape(B, rpad, L)
+    out = pl.pallas_call(
+        _take_kernel,
+        grid=(B, rpad // s),
+        out_shape=jax.ShapeDtypeStruct((B, rpad, L), table.dtype),
+        in_specs=[
+            pl.BlockSpec((1, s, L), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, L), lambda b, t: (b, t, 0)),
+        interpret=interpret,
+    )(x3, table.reshape(B, 1, L))
+    return out.reshape(B, rpad * L)[:, :n].reshape(idx.shape)
+
+
+_DG_WIDTHS: dict[int, bool] = {}
+
+
+def gather_width_supported(L: int) -> bool:
+    """Probe (once per width per process) whether the dynamic-gather
+    kernel compiles AND returns correct values for ``L``-wide tables."""
+    if jax.devices()[0].platform != "tpu":
+        return True
+    ok = _DG_WIDTHS.get(L)
+    if ok is None:
+        try:
+            import numpy as _np
+
+            tab = jnp.arange(L, dtype=jnp.int32) * 3 + 1
+            idx = (jnp.arange(8 * L, dtype=jnp.int32).reshape(1, 8, L) * 7 + 5) % L
+            got = take_table_pallas(idx.reshape(1, -1), tab)
+            want = (_np.asarray(idx).reshape(-1) * 1) * 0 + _np.asarray(tab)[
+                _np.asarray(idx).reshape(-1)]
+            ok = bool(_np.array_equal(_np.asarray(got).reshape(-1), want))
+        except Exception:
+            ok = False
+        _DG_WIDTHS[L] = ok
+    return ok
 
 
 def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,

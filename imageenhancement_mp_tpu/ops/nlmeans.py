@@ -33,6 +33,25 @@ __all__ = ["fast_nl_means_planes", "fast_nl_means_vec",
            "fast_nl_means_multi_vec", "fast_nl_means_u16_vec"]
 
 
+def _lut_take(lut: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Weight-LUT gather: hardware dynamic-gather kernel on TPU (XLA's
+    per-pixel take is a scalar loop there — docs/DESIGN.md §9c)."""
+    from imageenhancement_mp_tpu.config import pallas_enabled
+
+    if pallas_enabled():
+        from imageenhancement_mp_tpu.kernels.hist import (
+            gather_width_supported,
+            take_table_pallas,
+        )
+
+        L = lut.shape[0]
+        Lp = (L + 127) // 128 * 128
+        if gather_width_supported(Lp):
+            t = jnp.pad(lut, (0, Lp - L)) if Lp != L else lut
+            return take_table_pallas(idx.astype(jnp.int32), t)
+    return jnp.take(lut, idx)
+
+
 def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
                             template_window: int = 7,
                             search_window: int = 21,
@@ -83,7 +102,7 @@ def fast_nl_means_multi_vec(stack: jnp.ndarray, h: float = 10.0,
         c = jnp.cumsum(jnp.cumsum(d2, axis=1), axis=2)
         c = jnp.pad(c, ((0, 0), (1, 0), (1, 0)))
         ssd = (c[:, t:, t:] - c[:, :-t, t:] - c[:, t:, :-t] + c[:, :-t, :-t])
-        ww = jnp.take(lut, jnp.minimum(ssd >> bs, cut))
+        ww = _lut_take(lut, jnp.minimum(ssd >> bs, cut))
         v = jax.lax.dynamic_slice(
             p, (f, 0, border + dy - sh, border + dx - sh, 0),
             (1, N, H, W, C))[0]
@@ -164,7 +183,7 @@ def fast_nl_means_u16_vec(img: jnp.ndarray, h: float = 10.0,
         c = jnp.cumsum(jnp.cumsum(sad, axis=1), axis=2)
         c = jnp.pad(c, ((0, 0), (1, 0), (1, 0)))
         win = (c[:, t:, t:] - c[:, :-t, t:] - c[:, t:, :-t] + c[:, :-t, :-t])
-        ww = jnp.take(lut, jnp.minimum(win >> bs, cut))
+        ww = _lut_take(lut, jnp.minimum(win >> bs, cut))
         v = jax.lax.dynamic_slice(
             p, (0, border + dy - sh, border + dx - sh, 0), (N, H, W, C))
         return (est + ww[..., None] * v.astype(jnp.int64), wsum + ww)
