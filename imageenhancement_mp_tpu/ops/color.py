@@ -28,6 +28,27 @@ import jax.numpy as jnp
 
 from imageenhancement_mp_tpu.utils.fma import fma32
 
+
+def _take1(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel 1-D table gather: hardware dynamic-gather kernel on TPU
+    (XLA's take is a per-element scalar loop there — docs/DESIGN.md §9c).
+    ``idx`` must already be in-range int; table padded to a lane multiple."""
+    from imageenhancement_mp_tpu.config import pallas_enabled
+
+    if pallas_enabled() and idx.ndim >= 1:
+        from imageenhancement_mp_tpu.kernels.hist import (
+            gather_width_supported,
+            take_table_pallas,
+        )
+
+        L = tab.shape[0]
+        Lp = (L + 127) // 128 * 128
+        if gather_width_supported(Lp):
+            t = jnp.pad(tab, (0, Lp - L)) if Lp != L else tab
+            flat = idx.astype(jnp.int32).reshape(1, -1)
+            return take_table_pallas(flat, t).reshape(idx.shape)
+    return jnp.take(tab, idx)
+
 __all__ = ["cvt_gray_nhwc", "rgb_to_ycrcb_nhwc", "ycrcb_to_rgb_nhwc",
            "rgb_to_hsv_nhwc", "hsv_to_rgb_nhwc",
            "rgb_to_hls_nhwc", "hls_to_rgb_nhwc",
@@ -263,14 +284,14 @@ def rgb_to_hls_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     v = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     pair = v * 256 + vmin
-    L8 = jnp.take(L8t, pair)
-    S8 = jnp.take(S8t, pair)
-    d60 = jnp.take(d60t, pair)
+    L8 = _take1(L8t, pair)
+    S8 = _take1(S8t, pair)
+    d60 = _take1(d60t, pair)
     # branch select with cv2's r-first tie order
     is_r = v == r
     is_g = jnp.logical_and(~is_r, v == g)
     xpair = jnp.where(is_r, g * 256 + b, jnp.where(is_g, b * 256 + r, r * 256 + g))
-    X = jnp.take(Xt, xpair)
+    X = _take1(Xt, xpair)
     C = jnp.where(is_r, jnp.float32(0.0),
                   jnp.where(is_g, jnp.float32(120.0), jnp.float32(240.0)))
     h = fma32(X, d60, C)
@@ -300,15 +321,15 @@ def hls_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     Lr = img[..., 1].astype(jnp.int32)
     Sr = img[..., 2].astype(jnp.int32)
     pair = Lr * 256 + Sr
-    p2 = jnp.take(p2t, pair)
-    p1 = jnp.take(p1t, pair)
-    sec = jnp.take(sect, H)
-    hf = jnp.take(hft, H)
+    p2 = _take1(p2t, pair)
+    p1 = _take1(p1t, pair)
+    sec = _take1(sect, H)
+    hf = _take1(hft, H)
     d = p2 - p1
     t2 = p1 + two_prod(d, jnp.float32(1.0) - hf)[0]
     t3 = p1 + two_prod(d, hf)[0]
     tab = [p2, p1, t2, t3]
-    L = jnp.take(p1t, Lr * 256)  # p1[L,0] == 2L - L·1 == scaled L exactly
+    L = _take1(p1t, Lr * 256)  # p1[L,0] == 2L - L·1 == scaled L exactly
     gray = Sr == 0
     out = []
     for comp in range(3):  # b, g, r
@@ -426,9 +447,9 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb",
     gamma_b, cbrt_b = _lab_device_tabs()[:2]
     ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
     if srgb:
-        R = jnp.take(gamma_b, img[..., ri].astype(jnp.int32))
-        G = jnp.take(gamma_b, img[..., gi].astype(jnp.int32))
-        B = jnp.take(gamma_b, img[..., bi].astype(jnp.int32))
+        R = _take1(gamma_b, img[..., ri].astype(jnp.int32))
+        G = _take1(gamma_b, img[..., gi].astype(jnp.int32))
+        B = _take1(gamma_b, img[..., bi].astype(jnp.int32))
     else:
         R = img[..., ri].astype(jnp.int32) << 3
         G = img[..., gi].astype(jnp.int32) << 3
@@ -438,7 +459,7 @@ def rgb_to_lab_nhwc(img: jnp.ndarray, order: str = "rgb",
     C = _LAB_C_FWD
     def cb(k):
         acc = (R * int(C[k, 0]) + G * int(C[k, 1]) + B * int(C[k, 2]) + 2048)
-        return jnp.take(cbrt_b, jnp.clip(jnp.right_shift(acc, 12), 0, 3071))
+        return _take1(cbrt_b, jnp.clip(jnp.right_shift(acc, 12), 0, 3071))
     fX, fY, fZ = cb(0), cb(1), cb(2)
     Lscale = (116 * 255 + 50) // 100
     Lshift = -((16 * 255 * (1 << 15) + 50) // 100)
@@ -488,11 +509,11 @@ def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb",
     LL = img[..., 0].astype(jnp.int32)
     aa = img[..., 1].astype(jnp.int32)
     bb = img[..., 2].astype(jnp.int32)
-    y = jnp.take(y_b, LL)
-    ify = jnp.take(ify_b, LL)
+    y = _take1(y_b, LL)
+    ify = _take1(ify_b, LL)
     n_ab = abxz.shape[0]
-    x = jnp.take(abxz, jnp.clip(ify + jnp.take(adiv, aa) - minab, 0, n_ab - 1))
-    z = jnp.take(abxz, jnp.clip(ify - jnp.take(bdiv, bb) - minab, 0, n_ab - 1))
+    x = _take1(abxz, jnp.clip(ify + _take1(adiv, aa) - minab, 0, n_ab - 1))
+    z = _take1(abxz, jnp.clip(ify - _take1(bdiv, bb) - minab, 0, n_ab - 1))
     from imageenhancement_mp_tpu.ref.ops import _LAB_C_INV
 
     C = _LAB_C_INV
@@ -501,7 +522,7 @@ def lab_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb",
         v = jnp.right_shift(x * int(C[k, 0]) + y * int(C[k, 1])
                             + z * int(C[k, 2]) + (1 << 13), 14)
         v = jnp.clip(v, 0, 4095)
-        chans.append(jnp.take(invg, v) if srgb
+        chans.append(_take1(invg, v) if srgb
                      else jnp.right_shift(v * 255, 12))
     out = jnp.stack(chans, -1).astype(jnp.uint8)
     return out[..., ::-1] if order == "bgr" else out
@@ -548,7 +569,7 @@ def rgb_to_luv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     tab_np, T_np = _luv_host_tabs()
     tab = jnp.asarray(tab_np)
     T = jnp.asarray(T_np)                        # (33*33*33, 3)
-    c = jnp.take(tab, img.astype(jnp.int32))     # (N,H,W,3)
+    c = _take1(tab, img.astype(jnp.int32))     # (N,H,W,3)
     t = c >> 9
     f = (c & 511).astype(jnp.int32)
     t1 = jnp.minimum(t + 1, 32)
@@ -556,7 +577,8 @@ def rgb_to_luv_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
         ix = t1[..., 0] if dp else t[..., 0]
         iy = t1[..., 1] if dq else t[..., 1]
         iz = t1[..., 2] if dr else t[..., 2]
-        return jnp.take(T, (ix * 33 + iy) * 33 + iz, axis=0)   # (...,3)
+        idx3 = (ix * 33 + iy) * 33 + iz
+        return jnp.stack([_take1(T[:, ch], idx3) for ch in range(3)], -1)
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     R = jnp.asarray([256, 0, 256], jnp.int32)    # per-channel stage rounding
     P = jnp.asarray([0, 32, 32], jnp.int32)      # per-channel post rounding
