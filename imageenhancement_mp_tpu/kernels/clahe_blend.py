@@ -1,17 +1,20 @@
-"""Pallas CLAHE stage C: 9-neighbor LUT apply + bilinear blend, one kernel.
+"""Pallas CLAHE stage C: per-tile 9-LUT gather + bilinear blend, one kernel.
 
-The r04 first cut applied the nine neighbor-tile LUTs with
-``apply_luts_multi_pallas`` and blended in XLA — nine u8 planes written
-to and re-read from HBM plus a 36-select blend pass.  This kernel keeps
-everything in VMEM: per (tile, row-block) it builds the pixel one-hots
-once, dots each of the 9 LUTs, ACCUMULATES the four l00/l01/l10/l11
-fields with the static 3×3 half-masks inside the k-loop (no g_k ever
-materializes), and finishes with blend_tile_luts' exact f32 association.
+Everything lives in the flat ``[*, 128]`` lane layout (multi-vreg-lane
+reshapes don't lower — probed r04): the tiles, the output, and the
+static per-class aux planes are passed pre-flattened (free row-major
+reshapes in HBM).  Per pixel the kernel:
 
-Static per-tile tables ride BlockSpec index maps: ``ytab[gh·nsub, ss, 8]``
-carries (q0, q1, fy) per tile-local row block, ``xtab[gw, 8, twp]``
-carries (c0, c1, fx) per tile column — both sliced from the exact global
-``_interp_coords`` tables so every frac bit matches the gather path.
+* forms the four combined LUT indices ``base_k(px) + v(px)`` where
+  ``base ∈ {0, 256, …, 2048}`` encodes the (q, c) neighbor choice —
+  host-precomputed from the exact global ``_interp_coords`` tables;
+* chain-gathers each from the tile's ``[2304]`` stacked neighbor LUTs
+  with the single-vreg ``tpu.dynamic_gather`` (18 gathers + select
+  folds per field);
+* blends with blend_tile_luts' exact f32 association.
+
+Aux planes cover ONE image's (tile-row, tile-col, row-block) classes and
+are shared across the batch via the BlockSpec index map.
 """
 
 from __future__ import annotations
@@ -30,42 +33,30 @@ __all__ = ["clahe_blend_pallas"]
 _LANES = 128
 
 
-def _blend_kernel(x_ref, lut_ref, ytab_ref, xtab_ref, out_ref):
-    ss, twp = x_ref.shape[1], x_ref.shape[2]
-    pt = ss * twp
-    x = x_ref[...].astype(jnp.int32).reshape(1, pt)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (16, pt), 0)
-    oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
-    oh_lo = jnp.where(bins == (x & 15), 1.0, 0.0)
-    luts = lut_ref[...][0].astype(jnp.int32).astype(jnp.float32)  # [144, 16]
+def _blend_kernel(x_ref, lut_ref, base_ref, w_ref, out_ref, *, K: int):
+    v = x_ref[...][0].astype(jnp.int32)  # [s2, 128]
+    tabs = lut_ref[...][0].astype(jnp.int32)  # [K, 128] stacked 9 LUTs
+    bases = base_ref[...][0]  # [4·s2, 128] i32
+    w = w_ref[...][0]  # [2·s2, 128] f32: fy, fx
+    s2 = v.shape[0]
 
-    yt = ytab_ref[...][0]  # [ss, 8] f32: cols 0..2 = q0, q1, fy
-    q0 = yt[:, 0:1]  # [ss, 1]
-    q1 = yt[:, 1:2]
-    fy = yt[:, 2:3]
-    xt = xtab_ref[...][0]  # [8, twp] f32: rows 0..2 = c0, c1, fx
-    c0 = xt[0:1, :]  # [1, twp]
-    c1 = xt[1:2, :]
-    fx = xt[2:3, :]
+    def gather(idx):
+        low = idx & 127
+        seg = idx >> 7
+        out = None
+        for k in range(K):
+            tb = jnp.broadcast_to(tabs[k : k + 1], idx.shape)
+            g = jnp.take_along_axis(tb, low, axis=1,
+                                    mode="promise_in_bounds")
+            out = g if out is None else jnp.where(seg == k, g, out)
+        return out.astype(jnp.float32)
 
-    zero = jnp.zeros((ss, twp), jnp.float32)
-    l00 = zero
-    l01 = zero
-    l10 = zero
-    l11 = zero
-    for k in range(9):
-        q, c = divmod(k, 3)
-        m = jax.lax.dot_general(
-            luts[16 * k : 16 * (k + 1)], oh_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        g = jnp.sum(oh_hi * m, axis=0, keepdims=True).reshape(ss, twp)
-        qf = jnp.float32(q)
-        cf = jnp.float32(c)
-        l00 = l00 + jnp.where((q0 == qf) & (c0 == cf), g, 0.0)
-        l01 = l01 + jnp.where((q0 == qf) & (c1 == cf), g, 0.0)
-        l10 = l10 + jnp.where((q1 == qf) & (c0 == cf), g, 0.0)
-        l11 = l11 + jnp.where((q1 == qf) & (c1 == cf), g, 0.0)
+    l00 = gather(bases[0 * s2 : 1 * s2] + v)
+    l01 = gather(bases[1 * s2 : 2 * s2] + v)
+    l10 = gather(bases[2 * s2 : 3 * s2] + v)
+    l11 = gather(bases[3 * s2 : 4 * s2] + v)
+    fy = w[0 * s2 : 1 * s2]
+    fx = w[1 * s2 : 2 * s2]
     # blend_tile_luts' exact association (strict per-op f32 on TPU)
     top = (1.0 - fx) * l00 + fx * l01
     bot = (1.0 - fx) * l10 + fx * l11
@@ -79,67 +70,82 @@ def clahe_blend_pallas(tiles, luts9, gh, gw, th, tw,
                        interpret: bool | None = None):
     """Blend ``[BT, th, tw]`` u8 tiles through their ``[BT, 9, 256]``
     neighbor LUTs with the exact CLAHE bilinear weights → ``[BT, th, tw]``.
-
-    ``y0g/y1g/fyg`` (len H = gh·th) and ``x0g/x1g/fxg`` (len W = gw·tw)
-    are the global ``_interp_coords`` tables (host numpy)."""
+    """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     BT = tiles.shape[0]
+    T = gh * gw
     thp = _round_up(th, 8)
     twp = _round_up(tw, _LANES)
     if (thp, twp) != (th, tw):
         tiles = jnp.pad(tiles, ((0, 0), (0, thp - th), (0, twp - tw)))
-    # row sub-blocks keep the [16, pt] one-hots inside VMEM (pt ≤ 2^15
-    # → ~7 MB working set); thp % 8 == 0 so ss = 8 always qualifies
-    ss = max(s for s in range(8, thp + 1, 8)
-             if thp % s == 0 and s * twp <= (1 << 15))
-    nsub = thp // ss
+    nch = twp // _LANES  # flat rows per pixel row
+    rows_flat = thp * nch  # flat [*, 128] rows per tile
+    # row sub-blocks: keep the 4 idx + 4 gather intermediates small
+    ss = max(s for s in range(8, rows_flat + 1, 8)
+             if rows_flat % s == 0 and s * _LANES <= (1 << 16))
+    nsub = rows_flat // ss
 
-    # ytab[gh·nsub, ss, 8]: (q0, q1, fy) per global row, padded rows clipped
-    rr = np.arange(gh * thp) % thp
-    valid = rr < th
-    ysrc = np.minimum(np.arange(gh * thp) // thp * th + np.minimum(rr, th - 1),
-                      gh * th - 1)
-    q0 = (y0g[ysrc] - np.arange(gh * thp) // thp + 1).astype(np.float32)
-    q1 = (y1g[ysrc] - np.arange(gh * thp) // thp + 1).astype(np.float32)
-    fy = fyg[ysrc].astype(np.float32)
-    ytab = np.zeros((gh * thp, 8), np.float32)
-    ytab[:, 0] = np.where(valid, q0, 0.0)
-    ytab[:, 1] = np.where(valid, q1, 0.0)
-    ytab[:, 2] = np.where(valid, fy, 0.0)
-    ytab = ytab.reshape(gh * nsub, ss, 8)
+    # ---- static aux planes for ONE image, flat [T·nsub, ss, 128] ----
+    # per pixel (global y, x): base_k = ((q_k·3 + c_k) · 256), fy, fx
+    H, W = gh * th, gw * tw
+    yy = np.arange(H)
+    xx = np.arange(W)
+    q0 = (y0g - yy // th + 1).astype(np.int32)  # [H] ∈ {0,1,2}
+    q1 = (y1g - yy // th + 1).astype(np.int32)
+    c0 = (x0g - xx // tw + 1).astype(np.int32)
+    c1 = (x1g - xx // tw + 1).astype(np.int32)
 
-    cc = np.arange(gw * twp) % twp
-    cvalid = cc < tw
-    xsrc = np.minimum(np.arange(gw * twp) // twp * tw + np.minimum(cc, tw - 1),
-                      gw * tw - 1)
-    c0 = (x0g[xsrc] - np.arange(gw * twp) // twp + 1).astype(np.float32)
-    c1 = (x1g[xsrc] - np.arange(gw * twp) // twp + 1).astype(np.float32)
-    fx = fxg[xsrc].astype(np.float32)
-    xtab = np.zeros((8, gw * twp), np.float32)
-    xtab[0] = np.where(cvalid, c0, 0.0)
-    xtab[1] = np.where(cvalid, c1, 0.0)
-    xtab[2] = np.where(cvalid, fx, 0.0)
-    xtab = xtab.reshape(8, gw, twp).transpose(1, 0, 2)  # [gw, 8, twp]
+    def flatten_tiles(img2d):
+        """[H, W] → [T, thp, twp] → [T·rows_flat, 128] (padded)."""
+        t = img2d.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+        t = np.pad(t, ((0, 0), (0, 0), (0, thp - th), (0, twp - tw)))
+        return t.reshape(T * rows_flat, _LANES)
 
-    lut3 = luts9.reshape(BT, 9 * 16, 16)
+    base = {}
+    for name, (qv, cv) in {
+        0: (q0, c0), 1: (q0, c1), 2: (q1, c0), 3: (q1, c1)
+    }.items():
+        b2d = ((qv[:, None] * 3 + cv[None, :]) * 256).astype(np.int32)
+        base[name] = flatten_tiles(b2d)
+    fy2d = np.broadcast_to(fyg.astype(np.float32)[:, None], (H, W))
+    fx2d = np.broadcast_to(fxg.astype(np.float32)[None, :], (H, W))
+    fyf = flatten_tiles(fy2d)
+    fxf = flatten_tiles(fx2d)
 
-    def x_idx(t, s):
-        return (t, s, 0)
+    # interleave per (tile, sub) class: bases [T·nsub, 4·ss, 128],
+    # weights [T·nsub, 2·ss, 128]
+    def classify(planes_list):
+        n = len(planes_list)
+        out = np.empty((T * nsub, n * ss, _LANES),
+                       planes_list[0].dtype)
+        for t in range(T):
+            for sct in range(nsub):
+                for i, p in enumerate(planes_list):
+                    out[t * nsub + sct, i * ss : (i + 1) * ss] = p[
+                        t * rows_flat + sct * ss : t * rows_flat + (sct + 1) * ss]
+        return out
+
+    bases_cls = classify([base[0], base[1], base[2], base[3]])
+    w_cls = classify([fyf, fxf])
+
+    xflat = tiles.reshape(BT, rows_flat, _LANES)
+    lutK = luts9.reshape(BT, 9 * 256 // _LANES, _LANES)
+    K = 9 * 256 // _LANES  # 18
 
     out = pl.pallas_call(
-        _blend_kernel,
+        functools.partial(_blend_kernel, K=K),
         grid=(BT, nsub),
-        out_shape=jax.ShapeDtypeStruct((BT, thp, twp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((BT, rows_flat, _LANES), jnp.uint8),
         in_specs=[
-            pl.BlockSpec((1, ss, twp), x_idx),
-            pl.BlockSpec((1, 9 * 16, 16), lambda t, s: (t, 0, 0)),
-            # tile t = ((b·gh + r)·gw + c): row-class = r·nsub + s
-            pl.BlockSpec((1, ss, 8),
-                         lambda t, s: ((t // gw) % gh * nsub + s, 0, 0)),
-            pl.BlockSpec((1, 8, twp), lambda t, s: (t % gw, 0, 0)),
+            pl.BlockSpec((1, ss, _LANES), lambda t, s: (t, s, 0)),
+            pl.BlockSpec((1, K, _LANES), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, 4 * ss, _LANES),
+                         lambda t, s, _T=T, _n=nsub: ((t % _T) * _n + s, 0, 0)),
+            pl.BlockSpec((1, 2 * ss, _LANES),
+                         lambda t, s, _T=T, _n=nsub: ((t % _T) * _n + s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ss, twp), x_idx),
+        out_specs=pl.BlockSpec((1, ss, _LANES), lambda t, s: (t, s, 0)),
         interpret=interpret,
-    )(tiles, jnp.asarray(lut3), jnp.asarray(ytab), jnp.asarray(xtab))
-    return out[:, :th, :tw]
+    )(xflat, jnp.asarray(lutK), jnp.asarray(bases_cls), jnp.asarray(w_cls))
+    return out.reshape(BT, thp, twp)[:, :th, :tw]

@@ -53,6 +53,7 @@ _S = 1024  # stripe sublane rows: 1024·128 px → [16, 2^17] f32 one-hots ≤ 8
 # mode always supports it (pure NumPy semantics).
 # ---------------------------------------------------------------------------
 _DG_OK: bool | None = None
+_DG_MAX_CHAIN = 32  # <= 32 vreg gathers per lookup (4096-entry tables)
 
 
 def _dg_supported() -> bool:
@@ -61,29 +62,39 @@ def _dg_supported() -> bool:
         if jax.devices()[0].platform != "tpu":
             _DG_OK = True  # interpret mode
         else:
-            try:
-                def k(t_ref, i_ref, o_ref):
-                    o_ref[...] = jnp.take_along_axis(
-                        t_ref[...], i_ref[...], axis=1,
-                        mode="promise_in_bounds")
-
-                t = jnp.arange(8 * 256, dtype=jnp.int32).reshape(8, 256)
-                ix = (t * 7 + 3) % 256
-                r = pl.pallas_call(
-                    k, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int32),
-                )(t, ix)
-                import numpy as _np
-
-                tn = _np.asarray(t)
-                _DG_OK = bool(
-                    _np.array_equal(
-                        _np.asarray(r),
-                        tn[_np.arange(8)[:, None], _np.asarray(ix)],
-                    )
-                )
-            except Exception:
-                _DG_OK = False
+            _DG_OK = _probe_dg()
     return _DG_OK
+
+
+def _probe_dg() -> bool:
+    """Run the vreg-gather probe with transport-error retries: only a
+    Mosaic 'Not implemented' verdict disables the path — a tunnel
+    hiccup must NOT silently demote every LUT op to the slow form."""
+    import numpy as _np
+
+    def k(t_ref, i_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(
+            t_ref[...], i_ref[...], axis=1, mode="promise_in_bounds")
+
+    t = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+    ix = (t * 7 + 3) % 128
+    last = None
+    for _ in range(3):
+        try:
+            r = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            )(t, ix)
+            tn = _np.asarray(t)
+            return bool(_np.array_equal(
+                _np.asarray(r), tn[_np.arange(8)[:, None], _np.asarray(ix)]))
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "Not implemented" in msg or "NotImplemented" in msg:
+                return False
+            last = e  # transport / compile-service error: retry
+    raise RuntimeError(
+        "dynamic-gather capability probe could not reach the compiler "
+        "after 3 attempts — refusing to silently fall back") from last
 
 
 def _hist_kernel(x_ref, out_ref, *, n_valid: int):
@@ -180,46 +191,46 @@ def _lut_kernel(x_ref, lut_ref, out_ref, *, out_int: bool):
     out_ref[...] = out.astype(out_ref.dtype)[None]
 
 
-def _lut_dg_kernel(x_ref, lut_ref, out_ref, *, out_int: bool):
-    s = x_ref.shape[1]
-    v = x_ref[...][0].astype(jnp.int32)  # [s, 256] pixel block
-    lut = lut_ref[...][0]  # [1, 256]
-    if jnp.issubdtype(lut.dtype, jnp.integer) and lut.dtype != jnp.int32:
-        lut = lut.astype(jnp.int32)
-    lutb = jnp.broadcast_to(lut, v.shape)
-    g = jnp.take_along_axis(lutb, v, axis=1, mode="promise_in_bounds")
+def _lut_dg_kernel(x_ref, lut_ref, out_ref):
+    v = x_ref[...][0].astype(jnp.int32)  # [s, 128] pixel block
+    lut2 = lut_ref[...][0]  # [2, 128]
+    if jnp.issubdtype(lut2.dtype, jnp.integer) and lut2.dtype != jnp.int32:
+        lut2 = lut2.astype(jnp.int32)
+    low = v & 127
+    lo_b = jnp.broadcast_to(lut2[0:1], v.shape)
+    hi_b = jnp.broadcast_to(lut2[1:2], v.shape)
+    g0 = jnp.take_along_axis(lo_b, low, axis=1, mode="promise_in_bounds")
+    g1 = jnp.take_along_axis(hi_b, low, axis=1, mode="promise_in_bounds")
+    g = jnp.where(v >= 128, g1, g0)
     out_ref[...] = g.astype(out_ref.dtype)[None]
 
 
 def _apply_lut_dg(planes, luts, interpret):
-    """LUT apply on the hardware shuffle: pixels blocked [s, 256] lanes,
-    one ``tpu.dynamic_gather`` per block (~2 ops/px vs the bilinear
-    form's ~100)."""
+    """u8 LUT apply on the vreg gather: two 128-lane shuffles + one
+    select per block (~8 ops/px vs the bilinear form's ~100)."""
     B = planes.shape[0]
     n = 1
     for d in planes.shape[1:]:
         n *= int(d)
-    lanes = 256
-    rows = _round_up(n, lanes) // lanes
+    rows = _round_up(n, _LANES) // _LANES
     s = min(512, _round_up(rows, 8))
     rpad = _round_up(rows, s)
     flat = planes.reshape(B, n)
-    if rpad * lanes != n:
-        flat = jnp.pad(flat, ((0, 0), (0, rpad * lanes - n)))
-    x3 = flat.reshape(B, rpad, lanes)
-    out_int = jnp.issubdtype(luts.dtype, jnp.integer)
+    if rpad * _LANES != n:
+        flat = jnp.pad(flat, ((0, 0), (0, rpad * _LANES - n)))
+    x3 = flat.reshape(B, rpad, _LANES)
     out = pl.pallas_call(
-        functools.partial(_lut_dg_kernel, out_int=out_int),
+        _lut_dg_kernel,
         grid=(B, rpad // s),
-        out_shape=jax.ShapeDtypeStruct((B, rpad, lanes), luts.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rpad, _LANES), luts.dtype),
         in_specs=[
-            pl.BlockSpec((1, s, lanes), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, 1, 256), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, s, _LANES), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, 2, _LANES), lambda b, t: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, lanes), lambda b, t: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, s, _LANES), lambda b, t: (b, t, 0)),
         interpret=interpret,
-    )(x3, luts.reshape(B, 1, 256))
-    return out.reshape(B, rpad * lanes)[:, :n].reshape(planes.shape)
+    )(x3, luts.reshape(B, 2, _LANES))
+    return out.reshape(B, rpad * _LANES)[:, :n].reshape(planes.shape)
 
 
 def apply_lut256_pallas(
@@ -348,14 +359,19 @@ def apply_luts_multi_pallas(
     )
 
 
-def _take_kernel(i_ref, tab_ref, out_ref):
-    idx = i_ref[...][0]  # [s, L] i32
-    tab = tab_ref[...][0]  # [1, L]
-    if jnp.issubdtype(tab.dtype, jnp.integer) and tab.dtype != jnp.int32:
-        tab = tab.astype(jnp.int32)
-    tb = jnp.broadcast_to(tab, idx.shape)
-    g = jnp.take_along_axis(tb, idx, axis=1, mode="promise_in_bounds")
-    out_ref[...] = g.astype(out_ref.dtype)[None]
+def _take_kernel(i_ref, tab_ref, out_ref, *, K: int):
+    idx = i_ref[...][0]  # [s, 128] i32 in [0, K*128)
+    tabs = tab_ref[...][0]  # [K, 128]
+    if jnp.issubdtype(tabs.dtype, jnp.integer) and tabs.dtype != jnp.int32:
+        tabs = tabs.astype(jnp.int32)
+    low = idx & 127
+    seg = idx >> 7
+    out = None
+    for k in range(K):
+        tb = jnp.broadcast_to(tabs[k : k + 1], idx.shape)
+        g = jnp.take_along_axis(tb, low, axis=1, mode="promise_in_bounds")
+        out = g if out is None else jnp.where(seg == k, g, out)
+    out_ref[...] = out.astype(out_ref.dtype)[None]
 
 
 def take_table_pallas(idx: jnp.ndarray, table: jnp.ndarray,
@@ -364,11 +380,12 @@ def take_table_pallas(idx: jnp.ndarray, table: jnp.ndarray,
     ``out[...] = table[..., idx[...]]``.
 
     ``idx``: ``[B, ...]`` int32 (values in ``[0, L)``); ``table``:
-    ``[L]`` shared or ``[B, L]`` per plane, ``L`` a multiple of 128.
-    XLA lowers this gather to a per-element scalar loop on TPU
-    (docs/DESIGN.md §9c); ``tpu.dynamic_gather`` does it at VPU speed.
-    The maximum supported ``L`` is hardware/Mosaic-dependent — callers
-    gate on :func:`gather_width_supported`.
+    ``[L]`` shared or ``[B, L]`` per plane, ``L`` a multiple of 128 with
+    ``L/128 <= _DG_MAX_CHAIN``.  The vreg gather covers 128 lanes, so an
+    L-entry lookup chains K = L/128 gathers + select folds (~3K ops/px —
+    still far cheaper than the one-hot bilinear form at small K, and
+    XLA's native path is a per-element scalar loop, docs/DESIGN.md §9c).
+    Callers gate on :func:`gather_width_supported`.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -378,54 +395,34 @@ def take_table_pallas(idx: jnp.ndarray, table: jnp.ndarray,
     L = table.shape[-1]
     if L % _LANES:
         raise ValueError(f"table width {L} must be a multiple of {_LANES}")
+    K = L // _LANES
     n = 1
     for d in idx.shape[1:]:
         n *= int(d)
-    rows = _round_up(n, L) // L
-    smax = max(8, (1 << 19) // L // 8 * 8)  # ≤ 0.5M-elem blocks
-    s = min(smax, _round_up(rows, 8))
+    rows = _round_up(n, _LANES) // _LANES
+    s = min(512, _round_up(rows, 8))
     rpad = _round_up(rows, s)
     flat = idx.reshape(B, n).astype(jnp.int32)
-    if rpad * L != n:
-        flat = jnp.pad(flat, ((0, 0), (0, rpad * L - n)))
-    x3 = flat.reshape(B, rpad, L)
+    if rpad * _LANES != n:
+        flat = jnp.pad(flat, ((0, 0), (0, rpad * _LANES - n)))
+    x3 = flat.reshape(B, rpad, _LANES)
     out = pl.pallas_call(
-        _take_kernel,
+        functools.partial(_take_kernel, K=K),
         grid=(B, rpad // s),
-        out_shape=jax.ShapeDtypeStruct((B, rpad, L), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rpad, _LANES), table.dtype),
         in_specs=[
-            pl.BlockSpec((1, s, L), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, s, _LANES), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, K, _LANES), lambda b, t: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, L), lambda b, t: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, s, _LANES), lambda b, t: (b, t, 0)),
         interpret=interpret,
-    )(x3, table.reshape(B, 1, L))
-    return out.reshape(B, rpad * L)[:, :n].reshape(idx.shape)
-
-
-_DG_WIDTHS: dict[int, bool] = {}
+    )(x3, table.reshape(B, K, _LANES))
+    return out.reshape(B, rpad * _LANES)[:, :n].reshape(idx.shape)
 
 
 def gather_width_supported(L: int) -> bool:
-    """Probe (once per width per process) whether the dynamic-gather
-    kernel compiles AND returns correct values for ``L``-wide tables."""
-    if jax.devices()[0].platform != "tpu":
-        return True
-    ok = _DG_WIDTHS.get(L)
-    if ok is None:
-        try:
-            import numpy as _np
-
-            tab = jnp.arange(L, dtype=jnp.int32) * 3 + 1
-            idx = (jnp.arange(8 * L, dtype=jnp.int32).reshape(1, 8, L) * 7 + 5) % L
-            got = take_table_pallas(idx.reshape(1, -1), tab)
-            want = (_np.asarray(idx).reshape(-1) * 1) * 0 + _np.asarray(tab)[
-                _np.asarray(idx).reshape(-1)]
-            ok = bool(_np.array_equal(_np.asarray(got).reshape(-1), want))
-        except Exception:
-            ok = False
-        _DG_WIDTHS[L] = ok
-    return ok
+    """True when the L-entry lookup can ride the vreg-gather chain."""
+    return L % _LANES == 0 and L // _LANES <= _DG_MAX_CHAIN and _dg_supported()
 
 
 def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
@@ -511,7 +508,9 @@ def equalize_hist_pallas(planes: jnp.ndarray,
     B, H, W = planes.shape[0], planes.shape[-2], planes.shape[-1]
     n = H * W
     rows = _round_up(n, _LANES) // _LANES
-    s = min(_S, _round_up(rows, 8))
+    # both phases share one program: the phase-0 one-hots [16, s·128] f32
+    # ×2 must leave room for the LUT scratch → s ≤ 512 (≈8.5 MB peak)
+    s = min(512, _round_up(rows, 8))
     rpad = _round_up(rows, s)
     flat = planes.reshape(B, n)
     if rpad * _LANES != n:

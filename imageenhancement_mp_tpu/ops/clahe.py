@@ -178,7 +178,12 @@ def clahe_planes(
     if hist_size == 256 and pad_h == 0 and pad_w == 0:
         from imageenhancement_mp_tpu.config import pallas_enabled
 
-        if pallas_enabled():
+        def _dg_ok():
+            from imageenhancement_mp_tpu.kernels.hist import _dg_supported
+
+            return _dg_supported()
+
+        if pallas_enabled() and _dg_ok():
             return _clahe_pallas(
                 planes, clip_limit, gh, gw, th, tw, y0, y1, fy, x0, x1, fx
             )

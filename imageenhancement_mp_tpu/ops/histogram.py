@@ -195,7 +195,9 @@ def equalize_hist_planes(
     if method is None:
         from imageenhancement_mp_tpu.config import pallas_enabled
 
-        if pallas_enabled():
+        if pallas_enabled() and planes.shape[-1] * planes.shape[-2] <= 1 << 20:
+            # small planes: the fused single-kernel path avoids the extra
+            # launches + XLA glue that dominate at small sizes (config 1)
             from imageenhancement_mp_tpu.kernels.hist import equalize_hist_pallas
 
             return equalize_hist_pallas(planes)
