@@ -76,17 +76,20 @@ def _probe_dg() -> bool:
         o_ref[...] = jnp.take_along_axis(
             t_ref[...], i_ref[...], axis=1, mode="promise_in_bounds")
 
-    t = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
-    ix = (t * 7 + 3) % 128
+    tn = _np.arange(8 * 128, dtype=_np.int32).reshape(8, 128)
+    ixn = (tn * 7 + 3) % 128
     last = None
     for _ in range(3):
         try:
-            r = pl.pallas_call(
-                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-            )(t, ix)
-            tn = _np.asarray(t)
+            # the probe may fire from INSIDE another trace (first LUT op
+            # of a jitted program) — force eager evaluation
+            with jax.ensure_compile_time_eval():
+                r = pl.pallas_call(
+                    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+                )(jnp.asarray(tn), jnp.asarray(ixn))
+                rn = _np.asarray(r)
             return bool(_np.array_equal(
-                _np.asarray(r), tn[_np.arange(8)[:, None], _np.asarray(ix)]))
+                rn, tn[_np.arange(8)[:, None], ixn]))
         except Exception as e:  # noqa: BLE001
             msg = str(e)
             if "Not implemented" in msg or "NotImplemented" in msg:
