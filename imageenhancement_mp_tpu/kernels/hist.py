@@ -429,7 +429,7 @@ def gather_width_supported(L: int) -> bool:
 
 
 def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
-                     total: int):
+                     total: int, use_dg: bool):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
@@ -487,14 +487,30 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
 
     @pl.when(ph == 1)
     def _():
-        m = jax.lax.dot_general(
-            lut_ref[...], oh_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
-        out = jnp.sum(oh_hi * m, axis=0, keepdims=True).reshape(s, lanes)
-        out_ref[...] = out.astype(jnp.int32).astype(jnp.uint8)[None]
+        if use_dg:
+            # vreg-gather apply: 16 row-gathers + select folds (the LUT
+            # scratch is [16,16]; multi-vreg-lane reshapes don't lower,
+            # so chain per hi-nibble row instead)
+            v2 = x_ref[...][0].astype(jnp.int32)  # [s, 128]
+            low = v2 & 15
+            out2 = jnp.zeros(v2.shape, jnp.float32)
+            lut16 = lut_ref[...]
+            for hh in range(16):
+                rowp = jnp.pad(lut16[hh : hh + 1, :], ((0, 0), (0, 112)))
+                tb = jnp.broadcast_to(rowp, v2.shape)
+                g = jnp.take_along_axis(tb, low, axis=1,
+                                        mode="promise_in_bounds")
+                out2 = jnp.where((v2 >> 4) == hh, g, out2)
+            out_ref[...] = out2.astype(jnp.int32).astype(jnp.uint8)[None]
+        else:
+            m = jax.lax.dot_general(
+                lut_ref[...], oh_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
+            out = jnp.sum(oh_hi * m, axis=0, keepdims=True).reshape(s, lanes)
+            out_ref[...] = out.astype(jnp.int32).astype(jnp.uint8)[None]
 
 
 def equalize_hist_pallas(planes: jnp.ndarray,
@@ -521,7 +537,8 @@ def equalize_hist_pallas(planes: jnp.ndarray,
     x3 = flat.reshape(B, rpad, _LANES)
     blk = pl.BlockSpec((1, s, _LANES), lambda b, ph, t: (b, t, 0))
     out = pl.pallas_call(
-        functools.partial(_equalize_kernel, n_valid=n, total=n),
+        functools.partial(_equalize_kernel, n_valid=n, total=n,
+                          use_dg=_dg_supported()),
         grid=(B, 2, rpad // s),
         out_shape=jax.ShapeDtypeStruct((B, rpad, _LANES), jnp.uint8),
         in_specs=[blk],
