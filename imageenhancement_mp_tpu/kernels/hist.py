@@ -483,7 +483,17 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
         scale = jnp.float32(255.0) / denom
         lut = jnp.clip(jnp.round((cdf - h0) * scale), 0.0, 255.0)
         identity = fi
-        lut_ref[...] = jnp.where(h0 == jnp.float32(total), identity, lut)
+        lut16 = jnp.where(h0 == jnp.float32(total), identity, lut)
+        # widen [16,16] → [16,128] on the MXU (lane pads / multi-vreg
+        # reshapes don't lower): E = [I₁₆ | 0] selection matrix
+        li2 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+        lj2 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        E = jnp.where(li2 == lj2, 1.0, 0.0)
+        lut_ref[...] = jax.lax.dot_general(
+            lut16, E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     @pl.when(ph == 1)
     def _():
@@ -494,17 +504,16 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
             v2 = x_ref[...][0].astype(jnp.int32)  # [s, 128]
             low = v2 & 15
             out2 = jnp.zeros(v2.shape, jnp.float32)
-            lut16 = lut_ref[...]
+            lutw = lut_ref[...]  # [16, 128]: lanes 16.. are zero fill
             for hh in range(16):
-                rowp = jnp.pad(lut16[hh : hh + 1, :], ((0, 0), (0, 112)))
-                tb = jnp.broadcast_to(rowp, v2.shape)
+                tb = jnp.broadcast_to(lutw[hh : hh + 1, :], v2.shape)
                 g = jnp.take_along_axis(tb, low, axis=1,
                                         mode="promise_in_bounds")
                 out2 = jnp.where((v2 >> 4) == hh, g, out2)
             out_ref[...] = out2.astype(jnp.int32).astype(jnp.uint8)[None]
         else:
             m = jax.lax.dot_general(
-                lut_ref[...], oh_lo, (((1,), (0,)), ((), ())),
+                lut_ref[...][:, 0:16], oh_lo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -545,7 +554,7 @@ def equalize_hist_pallas(planes: jnp.ndarray,
         out_specs=blk,
         scratch_shapes=[
             pltpu.VMEM((16, 16), jnp.float32),
-            pltpu.VMEM((16, 16), jnp.float32),
+            pltpu.VMEM((16, 128), jnp.float32),
         ],
         interpret=interpret,
     )(x3)
