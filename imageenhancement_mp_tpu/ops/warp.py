@@ -181,6 +181,82 @@ def _lanczos4_tab_device(planes, X_np, Y_np, H, W, border, border_value,
     return jnp.clip(jnp.round(acc), minv, maxv).astype(out_dtype)
 
 
+def _static_gather_u8_pallas(planes, sx, sy, interpolation, border,
+                             border_value, H, W):
+    """Windowed Pallas gather for STATIC u8 linear/nearest warps
+    (kernels/warp.py) — the fix for the per-pixel 2D gather class
+    (docs/DESIGN.md §11): XLA lowers the gather to a ~10 ns/element
+    scalar loop; the kernel rides the hardware shuffle over per-block
+    DMA'd source windows.
+
+    Returns the warped planes, or ``None`` when the kernel doesn't
+    apply (Pallas off, no dynamic-gather support, window too large, or
+    a constant-border partial band too wide) — caller falls back to the
+    XLA path.  Output is bitwise-identical to the XLA path: the kernel
+    replays the same fma32 bilinear law on the same pinned coords, the
+    fully-outside region is overlaid with the border value, and the
+    thin partial-footprint band is recomputed with the exact XLA
+    tap-masked lerp."""
+    from imageenhancement_mp_tpu import config
+
+    if not config.pallas_enabled():
+        return None
+    from imageenhancement_mp_tpu.kernels.hist import _dg_supported
+
+    if not _dg_supported():
+        return None
+    from imageenhancement_mp_tpu.kernels import warp as kwarp
+
+    oh, ow = sx.shape
+    nearest = interpolation == "nearest"
+    if nearest:
+        iy = np.rint(np.clip(sy, -2e9, 2e9))
+        ix = np.rint(np.clip(sx, -2e9, 2e9))
+        outside = ~((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W))
+        partial = np.zeros_like(outside)
+    else:
+        fx, fy = np.floor(sx), np.floor(sy)
+        inx0 = (fx >= 0) & (fx <= W - 1)
+        inx1 = (fx >= -1) & (fx <= W - 2)
+        iny0 = (fy >= 0) & (fy <= H - 1)
+        iny1 = (fy >= -1) & (fy <= H - 2)
+        m00, m01 = iny0 & inx0, iny0 & inx1
+        m10, m11 = iny1 & inx0, iny1 & inx1
+        any_in = m00 | m01 | m10 | m11
+        outside = ~any_in
+        partial = any_in & ~(m00 & m01 & m10 & m11)
+    if border == "constant" and int(partial.sum()) > max(4096, oh * ow // 50):
+        return None
+    try:
+        if nearest:
+            out = kwarp.gather_nearest_pallas(planes, iy.astype(np.int64),
+                                              ix.astype(np.int64))
+        else:
+            out = kwarp.gather_bilinear_pallas(planes, sx, sy)
+    except kwarp.WindowTooLarge:
+        return None
+    if border == "replicate":
+        return out
+    bv = jnp.asarray(border_value, planes.dtype)
+    if outside.any():
+        out = jnp.where(jnp.asarray(outside)[None], bv, out)
+    if not nearest and partial.any():
+        yb, xb = np.nonzero(partial)
+        sxb, syb = sx[yb, xb], sy[yb, xb]
+        fxb, fyb = np.floor(sxb), np.floor(syb)
+        ix0 = jnp.asarray(np.clip(fxb, -2, W + 1).astype(np.int32))
+        iy0 = jnp.asarray(np.clip(fyb, -2, H + 1).astype(np.int32))
+        vals = _bilinear_fma_device(
+            lambda dy, dx: _gather(planes, iy0 + dy, ix0 + dx, H, W,
+                                   "constant", border_value, 0,
+                                   255).astype(jnp.float32),
+            jnp.asarray((sxb - fxb).astype(np.float32)),
+            jnp.asarray((syb - fyb).astype(np.float32)))
+        vals = jnp.clip(jnp.round(vals), 0.0, 255.0).astype(planes.dtype)
+        out = out.at[:, jnp.asarray(yb), jnp.asarray(xb)].set(vals)
+    return out
+
+
 def _gather(planes, iy, ix, H, W, border, border_value, minv, maxv):
     """4-tap-safe sample: clamp indices, mask constant-border taps."""
     cy = jnp.clip(iy, 0, H - 1)
@@ -264,6 +340,16 @@ def warp_affine_planes(planes: jnp.ndarray, M, dsize, interpolation: str = "line
             fx, fy)
         return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
 
+    if planes.dtype == jnp.uint8:
+        from imageenhancement_mp_tpu.ref.ops import warp_affine_coords_f32
+
+        sx_np, sy_np = warp_affine_coords_f32(Mi, oh, ow)
+        res = _static_gather_u8_pallas(planes, np.clip(sx_np, -2e9, 2e9),
+                                       np.clip(sy_np, -2e9, 2e9),
+                                       interpolation, border, border_value,
+                                       H, W)
+        if res is not None:
+            return res
     sx, sy = _coords_f32_device(Mi, oh, ow)
     if interpolation == "nearest":
         iy = jnp.round(sy).astype(jnp.int32)
@@ -508,8 +594,15 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
             fx, fy)
         return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
     sx_np, sy_np = warp_perspective_coords_f32(Mi, oh, ow)
-    sx = jnp.asarray(np.clip(sx_np, -2e9, 2e9))
-    sy = jnp.asarray(np.clip(sy_np, -2e9, 2e9))
+    sx_np = np.clip(sx_np, -2e9, 2e9)
+    sy_np = np.clip(sy_np, -2e9, 2e9)
+    if planes.dtype == jnp.uint8:
+        res = _static_gather_u8_pallas(planes, sx_np, sy_np, interpolation,
+                                       border, border_value, H, W)
+        if res is not None:
+            return res
+    sx = jnp.asarray(sx_np)
+    sy = jnp.asarray(sy_np)
     if interpolation == "nearest":
         iy = jnp.round(sy).astype(jnp.int32)
         ix = jnp.round(sx).astype(jnp.int32)
