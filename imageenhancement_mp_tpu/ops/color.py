@@ -249,49 +249,50 @@ def hsv_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     return jnp.stack(out, axis=-1).astype(jnp.uint8)
 
 
-@lru_cache(maxsize=None)
-def _hls_host_tabs():
-    from imageenhancement_mp_tpu.ref.ops import _hls_fwd_tables, _hls_inv_tables
-
-    d60, X, L8, S8 = _hls_fwd_tables()
-    p2, p1, sec, hf = _hls_inv_tables()
-    return (d60.ravel(), X.ravel(), L8.ravel(), S8.ravel(),
-            p2.ravel(), p1.ravel(), sec, hf)
-
-
-def _hls_device_tabs():
-    # host numpy is cached; jnp constants are created per trace (caching
-    # jnp arrays from inside a jit trace would leak tracers)
-    return tuple(jnp.asarray(t) for t in _hls_host_tabs())
-
-
 def rgb_to_hls_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     """``cv2.cvtColor(..2HLS)`` on uint8 — EXHAUSTIVELY bit-exact
-    (ref/ops.py rgb_to_hls pins the law: every f32 rounding of cv2's
-    scaled float body is frozen into (v,vmin)/(a,b)-pair tables and the
-    hue's single-rounded FMA is reproduced with ``fma32``)."""
+    (ref/ops.py rgb_to_hls pins the law).
+
+    Round 4: the 65536-entry (v,vmin)/(a,b)-pair tables are replaced by
+    direct arithmetic — every table entry was itself a plain f32
+    formula, and the two divisions (60/diff, diff/denom) reproduce
+    cv2's correctly-rounded f32 quotient via ``utils.fma.df_div``
+    (verified exhaustively over all 65536 grid pairs against the pinned
+    tables — tests/test_color_arith.py).  Products that XLA:CPU could
+    FMA-contract go through ``two_prod``.  This removes the per-pixel
+    wide-table gathers (a 512-vreg chain / XLA scalar loop — the slow
+    class in docs/DESIGN.md §11) from the path entirely: the op is now
+    pure VPU arithmetic."""
+    from imageenhancement_mp_tpu.utils.fma import df_div, two_prod
+
     if img.dtype != jnp.uint8:
         raise TypeError(f"HLS is uint8-only here (cv2's 8u path), got {img.dtype}")
     if img.shape[-1] != 3:
         raise ValueError(f"expected a trailing channel axis of 3, got {img.shape}")
     if order not in ("rgb", "bgr"):
         raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
-    d60t, Xt, L8t, S8t = _hls_device_tabs()[:4]
     ri, gi, bi = (0, 1, 2) if order == "rgb" else (2, 1, 0)
-    r = img[..., ri].astype(jnp.int32)
-    g = img[..., gi].astype(jnp.int32)
-    b = img[..., bi].astype(jnp.int32)
-    v = jnp.maximum(jnp.maximum(r, g), b)
-    vmin = jnp.minimum(jnp.minimum(r, g), b)
-    pair = v * 256 + vmin
-    L8 = _take1(L8t, pair)
-    S8 = _take1(S8t, pair)
-    d60 = _take1(d60t, pair)
+    f = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    R, G, B = f[..., ri], f[..., gi], f[..., bi]
+    v = jnp.maximum(jnp.maximum(R, G), B)
+    vmin = jnp.minimum(jnp.minimum(R, G), B)
+    diff = v - vmin
+    z = jnp.zeros_like(diff)
+    live = diff > 0
+    vsum = v + vmin
+    l = vsum * jnp.float32(0.5)
+    denom = jnp.where(l < 0.5, vsum, jnp.float32(2.0) - vsum)
+    den2 = jnp.where(denom == 0, jnp.float32(1), denom)
+    sval = jnp.where(live, df_div(diff, z, den2, z)[0], jnp.float32(0))
+    L8 = jnp.round(two_prod(l, jnp.float32(255.0))[0]).astype(jnp.int32)
+    S8 = jnp.clip(jnp.round(two_prod(sval, jnp.float32(255.0))[0]),
+                  0, 255).astype(jnp.int32)
+    d60 = df_div(jnp.float32(60.0) + z, z,
+                 jnp.where(live, diff, jnp.float32(1)), z)[0]
     # branch select with cv2's r-first tie order
-    is_r = v == r
-    is_g = jnp.logical_and(~is_r, v == g)
-    xpair = jnp.where(is_r, g * 256 + b, jnp.where(is_g, b * 256 + r, r * 256 + g))
-    X = _take1(Xt, xpair)
+    is_r = v == R
+    is_g = jnp.logical_and(~is_r, v == G)
+    X = jnp.where(is_r, G - B, jnp.where(is_g, B - R, R - G))
     C = jnp.where(is_r, jnp.float32(0.0),
                   jnp.where(is_g, jnp.float32(120.0), jnp.float32(240.0)))
     h = fma32(X, d60, C)
@@ -299,7 +300,8 @@ def rgb_to_hls_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     h = jnp.where(h < 0, fma32(X, d60, jnp.float32(360.0)), h)
     H8 = jnp.where(v == vmin, 0,
                    jnp.round(h * jnp.float32(0.5)).astype(jnp.int32))
-    return jnp.stack([jnp.clip(H8, 0, 255).astype(jnp.uint8), L8, S8], -1)
+    return jnp.stack([jnp.clip(H8, 0, 255).astype(jnp.uint8),
+                      L8.astype(jnp.uint8), S8.astype(jnp.uint8)], -1)
 
 
 def hls_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
@@ -316,21 +318,25 @@ def hls_to_rgb_nhwc(img: jnp.ndarray, order: str = "rgb") -> jnp.ndarray:
     from imageenhancement_mp_tpu.ref.ops import _HLS_SECTOR
     from imageenhancement_mp_tpu.utils.fma import two_prod
 
-    p2t, p1t, sect, hft = _hls_device_tabs()[4:]
-    H = img[..., 0].astype(jnp.int32)
-    Lr = img[..., 1].astype(jnp.int32)
-    Sr = img[..., 2].astype(jnp.int32)
-    pair = Lr * 256 + Sr
-    p2 = _take1(p2t, pair)
-    p1 = _take1(p1t, pair)
-    sec = _take1(sect, H)
-    hf = _take1(hft, H)
+    # Round 4: the 65536-entry (L,S)-pair tables are plain f32 formulas
+    # with NO division — computed directly per pixel (two_prod guards
+    # the products against XLA:CPU FMA contraction; exhaustively equal
+    # to the pinned tables, tests/test_color_arith.py).
+    c = jnp.float32(1.0 / 255.0)
+    L = img[..., 1].astype(jnp.float32) * c
+    S = img[..., 2].astype(jnp.float32) * c
+    p2 = jnp.where(L <= 0.5, two_prod(L, jnp.float32(1.0) + S)[0],
+                   (L + S) - two_prod(L, S)[0])
+    p1 = jnp.float32(2.0) * L - p2
+    h6 = img[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    h6 = jnp.where(h6 >= 6, h6 - jnp.float32(6.0), h6)
+    sec = jnp.floor(h6).astype(jnp.int32)
+    hf = h6 - sec.astype(jnp.float32)
     d = p2 - p1
     t2 = p1 + two_prod(d, jnp.float32(1.0) - hf)[0]
     t3 = p1 + two_prod(d, hf)[0]
     tab = [p2, p1, t2, t3]
-    L = _take1(p1t, Lr * 256)  # p1[L,0] == 2L - L·1 == scaled L exactly
-    gray = Sr == 0
+    gray = img[..., 2] == 0
     out = []
     for comp in range(3):  # b, g, r
         val = tab[0]
