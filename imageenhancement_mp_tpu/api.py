@@ -185,6 +185,7 @@ _I16_OK = {
     "transpose",
     "warp_affine",
     "warp_perspective",
+    "warp_polar",
     "match_template",
     "undistort",
     "laplacian_sharpen",
@@ -780,29 +781,17 @@ def warp_polar(img, dsize, center, max_radius: float, log: bool = False,
     (``WARP_POLAR_LOG``); ``inverse=True`` maps a polar image back to
     cartesian (``WARP_INVERSE_MAP``).  One documented budget: the
     semilog inverse's log32f is build-dependent inside cv2 itself —
-    u8/u16 stay bit-exact, f32-linear within 6e-6 (ref docstring)."""
-    _check_image_dtype(img, allow_i16=True)
-    from imageenhancement_mp_tpu.ref.ops import _warp_polar_maps
-    from imageenhancement_mp_tpu.utils.shapes import treat_as_hwc
+    u8/u16 stay bit-exact, f32-linear within 6e-6 (ref docstring).
 
-    if img.ndim == 2 or (img.ndim == 3 and treat_as_hwc(img, channels_last)):
-        hw = img.shape[:2]
-    else:
-        hw = img.shape[1:3]
-    mx, my = _warp_polar_maps(hw, dsize, center, float(max_radius),
-                              bool(log), bool(inverse))
-    src = img
-    if inverse:
-        # angular wrap pad: one row each side of the H (angle) axis
-        if img.ndim == 2 or (img.ndim == 3 and treat_as_hwc(img, channels_last)):
-            ax = 0
-        else:
-            ax = 1
-        first = jax.lax.slice_in_dim(img, 0, 1, axis=ax)
-        last = jax.lax.slice_in_dim(img, img.shape[ax] - 1, img.shape[ax],
-                                    axis=ax)
-        src = jnp.concatenate([last, img, first], axis=ax)
-    return remap(src, mx, my, interpolation, "constant", 0.0, channels_last)
+    The geometry is static, so (round 4) the whole op — wrap pad, map
+    bake, gather — lives in one jitted planes fn and the u8
+    linear/nearest path rides the windowed Pallas gather
+    (ops/warp.py ``warp_polar_planes``)."""
+    return _apply("warp_polar", img, channels_last,
+                  dsize=(int(dsize[0]), int(dsize[1])),
+                  center=(float(center[0]), float(center[1])),
+                  max_radius=float(max_radius), log=bool(log),
+                  inverse=bool(inverse), interpolation=str(interpolation))
 
 
 @lru_cache(maxsize=None)

@@ -56,7 +56,11 @@ from imageenhancement_mp_tpu.utils.fma import fma32 as _fma32
 __all__ = ["gather_bilinear_pallas", "gather_nearest_pallas", "window_plan"]
 
 _BH = 16            # output block sublane rows
-_MAX_CHAIN = 192    # SH * (SW/128) candidate-select budget per block
+# SH * (SW/128) candidate-select budget per block.  Even at the cap the
+# kernel does ~chain/2048 shuffle+select ops per output pixel — at 512
+# that is 0.25 ops/px, still ~40x under XLA's ~10 ns/element scalar
+# loop; the real limit is the window DMA traffic, bounded separately.
+_MAX_CHAIN = 512
 _MAX_WIN_BYTES = 1 << 21  # VMEM window budget (u8 window + i32 quads)
 
 
@@ -106,8 +110,13 @@ def _warp_kernel(y0_ref, x0_ref, pk_ref, tx_ref, ty_ref, src_hbm, out_ref,
     def dma(slot, step):
         rem = jax.lax.rem(step, per_img)
         bb = jax.lax.div(step, per_img)
+        # origins ride SMEM pre-divided by the u8 memref tiling (8, 128)
+        # and are re-scaled here: Mosaic must PROVE the dynamic slice
+        # start is tile-aligned, and `8 * k` is provable where a raw
+        # SMEM load is not.
         return pltpu.make_async_copy(
-            src_hbm.at[bb, pl.ds(y0_ref[rem], SH), pl.ds(x0_ref[rem], SW)],
+            src_hbm.at[bb, pl.ds(y0_ref[rem] * 8, SH),
+                       pl.ds(x0_ref[rem] * _LANES, SW)],
             win.at[slot],
             sem.at[slot],
         )
@@ -164,7 +173,10 @@ def _warp_kernel(y0_ref, x0_ref, pk_ref, tx_ref, ty_ref, src_hbm, out_ref,
     top = _fma32(tx, p01 - p00, p00)
     bot = _fma32(tx, p11 - p10, p10)
     res = _fma32(ty, bot - top, top)
-    out_ref[...] = jnp.clip(jnp.round(res), 0.0, 255.0).astype(jnp.uint8)[None]
+    # Mosaic has no direct f32->u8 cast on-chip; the value is integral
+    # after round+clip, so the i32 hop is exact.
+    out_ref[...] = (jnp.clip(jnp.round(res), 0.0, 255.0)
+                    .astype(jnp.int32).astype(jnp.uint8))[None]
 
 
 def _run(planes, cy, cx, tx, ty, oh, ow, nearest, interpret):
@@ -214,7 +226,7 @@ def _run(planes, cy, cx, tx, ty, oh, ow, nearest, interpret):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray(y0.ravel()), jnp.asarray(x0.ravel()),
+    )(jnp.asarray(y0.ravel() // 8), jnp.asarray(x0.ravel() // _LANES),
       pk[None], tx[None], ty[None], src)
     return out[:, :oh, :ow]
 

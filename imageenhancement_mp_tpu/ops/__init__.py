@@ -32,7 +32,8 @@ from imageenhancement_mp_tpu.ops.resize import (flip_planes, resize_planes,
                                                 rotate_planes, transpose_planes)
 from imageenhancement_mp_tpu.ops.warp import (remap_planes, undistort_planes,
                                               warp_affine_planes,
-                                              warp_perspective_planes)
+                                              warp_perspective_planes,
+                                              warp_polar_planes)
 from imageenhancement_mp_tpu.ops.canny import canny_planes, connected_components_planes
 from imageenhancement_mp_tpu.ops.template import match_template_planes
 from imageenhancement_mp_tpu.ops.arith import arith_arrays
@@ -73,6 +74,7 @@ OP_REGISTRY = {
     "transpose": transpose_planes,
     "warp_affine": warp_affine_planes,
     "warp_perspective": warp_perspective_planes,
+    "warp_polar": warp_polar_planes,
     "canny": canny_planes,
     "connected_components": connected_components_planes,
     "remap": remap_planes,
@@ -121,6 +123,7 @@ __all__ = [
     "transpose_planes",
     "warp_affine_planes",
     "warp_perspective_planes",
+    "warp_polar_planes",
     "canny_planes",
     "connected_components_planes",
     "remap_planes",

@@ -30,7 +30,8 @@ from imageenhancement_mp_tpu.ref.ops import (invert_affine, warp_affine_coords_i
 from imageenhancement_mp_tpu.utils.fma import fma32
 from imageenhancement_mp_tpu.utils.ranges import int_bounds
 
-__all__ = ["warp_affine_planes", "warp_perspective_planes", "remap_planes", "undistort_planes"]
+__all__ = ["warp_affine_planes", "warp_perspective_planes", "remap_planes",
+           "undistort_planes", "warp_polar_planes"]
 
 
 def _coords_f32_device(Mi, oh: int, ow: int):
@@ -618,3 +619,43 @@ def warp_perspective_planes(planes: jnp.ndarray, M, dsize,
     if is_f32:
         return acc
     return jnp.clip(jnp.round(acc), minv, maxv).astype(planes.dtype)
+
+
+def warp_polar_planes(planes: jnp.ndarray, dsize, center, max_radius: float,
+                      log: bool = False, inverse: bool = False,
+                      interpolation: str = "linear") -> jnp.ndarray:
+    """``cv2.warpPolar`` (+ ``WARP_FILL_OUTLIERS``) on ``(N, H, W)``
+    planes with STATIC geometry: the coordinate maps are cv2's exact
+    host reproduction (ref/ops.py ``_warp_polar_maps``), so — unlike
+    ``remap_planes`` — they are baked at trace time and the u8
+    linear/nearest path can ride the windowed Pallas gather
+    (kernels/warp.py), the fix for the per-pixel 2D gather class
+    (docs/DESIGN.md §11).  Everything else falls through to the
+    bit-exact runtime ``remap_planes`` body on device maps.
+
+    Semantics identical to the previous ``api.warp_polar`` wiring
+    (host maps + device remap, border constant 0; inverse wrap-pads
+    one angle row each side) — bitwise-covered by tests/test_warp_polar.
+    Reference semantics: SURVEY.md §2 warp family (cv2.warpPolar).
+    """
+    from imageenhancement_mp_tpu.ref.ops import _warp_polar_maps
+
+    H, W = planes.shape[-2], planes.shape[-1]
+    mx, my = _warp_polar_maps((H, W), dsize, center, float(max_radius),
+                              bool(log), bool(inverse))
+    src = planes
+    if inverse:
+        # cv2's one-row angular BORDER_WRAP pad (the maps already
+        # target the padded grid)
+        src = jnp.concatenate(
+            [planes[:, H - 1:H], planes, planes[:, 0:1]], axis=1)
+    Hs, Ws = src.shape[-2], src.shape[-1]
+    if planes.dtype == jnp.uint8 and interpolation in ("nearest", "linear"):
+        res = _static_gather_u8_pallas(src, np.clip(mx, -2e9, 2e9),
+                                       np.clip(my, -2e9, 2e9),
+                                       interpolation, "constant", 0.0,
+                                       Hs, Ws)
+        if res is not None:
+            return res
+    return remap_planes(src, jnp.asarray(mx), jnp.asarray(my),
+                        interpolation, "constant", 0.0)
