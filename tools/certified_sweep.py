@@ -110,6 +110,13 @@ def main() -> int:
     ap.add_argument("--cooldown", type=float, default=20.0,
                     help="seconds between retry attempts (lets the tunnel "
                     "leave a lying state)")
+    ap.add_argument("--merge-into", default=None,
+                    help="existing artifact: preload its rows/chunk meta "
+                    "and only re-run the chunks named by --chunks (for "
+                    "repairing failed chunks without re-timing the rest)")
+    ap.add_argument("--chunks", default=None,
+                    help="comma-separated 1-based chunk indices to run "
+                    "(default: all)")
     args = ap.parse_args()
 
     chunks = [ROWS[i:i + args.chunk_size]
@@ -117,7 +124,21 @@ def main() -> int:
     merged_rows: dict[str, dict] = {}
     chunk_meta = []
     device = None
+    run_set = (set(int(s) - 1 for s in args.chunks.split(","))
+               if args.chunks else set(range(len(chunks))))
+    if args.merge_into:
+        prior = json.loads(Path(args.merge_into).read_text())
+        device = prior.get("device")
+        for row in prior.get("rows", []):
+            merged_rows[row["name"]] = row
+        prior_meta = {tuple(c["rows"]): c for c in prior.get("chunks", [])}
+    else:
+        prior_meta = {}
     for ci, names in enumerate(chunks):
+        if ci not in run_set:
+            if tuple(names) in prior_meta:
+                chunk_meta.append(prior_meta[tuple(names)])
+            continue
         print(f"=== chunk {ci + 1}/{len(chunks)}: {names}", file=sys.stderr)
         best = None
         for attempt in range(args.retries):
