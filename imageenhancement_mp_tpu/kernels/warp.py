@@ -61,7 +61,13 @@ _BH = 16            # output block sublane rows
 # that is 0.25 ops/px, still ~40x under XLA's ~10 ns/element scalar
 # loop; the real limit is the window DMA traffic, bounded separately.
 _MAX_CHAIN = 512
-_MAX_WIN_BYTES = 1 << 21  # VMEM window budget (u8 window + i32 quads)
+# VMEM window budget.  Real per-window VMEM pressure is ~6 bytes/elem —
+# the DOUBLE-BUFFERED u8 window (2x) plus the i32 quad intermediate
+# (4x) — so the 2 MiB cap admits at most ~12 MiB of window state; the
+# remaining ~4 MiB of the 16 MiB VMEM holds the [BH,128] block I/O and
+# Mosaic temporaries.  window_plan checks the full 6x figure (ADVICE
+# r04: the old 5x heuristic undercounted the double buffer).
+_MAX_WIN_BYTES = 1 << 21
 
 
 class WindowTooLarge(ValueError):
@@ -91,9 +97,13 @@ def window_plan(cy: np.ndarray, cx: np.ndarray, BH: int = _BH):
     # on a used index
     SH = _round_up(int((yhi - y0).max()) + 2, 8)
     SW = _round_up(int((xhi - x0).max()) + 2, _LANES)
-    if SH * (SW // _LANES) > _MAX_CHAIN or SH * SW * 5 > _MAX_WIN_BYTES:
+    if SH * (SW // _LANES) > _MAX_CHAIN or SH * SW * 6 > _MAX_WIN_BYTES:
         raise WindowTooLarge(
             f"window {SH}x{SW} exceeds the candidate-select budget")
+    # the pk packing (ly<<14 | lx) requires lx < 2^14 and ly < 2^17;
+    # the chain/VMEM budgets imply both today, but guard explicitly so a
+    # future budget retune cannot silently corrupt coordinates (ADVICE r04)
+    assert SW < (1 << 14) and SH < (1 << 17), (SH, SW)
     return y0.astype(np.int32), x0.astype(np.int32), SH, SW
 
 

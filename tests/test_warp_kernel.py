@@ -85,6 +85,44 @@ def test_warp_perspective_dispatch_bitwise():
         np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("log", [False, True])
+@pytest.mark.parametrize("interp", ["linear", "nearest"])
+def test_warp_polar_dispatch_bitwise(inverse, log, interp, monkeypatch):
+    """warp_polar -> windowed Pallas gather route (ops/warp.py
+    warp_polar_planes), incl. the inverse wrap-pad geometry where the
+    padded Hs/Ws are the source extent (ADVICE r04: this dispatch had
+    no forced-Pallas coverage)."""
+    from imageenhancement_mp_tpu.ops.warp import warp_polar_planes
+
+    calls = {"n": 0}
+    real = kwarp.gather_bilinear_pallas if interp == "linear" \
+        else kwarp.gather_nearest_pallas
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        kwarp,
+        "gather_bilinear_pallas" if interp == "linear"
+        else "gather_nearest_pallas",
+        counted,
+    )
+    img = _img((2, 64, 96), seed=19)
+    dsize = (48, 56) if not inverse else (64, 96)
+    exp = np.stack([
+        ref.warp_polar(p, dsize, (50.0, 30.0), 45.0, log=log,
+                       inverse=inverse, interpolation=interp)
+        for p in img
+    ])
+    got = np.asarray(warp_polar_planes(
+        jnp.asarray(img), dsize, (50.0, 30.0), 45.0, log=log,
+        inverse=inverse, interpolation=interp))
+    np.testing.assert_array_equal(got, exp)
+    assert calls["n"] == 1, "warp_polar did not take the Pallas gather route"
+
+
 def test_window_too_large_falls_back():
     # a 90-degree-ish huge-scale map blows the per-block window budget on
     # a large source: the dispatch must silently take the XLA path and

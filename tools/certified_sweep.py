@@ -119,6 +119,14 @@ def main() -> int:
                     "(default: all)")
     args = ap.parse_args()
 
+    if args.chunks and not args.merge_into:
+        # without a prior artifact the skipped chunks contribute neither
+        # rows nor chunk meta — the output would LOOK like a complete
+        # sweep with rows silently missing (ADVICE r04)
+        ap.error("--chunks requires --merge-into (a partial run must merge "
+                 "into a prior artifact, or the output silently drops the "
+                 "skipped chunks' rows)")
+
     chunks = [ROWS[i:i + args.chunk_size]
               for i in range(0, len(ROWS), args.chunk_size)]
     merged_rows: dict[str, dict] = {}
@@ -138,6 +146,11 @@ def main() -> int:
         if ci not in run_set:
             if tuple(names) in prior_meta:
                 chunk_meta.append(prior_meta[tuple(names)])
+            else:
+                print(f"WARNING: skipped chunk {ci + 1} ({names}) has no "
+                      "matching meta in the prior artifact — its rows/meta "
+                      "are missing from the merged output", file=sys.stderr)
+                chunk_meta.append({"rows": names, "status": "missing"})
             continue
         print(f"=== chunk {ci + 1}/{len(chunks)}: {names}", file=sys.stderr)
         best = None
@@ -173,7 +186,7 @@ def main() -> int:
     ordered = [merged_rows[n] for n in ROWS if n in merged_rows]
     suspect = any(c.get("timing_suspect") for c in chunk_meta
                   if c["status"] == "ok") or any(
-                      c["status"] == "failed" for c in chunk_meta)
+                      c["status"] in ("failed", "missing") for c in chunk_meta)
     out = {
         "device": device,
         "clock": args.clock,
