@@ -35,8 +35,11 @@ xd = jax.device_put(jnp.asarray(x))
 TAPS = (1, 4, 6, 4, 1)  # Q4 per axis
 
 
-def shift_left(v, j):
-    return pltpu.roll(v, -j, 1) if j else v
+def sh(v, j):
+    """centered lane shift: out[:, c] = v[:, c - j] (roll right by j)."""
+    if j == 0:
+        return v
+    return pltpu.roll(v, j if j > 0 else v.shape[-1] + j, axis=1)
 
 
 def make_halos(xx, th):
@@ -69,21 +72,21 @@ def vconv_i32(v, th):
 
 def hconv(a):
     t = TAPS
-    h = t[2] * shift_left(a, 2)
-    h = h + t[0] * (shift_left(a, 0) + shift_left(a, 4))
-    h = h + t[1] * (shift_left(a, 1) + shift_left(a, 3))
+    h = t[2] * a
+    h = h + t[0] * (sh(a, 2) + sh(a, -2))
+    h = h + t[1] * (sh(a, 1) + sh(a, -1))
     return h
 
 
 def kern_a(x_ref, ht_ref, hb_ref, o_ref):
     th = x_ref.shape[1]
     v = jnp.concatenate(
-        [ht_ref[0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
-         hb_ref[0, 0:2].astype(jnp.int32)], axis=0)  # [th+4, W]
+        [ht_ref[0, 0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         hb_ref[0, 0, 0:2].astype(jnp.int32)], axis=0)  # [th+4, W]
     a = vconv_i32(v, th)
     h = hconv(a)
     blur = jnp.clip((h + 128) >> 8, 0, 255)
-    src = shift_left(v[2:2 + th, :], 2)
+    src = v[2:2 + th, :]
     res = jnp.clip(2 * src - blur, 0, 255)
     o_ref[...] = res.astype(jnp.uint8)[None]
 
@@ -92,14 +95,14 @@ def kern_b(x_ref, ht_ref, hb_ref, o_ref):
     th = x_ref.shape[1]
     K = th // 2
     v = jnp.concatenate(
-        [ht_ref[0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
-         hb_ref[0, 0:2].astype(jnp.int32)], axis=0)  # [th+4, W]
+        [ht_ref[0, 0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         hb_ref[0, 0, 0:2].astype(jnp.int32)], axis=0)  # [th+4, W]
     # overlap-pack: rows [0:K+4] low half, rows [K:th+4] high half
     p = v[0:K + 4, :] + (v[K:th + 4, :] << 16)  # [K+4, W] packed
     a = vconv_i32(p, K)          # halves < 2^16 (<=4080)
     h = hconv(a)                 # halves <= 65280 < 2^16
     # unsharp packed: 2*src - blur + bias(256) per half stays in [1,1021]
-    srcp = shift_left(p[2:2 + K, :], 2)
+    srcp = p[2:2 + K, :]
     blurp = ((h >> 8) + ((h >> 7) & 1)) if False else ((h + (128 << 16) + 128) >> 8)
     # NOTE (timing): (h+128)>>8 per half via adding 128 to both halves;
     # >>8 smears 8 bits of hi half into lo - mask it off:
@@ -114,39 +117,45 @@ def kern_b(x_ref, ht_ref, hb_ref, o_ref):
 def kern_c(x_ref, ht_ref, hb_ref, vm_ref, o_ref):
     th = x_ref.shape[1]
     v = jnp.concatenate(
-        [ht_ref[0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
-         hb_ref[0, 0:2].astype(jnp.int32)], axis=0).astype(jnp.bfloat16)
+        [ht_ref[0, 0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         hb_ref[0, 0, 0:2].astype(jnp.int32)], axis=0).astype(jnp.bfloat16)
     a = jax.lax.dot_general(vm_ref[...], v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [th, W]
     t = [float(ti) for ti in TAPS]
-    h = t[2] * shift_left(a, 2)
-    h = h + t[0] * (shift_left(a, 0) + shift_left(a, 4))
-    h = h + t[1] * (shift_left(a, 1) + shift_left(a, 3))
+    h = t[2] * a
+    h = h + t[0] * (sh(a, 2) + sh(a, -2))
+    h = h + t[1] * (sh(a, 1) + sh(a, -1))
     blur = jnp.floor((h + 128.0) * (1.0 / 256.0))
-    src = shift_left(v[2:2 + th, :].astype(jnp.float32), 2)
+    src = v[2:2 + th, :].astype(jnp.float32)
     res = jnp.clip(2.0 * src - blur, 0.0, 255.0)
     o_ref[...] = res.astype(jnp.int32).astype(jnp.uint8)[None]
 
 
 def lut_apply(v0, lut2):
-    low = v0 & 127
-    g0 = jnp.take_along_axis(jnp.broadcast_to(lut2[0:1], v0.shape), low, axis=1,
-                             mode="promise_in_bounds")
-    g1 = jnp.take_along_axis(jnp.broadcast_to(lut2[1:2], v0.shape), low, axis=1,
-                             mode="promise_in_bounds")
-    return jnp.where(v0 >= 128, g1, g0)
+    """per-128-lane-block vreg gather (gather dim must stay in one vreg)."""
+    nb = v0.shape[1] // 128
+    cols = []
+    for b in range(nb):
+        vb = v0[:, b * 128:(b + 1) * 128]
+        low = vb & 127
+        g0 = jnp.take_along_axis(jnp.broadcast_to(lut2[0:1], vb.shape), low,
+                                 axis=1, mode="promise_in_bounds")
+        g1 = jnp.take_along_axis(jnp.broadcast_to(lut2[1:2], vb.shape), low,
+                                 axis=1, mode="promise_in_bounds")
+        cols.append(jnp.where(vb >= 128, g1, g0))
+    return jnp.concatenate(cols, axis=1)
 
 
 def kern_d(x_ref, ht_ref, hb_ref, lut_ref, o_ref):
     th = x_ref.shape[1]
     v0 = jnp.concatenate(
-        [ht_ref[0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
-         hb_ref[0, 0:2].astype(jnp.int32)], axis=0)
+        [ht_ref[0, 0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         hb_ref[0, 0, 0:2].astype(jnp.int32)], axis=0)
     v = lut_apply(v0, lut_ref[0])
     a = vconv_i32(v, th)
     h = hconv(a)
     blur = jnp.clip((h + 128) >> 8, 0, 255)
-    src = shift_left(v[2:2 + th, :], 2)
+    src = v[2:2 + th, :]
     res = jnp.clip(2 * src - blur, 0, 255)
     o_ref[...] = res.astype(jnp.uint8)[None]
 
@@ -155,13 +164,13 @@ def kern_e(x_ref, ht_ref, hb_ref, lut_ref, o_ref):
     th = x_ref.shape[1]
     K = th // 2
     v0 = jnp.concatenate(
-        [ht_ref[0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
-         hb_ref[0, 0:2].astype(jnp.int32)], axis=0)
+        [ht_ref[0, 0, 6:8].astype(jnp.int32), x_ref[0].astype(jnp.int32),
+         hb_ref[0, 0, 0:2].astype(jnp.int32)], axis=0)
     v = lut_apply(v0, lut_ref[0])
     p = v[0:K + 4, :] + (v[K:th + 4, :] << 16)
     a = vconv_i32(p, K)
     h = hconv(a)
-    srcp = shift_left(p[2:2 + K, :], 2)
+    srcp = p[2:2 + K, :]
     blurp = ((h + (128 << 16) + 128) >> 8) & 0x00FF01FF
     resp = (srcp << 1) - blurp + 0x01000100
     lo = jnp.clip((resp & 0xFFFF) - 256, 0, 255)

@@ -143,6 +143,22 @@ def _sep_conv_planes(
     B, H, W = planes.shape
     pv = len(taps_v) // 2
     ph = len(taps_h) // 2
+    if pv <= 8 and ph <= 8:
+        # wide-layout fast path (packed pixel pairs / banded-MXU vertical
+        # pass, no host pad): 117 vs 34 GPix/s on 4K u8 — kernels/conv2.py
+        from imageenhancement_mp_tpu.kernels.conv2 import (
+            sep_conv5_wide,
+            supports_wide,
+        )
+
+        if supports_wide(planes.shape, planes.dtype):
+            return sep_conv5_wide(
+                planes,
+                tuple(int(t) for t in taps_v),
+                tuple(int(t) for t in taps_h),
+                amount,
+                interpret=interpret,
+            )
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 

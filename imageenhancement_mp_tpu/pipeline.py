@@ -183,6 +183,35 @@ def make_pipeline(
 @partial(jax.jit, static_argnames=("amount", "ksize", "sigma"))
 def _equalize_unsharp_jit(img, amount, ksize, sigma):
     planes, restore = as_planes(img)
+
+    # SURVEY §3.3 single-residency flagship: when the wide-layout conv
+    # kernel covers the shape, run hist (Pallas MXU stripe) → tiny XLA LUT
+    # build → ONE Pallas pass doing LUT-gather + separable conv + unsharp
+    # epilogue per VMEM tile.  Three HBM byte-passes total (hist read,
+    # fused read, write) vs the unfused path's five.
+    from imageenhancement_mp_tpu.config import pallas_enabled
+    from imageenhancement_mp_tpu.kernels.conv2 import sep_conv5_wide, supports_wide
+    from imageenhancement_mp_tpu.ref.ops import gaussian_axes, gaussian_kernel_fixed
+
+    kh, kw, sy, sx = gaussian_axes(ksize, sigma, 0.0, True)
+    if (
+        pallas_enabled()
+        and supports_wide(planes.shape, planes.dtype)
+        and 1 < kh <= 17
+        and 1 < kw <= 17
+    ):
+        import functools
+
+        from imageenhancement_mp_tpu.ops.histogram import equalize_lut, histogram_256
+
+        total = planes.shape[-1] * planes.shape[-2]
+        hists = histogram_256(planes)
+        luts = jax.vmap(functools.partial(equalize_lut, total=total))(hists)
+        lut2 = luts.astype(jnp.int32).reshape(planes.shape[0], 2, 128)
+        tv = tuple(int(t) for t in gaussian_kernel_fixed(kh, sy))
+        th = tuple(int(t) for t in gaussian_kernel_fixed(kw, sx))
+        return restore(sep_conv5_wide(planes, tv, th, float(amount), lut2=lut2))
+
     eq = equalize_hist_planes(planes)
     # backend="xla": keeps gather+conv+epilogue in one compiler view (equal
     # speed to the Pallas-kernel variant in clean A/B; docs/DESIGN.md §4)
