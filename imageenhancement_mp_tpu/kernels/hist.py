@@ -100,7 +100,7 @@ def _probe_dg() -> bool:
         "after 3 attempts — refusing to silently fall back") from last
 
 
-def _hist_kernel(x_ref, out_ref, *, n_valid: int):
+def _hist_kernel(x_ref, out_ref):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -114,10 +114,10 @@ def _hist_kernel(x_ref, out_ref, *, n_valid: int):
     # dots; it rejects multi-dim contractions (probed r04) — hence flatten
     x = x_ref[...].astype(jnp.int32).reshape(1, pt)
     bins = jax.lax.broadcasted_iota(jnp.int32, (16, pt), 0)
-    # mask the flat-pixel padding OUT OF the hi one-hot (a zero column of
-    # ``a`` zeroes the product for every lo bin, so one side suffices)
-    pix = t * pt + jax.lax.broadcasted_iota(jnp.int32, (16, pt), 1)
-    oh_hi = jnp.where((bins == (x >> 4)) & (pix < n_valid), 1.0, 0.0)
+    # flat-pixel padding is NOT masked here: pad pixels are zeros, land
+    # exactly in bin (0,0), and the caller subtracts the known pad count
+    # — saving the per-pixel [16, pt] mask compare+and on the hot path
+    oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
     oh_lo = jnp.where(bins == (x & 15), 1.0, 0.0)
     h = jax.lax.dot_general(
         oh_hi, oh_lo, (((1,), (1,)), ((), ())),
@@ -153,16 +153,19 @@ def hist256_pallas(planes: jnp.ndarray, interpret: bool | None = None) -> jnp.nd
     x3 = flat.reshape(B, rpad, _LANES)
     n_tiles = rpad // s
 
-    kernel = functools.partial(_hist_kernel, n_valid=n)
     out = pl.pallas_call(
-        kernel,
+        _hist_kernel,
         grid=(B, n_tiles),
         out_shape=jax.ShapeDtypeStruct((B, 16, 16), jnp.int32),
         in_specs=[pl.BlockSpec((1, s, _LANES), lambda b, t: (b, t, 0))],
         out_specs=pl.BlockSpec((B, 16, 16), lambda b, t: (0, 0, 0)),
         interpret=interpret,
     )(x3)
-    return out.reshape(B, 256)  # hist[v] = H[v>>4, v&15]: row-major ✓
+    hist = out.reshape(B, 256)  # hist[v] = H[v>>4, v&15]: row-major ✓
+    pad = rpad * _LANES - n
+    if pad:
+        hist = hist.at[:, 0].add(jnp.int32(-pad))
+    return hist
 
 
 def _lut_kernel(x_ref, lut_ref, out_ref, *, out_int: bool):

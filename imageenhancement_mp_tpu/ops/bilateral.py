@@ -92,6 +92,17 @@ def bilateral_planes(
     if planes.dtype != jnp.uint8:
         raise TypeError(f"bilateral_filter takes uint8 (like cv2's 8u path), got {planes.dtype}")
     offs, color_w, r = bilateral_offsets(d, sigma_color, sigma_space, cn=1)
+    from imageenhancement_mp_tpu.config import pallas_enabled
+    from imageenhancement_mp_tpu.kernels.bilateral import (
+        bilateral_gray_pallas,
+        supports_bilateral_wide,
+    )
+
+    if pallas_enabled() and supports_bilateral_wide(planes.shape, planes.dtype, r):
+        # fused disc walk in one VMEM residency (the per-offset XLA loop
+        # below pays ~49 kernel launches + HBM round-trips on 4K —
+        # kernels/bilateral.py)
+        return bilateral_gray_pallas(planes, offs, color_w)
     H, W = planes.shape[-2], planes.shape[-1]
     cw = jnp.asarray(color_w)
     p = jnp.pad(planes, ((0, 0), (r, r), (r, r)), mode="reflect").astype(jnp.float32)
