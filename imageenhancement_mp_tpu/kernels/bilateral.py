@@ -60,26 +60,33 @@ def supports_bilateral_wide(shape, dtype, radius: int) -> bool:
     )
 
 
-def _shift_cols(vi, j, W):
-    """vi shifted so out[:, x] = vi[:, x + j], REFLECT_101 at both edges."""
-    if j == 0:
-        return vi
-    # out = _sh(vi, −j): roll shifts must be non-negative on TPU
-    s = pltpu.roll(vi, vi.shape[-1] - j if j > 0 else -j, axis=1)
-    if j < 0:
-        # left edge cols x ∈ [0, −j): true col x+j < 0 → reflect −(x+j)
-        left = jnp.concatenate(
-            [vi[:, -j:0:-1], vi[:, 0 : _LANES + j]], axis=1
-        )  # [th, 128]
-        return jnp.concatenate([left, s[:, _LANES:]], axis=1)
-    # right edge cols x ≥ W−j: true col x+j > W−1 → reflect 2(W−1)−(x+j)
-    right = jnp.concatenate(
-        [vi[:, W - _LANES + j : W], vi[:, W - 2 : W - 2 - j : -1]], axis=1
-    )
-    return jnp.concatenate([s[:, : W - _LANES], right], axis=1)
+def _lut_w(diff, cwb):
+    """256-entry f32 LUT at ``diff`` (i32), one 128-lane block at a time
+    (the dynamic gather spans a single vreg); the table rides as i32 bit
+    patterns."""
+    low = diff & 127
+    cols = []
+    for b in range(diff.shape[1] // _LANES):
+        sl = slice(b * _LANES, (b + 1) * _LANES)
+        lo_b = low[:, sl]
+        g0 = jnp.take_along_axis(
+            jnp.broadcast_to(cwb[0:1], lo_b.shape), lo_b, axis=1,
+            mode="promise_in_bounds")
+        g1 = jnp.take_along_axis(
+            jnp.broadcast_to(cwb[1:2], lo_b.shape), lo_b, axis=1,
+            mode="promise_in_bounds")
+        cols.append(jnp.where(diff[:, sl] >= 128, g1, g0))
+    out = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
 
 
 def _kernel(x_ref, ht_ref, hb_ref, cw_ref, o_ref, *, offs, rv):
+    """Main pass accumulates over plain lane rolls (wraparound garbage
+    stays inside the outer r image columns); the first/last 128-lane
+    blocks are recomputed exactly from REFLECT_101 column extensions and
+    concatenated once at the end (Mosaic rejects concat-of-concat
+    assemblies per offset — the conv2 edge-strip pattern is the one that
+    lowers)."""
     th = x_ref.shape[1]
     W = x_ref.shape[2]
     x = jnp.concatenate(
@@ -91,32 +98,49 @@ def _kernel(x_ref, ht_ref, hb_ref, cw_ref, o_ref, *, offs, rv):
         axis=0,
     )  # [th+2rv, W] i32
     c = x[rv : rv + th, :]
+    cL = c[:, 0:_LANES]
+    cR = c[:, W - _LANES : W]
     cwb = cw_ref[0]  # [2, 128] i32 bit patterns of the f32 color LUT
     num = jnp.zeros((th, W), jnp.float32)
     den = jnp.zeros((th, W), jnp.float32)
+    numL = jnp.zeros((th, _LANES), jnp.float32)
+    denL = jnp.zeros((th, _LANES), jnp.float32)
+    numR = jnp.zeros((th, _LANES), jnp.float32)
+    denR = jnp.zeros((th, _LANES), jnp.float32)
     for i, j, w0 in offs:
-        s = _shift_cols(x[rv + i : rv + i + th, :], j, W)
-        diff = jnp.abs(s - c)
-        low = diff & 127
-        # 256-entry gather, one 128-lane block at a time (single-vreg dg)
-        wbits = []
-        for b in range(W // _LANES):
-            sl = slice(b * _LANES, (b + 1) * _LANES)
-            lo_b = low[:, sl]
-            g0 = jnp.take_along_axis(
-                jnp.broadcast_to(cwb[0:1], lo_b.shape), lo_b, axis=1,
-                mode="promise_in_bounds")
-            g1 = jnp.take_along_axis(
-                jnp.broadcast_to(cwb[1:2], lo_b.shape), lo_b, axis=1,
-                mode="promise_in_bounds")
-            wbits.append(jnp.where(diff[:, sl] >= 128, g1, g0))
-        cw = jax.lax.bitcast_convert_type(
-            jnp.concatenate(wbits, axis=1), jnp.float32
-        )
-        w = jnp.float32(w0) * cw
+        vi = x[rv + i : rv + i + th, :]
+        # main pass: out[:, x] = vi[:, x+j] (roll shifts non-negative)
+        s = vi if j == 0 else pltpu.roll(
+            vi, W - j if j > 0 else -j, axis=1)
+        w = jnp.float32(w0) * _lut_w(jnp.abs(s - c), cwb)
         num = num + s.astype(jnp.float32) * w
         den = den + w
-    out = jnp.clip(jnp.round(num / den), 0.0, 255.0)
+        # exact edge strips: cols −rv..127+rv / W−128−rv..W−1+rv with
+        # REFLECT_101 columns, sliced per offset (arithmetic on concat
+        # slices lowers; passing raw concats onward does not)
+        lext = jnp.concatenate(
+            [vi[:, k : k + 1] for k in range(rv, 0, -1)]
+            + [vi[:, 0 : _LANES + rv]],
+            axis=1,
+        )  # [th, 128+2rv]
+        rext = jnp.concatenate(
+            [vi[:, W - _LANES - rv : W]]
+            + [vi[:, W - 2 - k : W - 1 - k] for k in range(rv)],
+            axis=1,
+        )
+        sL = lext[:, rv + j : rv + j + _LANES]
+        sR = rext[:, rv + j : rv + j + _LANES]
+        wL = jnp.float32(w0) * _lut_w(jnp.abs(sL - cL), cwb)
+        wR = jnp.float32(w0) * _lut_w(jnp.abs(sR - cR), cwb)
+        numL = numL + sL.astype(jnp.float32) * wL
+        denL = denL + wL
+        numR = numR + sR.astype(jnp.float32) * wR
+        denR = denR + wR
+    mid = (
+        [(num / den)[:, _LANES : W - _LANES]] if W > 2 * _LANES else []
+    )  # W == 256 → both strips ARE the image; no zero-width slice
+    res = jnp.concatenate([numL / denL] + mid + [numR / denR], axis=1)
+    out = jnp.clip(jnp.round(res), 0.0, 255.0)
     o_ref[...] = out.astype(jnp.int32).astype(jnp.uint8)[None]
 
 

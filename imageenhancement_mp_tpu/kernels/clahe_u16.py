@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
 
-__all__ = ["clahe_blend_u16_pallas", "uniform_quadrant_split"]
+__all__ = ["clahe_blend_quad_pallas", "uniform_quadrant_split"]
 
 _LANES = 128
 
@@ -60,21 +60,23 @@ def uniform_quadrant_split(i0, n_tiles: int, tile: int) -> bool:
     return True
 
 
-def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref):
+def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref,
+            *, maxv: float):
     v = x_ref[0, 0, 0, 0].astype(jnp.int32)  # [qh8, qw]
     qh, qw = v.shape
     idxp = v >> 1
     low = idxp & 127
-    seg = idxp >> 7  # ∈ [0, 256)
+    seg = idxp >> 7  # ∈ [0, S/256)
     odd = v & 1
-    tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]  # each [256, 128]
+    tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]  # [S/256, 128]
+    K = tabs[0].shape[0]
     cols = []
     for cb in range(qw // _LANES):
         sl = slice(cb * _LANES, (cb + 1) * _LANES)
         lo_b, seg_b = low[:, sl], seg[:, sl]
         acc = [None] * 4
-        for k in range(256):
-            m = seg_b == k
+        for k in range(K):
+            m = None if K == 1 else (seg_b == k)
             for f in range(4):
                 tb = jnp.broadcast_to(tabs[f][k : k + 1], lo_b.shape)
                 g = jnp.take_along_axis(
@@ -92,12 +94,13 @@ def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref):
         top = (1.0 - fx) * l00 + fx * l01
         bot = (1.0 - fx) * l10 + fx * l11
         out = (1.0 - fy) * top + fy * bot
-        cols.append(jnp.clip(jnp.round(out), 0.0, 65535.0))
+        cols.append(jnp.clip(jnp.round(out), 0.0, maxv))
     res = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
-    o_ref[...] = res.astype(jnp.int32).astype(jnp.uint16)[None, None, None, None]
+    o_ref[...] = res.astype(jnp.int32).astype(o_ref.dtype)[
+        None, None, None, None]
 
 
-def clahe_blend_u16_pallas(
+def clahe_blend_quad_pallas(
     planes: jnp.ndarray,
     luts: jnp.ndarray,
     gh: int,
@@ -106,8 +109,10 @@ def clahe_blend_u16_pallas(
     fx: np.ndarray,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Blend ``[B, H, W] u16`` planes through ``[B·T, 65536] u16`` tile
-    LUTs with the exact CLAHE bilinear weights → ``[B, H, W] u16``.
+    """Blend ``[B, H, W]`` u8/u16 planes through ``[B·T, S]`` tile LUTs
+    (S = 256 for u8, 65536 for u16) with the exact CLAHE bilinear
+    weights → ``[B, H, W]``.  For u8 the packed table is ONE vreg and
+    the chain degenerates to a single gather per field.
 
     ``fy``/``fx``: the global per-row/per-column f32 fractions from
     ops/clahe.py ``_interp_coords`` (callers must have verified
@@ -117,15 +122,17 @@ def clahe_blend_u16_pallas(
         interpret = jax.devices()[0].platform != "tpu"
     B, H, W = planes.shape
     T = gh * gw
+    S = int(luts.shape[-1])
     th, tw = H // gh, W // gw
     hu, wl = (th + 1) // 2, (tw + 1) // 2
     hl, wr = th - hu, tw - wl
     qh8 = _round_up(max(hu, hl), 8)
     qw = _round_up(max(wl, wr), _LANES)
 
-    # pack LUT pairs: [B·T, 65536] u16 → [B·T, 256, 128] i32 (even|odd<<16)
+    # pack LUT pairs: [B·T, S] → [B·T, S/256, 128] i32 (even|odd<<16)
     l32 = luts.astype(jnp.int32)
-    packed = (l32[:, 0::2] + (l32[:, 1::2] << 16)).reshape(B * T, 256, _LANES)
+    packed = (l32[:, 0::2] + (l32[:, 1::2] << 16)).reshape(
+        B * T, S // 256, _LANES)
 
     # quadrant-reorganize pixels: [B, gh, gw, 4, qh8, qw] (pad with zeros)
     t5 = planes.reshape(B, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
@@ -159,17 +166,18 @@ def clahe_blend_u16_pallas(
         return im
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, maxv=float(S - 1)),
         grid=(B, gh, gw, 4),
-        out_shape=jax.ShapeDtypeStruct((B, gh, gw, 4, qh8, qw), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, gh, gw, 4, qh8, qw), planes.dtype),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 1, 1, qh8, qw), lambda b, t, c, q: (b, t, c, q, 0, 0)
             ),
-            pl.BlockSpec((1, 256, _LANES), tmap(0, 0)),
-            pl.BlockSpec((1, 256, _LANES), tmap(0, 1)),
-            pl.BlockSpec((1, 256, _LANES), tmap(1, 0)),
-            pl.BlockSpec((1, 256, _LANES), tmap(1, 1)),
+            pl.BlockSpec((1, S // 256, _LANES), tmap(0, 0)),
+            pl.BlockSpec((1, S // 256, _LANES), tmap(0, 1)),
+            pl.BlockSpec((1, S // 256, _LANES), tmap(1, 0)),
+            pl.BlockSpec((1, S // 256, _LANES), tmap(1, 1)),
             pl.BlockSpec(
                 (1, qh8, qw), lambda b, t, c, q: (t * 2 + (q >> 1), 0, 0)
             ),

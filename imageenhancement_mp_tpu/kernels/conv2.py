@@ -155,7 +155,8 @@ def _hconv_int(a, taps, W):
         axis=1)  # cols [W-128-r..W-1+r]; col W-1+k = col W-1-k
     hl = sum(taps[j] * lext[:, j:j + _LANES] for j in range(2 * r + 1))
     hr = sum(taps[j] * rext[:, j:j + _LANES] for j in range(2 * r + 1))
-    return jnp.concatenate([hl, h[:, _LANES:W - _LANES], hr], axis=1)
+    mid = [h[:, _LANES:W - _LANES]] if W > 2 * _LANES else []
+    return jnp.concatenate([hl] + mid + [hr], axis=1)
 
 
 def _hconv_f32(a, taps, W):
@@ -173,7 +174,8 @@ def _hconv_f32(a, taps, W):
         axis=1)
     hl = sum(tf[j] * lext[:, j:j + _LANES] for j in range(2 * r + 1))
     hr = sum(tf[j] * rext[:, j:j + _LANES] for j in range(2 * r + 1))
-    return jnp.concatenate([hl, h[:, _LANES:W - _LANES], hr], axis=1)
+    mid = [h[:, _LANES:W - _LANES]] if W > 2 * _LANES else []
+    return jnp.concatenate([hl] + mid + [hr], axis=1)
 
 
 def _kernel_packed(x_ref, ht_ref, hb_ref, *rest,

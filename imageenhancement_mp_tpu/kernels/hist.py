@@ -431,8 +431,8 @@ def gather_width_supported(L: int) -> bool:
     return L % _LANES == 0 and L // _LANES <= _DG_MAX_CHAIN and _dg_supported()
 
 
-def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
-                     total: int, use_dg: bool):
+def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, lut2_ref, *,
+                     pad: int, total: int, use_dg: bool):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
@@ -448,10 +448,12 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
 
     @pl.when(ph == 0)
     def _():
-        pix = t * pt + jax.lax.broadcasted_iota(jnp.int32, (16, pt), 1)
-        oh_hi_m = jnp.where((bins == (x >> 4)) & (pix < n_valid), 1.0, 0.0)
+        # padding is NOT masked per pixel: pad zeros land in bin (0,0)
+        # exactly and phase 1 subtracts the static count — saves the
+        # [16, pt] compare+and on the hot pass
+        oh_hi = jnp.where(bins == (x >> 4), 1.0, 0.0)
         h = jax.lax.dot_general(
-            oh_hi_m, oh_lo, (((1,), (1,)), ((), ())),
+            oh_hi, oh_lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         hist_ref[...] += h
@@ -465,6 +467,9 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
         hist = hist_ref[...]  # [16,16] f32 (counts ≤ 2^24: exact)
         li = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
         lj = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+        if pad:
+            hist = hist - jnp.where(
+                (li == 0) & (lj == 0), jnp.float32(pad), 0.0)
         upper = jnp.where(li <= lj, 1.0, 0.0)   # U[l', l]: l' ≤ l
         strict = jnp.where(li > lj, 1.0, 0.0)   # L[h, h']: h' < h
         rowcum = jax.lax.dot_general(
@@ -492,27 +497,43 @@ def _equalize_kernel(x_ref, out_ref, hist_ref, lut_ref, *, n_valid: int,
         li2 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
         lj2 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
         E = jnp.where(li2 == lj2, 1.0, 0.0)
-        lut_ref[...] = jax.lax.dot_general(
+        lutw = jax.lax.dot_general(
             lut16, E, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        lut_ref[...] = lutw
+        if use_dg:
+            # reorganize [16,16] → [2,128] once per image so the apply
+            # phase is a 2-gather chain instead of 16 row-gathers: the
+            # [2,128]→sublane collapse doesn't lower as a reshape, but
+            # 16 masked vreg-gathers build it cheaply here
+            rr = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+            hidx = rr * 8 + (ll >> 4)
+            lowidx = ll & 15
+            l2 = jnp.zeros((2, 128), jnp.float32)
+            for hh in range(16):
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(lutw[hh : hh + 1, :], (2, 128)),
+                    lowidx, axis=1, mode="promise_in_bounds")
+                l2 = jnp.where(hidx == hh, g, l2)
+            lut2_ref[...] = l2
 
     @pl.when(ph == 1)
     def _():
         if use_dg:
-            # vreg-gather apply: 16 row-gathers + select folds (the LUT
-            # scratch is [16,16]; multi-vreg-lane reshapes don't lower,
-            # so chain per hi-nibble row instead)
+            # vreg-gather apply: 2 gathers + 1 select per block
             v2 = x_ref[...][0].astype(jnp.int32)  # [s, 128]
-            low = v2 & 15
-            out2 = jnp.zeros(v2.shape, jnp.float32)
-            lutw = lut_ref[...]  # [16, 128]: lanes 16.. are zero fill
-            for hh in range(16):
-                tb = jnp.broadcast_to(lutw[hh : hh + 1, :], v2.shape)
-                g = jnp.take_along_axis(tb, low, axis=1,
-                                        mode="promise_in_bounds")
-                out2 = jnp.where((v2 >> 4) == hh, g, out2)
+            low = v2 & 127
+            lut2 = lut2_ref[...]  # [2, 128]
+            g0 = jnp.take_along_axis(
+                jnp.broadcast_to(lut2[0:1], v2.shape), low, axis=1,
+                mode="promise_in_bounds")
+            g1 = jnp.take_along_axis(
+                jnp.broadcast_to(lut2[1:2], v2.shape), low, axis=1,
+                mode="promise_in_bounds")
+            out2 = jnp.where(v2 >= 128, g1, g0)
             out_ref[...] = out2.astype(jnp.int32).astype(jnp.uint8)[None]
         else:
             m = jax.lax.dot_general(
@@ -549,7 +570,7 @@ def equalize_hist_pallas(planes: jnp.ndarray,
     x3 = flat.reshape(B, rpad, _LANES)
     blk = pl.BlockSpec((1, s, _LANES), lambda b, ph, t: (b, t, 0))
     out = pl.pallas_call(
-        functools.partial(_equalize_kernel, n_valid=n, total=n,
+        functools.partial(_equalize_kernel, pad=rpad * _LANES - n, total=n,
                           use_dg=_dg_supported()),
         grid=(B, 2, rpad // s),
         out_shape=jax.ShapeDtypeStruct((B, rpad, _LANES), jnp.uint8),
@@ -558,6 +579,7 @@ def equalize_hist_pallas(planes: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((16, 16), jnp.float32),
             pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.VMEM((2, 128), jnp.float32),
         ],
         interpret=interpret,
     )(x3)

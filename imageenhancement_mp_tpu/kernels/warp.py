@@ -147,7 +147,10 @@ def _warp_kernel(y0_ref, x0_ref, pk_ref, tx_ref, ty_ref, src_hbm, out_ref,
     lx = pk & 16383
     ly = pk >> 14
     lane = lx & (_LANES - 1)
-    cb = lx >> 7
+    ncb = SW // _LANES
+    # combined candidate key: one compare per chain step instead of the
+    # row mask AND the segment mask (r05 tuning — ~20% fewer VPU ops)
+    key = ly * ncb + (lx >> 7)
 
     acc = jnp.zeros(pk.shape, jnp.int32)
     wv = win[slot].astype(jnp.int32)                 # [SH, SW]
@@ -163,13 +166,12 @@ def _warp_kernel(y0_ref, x0_ref, pk_ref, tx_ref, ty_ref, src_hbm, out_ref,
              | (hi << 16)
              | (_shift_left(hi, 1) << 24))
     for r in range(SH - 1):
-        ey = ly == r
-        for c in range(SW // _LANES):
+        for c in range(ncb):
             seg = jnp.broadcast_to(q[r : r + 1, c * _LANES : (c + 1) * _LANES],
                                    pk.shape)
             g = jnp.take_along_axis(seg, lane, axis=1,
                                     mode="promise_in_bounds")
-            acc = jnp.where(ey & (cb == c), g, acc)
+            acc = jnp.where(key == r * ncb + c, g, acc)
 
     if nearest:
         out_ref[...] = (acc & 255).astype(jnp.uint8)[None]
@@ -194,19 +196,38 @@ def _run(planes, cy, cx, tx, ty, oh, ow, nearest, interpret):
     B, H, W = planes.shape
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    ohp, owp = _round_up(oh, _BH), _round_up(ow, _LANES)
+    # pick the block height minimizing per-pixel cost: the chain is
+    # ~4 VPU ops per (SH·SW/128) step and the window DMA is
+    # SH·SW/(BH·128) bytes/px (~2.3 op-equivalents per byte at the
+    # measured 657 GB/s vs ~1.5 Tops/s VPU) — smaller BH shrinks the
+    # window row span, larger BH amortizes the DMA
+    best = None
+    for BH_c in (8, 16, 32):
+        ohp_c, owp_c = _round_up(oh, BH_c), _round_up(ow, _LANES)
+        pad_c = ((0, ohp_c - oh), (0, owp_c - ow))
+        cy_c = np.pad(cy, pad_c, mode="edge")
+        cx_c = np.pad(cx, pad_c, mode="edge")
+        try:
+            plan = window_plan(cy_c, cx_c, BH_c)
+        except WindowTooLarge:
+            continue
+        SH_c, SW_c = plan[2], plan[3]
+        cost = 4.0 * (SH_c - 1) * (SW_c // _LANES) + 2.3 * SH_c * SW_c / (
+            BH_c * _LANES)
+        if best is None or cost < best[0]:
+            best = (cost, BH_c, ohp_c, owp_c, cy_c, cx_c, plan)
+    if best is None:
+        raise WindowTooLarge("no block height fits the window budget")
+    _, BH, ohp, owp, cy, cx, (y0, x0, SH, SW) = best
     pad = ((0, ohp - oh), (0, owp - ow))
-    cy = np.pad(cy, pad, mode="edge")
-    cx = np.pad(cx, pad, mode="edge")
-    y0, x0, SH, SW = window_plan(cy, cx)     # may raise WindowTooLarge
-    gI, gJ = ohp // _BH, owp // _LANES
+    gI, gJ = ohp // BH, owp // _LANES
     # source: +1 edge row/col for the quad packing, then cover the
     # largest window reach
     Hs = max(H + 1, int(y0.max()) + SH)
     Ws = max(_round_up(W + 1, _LANES), int(x0.max()) + SW)
     src = jnp.pad(planes, ((0, 0), (0, Hs - H), (0, Ws - W)), mode="edge")
-    ly = cy - np.kron(y0, np.ones((_BH, _LANES), np.int32))
-    lx = cx - np.kron(x0, np.ones((_BH, _LANES), np.int32))
+    ly = cy - np.kron(y0, np.ones((BH, _LANES), np.int32))
+    lx = cx - np.kron(x0, np.ones((BH, _LANES), np.int32))
     pk = jnp.asarray((ly << 14) | lx, jnp.int32)
     if not nearest:
         tx = jnp.asarray(np.pad(tx, pad, mode="edge"), jnp.float32)
@@ -216,7 +237,7 @@ def _run(planes, cy, cx, tx, ty, oh, ow, nearest, interpret):
         ty = tx
     kernel = functools.partial(
         _warp_kernel, SH=SH, SW=SW, gI=gI, gJ=gJ, B=B, nearest=nearest)
-    blk = pl.BlockSpec((1, _BH, _LANES), lambda b, i, j: (0, i, j))
+    blk = pl.BlockSpec((1, BH, _LANES), lambda b, i, j: (0, i, j))
     out = pl.pallas_call(
         kernel,
         grid=(B, gI, gJ),
@@ -229,7 +250,7 @@ def _run(planes, cy, cx, tx, ty, oh, ow, nearest, interpret):
             blk,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, _BH, _LANES), lambda b, i, j: (b, i, j)),
+        out_specs=pl.BlockSpec((1, BH, _LANES), lambda b, i, j: (b, i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, SH, SW), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),

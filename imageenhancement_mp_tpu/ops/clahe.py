@@ -54,8 +54,8 @@ def _tile_hists(
     v = tiles.astype(jnp.int32)
     if hist_size == 65536 and jax.default_backend() != "tpu":
         # the byte-split one-hots are [T, P, 256] ×2 — on TPU XLA streams
-        # them into the int8 matmul (measured 269 GPix/s at 4K), but other
-        # backends materialize them (~512 B/px) and OOM; scatter instead
+        # them into the int8 matmul, but other backends materialize them
+        # (~512 B/px) and OOM; scatter instead
         return jax.vmap(
             lambda t: jnp.zeros((hist_size,), jnp.int32).at[t].add(1)
         )(v)
@@ -175,20 +175,7 @@ def clahe_planes(
     y0, y1, fy = _interp_coords(H, th, gh)
     x0, x1, fx = _interp_coords(W, tw, gw)
 
-    if hist_size == 256 and pad_h == 0 and pad_w == 0:
-        from imageenhancement_mp_tpu.config import pallas_enabled
-
-        def _dg_ok():
-            from imageenhancement_mp_tpu.kernels.hist import _dg_supported
-
-            return _dg_supported()
-
-        if pallas_enabled() and _dg_ok():
-            return _clahe_pallas(
-                planes, clip_limit, gh, gw, th, tw, y0, y1, fy, x0, x1, fx
-            )
-
-    if hist_size == 65536 and pad_h == 0 and pad_w == 0:
+    if pad_h == 0 and pad_w == 0:
         from imageenhancement_mp_tpu.config import pallas_enabled
 
         def _dg_ok():
@@ -197,7 +184,7 @@ def clahe_planes(
             return _dg_supported()
 
         from imageenhancement_mp_tpu.kernels.clahe_u16 import (
-            clahe_blend_u16_pallas,
+            clahe_blend_quad_pallas,
             uniform_quadrant_split,
         )
 
@@ -207,17 +194,42 @@ def clahe_planes(
             and uniform_quadrant_split(y0, gh, th)
             and uniform_quadrant_split(x0, gw, tw)
         ):
-            # stage A/B in XLA (byte-split MXU hist + vectorized LUT
-            # build), stage C via the packed 256-step gather-chain kernel
-            # (the XLA per-pixel gather into [T·65536] is a scalar loop
-            # on TPU — 0.4× the CPU baseline; kernels/clahe_u16.py)
-            hists = jax.vmap(
-                lambda p: _tile_hists(p, gh, gw, th, tw, hist_size)
-            )(planes)
-            luts = clahe_tile_luts(
-                hists.reshape(B * gh * gw, hist_size), area, clip_limit, hist_size
+            # quadrant stage C: within one quadrant of a tile all pixels
+            # blend the SAME four neighbor LUTs, so the tables arrive as
+            # whole BlockSpec operands and the per-pixel work is one
+            # packed gather chain per field — 1 step for u8, 256 for u16
+            # (the XLA per-pixel gather into [T·S] is a scalar loop on
+            # TPU; the 9-LUT stacked kernel pays an 18-step chain per
+            # field; kernels/clahe_u16.py)
+            if hist_size == 256:
+                from imageenhancement_mp_tpu.kernels.hist import hist256_pallas
+
+                tiles = (
+                    planes.reshape(B, gh, th, gw, tw)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(B * gh * gw, th * tw)
+                )
+                hists = hist256_pallas(tiles)
+            else:
+                hists = jax.vmap(
+                    lambda p: _tile_hists(p, gh, gw, th, tw, hist_size)
+                )(planes).reshape(B * gh * gw, hist_size)
+            luts = clahe_tile_luts(hists, area, clip_limit, hist_size)
+            return clahe_blend_quad_pallas(planes, luts, gh, gw, fy, fx)
+
+    if hist_size == 256 and pad_h == 0 and pad_w == 0:
+        from imageenhancement_mp_tpu.config import pallas_enabled
+
+        def _dg_ok():
+            from imageenhancement_mp_tpu.kernels.hist import _dg_supported
+
+            return _dg_supported()
+
+        if pallas_enabled() and _dg_ok():
+            # non-uniform tile-center split: the 9-LUT stacked kernel
+            return _clahe_pallas(
+                planes, clip_limit, gh, gw, th, tw, y0, y1, fy, x0, x1, fx
             )
-            return clahe_blend_u16_pallas(planes, luts, gh, gw, fy, fx)
 
     y0 = jnp.asarray(y0)
     y1 = jnp.asarray(y1)

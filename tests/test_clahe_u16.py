@@ -58,6 +58,22 @@ def test_clahe_u16_narrow_range(rng):
     assert maxdiff(got, want) <= 1
 
 
+@pytest.mark.parametrize(
+    "shape,grid,cl",
+    [
+        ((2, 64, 256), (8, 2), 2.0),
+        ((1, 30, 256), (2, 2), 40.0),  # odd tile rows: hu=8, hl=7
+        ((1, 64, 384), (4, 3), 3.5),
+    ],
+)
+def test_clahe_u8_quadrant_kernel(rng, shape, grid, cl):
+    """u8 CLAHE through the quadrant blend (1-step packed chain)."""
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = _forced_pallas_clahe(x, cl, grid)
+    want = np.stack([ref.clahe(p, cl, grid) for p in x])
+    assert maxdiff(got, want) <= 1  # CPU-tier FMA-contraction budget
+
+
 def test_clahe_u16_odd_geometry_falls_back(rng):
     # non-divisible size keeps the XLA path (results still match ref)
     x = rng.integers(0, 65536, (1, 20, 250), dtype=np.uint16)
