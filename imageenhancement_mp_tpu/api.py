@@ -1791,6 +1791,30 @@ def tonemap_drago(img, gamma: float = 1.0, saturation: float = 1.0,
     return _tonemap_drago_jit(float(gamma), float(saturation), float(bias))(img)
 
 
+def _tonemap_mantiuk_jit(gamma, scale, saturation):
+    from imageenhancement_mp_tpu.ops.photo import tonemap_mantiuk_nhwc
+
+    @jax.jit
+    def run(img):
+        return tonemap_mantiuk_nhwc(img[None], gamma, scale, saturation)[0]
+
+    return run
+
+
+def tonemap_mantiuk(img, gamma: float = 1.0, scale: float = 0.7,
+                    saturation: float = 1.0):
+    """``cv2.createTonemapMantiuk(...).process`` — cv2's gradient-domain
+    contrast operator reduced to its closed form (the contrast response
+    map is algebraically linear, so the 100-iteration CG solves
+    ``A x = k·A x0`` whose solution is the power law
+    ``L' = L^(scale^(1/0.4185))`` — ref/ops.py ``tonemap_mantiuk``).
+    ≤ ~3e-3 vs cv2 (its own CG stopping tolerance).  f32 ``[H,W,3]``."""
+    if img.dtype != jnp.float32:
+        raise TypeError(f"tonemap_mantiuk expects float32 HDR, got {img.dtype}")
+    return _tonemap_mantiuk_jit(float(gamma), float(scale),
+                                float(saturation))(img)
+
+
 def undistort(img, K, dist, new_K=None, channels_last: bool = True):
     """``cv2.undistort`` — BIT-EXACT u8 (cv2's quantized-map 32x32-tab
     path), u16/i16 ±1, f32 float-tab.  ``K``/``dist`` are static

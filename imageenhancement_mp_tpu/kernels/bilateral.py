@@ -15,9 +15,13 @@ r04 weak #5).  This kernel walks the whole disc per row stripe in VMEM:
 * epilogue: ``sat_u8(cvRound(num/den))``.
 
 Exactness: identical arithmetic to ops/bilateral.py ``_accumulate``
-(same disc order, same f32 ops), so the parity contract (bit-exact vs
-cv2's reference C++ path) is unchanged.  Requirements: u8, W % 128 == 0,
-W ≥ 256, H % 8 == 0, radius ≤ 8.
+(same disc order, same f32 ops).  On TPU the final ``num/den`` is ±1 LSB
+occasionally: the chip's f32 divide is ~2 ulp (probed r05 — BOTH XLA and
+Mosaic lower it that way), which can flip ``cvRound`` near .5 — within
+the op's documented ±1 contract (cv2's own IPP dispatch differs ±1 from
+its reference path on ~20 % of pixels).  Interpret mode (IEEE divide) is
+bit-exact.  Requirements: u8, W % 128 == 0, W ≥ 256, H % 8 == 0,
+radius ≤ 8.
 """
 
 from __future__ import annotations

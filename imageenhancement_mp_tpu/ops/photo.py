@@ -415,6 +415,37 @@ def tonemap_drago_nhwc(img: jnp.ndarray, gamma: float = 1.0,
     return out
 
 
+def tonemap_mantiuk_nhwc(img: jnp.ndarray, gamma: float = 1.0,
+                         scale: float = 0.7,
+                         saturation: float = 1.0) -> jnp.ndarray:
+    """``cv2.createTonemapMantiuk`` on ``(N, H, W, 3)`` f32 HDR —
+    contract in ref/ops.py ``tonemap_mantiuk``: the contrast response
+    map is algebraically linear, so cv2's 100-iteration gradient-domain
+    CG solve reduces to the power law ``L' = L^(scale^(1/0.4185))`` —
+    one pointwise pass on the VPU instead of ~200 pyramid traversals.
+    Budget ≤ ~3e-3 = cv2's own CG stopping tolerance.  Constant-
+    luminance inputs (where cv2 asserts) return zeros via the normalize
+    guard — the jitted path cannot raise data-dependently."""
+    f = jnp.float32
+    img = _norm_minmax_f32(img.astype(f))
+    gray = _gray_f32(img)
+    log_img = jnp.log(jnp.maximum(gray, f(1e-4)))
+    k = f(float(np.float32(scale)) ** (1.0 / float(np.float32(0.4185))))
+    new_gray = jnp.exp(k * log_img)
+    ratio = jnp.where(gray[..., None] > 0, img / gray[..., None], f(0))
+    ch = ratio if saturation == 1.0 else jnp.power(ratio, f(saturation))
+    out = ch * new_gray[..., None]
+    fin = jnp.isfinite(out)
+    big = jnp.float32(3.4e38)
+    mn = jnp.where(fin, out, big).min(axis=(1, 2, 3), keepdims=True)
+    mx = jnp.where(fin, out, -big).max(axis=(1, 2, 3), keepdims=True)
+    sc = jnp.where(mx - mn > f(1e-12), f(1) / (mx - mn), f(0))
+    out = fma32(out, sc, -mn * sc)
+    if gamma != 1.0:
+        out = jnp.power(out, f(1.0 / gamma))
+    return out
+
+
 def denoise_tvl1_stack(obs: jnp.ndarray, lam: float = 1.0,
                        niters: int = 30) -> jnp.ndarray:
     """``cv2.denoise_TVL1`` on a ``(K, H, W)`` uint8 observation stack —

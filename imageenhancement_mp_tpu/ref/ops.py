@@ -4872,6 +4872,60 @@ def tonemap_drago(img: np.ndarray, gamma: float = 1.0,
     return out
 
 
+def tonemap_mantiuk(img: np.ndarray, gamma: float = 1.0,
+                    scale: float = 0.7, saturation: float = 1.0) -> np.ndarray:
+    """``cv2.createTonemapMantiuk(...).process`` — closed form, pinned
+    ≤ ~3e-3 vs cv2 (fuzz: sizes 8..256 incl. odd, all params; corr 1.0).
+
+    cv2 runs a multi-scale gradient-domain operator: a contrast pyramid
+    (forward diffs over INTER_LINEAR half-size levels), the response map
+    ``c ← signedPow(signedPow(c, 0.4185)·scale, 1/0.4185)``, and a
+    100-iteration conjugate-gradient solve back to log luminance
+    (tonemap.cpp:351's ``fabs(dprod) > 0`` assert is the CG's).  The
+    response map is ALGEBRAICALLY LINEAR —
+    ``signedPow(signedPow(c, p)·s, 1/p) = c·s^(1/p)`` — so the CG
+    system is ``A x = k·A x0`` with ``k = scale^(1/0.4185)`` and
+    ``x0 = log L``: its solution is ``x = k·x0`` plus an A-null-space
+    component (constants), and the final minmax normalize kills the
+    constant.  The whole operator therefore reduces to the power law
+    ``L' = L^k``.  The ≤3e-3 budget is cv2's own CG stopping tolerance
+    (``target_error = 1e-3`` relative, amplified by pow(1/gamma));
+    cv2's residual CG noise — not a model error — is what remains.
+
+    Degenerate: cv2 ASSERTS on constant-luminance images (the first CG
+    ``dprod`` is exactly 0) — mirrored here with ValueError.  cv2's
+    fractional-pow NaN quirk at negative normalize residues (see
+    ``tonemap_drago``) applies to isolated pixels of cv2's output; this
+    closed form stays finite.
+    """
+    f32 = np.float32
+    img = _normalize_minmax_f32(img)
+    gray = _gray_f32(img)
+    log_img = np.log(np.maximum(gray, f32(1e-4))).astype(f32)
+    if not float(log_img.max()) - float(log_img.min()) > 0:
+        raise ValueError(
+            "TonemapMantiuk: constant luminance — cv2 asserts "
+            "fabs(dprod) > 0 here (tonemap.cpp:351)")
+    k = f32(float(f32(scale)) ** (1.0 / float(f32(0.4185))))
+    new_gray = np.exp(k * log_img).astype(f32)
+    out = np.empty_like(img)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for c in range(3):
+            ratio = np.where(gray > 0, img[..., c] / gray, f32(0)).astype(f32)
+            ch = ratio if saturation == 1.0 else _pow_f32(ratio, float(saturation))
+            out[..., c] = ch * new_gray
+    fin = np.isfinite(out)
+    if fin.any():
+        sub = out[fin]
+        mn2, mx2 = float(sub.min()), float(sub.max())
+        if mx2 - mn2 > np.finfo(np.float64).eps:
+            sc = 1.0 / (mx2 - mn2)
+            out = _fma32(out, f32(sc), f32(-mn2 * sc))
+    if gamma != 1.0:
+        out = _pow_f32(out, 1.0 / gamma)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # cv2.AlignMTB (median-threshold-bitmap alignment for exposure stacks) —
 # pinned BIT-EXACT (24/24 + 40-config fuzz vs cv2, incl. the

@@ -308,6 +308,35 @@ def test_tonemap_drago_vs_cv2():
         assert resid <= 1e-5, (t, g, s, b, d, resid)
 
 
+def test_tonemap_mantiuk_vs_cv2():
+    """cv2's gradient-domain CG reduced to its closed form (the contrast
+    response map is linear: signedPow(signedPow(c,p)·s, 1/p) = c·s^(1/p)
+    — ref/ops.py tonemap_mantiuk).  Budget = cv2's own CG stopping
+    tolerance (target_error 1e-3 relative, amplified by pow(1/gamma))."""
+    rng = np.random.default_rng(seed("mantiuk"))
+    for t in range(10):
+        hdr = (rng.random((16 + t, 21 + (t % 3), 3)).astype(np.float32)
+               * float(rng.uniform(0.5, 40)) + float(rng.uniform(0, 0.1)))
+        g = float(rng.choice([1.0, 1.5, 2.2]))
+        s = float(rng.uniform(0.55, 1.4))
+        sat = float(rng.uniform(0.4, 1.8))
+        want = cv2.createTonemapMantiuk(g, s, sat).process(hdr)
+        got = ref.tonemap_mantiuk(hdr, g, s, sat)
+        m = np.isfinite(want) & np.isfinite(got)
+        assert float(np.abs(got[m] - want[m]).max()) <= 8e-3, (t, g, s, sat)
+        # cv2's fractional pow NaNs isolated pixels (negative normalize
+        # residues); the closed form stays finite
+        assert m.mean() > 0.99
+
+
+def test_tonemap_mantiuk_constant_raises():
+    import pytest as _pytest
+
+    cst = np.full((8, 8, 3), 2.5, np.float32)
+    with _pytest.raises(ValueError):
+        ref.tonemap_mantiuk(cst)
+
+
 def test_tonemap_device_vs_oracle():
     rng = np.random.default_rng(seed("tonemapdev"))
     hdr = (rng.random((19, 23, 3)).astype(np.float32) * 12.0 + 0.01)
@@ -316,6 +345,8 @@ def test_tonemap_device_vs_oracle():
          dict(gamma=2.2, intensity=0.5, light_adapt=0.8, color_adapt=0.4)),
         (ie.tonemap_drago, ref.tonemap_drago,
          dict(gamma=1.5, saturation=1.2, bias=0.9)),
+        (ie.tonemap_mantiuk, ref.tonemap_mantiuk,
+         dict(gamma=1.5, scale=0.8, saturation=1.2)),
     ):
         got = np.asarray(fn_d(jnp.asarray(hdr), **kw))
         want = fn_r(hdr, **kw)
