@@ -58,6 +58,7 @@ BASELINES = {  # GPix/s, reference backend: OpenCV 5.0.0 single-thread (BASELINE
     "remap/cubic 4K gray b2": 0.113,  # cv2.remap INTER_CUBIC (swirl maps)
     "tonemap/reinhard 1080p rgb": 0.021,  # cv2.createTonemapReinhard
     "tonemap/drago 1080p rgb": 0.028,     # cv2.createTonemapDrago
+    "tonemap/mantiuk 1080p rgb": 0.0055,  # cv2.createTonemapMantiuk (100-iter CG)
     "cvt/luv 1080p rgb b8": 0.132,    # cv2.cvtColor RGB2Luv (packed path)
     "dist/l2m3 1080p gray": 0.0957,  # cv2.distanceTransform L2 mask3
     "clahe/u16 4K gray b2": 0.049,
@@ -128,6 +129,7 @@ BYTES_PER_PX = {
     # f32 HDR: per-element f32 traffic, log-mean pass + apply pass
     "tonemap/reinhard 1080p rgb": 12.0,
     "tonemap/drago 1080p rgb": 12.0,
+    "tonemap/mantiuk 1080p rgb": 12.0,
     # u8 read + f32 write + one f32 read-write relaxation sweep
     "dist/l2m3 1080p gray": 13.0,
     # canny: data-dependent fixpoint — model the 3 fixed passes only
@@ -453,6 +455,12 @@ def main() -> int:
             (
                 "tonemap/drago 1080p rgb",
                 lambda x: ie.tonemap_drago(x, 2.2),
+                hdr1080,
+                None,
+            ),
+            (
+                "tonemap/mantiuk 1080p rgb",
+                lambda x: ie.tonemap_mantiuk(x, 2.2),
                 hdr1080,
                 None,
             ),

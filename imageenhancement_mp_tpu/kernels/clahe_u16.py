@@ -62,40 +62,31 @@ def uniform_quadrant_split(i0, n_tiles: int, tile: int) -> bool:
 
 def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref,
             *, maxv: float):
-    v = x_ref[0, 0, 0, 0].astype(jnp.int32)  # [qh8, qw]
-    qh, qw = v.shape
+    v = x_ref[0, 0, 0, 0].astype(jnp.int32)  # [rb, 128]
     idxp = v >> 1
     low = idxp & 127
     seg = idxp >> 7  # ∈ [0, S/256)
     odd = v & 1
     tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]  # [S/256, 128]
     K = tabs[0].shape[0]
-    cols = []
-    for cb in range(qw // _LANES):
-        sl = slice(cb * _LANES, (cb + 1) * _LANES)
-        lo_b, seg_b = low[:, sl], seg[:, sl]
-        acc = [None] * 4
-        for k in range(K):
-            m = None if K == 1 else (seg_b == k)
-            for f in range(4):
-                tb = jnp.broadcast_to(tabs[f][k : k + 1], lo_b.shape)
-                g = jnp.take_along_axis(
-                    tb, lo_b, axis=1, mode="promise_in_bounds"
-                )
-                acc[f] = g if acc[f] is None else jnp.where(m, g, acc[f])
-        o_b = odd[:, sl]
-        l00, l01, l10, l11 = (
-            jnp.where(o_b == 1, (a >> 16) & 0xFFFF, a & 0xFFFF).astype(jnp.float32)
-            for a in acc
-        )
-        fy = fy_ref[0][:, sl]
-        fx = fx_ref[0][:, sl]
-        # blend_tile_luts' exact association (strict per-op f32 on TPU)
-        top = (1.0 - fx) * l00 + fx * l01
-        bot = (1.0 - fx) * l10 + fx * l11
-        out = (1.0 - fy) * top + fy * bot
-        cols.append(jnp.clip(jnp.round(out), 0.0, maxv))
-    res = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    acc = [None] * 4
+    for k in range(K):
+        m = None if K == 1 else (seg == k)
+        for f in range(4):
+            tb = jnp.broadcast_to(tabs[f][k : k + 1], low.shape)
+            g = jnp.take_along_axis(tb, low, axis=1, mode="promise_in_bounds")
+            acc[f] = g if acc[f] is None else jnp.where(m, g, acc[f])
+    l00, l01, l10, l11 = (
+        jnp.where(odd == 1, (a >> 16) & 0xFFFF, a & 0xFFFF).astype(jnp.float32)
+        for a in acc
+    )
+    fy = fy_ref[0]
+    fx = fx_ref[0]
+    # blend_tile_luts' exact association (strict per-op f32 on TPU)
+    top = (1.0 - fx) * l00 + fx * l01
+    bot = (1.0 - fx) * l10 + fx * l11
+    out = (1.0 - fy) * top + fy * bot
+    res = jnp.clip(jnp.round(out), 0.0, maxv)
     o_ref[...] = res.astype(jnp.int32).astype(o_ref.dtype)[
         None, None, None, None]
 
@@ -157,8 +148,18 @@ def clahe_blend_quad_pallas(
         fxc[c * 2 + 0, :, :wl] = fx[None, c * tw : c * tw + wl]
         fxc[c * 2 + 1, :, :wr] = fx[None, c * tw + wl : (c + 1) * tw]
 
+    # row/col sub-blocks ride the grid (innermost, so the four table
+    # blocks — whose index maps ignore them — stay resident across the
+    # whole quadrant): [rb, 128] work blocks keep the unrolled chain's
+    # register pressure at the proven-to-compile size (the whole-
+    # quadrant variant spilled: 130 MiB of register spill slots at 4K)
+    rb = min(qh8, 16 if S > 256 else 64)
+    while qh8 % rb:
+        rb -= 8
+    nrb, ncb = qh8 // rb, qw // _LANES
+
     def tmap(dy, dx):
-        def im(b, t, c, q):
+        def im(b, t, c, q, rbi, cbi):
             ty = jnp.clip(t - 1 + (q >> 1) + dy, 0, gh - 1)
             tx = jnp.clip(c - 1 + (q & 1) + dx, 0, gw - 1)
             return (b * T + ty * gw + tx, 0, 0)
@@ -167,26 +168,30 @@ def clahe_blend_quad_pallas(
 
     out = pl.pallas_call(
         functools.partial(_kernel, maxv=float(S - 1)),
-        grid=(B, gh, gw, 4),
+        grid=(B, gh, gw, 4, nrb, ncb),
         out_shape=jax.ShapeDtypeStruct(
             (B, gh, gw, 4, qh8, qw), planes.dtype),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, 1, qh8, qw), lambda b, t, c, q: (b, t, c, q, 0, 0)
+                (1, 1, 1, 1, rb, _LANES),
+                lambda b, t, c, q, rbi, cbi: (b, t, c, q, rbi, cbi),
             ),
             pl.BlockSpec((1, S // 256, _LANES), tmap(0, 0)),
             pl.BlockSpec((1, S // 256, _LANES), tmap(0, 1)),
             pl.BlockSpec((1, S // 256, _LANES), tmap(1, 0)),
             pl.BlockSpec((1, S // 256, _LANES), tmap(1, 1)),
             pl.BlockSpec(
-                (1, qh8, qw), lambda b, t, c, q: (t * 2 + (q >> 1), 0, 0)
+                (1, rb, _LANES),
+                lambda b, t, c, q, rbi, cbi: (t * 2 + (q >> 1), rbi, cbi),
             ),
             pl.BlockSpec(
-                (1, qh8, qw), lambda b, t, c, q: (c * 2 + (q & 1), 0, 0)
+                (1, rb, _LANES),
+                lambda b, t, c, q, rbi, cbi: (c * 2 + (q & 1), rbi, cbi),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, 1, qh8, qw), lambda b, t, c, q: (b, t, c, q, 0, 0)
+            (1, 1, 1, 1, rb, _LANES),
+            lambda b, t, c, q, rbi, cbi: (b, t, c, q, rbi, cbi),
         ),
         interpret=interpret,
     )(x6, packed, packed, packed, packed, jnp.asarray(fyc), jnp.asarray(fxc))
