@@ -17,8 +17,16 @@ affordable by three structural moves:
   half-select costs 2 ops per field.
 * **Shared chain mask.**  All four fields gather at the same pixel
   value, so each chain step computes ONE ``seg == k`` mask and four
-  gather+selects (9 ops/step ≈ 2.3k ops/px → VPU-bound ~0.6 GPix/s,
-  ~13× the 49 MPix/s baseline — BASELINE.md:34).
+  gather+selects.
+
+Measured (r05, chain clock, 4K u16): 0.13 GPix/s = 2.6× the 49 MPix/s
+CPU baseline (was 0.4× as an XLA scalar gather).  The binding limit is
+vreg-GATHER throughput, not VPU elementwise ops: each pixel must try
+all ~1024 table vregs and one [8,128] gather serves 1024 pixel-slot
+trials → ~1 gather/px at ~8 ns/gather, invariant under blocking (rb
+8/16/32, OR-tree, and an 8-way sublane-parallel scan all measured the
+same — kernel comment).  u8 (S = 256) has a 2-vreg table: one gather
+per field, 13.5 GPix/s at 4K.
 
 Exactness: the blend reuses blend_tile_luts' f32 association and single
 half-even round (ops/clahe.py:145), so results are bit-identical to the
@@ -35,6 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from imageenhancement_mp_tpu.kernels.common import round_up as _round_up
 
@@ -63,17 +72,30 @@ def uniform_quadrant_split(i0, n_tiles: int, tile: int) -> bool:
 def _kernel(x_ref, t00_ref, t01_ref, t10_ref, t11_ref, fy_ref, fx_ref, o_ref,
             *, maxv: float):
     v = x_ref[0, 0, 0, 0].astype(jnp.int32)  # [rb, 128]
+    odd = v & 1
+    tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]
+    K = tabs[0].shape[0]
     idxp = v >> 1
     low = idxp & 127
     seg = idxp >> 7  # ∈ [0, S/256)
-    odd = v & 1
-    tabs = [t00_ref[0], t01_ref[0], t10_ref[0], t11_ref[0]]  # [S/256, 128]
-    K = tabs[0].shape[0]
+    # serial select chain, one shared mask per step; u16 tables arrive
+    # pre-broadcast [K, 8, 128] so the gather needs no per-step
+    # broadcast.  r05 probes: rb=8 keeps the four accumulators in
+    # registers (16/32 spill and measured slower); an OR-tree and an
+    # 8-way sublane-parallel table scan both measured the SAME ~0.13
+    # GPix/s at 4K — the invariant cost is vreg-gather throughput:
+    # every pixel must try all table vregs, one [8,128] gather serves
+    # 1024 pixel-slot trials, so gathers/px = table_vregs/1024 ≈ 1
+    # regardless of blocking — the hard floor of the full-table-visit
+    # design (~8 ns/gather on this chip).
     acc = [None] * 4
     for k in range(K):
         m = None if K == 1 else (seg == k)
         for f in range(4):
-            tb = jnp.broadcast_to(tabs[f][k : k + 1], low.shape)
+            if K == 1:
+                tb = jnp.broadcast_to(tabs[f][0:1, :], low.shape)
+            else:
+                tb = tabs[f][k]  # [8, 128] == low.shape (rb = 8)
             g = jnp.take_along_axis(tb, low, axis=1, mode="promise_in_bounds")
             acc[f] = g if acc[f] is None else jnp.where(m, g, acc[f])
     l00, l01, l10, l11 = (
@@ -119,11 +141,24 @@ def clahe_blend_quad_pallas(
     hl, wr = th - hu, tw - wl
     qh8 = _round_up(max(hu, hl), 8)
     qw = _round_up(max(wl, wr), _LANES)
+    # u8's 1-step chain takes whole-quadrant row blocks; the u16
+    # 256-step unrolled chain runs [8, 128] work blocks so the four
+    # accumulators live in registers (larger rb spills — probed r05)
+    rb = qh8 if S == 256 else 8
+    qh8 = _round_up(qh8, rb)
 
-    # pack LUT pairs: [B·T, S] → [B·T, S/256, 128] i32 (even|odd<<16)
+    # pack LUT pairs: [B·T, S] → [B·T, S/256, 128] i32 (even|odd<<16);
+    # u16 additionally pre-broadcasts each row across 8 sublanes so the
+    # kernel's gather needs no per-step broadcast
     l32 = luts.astype(jnp.int32)
     packed = (l32[:, 0::2] + (l32[:, 1::2] << 16)).reshape(
         B * T, S // 256, _LANES)
+    if S > 256:
+        # pre-broadcast each packed row across 8 sublanes so the
+        # kernel's gather source is vreg-shaped with no per-step
+        # broadcast op
+        packed = jnp.broadcast_to(
+            packed[:, :, None, :], (B * T, S // 256, 8, _LANES))
 
     # quadrant-reorganize pixels: [B, gh, gw, 4, qh8, qw] (pad with zeros)
     t5 = planes.reshape(B, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
@@ -150,19 +185,16 @@ def clahe_blend_quad_pallas(
 
     # row/col sub-blocks ride the grid (innermost, so the four table
     # blocks — whose index maps ignore them — stay resident across the
-    # whole quadrant): [rb, 128] work blocks keep the unrolled chain's
-    # register pressure at the proven-to-compile size (the whole-
-    # quadrant variant spilled: 130 MiB of register spill slots at 4K)
-    rb = min(qh8, 16 if S > 256 else 64)
-    while qh8 % rb:
-        rb -= 8
+    # whole quadrant)
     nrb, ncb = qh8 // rb, qw // _LANES
 
     def tmap(dy, dx):
         def im(b, t, c, q, rbi, cbi):
             ty = jnp.clip(t - 1 + (q >> 1) + dy, 0, gh - 1)
             tx = jnp.clip(c - 1 + (q & 1) + dx, 0, gw - 1)
-            return (b * T + ty * gw + tx, 0, 0)
+            if S == 256:
+                return (b * T + ty * gw + tx, 0, 0)
+            return (b * T + ty * gw + tx, 0, 0, 0)
 
         return im
 
@@ -176,10 +208,18 @@ def clahe_blend_quad_pallas(
                 (1, 1, 1, 1, rb, _LANES),
                 lambda b, t, c, q, rbi, cbi: (b, t, c, q, rbi, cbi),
             ),
-            pl.BlockSpec((1, S // 256, _LANES), tmap(0, 0)),
-            pl.BlockSpec((1, S // 256, _LANES), tmap(0, 1)),
-            pl.BlockSpec((1, S // 256, _LANES), tmap(1, 0)),
-            pl.BlockSpec((1, S // 256, _LANES), tmap(1, 1)),
+            pl.BlockSpec(
+                (1, S // 256, _LANES) if S == 256
+                else (1, S // 256, 8, _LANES), tmap(0, 0)),
+            pl.BlockSpec(
+                (1, S // 256, _LANES) if S == 256
+                else (1, S // 256, 8, _LANES), tmap(0, 1)),
+            pl.BlockSpec(
+                (1, S // 256, _LANES) if S == 256
+                else (1, S // 256, 8, _LANES), tmap(1, 0)),
+            pl.BlockSpec(
+                (1, S // 256, _LANES) if S == 256
+                else (1, S // 256, 8, _LANES), tmap(1, 1)),
             pl.BlockSpec(
                 (1, rb, _LANES),
                 lambda b, t, c, q, rbi, cbi: (t * 2 + (q >> 1), rbi, cbi),

@@ -63,6 +63,16 @@ ROWS = [
     "gaussian5/u16 4K gray b2",
     "median5/i16 4K gray b2",
     "gaussian5/i16 4K gray b2",
+    # r05 additions: the geometry/tonemap rows bench --all already
+    # carried, plus the new tonemap/mantiuk op
+    "warp/cubic 4K gray b2",
+    "warp/lanczos4 4K gray b2",
+    "remap/cubic 4K gray b2",
+    "cvt/luv 1080p rgb b8",
+    "dist/l2m3 1080p gray",
+    "tonemap/reinhard 1080p rgb",
+    "tonemap/drago 1080p rgb",
+    "tonemap/mantiuk 1080p rgb",
 ]
 
 
