@@ -22,8 +22,10 @@ both costs (SURVEY.md §3.3's fused tile kernel, VERDICT r04 items 1/4):
   VPU element rate.  cv2's u8 rounding ``(acc8 + 2^15) >> 16`` equals
   ``(acc + q/2) >> log2(q)`` for the reduced scale q = qv·qh, applied
   packed as ``((h + (q/2)·0x00010001) >> s) & 0x00FF00FF``.
-  Measured 117 GPix/s on 4K (3.4× the round-4 kernel; 36 % of the
-  657 GB/s roofline at 2 B/px).
+  The raw experiment kernel measured 117 GPix/s on 4K
+  (experiments/exp03); certified production rows (docs/BENCH_TPU_r09):
+  unsharp 80.3 / gaussian5 87.7 GPix/s at 1080p×8 — ~2.5× the round-4
+  kernel, ~25 % of the 657 GB/s roofline at 2 B/px.
 * **General taps ride the MXU.**  For arbitrary σ (Q8 taps up to 255 —
   exact in bf16), the vertical pass is one banded-matrix matmul
   ``[th, th+4]·[th+4, W]`` in bf16 with f32 accumulation (all integer

@@ -279,8 +279,12 @@ def equalize_unsharp(
 ) -> jnp.ndarray:
     """North-star fused pipeline: hist-eq → unsharp (BASELINE.json:2).
 
-    One XLA program: the LUT gather fuses into the conv pass, giving two
-    HBM passes total (hist + gather·conv·epilogue).
+    On TPU with a wide-eligible shape this is the SURVEY §3.3
+    single-residency flagship: the Pallas MXU stripe histogram, a tiny
+    XLA LUT build, then ONE Pallas pass doing LUT-gather + separable
+    conv + unsharp epilogue per VMEM tile (kernels/conv2.py) — three
+    HBM byte-passes total (hist read, fused read, write).  Other
+    shapes/backends fall back to hist-eq → XLA-fused unsharp.
     """
     if img.dtype != jnp.uint8:
         raise TypeError(f"expected uint8 image array, got {img.dtype}")
